@@ -1,0 +1,74 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from group5_spark.queries import QUERIES  # noqa: E402
+from group5_spark.session import create_spark_session  # noqa: E402
+
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "top_customers",
+    "top3_parts_per_brand",
+    "customer_order_counts",
+    "customers_without_orders",
+    "running_revenue",
+    "moving_avg_7d",
+    "daily_revenue",
+    "funnel_steps",
+    "events_props_sum",
+    "pct_revenue_by_segment",
+    "yoy_revenue",
+    "mtd_revenue",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = create_spark_session("group5-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM + file listing once so per-query numbers measure the
+    # query, not session startup.
+    QUERIES["pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        start = time.perf_counter()
+        # count() forces full execution of every operator without
+        # collecting result rows to the driver.
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

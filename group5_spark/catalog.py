@@ -1,0 +1,66 @@
+"""Testdata catalog: load the driver's parquet tables and register views.
+
+Tables (see TESTDATA.md): region nation customer supplier part orders
+lineitem events documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}``.
+
+Reads go through ``spark.read.parquet`` so Catalyst gets vectorized
+scans, predicate pushdown, and column pruning for free. Nothing is
+cached here — callers decide lifetime (operators that reuse a table
+across actions cache explicitly, see operators.columns.cached).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to always broadcast in joins, at every
+# scale factor (TPC-H dims grow sub-linearly or not at all).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table as a DataFrame.
+
+    ``events.parquet`` stores nanosecond timestamps, which Spark's
+    vectorized parquet reader rejects (PARQUET_TYPE_ILLEGAL). We read
+    nanos as long (legacy conf, runtime-settable) and rebuild a
+    microsecond TimestampType column — matching DuckDB's nanos→micros
+    truncation.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load every testdata table, keyed by name."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register each table as a temp view so spark.sql() can see them."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,696 @@
+"""Query registry: every implemented operator as a (Spark, oracle-SQL) pair.
+
+Each entry maps one operator/measure from SURVEY.md §2 onto the
+driver's testdata tables. The Spark side is the engine's DataFrame
+implementation; the oracle is equivalent ANSI SQL for DuckDB. Both
+must produce identical column names, types, and values (the driver
+hash-compares after sorting).
+
+Determinism rules (Spark vs DuckDB must agree bit-for-bit):
+- Money columns in the testdata are exact 2-decimal doubles → cast to
+  DECIMAL(18,2) *before* aggregating; decimal sums are exact in both
+  engines. Derived per-row money (price × (1-disc)) is an IEEE-double
+  expression (identical in both) cast to DECIMAL(18,4) pre-sum.
+- Ratios/averages: double division then ROUND(x, 6).
+- No decimal division anywhere (engines disagree on result scale).
+- Dates as DATE; years/months cast to INT (DuckDB EXTRACT yields
+  BIGINT, Spark year() yields INT).
+- Rank filters order by a unique tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from group5_spark.catalog import load_table
+from group5_spark.operators import joins, setops, windows
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+DEC2 = "decimal(18,2)"
+DEC4 = "decimal(18,4)"
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add a query (and optional DuckDB oracle) to the registry."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------
+# Relational core: scan / filter / aggregate  (SURVEY §2 A1, B29)
+# --------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(l_quantity AS DECIMAL(18,2)))::DECIMAL(18,2) AS sum_qty,
+           SUM(CAST(l_extendedprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS sum_base_price,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DECIMAL(18,4) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-style pricing summary: the flagship scan→filter→agg.
+
+    The shipdate filter pushes down to the parquet scan; the groupBy
+    is a 6-group hash aggregate with map-side partials — at 100 TB
+    this is a single scan + tiny shuffle of partial aggregates.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC2)).cast(DEC2).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2).alias("sum_base_price"),
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+            ).cast(DEC4).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Joins  (SURVEY §2 B1-B3)
+# --------------------------------------------------------------------
+
+
+@register(
+    "revenue_by_nation",
+    """
+    SELECT r_name, n_name,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DECIMAL(18,4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    """,
+)
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-way inner join (B1): fact × 3 broadcast dims, zero fact shuffles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    joined = joins.dim_join(
+        joins.dim_join(
+            joins.dim_join(
+                li.withColumnRenamed("l_suppkey", "s_suppkey"), sup, "s_suppkey"
+            ).withColumnRenamed("s_nationkey", "n_nationkey"),
+            nat,
+            "n_nationkey",
+        ).withColumnRenamed("n_regionkey", "r_regionkey"),
+        reg,
+        "r_regionkey",
+    )
+    return joined.groupBy("r_name", "n_name").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+        ).cast(DEC4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "customer_order_counts",
+    """
+    SELECT c_custkey, c_mktsegment,
+           COUNT(o_orderkey) AS n_orders,
+           COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 0)::DECIMAL(18,2) AS revenue
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (B2): customers keep rows with zero orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    return (
+        joins.left_join(cust, orders, "c_custkey")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast(DEC2)), F.lit(0)
+            ).cast(DEC2).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join (B3): the spec's "users with events but no purchase" shape."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    return joins.anti_join(cust, orders, "c_custkey").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@register(
+    "customers_with_orders",
+    """
+    SELECT c_custkey, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi join (B3 complement)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    return joins.semi_join(cust, orders, "c_custkey").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+@register(
+    "late_shipment_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional semi join (TPC-H Q4 shape): EXISTS with an extra predicate."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    matched = orders.join(
+        li,
+        on=(orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+        how="left_semi",
+    )
+    return matched.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+# --------------------------------------------------------------------
+# Window functions  (SURVEY §2 B4-B6, B37)
+# --------------------------------------------------------------------
+
+
+@register(
+    "top_customers",
+    """
+    SELECT * FROM (
+        SELECT c_custkey, c_name,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS revenue,
+               ROW_NUMBER() OVER (
+                   ORDER BY SUM(CAST(o_totalprice AS DECIMAL(18,2))) DESC, c_custkey
+               ) AS rn
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    ) WHERE rn <= 10
+    """,
+)
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N (B37): rank over aggregated revenue, unique tie-break."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    rev = (
+        joins.inner_join(cust, orders, "c_custkey")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("revenue"))
+    )
+    return windows.top_n(
+        rev, partition_by=[], order_by=[F.col("revenue").desc(), F.col("c_custkey")],
+        n=10, out="rn",
+    )
+
+
+@register(
+    "top3_parts_per_brand",
+    """
+    SELECT * FROM (
+        SELECT p_brand, p_partkey, p_name,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DECIMAL(18,4) AS revenue,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_brand
+                   ORDER BY SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) DESC,
+                            p_partkey
+               ) AS rn
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, p_partkey, p_name
+    ) WHERE rn <= 3
+    """,
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned ranking (B4): top-3 revenue parts within each brand."""
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = (
+        joins.dim_join(li, part, "p_partkey")
+        .groupBy("p_brand", "p_partkey", "p_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+            ).cast(DEC4).alias("revenue")
+        )
+    )
+    return windows.top_n(
+        rev, "p_brand", [F.col("revenue").desc(), F.col("p_partkey")], n=3, out="rn"
+    )
+
+
+@register(
+    "running_revenue",
+    """
+    SELECT d, daily_rev,
+           SUM(daily_rev) OVER (
+               ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           )::DECIMAL(18,2) AS running_rev
+    FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS daily_rev
+        FROM orders GROUP BY 1
+    )
+    """,
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total (B5) over pre-aggregated daily revenue.
+
+    The unpartitioned window is safe here: it runs on the ~2.4k-row
+    daily rollup, not raw orders (SURVEY §2 B5 at scale).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("daily_rev"))
+    )
+    return windows.running_total(
+        daily, partition_by=[], order_by="d", value="daily_rev", out="running_rev"
+    ).withColumn("running_rev", F.col("running_rev").cast(DEC2))
+
+
+@register(
+    "moving_avg_7d",
+    """
+    SELECT d, daily_rev,
+           ROUND(CAST(SUM(daily_rev) OVER w AS DOUBLE) / COUNT(*) OVER w, 6) AS ma7
+    FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS daily_rev
+        FROM orders GROUP BY 1
+    )
+    WINDOW w AS (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving average (B6): 7-row trailing window on daily revenue.
+
+    Computed as exact decimal sum / count (double division, round 6)
+    so Spark and the oracle agree bit-for-bit.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.groupBy(F.to_date("o_orderdate").alias("d"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("daily_rev"))
+    )
+    w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+    return daily.withColumn(
+        "ma7",
+        F.round(
+            F.sum("daily_rev").over(w).cast("double") / F.count(F.lit(1)).over(w), 6
+        ),
+    )
+
+
+# --------------------------------------------------------------------
+# Set operations  (SURVEY §2 B7-B9)
+# --------------------------------------------------------------------
+
+
+def _buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("id"))
+        .distinct()
+    )
+
+
+def _event_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("id"))
+        .distinct()
+    )
+
+
+@register(
+    "union_active_ids",
+    "SELECT o_custkey AS id FROM orders UNION SELECT user_id AS id FROM events",
+)
+def union_active_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION distinct (B7) via unionByName + dropDuplicates."""
+    return setops.union_distinct(_buyers(spark, sf_dir), _event_users(spark, sf_dir))
+
+
+@register(
+    "intersect_active_ids",
+    "SELECT DISTINCT o_custkey AS id FROM orders "
+    "INTERSECT SELECT DISTINCT user_id AS id FROM events",
+)
+def intersect_active_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (B8): ids that both placed orders and emitted events."""
+    return setops.intersect(_buyers(spark, sf_dir), _event_users(spark, sf_dir))
+
+
+@register(
+    "except_active_ids",
+    "SELECT DISTINCT o_custkey AS id FROM orders "
+    "EXCEPT SELECT DISTINCT user_id AS id FROM events",
+)
+def except_active_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (B9): buyers that never emitted an event."""
+    return setops.except_distinct(_buyers(spark, sf_dir), _event_users(spark, sf_dir))
+
+
+# --------------------------------------------------------------------
+# Column ops & JSON  (SURVEY §2 B10-B14)
+# --------------------------------------------------------------------
+
+
+@register(
+    "column_ops_showcase",
+    """
+    SELECT c_custkey AS customer_id,
+           UPPER(c_name) AS name_upper,
+           CAST(c_acctbal AS DECIMAL(12,2)) AS acctbal_dec,
+           CASE WHEN c_acctbal < 0 THEN 'overdrawn' ELSE 'ok' END AS balance_status
+    FROM customer
+    WHERE c_nationkey < 13
+    """,
+)
+def column_ops_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add / rename / cast / drop in one pass (B10-B13)."""
+    from group5_spark.operators import columns as C
+
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_nationkey") < 13)
+    out = C.add_column(cust, "name_upper", F.upper("c_name"))
+    out = C.add_column(
+        out, "balance_status",
+        F.when(F.col("c_acctbal") < 0, "overdrawn").otherwise("ok"),
+    )
+    out = C.cast_columns(out, {"c_acctbal": "decimal(12,2)"})
+    out = C.rename_columns(
+        out, {"c_custkey": "customer_id", "c_acctbal": "acctbal_dec"}
+    )
+    return C.drop_columns(out, "c_name", "c_nationkey", "c_mktsegment")
+
+
+@register(
+    "events_props_sum",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           SUM(CAST(value AS DECIMAL(18,2)))::DECIMAL(18,2) AS sum_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON parsing (B14): extract a typed field from the props JSON string."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.sum(F.col("value").cast(DEC2)).cast(DEC2).alias("sum_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------
+# Measure library  (SURVEY §2 B29-B42)
+# --------------------------------------------------------------------
+
+
+@register(
+    "daily_revenue",
+    """
+    SELECT CAST(o_orderdate AS DATE) AS d,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS revenue,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM orders GROUP BY 1
+    """,
+)
+def daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg_daily_revenue (B28): daily revenue + order count + unique buyers."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@register(
+    "conversion_rate",
+    """
+    SELECT COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END) AS viewers,
+           COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS purchasers,
+           ROUND(
+               CAST(COUNT(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS DOUBLE)
+               / COUNT(DISTINCT CASE WHEN event_type = 'view' THEN user_id END), 6
+           ) AS conv_rate
+    FROM events
+    """,
+)
+def conversion_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion rate (B31): distinct purchasers / distinct viewers."""
+    ev = load_table(spark, sf_dir, "events")
+    viewers = F.countDistinct(
+        F.when(F.col("event_type") == "view", F.col("user_id"))
+    ).alias("viewers")
+    purchasers = F.countDistinct(
+        F.when(F.col("event_type") == "purchase", F.col("user_id"))
+    ).alias("purchasers")
+    return ev.agg(viewers, purchasers).withColumn(
+        "conv_rate",
+        F.round(F.col("purchasers").cast("double") / F.col("viewers"), 6),
+    )
+
+
+@register(
+    "funnel_steps",
+    """
+    SELECT SUM(s1) AS step_view, SUM(s1 * s2) AS step_view_click,
+           SUM(s1 * s2 * s3) AS step_view_click_purchase
+    FROM (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+               MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS s2,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS s3
+        FROM events GROUP BY user_id
+    )
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel (B38): per-user step flags via conditional aggregation,
+    then step-conjunction counts. One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    flags = ev.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("s2"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("s3"),
+    )
+    return flags.agg(
+        F.sum("s1").alias("step_view"),
+        F.sum(F.col("s1") * F.col("s2")).alias("step_view_click"),
+        F.sum(F.col("s1") * F.col("s2") * F.col("s3")).alias(
+            "step_view_click_purchase"
+        ),
+    )
+
+
+@register(
+    "events_by_type_daily",
+    """
+    SELECT CAST(ts AS DATE) AS d, event_type, COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_by_type_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement breakdown (B39): events by type by day."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.to_date("ts").alias("d"), "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+@register(
+    "pct_revenue_by_segment",
+    """
+    SELECT c_mktsegment,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS revenue,
+           ROUND(
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               / CAST(SUM(SUM(CAST(o_totalprice AS DECIMAL(18,2)))) OVER () AS DOUBLE),
+               6
+           ) AS pct_of_total
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pct_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """% of total (B36): segment revenue / grand total via window-over-all."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    seg = (
+        joins.dim_join(orders, cust, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("revenue"))
+    )
+    total = F.sum("revenue").over(Window.partitionBy())
+    return seg.withColumn(
+        "pct_of_total",
+        F.round(F.col("revenue").cast("double") / total.cast("double"), 6),
+    )
+
+
+@register(
+    "yoy_revenue",
+    """
+    SELECT yr, revenue,
+           ROUND(
+               (CAST(revenue AS DOUBLE) - CAST(LAG(revenue) OVER (ORDER BY yr) AS DOUBLE))
+               / CAST(LAG(revenue) OVER (ORDER BY yr) AS DOUBLE), 6
+           ) AS yoy_growth
+    FROM (
+        SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    """,
+)
+def yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """YoY growth (B33): yearly revenue + lag-based growth rate."""
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("int").alias("yr")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("revenue"))
+    w = Window.orderBy("yr")
+    prev = F.lag("revenue").over(w)
+    return yearly.withColumn(
+        "yoy_growth",
+        F.round(
+            (F.col("revenue").cast("double") - prev.cast("double"))
+            / prev.cast("double"),
+            6,
+        ),
+    )
+
+
+@register(
+    "mtd_revenue",
+    """
+    SELECT d, mtd_revenue FROM (
+        SELECT d,
+               SUM(daily_rev) OVER (
+                   PARTITION BY yr, mo ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               )::DECIMAL(18,2) AS mtd_revenue
+        FROM (
+            SELECT CAST(o_orderdate AS DATE) AS d,
+                   CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+                   CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS mo,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS daily_rev
+            FROM orders GROUP BY 1, 2, 3
+        )
+    )
+    """,
+)
+def mtd_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-to-date revenue (B34): running total partitioned by month."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("d"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("daily_rev"))
+    out = windows.running_total(
+        daily, partition_by=["yr", "mo"], order_by="d",
+        value="daily_rev", out="mtd_revenue",
+    )
+    return out.select("d", F.col("mtd_revenue").cast(DEC2).alias("mtd_revenue"))
+
+
+@register(
+    "avg_order_value",
+    """
+    SELECT c_mktsegment,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 / COUNT(DISTINCT o_orderkey), 6) AS aov
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average order value (B32) per market segment."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    return (
+        joins.dim_join(orders, cust, "c_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .withColumn(
+            "aov",
+            F.round(F.col("revenue").cast("double") / F.col("n_orders"), 6),
+        )
+    )

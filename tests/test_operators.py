@@ -1,0 +1,143 @@
+"""Unit tests for the relational operator layer (SURVEY §5.2 plan #1):
+tiny in-memory DataFrames with exact expected outputs, covering edge
+cases the oracle-differential tests can't isolate (empty arrays,
+missing sparse columns, tie-breaks, unpersist behavior)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from group5_spark.operators import columns as C
+from group5_spark.operators import flatten, joins, setops, windows
+
+
+def test_dim_join_broadcasts(spark):
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0), (2, 5.0)], ["k", "v"])
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "name"])
+    out = joins.dim_join(fact, dim, "k")
+    assert out.count() == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+
+
+def test_anti_and_semi_join(spark):
+    left = spark.createDataFrame([(1,), (2,), (3,)], ["k"])
+    right = spark.createDataFrame([(2, "x"), (2, "y")], ["k", "extra"])
+    anti = joins.anti_join(left, right, "k")
+    semi = joins.semi_join(left, right, "k")
+    assert sorted(r.k for r in anti.collect()) == [1, 3]
+    assert [r.k for r in semi.collect()] == [2]  # no dup from right multiplicity
+    assert semi.columns == ["k"]
+
+
+def test_rank_methods(spark):
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 10), ("a", 5), ("b", 1)], ["g", "v"]
+    )
+    ranked = windows.with_rank(df, "g", [F.col("v").desc()], method="dense_rank")
+    rows = {(r.g, r.v, r.rank) for r in ranked.collect()}
+    assert ("a", 10, 1) in rows and ("a", 5, 2) in rows and ("b", 1, 1) in rows
+
+
+def test_top_n_tie_break(spark):
+    df = spark.createDataFrame(
+        [("g", 1, 10), ("g", 2, 10), ("g", 3, 9)], ["g", "id", "v"]
+    )
+    top = windows.top_n(df, "g", [F.col("v").desc(), "id"], n=2)
+    assert sorted(r.id for r in top.collect()) == [1, 2]
+
+
+def test_running_total_and_moving_avg(spark):
+    df = spark.createDataFrame(
+        [("u", 1, 10.0), ("u", 2, 20.0), ("u", 3, 30.0)], ["k", "t", "v"]
+    )
+    rt = windows.running_total(df, "k", "t", "v")
+    assert [r.running_total for r in rt.orderBy("t").collect()] == [10.0, 30.0, 60.0]
+    ma = windows.moving_average(df, "k", "t", "v", window_rows=2)
+    assert [r.moving_avg for r in ma.orderBy("t").collect()] == [10.0, 15.0, 25.0]
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [
+            ("u", "2024-01-01 00:00:00"),
+            ("u", "2024-01-01 00:10:00"),
+            ("u", "2024-01-01 01:10:00"),  # 60-min gap → new session
+        ],
+        ["user", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = windows.sessionize(df, "user", "ts", gap_minutes=30)
+    assert [r.session_seq for r in out.orderBy("ts").collect()] == [1, 1, 2]
+
+
+def test_union_by_name_sparse_schemas(spark):
+    a = spark.createDataFrame([(1, "x")], ["id", "only_a"])
+    b = spark.createDataFrame([(2, "y")], ["id", "only_b"])
+    out = setops.union_by_name(a, b)
+    assert set(out.columns) == {"id", "only_a", "only_b"}
+    rows = {(r.id, r.only_a, r.only_b) for r in out.collect()}
+    assert rows == {(1, "x", None), (2, None, "y")}
+
+
+def test_except_all_multiplicity(spark):
+    a = spark.createDataFrame([(1,), (1,), (2,)], ["v"])
+    b = spark.createDataFrame([(1,)], ["v"])
+    assert sorted(r.v for r in setops.except_all(a, b).collect()) == [1, 2]
+    assert sorted(r.v for r in setops.except_distinct(a, b).collect()) == [2]
+
+
+def test_flatten_struct_nested(spark):
+    df = spark.createDataFrame(
+        [Row(id=1, addr=Row(city="X", geo=Row(lat=1.0)))]
+    )
+    flat = flatten.flatten_struct(df)
+    assert set(flat.columns) == {"id", "addr_city", "addr_geo_lat"}
+    assert flat.collect()[0].addr_geo_lat == 1.0
+
+
+def test_explode_array_empty_and_outer(spark):
+    schema = StructType(
+        [
+            StructField("id", IntegerType()),
+            StructField("items", ArrayType(StringType())),
+        ]
+    )
+    df = spark.createDataFrame([(1, ["a", "b"]), (2, []), (3, None)], schema)
+    inner = flatten.explode_array(df, "items")
+    assert sorted(r.id for r in inner.collect()) == [1, 1]  # empty/null drop
+    outer = flatten.explode_array(df, "items", keep_empty=True)
+    assert sorted(r.id for r in outer.collect()) == [1, 1, 2, 3]
+
+
+def test_parse_json_column_permissive(spark):
+    df = spark.createDataFrame([('{"k": 5}',), ("not json",)], ["props"])
+    out = flatten.parse_json_column(df, "props", "k INT", out="parsed")
+    vals = [r.parsed.k if r.parsed else None for r in out.collect()]
+    assert 5 in vals  # malformed row nulls out, no failure
+
+
+def test_column_ops(spark):
+    df = spark.createDataFrame([(1, "a", "1.5")], ["id", "name", "amount"])
+    out = C.add_column(df, "doubled", F.col("id") * 2)
+    out = C.cast_columns(out, {"amount": "double"})
+    out = C.rename_columns(out, {"name": "label"})
+    out = C.drop_columns(out, "id")
+    row = out.collect()[0]
+    assert row.doubled == 2 and row.amount == 1.5 and row.label == "a"
+    assert "id" not in out.columns
+
+
+def test_cached_context_manager(spark):
+    df = spark.createDataFrame([(1,)], ["v"])
+    with C.cached(df) as cdf:
+        assert cdf.count() == 1
+        assert cdf.storageLevel.useMemory
+    assert not df.storageLevel.useMemory

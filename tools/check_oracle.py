@@ -1,0 +1,99 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
+DuckDB over the same parquet tables, then compares row count, column
+names, and order-insensitive values. Use while iterating:
+
+    python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from decimal import Decimal
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from group5_spark.catalog import TABLES  # noqa: E402
+from group5_spark.session import create_spark_session  # noqa: E402
+
+
+def normalize(v):
+    if isinstance(v, Decimal):
+        return ("dec", str(v.normalize()))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if hasattr(v, "isoformat"):
+        return ("t", v.isoformat())
+    if isinstance(v, (list, tuple)):
+        return tuple(normalize(x) for x in v)
+    return v
+
+
+def compare(name, spark_df, duck_rows, duck_cols):
+    s_cols = sorted(spark_df.columns)
+    d_cols = sorted(duck_cols)
+    if s_cols != d_cols:
+        return f"COLUMN MISMATCH spark={s_cols} duck={d_cols}"
+    s_idx = [spark_df.columns.index(c) for c in s_cols]
+    d_idx = [duck_cols.index(c) for c in d_cols]
+    s_rows = sorted(
+        tuple(normalize(r[i]) for i in s_idx) for r in spark_df.collect()
+    )
+    d_rows = sorted(tuple(normalize(r[i]) for i in d_idx) for r in duck_rows)
+    if len(s_rows) != len(d_rows):
+        return f"ROWCOUNT MISMATCH spark={len(s_rows)} duck={len(d_rows)}"
+    if s_rows != d_rows:
+        for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+            if a != b:
+                return f"VALUE MISMATCH at sorted row {i}:\n  spark={a}\n  duck ={b}"
+    return None
+
+
+def main():
+    args = sys.argv[1:]
+    sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
+    only = [a for a in args if "/" not in a]
+
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    spark = create_spark_session("oracle-check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            if name not in oracles:
+                n = sdf.count()
+                print(f"  {name}: rows-only ({n} rows)")
+                continue
+            res = con.execute(oracles[name])
+            duck_cols = [d[0] for d in res.description]
+            err = compare(name, sdf, res.fetchall(), duck_cols)
+            if err:
+                failures += 1
+                print(f"✗ {name}: {err}")
+            else:
+                print(f"✓ {name}")
+        except Exception as ex:  # noqa: BLE001
+            failures += 1
+            print(f"✗ {name}: EXCEPTION {type(ex).__name__}: {ex}")
+    print(f"\n{failures} failures / {len(only or qs)} checked")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
