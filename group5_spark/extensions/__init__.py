@@ -1,0 +1,12 @@
+"""Large-scale training-data pipeline operators (SURVEY §2 B-7).
+
+Beyond reference parity: the operations a 100 TB LLM-data pipeline
+needs, built Spark-first on the documents/embeddings tables:
+
+- ``dedup``       exact, word-set Jaccard, MinHash+LSH, SimHash
+- ``similarity``  brute-force cosine top-k; hyperplane-LSH ANN
+- ``text``        token counts, quality scoring, language ID,
+                  document fingerprinting
+- ``multimodal``  opaque binary columns + typed metadata; decode /
+                  resize / frame-sample plumbing (stubbed codecs)
+"""

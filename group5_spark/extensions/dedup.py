@@ -1,0 +1,274 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash (SURVEY §2 B-7).
+
+Scale design:
+- Exact dedup is one hash-shuffle on a fingerprint key (never on the
+  full text — group on md5, not the document body).
+- Jaccard verification is always *blocked*: candidate pairs come from
+  a bounded blocking key (LSH band buckets or metadata blocks), never
+  an unblocked O(n²) cross join.
+- MinHash signatures are computed with built-in xxhash64 over shingle
+  arrays — JVM codegen, no Python UDF; banding turns near-dup search
+  into an equi-self-join on (band_id, band_hash), which Spark
+  executes as one shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(
+    df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact dedup (hash-groupBy): one row per distinct content with
+    the kept (minimum) id and the duplicate count.
+
+    Groups on md5(content) so the shuffle carries 16-byte keys, not
+    document bodies — at 100 TB this is the difference between a
+    manageable shuffle and moving the corpus.
+    """
+    return (
+        df.select(F.md5(F.col(key_col)).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(
+    df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the min-id row per distinct content (deterministic, unlike
+    dropDuplicates which keeps an arbitrary row)."""
+    keep = exact_duplicates(df, key_col, id_col).select(
+        F.col("keep_id").alias(id_col)
+    )
+    return df.join(keep, on=id_col, how="left_semi")
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingle array, via built-in array functions."""
+    return F.expr(
+        f"array_distinct(transform("
+        f"  sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)),"
+        f"  i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))))"
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked word-set Jaccard near-dup pairs.
+
+    Pairs are generated only within ``block_col`` groups (metadata
+    blocking — e.g. source or LSH bucket), so the self-join is an
+    equi-join Spark shuffles once on the block key; no cross join.
+    Returns (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    toks = df.select(
+        F.col(block_col).alias("block"),
+        F.col(id_col).alias("id"),
+        F.array_distinct(F.split(F.col(text_col), " ")).alias("words"),
+    )
+    a = toks.alias("a")
+    b = toks.alias("b")
+    pairs = a.join(
+        b,
+        on=[F.col("a.block") == F.col("b.block"), F.col("a.id") < F.col("b.id")],
+    )
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    return (
+        pairs.select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: for seed i, min over shingles of
+    xxhash64(shingle, i). Pure built-ins → codegen, no UDF."""
+    sh = shingles(text_col, shingle_n).alias("sh")
+    sig_cols = [
+        F.expr(
+            f"array_min(transform("
+            f"  array_distinct(transform("
+            f"    sequence(0, greatest(size(split({text_col}, ' ')) - {shingle_n}, 0)),"
+            f"    i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {shingle_n})))),"
+            f"  s -> xxhash64(s, {seed})))"
+        ).alias(f"mh_{seed}")
+        for seed in range(num_hashes)
+    ]
+    return df.select(F.col(id_col).alias("id"), *sig_cols)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (shingle → minhash → band →
+    bucket-join → verify).
+
+    Signatures are split into ``bands``; documents sharing any band
+    hash become candidates (one explode + one equi-self-join on the
+    band bucket — the classic scalable plan). Candidates are verified
+    with true word-set Jaccard. Deterministic: xxhash64 seeds fixed.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    buckets = sigs.select(
+        "id", F.explode(band_structs).alias("bb")
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+    words = df.select(
+        F.col(id_col).alias("id"),
+        F.array_distinct(
+            F.expr(
+                f"transform("
+                f"  sequence(0, greatest(size(split({text_col}, ' ')) - {shingle_n}, 0)),"
+                f"  i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {shingle_n})))"
+            )
+        ).alias("sh"),
+    )
+    verified = (
+        candidates.join(words.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+        .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return verified
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash per document from word-level xxhash64.
+
+    Bit b of the signature is the sign of Σ_tokens (±1 per token,
+    + if bit b of xxhash64(token) is set). Expressed entirely with
+    built-in higher-order array functions (transform/aggregate/filter)
+    — stays in codegen; no Python.
+    """
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"""
+            aggregate(
+              transform(sequence(0, 63), b ->
+                CASE WHEN aggregate(
+                  split({text_col}, ' '),
+                  0L,
+                  (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1L) = 1L
+                                    THEN 1L ELSE -1L END
+                ) > 0 THEN shiftleft(1L, b) ELSE 0L END),
+              0L, (acc, v) -> acc | v)
+            """
+        ).alias("simhash"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs blocked on 16-bit signature quarters.
+
+    Two docs within Hamming distance ≤ 3 share at least one of the 4
+    quarters exactly (pigeonhole); wider thresholds trade recall.
+    Blocking keeps the self-join an equi-join on the quarter value.
+    """
+    sigs = simhash(df, id_col, text_col)
+    quarters = sigs.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.expr(f"shiftright(simhash, {q * 16}) & 65535L").alias("qv"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("id", "simhash", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv"))
+    a = quarters.alias("a")
+    b = quarters.alias("b")
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.q") == F.col("b.q"),
+                F.col("a.qv") == F.col("b.qv"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

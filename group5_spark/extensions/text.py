@@ -1,0 +1,99 @@
+"""Text-analysis operators: token counting, quality scoring,
+language ID, document fingerprinting (SURVEY §2 B-7).
+
+Everything here is built-in `pyspark.sql.functions` — JVM-side,
+whole-stage-codegen'd, no Python in the hot path. At 100 TB these are
+embarrassingly parallel map-only transforms: no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language marker vocabularies for the n-gram/stopword
+# language-ID heuristic. Fixed and ordered: ties resolve by this
+# priority (en first), deterministically.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "es": ("el", "la", "de", "y", "es"),
+    "fr": ("le", "la", "de", "et", "est"),
+}
+
+STOPWORDS: tuple[str, ...] = ("the", "a", "of", "and", "is", "to", "in")
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization as an array column."""
+    return F.split(F.col(text) if isinstance(text, str) else text, " ")
+
+
+def token_count(df: DataFrame, text_col: str = "text", out: str = "n_tokens") -> DataFrame:
+    """Token counting: whitespace-split size."""
+    return df.withColumn(out, F.size(tokens(text_col)))
+
+
+def _marker_count(text_col: str, markers: tuple[str, ...]) -> Column:
+    in_list = ", ".join(f"'{m}'" for m in markers)
+    return F.expr(
+        f"size(filter(split({text_col}, ' '), x -> x IN ({in_list})))"
+    )
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: token count, mean token length, stopword
+    ratio, alpha ratio. All ratios ROUND(x, 6) doubles (oracle
+    determinism, see queries.py header)."""
+    toks = tokens(text_col)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text_col)
+    compact = F.regexp_replace(F.col(text_col), " ", "")
+    alpha_only = F.regexp_replace(F.col(text_col), "[^a-zA-Z ]", "")
+    return (
+        df.withColumn("n_tokens", n_tokens)
+        .withColumn("n_chars_obs", n_chars)
+        .withColumn(
+            "mean_token_len",
+            F.round(F.length(compact).cast("double") / n_tokens, 6),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.round(
+                _marker_count(text_col, STOPWORDS).cast("double") / n_tokens, 6
+            ),
+        )
+        .withColumn(
+            "alpha_ratio",
+            F.round(F.length(alpha_only).cast("double") / n_chars, 6),
+        )
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", out: str = "lang_pred") -> DataFrame:
+    """Language ID via marker-word counts with fixed-priority argmax.
+
+    A real deployment would use fastText/CLD3; this keeps the exact
+    same Spark plumbing (map-only, codegen) with a transparent,
+    oracle-checkable heuristic.
+    """
+    counts = {lang: _marker_count(text_col, m) for lang, m in LANG_MARKERS.items()}
+    out_df = df
+    for lang, c in counts.items():
+        out_df = out_df.withColumn(f"score_{lang}", c)
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit("unknown")
+    # Build the when-chain in reverse so earlier languages win ties.
+    for lang in reversed(langs):
+        pred = F.when(
+            (F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)
+        ).otherwise(pred)
+    return out_df.withColumn(out, pred)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: MD5 of whitespace-normalized, lowercased
+    text. Stable across engines (standard MD5 hex)."""
+    normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), "\\s+", " ")))
+    return df.withColumn(out, F.md5(normalized))

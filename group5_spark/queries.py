@@ -694,3 +694,259 @@ def avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("revenue").cast("double") / F.col("n_orders"), 6),
         )
     )
+
+
+# --------------------------------------------------------------------
+# Training-data pipeline extensions  (SURVEY §2 B-7)
+# --------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (hash-groupBy on content fingerprint)."""
+    from group5_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_duplicates(docs)
+
+
+@register(
+    "dedup_jaccard_pairs",
+    """
+    WITH t AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS words
+        FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.words, b.words))), 6) AS jaccard
+    FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / len(list_distinct(list_concat(a.words, b.words))) >= 0.9
+    """,
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked word-set Jaccard near-dup pairs (block = source)."""
+    from group5_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, block_col="source", threshold=0.9)
+
+
+@register("dedup_minhash_lsh")  # xxhash64-based → not SQL-expressible, rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket
+    join → exact-Jaccard verify. Deterministic (fixed xxhash64 seeds)
+    but Spark-hash-specific, so the driver records a rows-only check;
+    test_extensions.py cross-checks recall against dedup_jaccard_pairs."""
+    from group5_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Unigram shingles: the corpus's near-dups are word-order shuffles,
+    # so the match metric is word-set Jaccard (same as dedup_jaccard_pairs).
+    return dedup.minhash_lsh_pairs(docs, shingle_n=1, threshold=0.9)
+
+
+@register("dedup_simhash_pairs")  # xxhash64-based → rows-only
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs, blocked on 16-bit signature quarters."""
+    from group5_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_pairs(docs, max_hamming=8)
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+           length(text) AS n_chars_obs,
+           ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS mean_token_len,
+           ROUND(CAST(len(list_filter(string_split(text, ' '),
+                          x -> x IN ('the','a','of','and','is','to','in'))) AS DOUBLE)
+                 / len(string_split(text, ' ')), 6) AS stopword_ratio,
+           ROUND(CAST(length(regexp_replace(text, '[^a-zA-Z ]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio
+    FROM documents
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document (map-only, codegen)."""
+    from group5_spark.extensions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.quality_features(docs).drop("text")
+
+
+@register(
+    "text_langid",
+    """
+    WITH s AS (
+        SELECT doc_id,
+          len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','is'))) AS score_en,
+          len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS score_de,
+          len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','y','es'))) AS score_es,
+          len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','est'))) AS score_fr
+        FROM documents
+    )
+    SELECT doc_id, score_en, score_de, score_es, score_fr,
+           CASE
+             WHEN score_en >= greatest(score_en, score_de, score_es, score_fr)
+                  AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'en'
+             WHEN score_de >= greatest(score_en, score_de, score_es, score_fr)
+                  AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'de'
+             WHEN score_es >= greatest(score_en, score_de, score_es, score_fr)
+                  AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'es'
+             WHEN score_fr >= greatest(score_en, score_de, score_es, score_fr)
+                  AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS lang_pred
+    FROM s
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID with fixed-priority argmax."""
+    from group5_spark.extensions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.language_id(docs).drop("text")
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content MD5 fingerprint per document."""
+    from group5_spark.extensions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.fingerprint(docs).drop("text")
+
+
+@register(
+    "sim_topk",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.e, c.e), 6) DESC, c.vec_id
+               ) AS rank
+        FROM v q JOIN v c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 8
+    ) WHERE rank <= 10
+    """,
+)
+def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-10 for query vectors vec_id<8."""
+    from group5_spark.extensions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10
+    )
+
+
+@register("sim_lsh_topk")  # hyperplane sketch uses xxhash64 → rows-only
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH banding + exact
+    re-rank within buckets; recall vs sim_topk checked in tests."""
+    from group5_spark.extensions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id, 'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS content_hash
+    FROM documents
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payload + typed metadata (size, sha256)."""
+    from group5_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return multimodal.attach_binary(
+        docs, "text", "doc_id", media_type="text/plain"
+    ).drop("payload")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT media_id, unnest(range(0, n_frames, 10)) AS frame_idx, content_hash
+    FROM (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(octet_length(encode(text)) % 300 + 1 AS INTEGER) AS n_frames,
+               sha256(text) AS content_hash
+        FROM documents
+    )
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one row per sampled frame index."""
+    from group5_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, "text", "doc_id")
+    return multimodal.frame_sample_plan(media, every_n=10)
+
+
+@register("multimodal_decode_features")  # mapInPandas stub decoder → rows-only
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas decode/feature-extract (stub codec)."""
+    from group5_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_binary(docs, "text", "doc_id")
+    return multimodal.decode_features(media)
+
+
+@register(
+    "sessionized_event_counts",
+    """
+    WITH s AS (
+        SELECT user_id, ts,
+               SUM(CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        FROM (
+            SELECT user_id, ts,
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+            FROM events
+        )
+    )
+    SELECT user_id, session_seq, COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_seq
+    """,
+)
+def sessionized_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min gap) + per-session event counts."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    out = windows.sessionize(ev, "user_id", "ts", gap_minutes=30)
+    return out.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )

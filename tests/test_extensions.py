@@ -1,0 +1,126 @@
+"""Tests for the training-data pipeline extensions: dedup recall,
+similarity correctness, text features, multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from group5_spark.catalog import load_table
+from group5_spark.extensions import dedup, multimodal, similarity
+from group5_spark.extensions import text as T
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], ["doc_id", "text"]
+    )
+    groups = {r.keep_id: r.n_copies for r in dedup.exact_duplicates(df).collect()}
+    assert groups == {1: 2, 3: 1}
+    kept = sorted(r.doc_id for r in dedup.drop_exact_duplicates(df).collect())
+    assert kept == [1, 3]
+
+
+def test_jaccard_pairs_detects_shuffled_words(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "b", "the quick brown fox jumps"),
+            (2, "b", "jumps fox brown quick the"),  # same word set
+            (3, "b", "entirely different words here now"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    pairs = dedup.jaccard_pairs(df, "source", threshold=0.9).collect()
+    assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """LSH must recover the high-similarity pairs exact Jaccard finds."""
+    docs = load_table(spark, sf_dir, "documents")
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(docs, shingle_n=1, threshold=0.9).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.jaccard_pairs(docs, "source", threshold=0.9).collect()
+        # LSH is unblocked; exact is source-blocked, so exact ⊆ lsh candidates
+    }
+    assert exact, "testdata should contain near-dups"
+    missed = exact - lsh
+    assert len(missed) <= max(1, len(exact) // 10), f"LSH recall too low: {missed}"
+
+
+def test_simhash_is_order_insensitive_ish(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],
+        ["doc_id", "text"],
+    )
+    sigs = {r.id: r.simhash for r in dedup.simhash(df).collect()}
+    assert sigs[1] == sigs[2]  # bag-of-words → identical signature
+
+
+def test_cosine_topk_self_best(spark):
+    """A vector duplicated under two ids must be each other's rank-1."""
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") == 1), k=2)
+    got = [(r.cand_id, r.rank, r.cosine) for r in out.orderBy("rank").collect()]
+    assert got[0][0] == 2 and got[0][2] == 1.0
+
+
+def test_lsh_topk_recall(spark, sf_dir):
+    """Bucketed ANN top-1 should usually agree with brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = {
+        r.query_id: r.cand_id
+        for r in similarity.cosine_topk(emb, q, k=1).collect()
+    }
+    approx = {
+        r.query_id: r.cand_id
+        for r in similarity.lsh_topk(emb, q, k=1).collect()
+    }
+    hits = sum(1 for k, v in exact.items() if approx.get(k) == v)
+    assert hits >= len(exact) // 2, f"ANN top-1 recall {hits}/{len(exact)}"
+
+
+def test_text_features(spark):
+    df = spark.createDataFrame([(1, "the cat and the hat!")], ["doc_id", "text"])
+    q = T.quality_features(df).collect()[0]
+    assert q.n_tokens == 5
+    assert q.stopword_ratio == 0.6  # the, and, the
+    fp1 = T.fingerprint(df).collect()[0].fingerprint
+    df2 = spark.createDataFrame([(2, "  THE  cat and the hat!  ")], ["doc_id", "text"])
+    fp2 = T.fingerprint(df2).collect()[0].fingerprint
+    assert fp1 == fp2  # normalization: case + whitespace
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the house of the king is old"),
+            (2, "der hund und die katze ist da"),
+            (3, "xyzzy qwerty"),
+        ],
+        ["doc_id", "text"],
+    )
+    preds = {r.doc_id: r.lang_pred for r in T.language_id(df).collect()}
+    assert preds == {1: "en", 2: "de", 3: "unknown"}
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([(7, "payload text")], ["doc_id", "text"])
+    media = multimodal.attach_binary(df, "text", "doc_id", "text/plain")
+    row = media.collect()[0]
+    assert row.n_bytes == len("payload text".encode())
+    assert len(row.content_hash) == 64
+    feats = multimodal.decode_features(media).collect()[0]
+    assert feats.media_id == 7 and feats.width >= 64 and feats.height >= 64
+    frames = multimodal.frame_sample_plan(media, every_n=5).collect()
+    assert [f.frame_idx for f in frames] == list(
+        range(0, row.n_bytes % 300 + 1, 5)
+    )
