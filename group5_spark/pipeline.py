@@ -1,0 +1,118 @@
+"""Pipeline driver + CLI (SURVEY §2 A13, A21-A23, A31; §3.1 mapping).
+
+One driver program replaces the reference's Airflow DAG chain:
+``generate → land → etl → bronze → silver → gold → validate`` as
+ordered, idempotent stages. The CLI keeps the reference's
+spark-submit parameterization contract (``etl_job.py:138-159``):
+``--app_name --master --conf KEY=VALUE (repeatable) --input_path
+--output_path``, plus stage selection and backfill date filters (B18).
+
+Usage::
+
+    python -m group5_spark.pipeline run --input_path landing/ \
+        --output_path warehouse/ [--date 2026-01-02] [--single-file]
+    python -m group5_spark.pipeline generate --output_path landing/ \
+        --n_user_events 5000 --n_transactions 1000
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+
+from group5_spark.session import create_spark_session
+
+
+def parse_conf(pairs: list[str]) -> dict[str, str]:
+    """``KEY=VALUE`` (split on first '=') — parity with etl_job.py:149-153."""
+    conf = {}
+    for pair in pairs or []:
+        if "=" not in pair:
+            raise ValueError(f"--conf expects KEY=VALUE, got {pair!r}")
+        key, value = pair.split("=", 1)
+        conf[key] = value
+    return conf
+
+
+def cmd_generate(args: argparse.Namespace) -> None:
+    from group5_spark.generator import events as gen
+    from group5_spark.sources.landing import write_ndjson_batch
+
+    customers = gen.make_customers(args.n_customers, seed=args.seed)
+    products = gen.make_products(args.n_products, seed=args.seed + 1)
+    ue = gen.make_user_events(args.n_user_events, customers, products, seed=args.seed + 2)
+    txn = gen.make_transactions(args.n_transactions, customers, products, seed=args.seed + 3)
+    write_ndjson_batch(ue, "user_events", args.output_path, batch_ts=args.seed)
+    write_ndjson_batch(txn, "transaction_events", args.output_path, batch_ts=args.seed)
+    print(f"landed {len(ue)} user events, {len(txn)} transactions → {args.output_path}")
+
+
+def cmd_run(args: argparse.Namespace, spark: SparkSession) -> None:
+    from group5_spark.etl import run_etl, validate_outputs
+    from group5_spark.medallion.gold import refresh_gold
+    from group5_spark.medallion.silver import refresh_silver
+    from group5_spark.sources.bronze import build_bronze
+
+    stages = args.stages.split(",") if args.stages else [
+        "etl", "bronze", "silver", "gold", "validate",
+    ]
+    if "etl" in stages:
+        counts = run_etl(
+            spark, args.input_path, f"{args.output_path}/goldzone",
+            fmt=args.format, single_file=args.single_file,
+        )
+        print(f"etl: {counts}")
+    if "bronze" in stages:
+        print(f"bronze: {build_bronze(spark, args.input_path, args.output_path)}")
+    if "silver" in stages:
+        print(f"silver: {refresh_silver(spark, args.output_path)}")
+    if "gold" in stages:
+        print(f"gold: {refresh_gold(spark, args.output_path)}")
+    if "validate" in stages:
+        files = validate_outputs(f"{args.output_path}/goldzone", fmt=args.format)
+        print(f"validate: {len(files)} output files")
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="group5_spark.pipeline")
+    parser.add_argument("--app_name", default="group5_pipeline")
+    parser.add_argument("--master", default=None)
+    parser.add_argument("--conf", action="append", default=[])
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_gen = sub.add_parser("generate", help="seeded synthetic landing data")
+    p_gen.add_argument("--output_path", required=True)
+    p_gen.add_argument("--n_customers", type=int, default=1000)
+    p_gen.add_argument("--n_products", type=int, default=2000)
+    p_gen.add_argument("--n_user_events", type=int, default=5000)
+    p_gen.add_argument("--n_transactions", type=int, default=1000)
+    p_gen.add_argument("--seed", type=int, default=42)
+
+    p_run = sub.add_parser("run", help="landing → medallion pipeline")
+    p_run.add_argument("--input_path", required=True, help="landing dir")
+    p_run.add_argument("--output_path", required=True, help="warehouse dir")
+    p_run.add_argument("--stages", default=None,
+                       help="comma list: etl,bronze,silver,gold,validate")
+    p_run.add_argument("--format", default="parquet", choices=["parquet", "csv"])
+    p_run.add_argument("--single-file", action="store_true",
+                       help="coalesce(1) parity outputs (reference A9)")
+    p_run.add_argument("--date", default=None,
+                       help="backfill date filter YYYY-MM-DD (B18)")
+
+    args = parser.parse_args(argv)
+    if args.command == "generate":
+        cmd_generate(args)
+        return 0
+
+    spark = create_spark_session(args.app_name, args.master, parse_conf(args.conf))
+    try:
+        cmd_run(args, spark)
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

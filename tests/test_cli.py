@@ -1,0 +1,48 @@
+"""CLI contract tests (SURVEY §2 A13, A22-A23): the spark-submit
+parameterization surface, end-to-end through __main__."""
+
+from __future__ import annotations
+
+import subprocess
+import sys
+
+import pytest
+
+from group5_spark.pipeline import parse_conf
+
+
+def test_parse_conf_splits_on_first_equals():
+    conf = parse_conf(["spark.x=a=b", "k=v"])
+    assert conf == {"spark.x": "a=b", "k": "v"}
+    with pytest.raises(ValueError):
+        parse_conf(["noequals"])
+
+
+def test_cli_generate_then_run(tmp_path):
+    landing = tmp_path / "landing"
+    wh = tmp_path / "wh"
+    env_cmd = [sys.executable, "-m", "group5_spark.pipeline"]
+    gen = subprocess.run(
+        env_cmd + [
+            "generate", "--output_path", str(landing),
+            "--n_customers", "30", "--n_products", "30",
+            "--n_user_events", "120", "--n_transactions", "40",
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=120,
+    )
+    assert gen.returncode == 0, gen.stderr
+    assert "landed 120 user events, 40 transactions" in gen.stdout
+
+    run = subprocess.run(
+        env_cmd + [
+            "--master", "local[2]",
+            "--conf", "spark.sql.shuffle.partitions=2",
+            "--conf", "spark.ui.enabled=false",
+            "run", "--input_path", str(landing), "--output_path", str(wh),
+        ],
+        capture_output=True, text=True, cwd="/root/repo", timeout=420,
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    for marker in ("etl:", "bronze:", "silver:", "gold:", "validate:"):
+        assert marker in run.stdout
+    assert (wh / "gold" / "agg_daily_revenue").exists()
