@@ -1,0 +1,82 @@
+"""Plan-quality gate (SURVEY §4): every headline query must produce
+the physical plan we'd want at 100 TB — pushdown, pruning, broadcast
+dims, bounded shuffles, codegen. A failure here is a scale regression
+even when results stay correct."""
+
+from __future__ import annotations
+
+import pytest
+
+from group5_spark.plans import inspect as I
+from group5_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return QUERIES[name](spark, sf_dir)
+
+    return run
+
+
+def test_pricing_summary_scan(q):
+    df = q("pricing_summary")
+    # shipdate predicate reaches the parquet scan
+    I.assert_filter_pushed(df, "l_shipdate")
+    # lineitem has 11 columns; the query needs 6 (5 + filter col)
+    I.assert_scan_pruned(df, table_cols=11, max_cols=6)
+    # one shuffle: the partial→final aggregate exchange
+    I.assert_max_shuffles(df, 1)
+    assert I.has_codegen(df)
+
+
+def test_revenue_by_nation_broadcasts_all_dims(q):
+    df = q("revenue_by_nation")
+    assert I.num_broadcast_joins(df) == 3
+    I.assert_no_fact_shuffle_join(df)
+    # fact never shuffles pre-aggregation: agg exchange only
+    I.assert_max_shuffles(df, 1)
+    I.assert_scan_pruned(df, table_cols=11, max_cols=6)
+
+
+def test_top3_parts_per_brand_shuffle_budget(q):
+    df = q("top3_parts_per_brand")
+    I.assert_no_fact_shuffle_join(df)
+    # agg exchange + window repartition on p_brand
+    I.assert_max_shuffles(df, 2)
+
+
+def test_dim_join_queries_broadcast(q):
+    for name in ("pct_revenue_by_segment", "avg_order_value"):
+        df = q(name)
+        assert I.num_broadcast_joins(df) >= 1, name
+        I.assert_no_fact_shuffle_join(df)
+
+
+def test_daily_revenue_single_shuffle(q):
+    df = q("daily_revenue")
+    # exact countDistinct needs the two-phase expand plan: 2 shuffles
+    I.assert_max_shuffles(df, 2)
+    I.assert_scan_pruned(df, table_cols=6, max_cols=3)
+
+
+def test_funnel_single_shuffle(q):
+    # conditional agg on user_id: one shuffle, then a scalar agg
+    df = q("funnel_steps")
+    I.assert_max_shuffles(df, 2)
+
+
+def test_sim_topk_broadcasts_queries(q):
+    df = q("sim_topk")
+    # query side (8 vectors) broadcast → corpus never shuffles for the
+    # join; only the per-query top-k window shuffles
+    plan = I.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_exact_dedup_groups_on_hash(q):
+    df = q("dedup_exact")
+    # shuffle key must be the md5 hash, not the document body
+    plan = I.formatted_plan(df)
+    assert "md5" in plan
+    I.assert_max_shuffles(df, 1)
