@@ -950,3 +950,229 @@ def sessionized_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events")
     )
+
+
+# --------------------------------------------------------------------
+# Batch 3: grouping sets, pivot, string/date functions, SQL surface
+# --------------------------------------------------------------------
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS yr,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INTEGER) AS qtr,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (yr, qtr)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals: (year, quarter) → year → grand total.
+
+    One pass with grouping-set expansion — Catalyst's Expand node —
+    instead of three scans + union.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.withColumn("yr", F.year("o_orderdate").cast("int"))
+        .withColumn("qtr", F.quarter("o_orderdate").cast("int"))
+        .rollup("yr", "qtr")
+        .agg(
+            F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "cube_event_counts",
+    """
+    SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events
+    GROUP BY CUBE (event_type, d)
+    """,
+)
+def cube_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (event_type, day): all four grouping combinations in
+    one Expand pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.withColumn("d", F.to_date("ts"))
+        .cube("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "pivot_event_matrix",
+    """
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type, counts per user. Explicit
+    value list keeps the plan single-pass (no distinct-values scan)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase", "signup", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+
+
+@register(
+    "string_functions_showcase",
+    """
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           LOWER(p_type) AS type_lower,
+           substr(p_name, 1, 10) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS first_word,
+           replace(p_name, ' ', '_') AS name_snake
+    FROM part
+    WHERE p_size >= 30
+    """,
+)
+def string_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function family: upper/lower/substr/length/concat/
+    regexp_extract/replace — all codegen built-ins."""
+    part = load_table(spark, sf_dir, "part")
+    return part.filter(F.col("p_size") >= 30).select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.substring("p_name", 1, 10).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", " ", "_").alias("name_snake"),
+    )
+
+
+@register(
+    "date_functions_showcase",
+    """
+    SELECT o_orderpriority,
+           ROUND(AVG(CAST(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS DOUBLE)), 6) AS avg_ship_days,
+           MIN(CAST(l_shipdate AS DATE)) AS first_ship,
+           MAX(CAST(l_shipdate AS DATE)) AS last_ship,
+           COUNT(*) AS n_items
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def date_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-function family: datediff aggregation per priority.
+
+    avg over exact integer day-counts (sum/count in double, round 6)
+    keeps the oracle bit-exact.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "o_orderkey"
+    )
+    j = joins.inner_join(orders, li, "o_orderkey")
+    ship_days = F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))
+    return j.groupBy("o_orderpriority").agg(
+        F.round(
+            F.sum(ship_days.cast("double")) / F.count(F.lit(1)), 6
+        ).alias("avg_ship_days"),
+        F.min(F.to_date("l_shipdate")).alias("first_ship"),
+        F.max(F.to_date("l_shipdate")).alias("last_ship"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "ntile_customer_quartiles",
+    """
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS balance_quartile
+    FROM customer
+    """,
+)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing with a unique tie-break for determinism."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey", "c_acctbal", F.ntile(4).over(w).alias("balance_quartile")
+    )
+
+
+@register(
+    "lead_lag_daily_revenue",
+    """
+    SELECT d, revenue,
+           LAG(revenue)  OVER (ORDER BY d) AS prev_revenue,
+           LEAD(revenue) OVER (ORDER BY d) AS next_revenue,
+           (revenue - LAG(revenue) OVER (ORDER BY d))::DECIMAL(18,2) AS delta
+    FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS revenue
+        FROM orders GROUP BY 1
+    )
+    """,
+)
+def lead_lag_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead navigation over the daily-revenue series."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("revenue")
+    )
+    w = Window.orderBy("d")
+    return (
+        daily.withColumn("prev_revenue", F.lag("revenue").over(w))
+        .withColumn("next_revenue", F.lead("revenue").over(w))
+        .withColumn(
+            "delta",
+            (F.col("revenue") - F.lag("revenue").over(w)).cast(DEC2),
+        )
+    )
+
+
+@register(
+    "sql_surface_revenue",
+    """
+    SELECT n_name,
+           SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DECIMAL(18,4) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE s_nationkey = c_nationkey
+    GROUP BY n_name
+    """,
+)
+def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape through the spark.sql surface (registered temp
+    views) — the engine's second API surface next to DataFrames."""
+    from group5_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                    AS DECIMAL(18,4)) AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE s_nationkey = c_nationkey
+        GROUP BY n_name
+        """
+    )

@@ -22,17 +22,27 @@ from group5_spark.session import create_spark_session  # noqa: E402
 
 
 def normalize(v):
+    """Map any cell to a uniformly sortable/comparable key (grouping
+    sets yield None next to strings — raw Python sort would throw)."""
+    if v is None:
+        return ("0none", "")
     if isinstance(v, Decimal):
         return ("dec", str(v.normalize()))
+    if isinstance(v, bool):
+        return ("b", str(v))
     if isinstance(v, float):
         if math.isnan(v):
             return ("f", "nan")
         return ("f", repr(v))
+    if isinstance(v, int):
+        return ("i", f"{v:+025d}")
     if hasattr(v, "isoformat"):
         return ("t", v.isoformat())
     if isinstance(v, (list, tuple)):
-        return tuple(normalize(x) for x in v)
-    return v
+        return ("arr", tuple(normalize(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bin", bytes(v).hex())
+    return ("s", str(v))
 
 
 def compare(name, spark_df, duck_rows, duck_cols):
