@@ -1176,3 +1176,263 @@ def sql_surface_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+# --------------------------------------------------------------------
+# Batch 4: subquery shapes, percentiles, stats, embedding near-dup
+# --------------------------------------------------------------------
+
+
+@register(
+    "exists_returned_orders",
+    """
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R'
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_returned_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS subquery as a left-semi join (TPC-H Q4 shape).
+
+    The semi join shuffles only (orderkey, priority) from orders and
+    (orderkey) from the filtered lineitem — never materializes the
+    match multiplicity, so a 7×-fanout lineitem costs nothing extra.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    returned = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o_orderkey")
+    )
+    return (
+        joins.semi_join(orders, returned, "o_orderkey")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "in_subquery_big_orders",
+    """
+    SELECT c_name, o_orderkey, CAST(o_orderdate AS DATE) AS order_date,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+    )
+    """,
+)
+def in_subquery_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN (grouped subquery) — TPC-H Q18 shape: large-quantity orders.
+
+    The subquery aggregates lineitem down to qualifying orderkeys
+    first (map-side partial sums), then semi-joins; AQE can broadcast
+    the (small) qualifying-key set against orders.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 150)
+        .select(F.col("l_orderkey").alias("o_orderkey"))
+    )
+    co = joins.inner_join(
+        cust, orders.withColumnRenamed("o_custkey", "c_custkey"), "c_custkey"
+    )
+    return joins.semi_join(co, big, "o_orderkey").select(
+        "c_name",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").cast(DEC2).alias("totalprice"),
+    )
+
+
+@register(
+    "scalar_subquery_pricey_parts",
+    """
+    SELECT p_brand, COUNT(*) AS n_pricey
+    FROM part
+    WHERE p_retailprice > (SELECT AVG(p_retailprice) FROM part)
+    GROUP BY p_brand
+    """,
+)
+def scalar_subquery_pricey_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: parts above the global average price.
+
+    The 1-row aggregate is cross-joined (broadcast nested loop of a
+    single row) against the scan — the Spark plan is scan → BNLJ(1
+    row) → filter → partial agg, one pass over part.
+    """
+    part = load_table(spark, sf_dir, "part")
+    avg_price = part.agg(F.avg("p_retailprice").alias("_avg"))
+    return (
+        part.crossJoin(F.broadcast(avg_price))
+        .filter(F.col("p_retailprice") > F.col("_avg"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_pricey"))
+    )
+
+
+@register(
+    "having_heavy_brands",
+    """
+    SELECT p_brand,
+           SUM(CAST(l_quantity AS DECIMAL(18,2)))::DECIMAL(18,2) AS total_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 1000
+    """,
+)
+def having_heavy_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: post-aggregation filter on the agg value."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = joins.dim_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey"
+    )
+    return (
+        j.groupBy("p_brand")
+        .agg(F.sum(F.col("l_quantity").cast(DEC2)).cast(DEC2).alias("total_qty"))
+        .filter(F.col("total_qty") > 1000)
+    )
+
+
+@register(
+    "disjunctive_brand_revenue",
+    """
+    SELECT SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DECIMAL(18,4) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 10)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 20)
+       OR (p_brand = 'Brand#5' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 30)
+    """,
+)
+def disjunctive_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-of-ANDs predicates across both join sides (TPC-H Q19 shape).
+
+    Catalyst extracts the common part-side disjuncts below the join
+    (brand/size filters prune the broadcast build side); the mixed
+    quantity conjuncts evaluate post-join in codegen.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = joins.dim_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey"
+    )
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & (F.col("l_quantity") >= 10))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(10, 30) & (F.col("l_quantity") >= 20))
+        | ((F.col("p_brand") == "Brand#5") & F.col("p_size").between(20, 50) & (F.col("l_quantity") >= 30))
+    )
+    return j.filter(cond).agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+        ).cast(DEC4).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+@register(
+    "percentiles_by_segment",
+    """
+    SELECT c_mktsegment,
+           ROUND(quantile_cont(c_acctbal, 0.25), 6) AS p25,
+           ROUND(quantile_cont(c_acctbal, 0.50), 6) AS p50,
+           ROUND(quantile_cont(c_acctbal, 0.75), 6) AS p75,
+           COUNT(*) AS n
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per segment.
+
+    Spark's `percentile` (exact, sort-based within group) matches
+    DuckDB's quantile_cont; the scale path is approx_percentile
+    (t-digest sketch, mergeable map-side) documented as the 100 TB
+    swap-in.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("c_acctbal", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("c_acctbal", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("c_acctbal", F.lit(0.75)), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "stats_price_quantity",
+    """
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(stddev_samp(l_extendedprice), 6) AS price_stddev,
+           ROUND(var_samp(l_discount), 6) AS disc_var,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 6) AS price_qty_covar
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregate family: corr/stddev/variance/covariance —
+    all single-pass streaming moments, mergeable map-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 6).alias(
+            "price_qty_covar"
+        ),
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute-force baseline).
+
+    All-pairs self-join with a double-precision cosine via
+    zip_with/aggregate — O(n²) is the correctness baseline; the scale
+    path is extensions.similarity.lsh_topk (hyperplane-bucketed
+    candidates), which cuts the pair space by ~2^bits.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def prep(prefix: str) -> DataFrame:
+        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        return emb.select(
+            F.col("vec_id").alias(f"id_{prefix}"),
+            v.alias(f"v_{prefix}"),
+        )
+
+    a, b = prep("a"), prep("b")
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with("v_a", "v_b", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    cos = dot / (norm(F.col("v_a")) * norm(F.col("v_b")))
+    return (
+        pairs.withColumn("cos_sim", cos)
+        .filter(F.col("cos_sim") >= 0.95)
+        .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
+    )
