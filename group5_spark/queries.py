@@ -1436,3 +1436,195 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.95)
         .select("id_a", "id_b", F.round("cos_sim", 6).alias("cos_sim"))
     )
+
+
+# --------------------------------------------------------------------
+# Batch 5: token counting, correlated-aggregate join-backs, fact-fact
+# join (TPC-H Q7 shape), and sketch-based scale variants
+# --------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT lang, source,
+           SUM(len(string_split(text, ' '))) AS total_tokens,
+           ROUND(AVG(CAST(len(string_split(text, ' ')) AS DOUBLE)), 6) AS avg_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace) aggregated per (lang, source).
+
+    Uses extensions.text.token_count — a pure codegen split+size, no
+    Python. Map-only then a tiny grouped shuffle; at 100 TB token
+    counting is the canonical embarrassingly-parallel pass.
+    """
+    from group5_spark.extensions import text as text_ops
+
+    docs = load_table(spark, sf_dir, "documents")
+    counted = text_ops.token_count(docs, "text", "n_tokens")
+    return counted.groupBy("lang", "source").agg(
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg(F.col("n_tokens").cast("double")), 6).alias("avg_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
+    "cheapest_shipment_per_part",
+    """
+    SELECT l.l_partkey, l.l_orderkey,
+           CAST(l.l_extendedprice AS DECIMAL(18,2)) AS price
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey, MIN(l_extendedprice) AS minp
+        FROM lineitem GROUP BY l_partkey
+    ) m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.minp
+    """,
+)
+def cheapest_shipment_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated MIN join-back: each part's cheapest shipment(s).
+
+    Expressed as a window min over l_partkey instead of a self-join:
+    ONE shuffle on partkey instead of two (agg + join), and the
+    filter runs in the same stage as the window — the plan Catalyst
+    cannot derive from the self-join formulation on its own.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("_minp", F.min("l_extendedprice").over(w))
+        .filter(F.col("l_extendedprice") == F.col("_minp"))
+        .select(
+            "l_partkey",
+            "l_orderkey",
+            F.col("l_extendedprice").cast(DEC2).alias("price"),
+        )
+    )
+
+
+@register(
+    "small_quantity_revenue",
+    """
+    SELECT COUNT(*) AS n_small,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS total_price
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey, AVG(l_quantity) AS avgq
+        FROM lineitem GROUP BY l_partkey
+    ) a ON l.l_partkey = a.l_partkey
+    WHERE l.l_quantity < 0.5 * a.avgq
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated AVG (TPC-H Q17 shape): below-half-average shipments.
+
+    Window avg over l_partkey — same single-shuffle rewrite as the
+    MIN join-back. l_quantity values are integral, so the double AVG
+    is exact and the 0.5× comparison is engine-stable.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("_avgq", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.5 * F.col("_avgq"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.sum(F.col("l_extendedprice").cast(DEC2)).cast(DEC2).alias("total_price"),
+        )
+    )
+
+
+@register(
+    "nation_trade_volume",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))::DECIMAL(18,4) AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-nation shipping volume (TPC-H Q7 shape).
+
+    The one genuinely fact×fact join in the suite: lineitem ⋈ orders
+    on orderkey is a shuffle hash join (both sides co-partitioned on
+    the key; AQE sizes the partitions). supplier/customer/nation are
+    broadcast — the fact rows shuffle exactly once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+
+    li_slim = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_suppkey",
+        "l_shipdate",
+        ((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)).alias(
+            "_rev"
+        ),
+    )
+    ord_slim = orders.select("o_orderkey", "o_custkey")
+    j = joins.inner_join(li_slim, ord_slim, "o_orderkey")
+    j = joins.dim_join(
+        j.withColumnRenamed("l_suppkey", "s_suppkey"),
+        sup.select("s_suppkey", "s_nationkey"),
+        "s_suppkey",
+    )
+    j = joins.dim_join(
+        j.withColumnRenamed("o_custkey", "c_custkey"),
+        cust.select("c_custkey", "c_nationkey"),
+        "c_custkey",
+    )
+    ns = nat.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    nc = nat.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    j = joins.dim_join(joins.dim_join(j, ns, "s_nationkey"), nc, "c_nationkey")
+    return (
+        j.filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum("_rev").cast(DEC4).alias("revenue"))
+    )
+
+
+@register("sketch_scale_stats")  # no oracle: approximate results by design
+def sketch_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based scale variants of the exact aggregates: HLL++
+    distinct counts and t-digest percentiles.
+
+    These are the 100 TB swap-ins for countDistinct / percentile —
+    both are single-pass, mergeable, fixed-memory sketches (map-side
+    partial sketch, merge in the reduce). No oracle entry: results
+    are approximate by design, so the driver records the rows-only
+    check.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_orders"),
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts"),
+        F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias(
+            "approx_median_price"
+        ),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
