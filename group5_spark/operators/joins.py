@@ -59,3 +59,68 @@ def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> Dat
     """
     keys = [on] if isinstance(on, str) else list(on)
     return left.join(right.select(*keys), on=keys, how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward as-of join: for each left row, attach the right row's
+    columns from the latest ``right_ts`` <= ``left_ts`` per key.
+
+    Spark has no built-in as-of join; the naive formulation is a range
+    join (left.ts >= right.ts per key → O(n·m) per key, a broadcast
+    nested loop at scale). This implementation is the single-shuffle
+    rewrite: tag both sides, union them, and carry the right side's
+    values forward with ``last(..., ignorenulls=True)`` over a
+    per-key time-ordered running window; then keep only left rows.
+    One shuffle on the key, linear work — the same trick a
+    time-series engine's as-of executor performs, expressed in pure
+    DataFrame ops (SURVEY §2 custom-operator policy (a)).
+
+    Right-side value columns must not collide with left column names
+    (pre-project/rename on the caller side). Ties (`right_ts ==
+    left_ts`) match: the right row sorts first at equal timestamps.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    val_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
+
+    r = right.select(
+        *keys,
+        F.col(right_ts).alias("_t"),
+        F.lit(1).alias("_is_r"),
+        *[F.col(c) for c in val_cols],
+    )
+    l = left.select(
+        *left.columns,
+        F.col(left_ts).alias("_t"),
+        F.lit(0).alias("_is_r"),
+    )
+    unioned = l.unionByName(r, allowMissingColumns=True)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_t").asc(), F.col("_is_r").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        *unioned.columns,
+        *[
+            F.last(F.when(F.col("_is_r") == 1, F.col(c)), ignorenulls=True)
+            .over(w)
+            .alias(f"_asof_{c}")
+            for c in val_cols
+        ],
+        F.last(F.when(F.col("_is_r") == 1, F.col("_t")), ignorenulls=True)
+        .over(w)
+        .alias(f"_asof_{right_ts}"),
+    )
+    out_cols = [c for c in left.columns] + [
+        F.col(f"_asof_{c}").alias(c) for c in val_cols
+    ] + [F.col(f"_asof_{right_ts}").alias(right_ts)]
+    return carried.filter(F.col("_is_r") == 0).select(*out_cols)

@@ -1628,3 +1628,90 @@ def sketch_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+# --------------------------------------------------------------------
+# Batch 6: event-time tumbling window, as-of join
+# --------------------------------------------------------------------
+
+
+@register(
+    "tumbling_hourly_events",
+    """
+    SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2)))::DECIMAL(18,2) AS total_value
+    FROM events
+    GROUP BY hour_start, event_type
+    """,
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window (1 h) — the batch twin of the
+    streaming layer's watermarked windowed aggregation.
+
+    `F.window` assigns each event to its bucket map-side; the shuffle
+    carries (bucket, type) partial aggregates only. The identical
+    expression runs under readStream with a watermark
+    (group5_spark.streaming), where state is bounded by
+    watermark × groups rather than stream length.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC2)).cast(DEC2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
+    "asof_last_click_before_error",
+    """
+    SELECT COUNT(*) AS n_errors,
+           COUNT(last_click_ts) AS n_with_prior_click,
+           ROUND(AVG(CAST(date_diff('second', last_click_ts, ts) AS DOUBLE)), 6)
+               AS avg_gap_s
+    FROM (
+        SELECT e.ts,
+               (SELECT MAX(c.ts) FROM events c
+                WHERE c.user_id = e.user_id
+                  AND c.event_type = 'click'
+                  AND c.ts <= e.ts) AS last_click_ts
+        FROM events e
+        WHERE e.event_type = 'error'
+    )
+    """,
+)
+def asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each error event paired with the same user's most
+    recent preceding click, then time-to-error stats.
+
+    Uses operators.joins.asof_join — the union+running-window rewrite
+    (one shuffle on user_id) instead of the O(n·m)-per-key range
+    join the correlated-subquery oracle implies. The oracle's
+    correlated MAX is exactly what the carried-forward `last()`
+    computes.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    matched = joins.asof_join(
+        errors, clicks, on="user_id", left_ts="ts", right_ts="click_ts"
+    )
+    gap = F.unix_timestamp("ts") - F.unix_timestamp("click_ts")
+    return matched.agg(
+        F.count(F.lit(1)).alias("n_errors"),
+        F.count("click_ts").alias("n_with_prior_click"),
+        F.round(F.avg(gap.cast("double")), 6).alias("avg_gap_s"),
+    )

@@ -141,3 +141,24 @@ def test_cached_context_manager(spark):
         assert cdf.count() == 1
         assert cdf.storageLevel.useMemory
     assert not df.storageLevel.useMemory
+
+
+def test_asof_join_backward_with_ties_and_no_match(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, 1, 0, 0, s)
+    left = spark.createDataFrame(
+        [(1, t(5)), (1, t(10)), (2, t(3)), (3, t(7))], ["k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [(1, t(4), "a"), (1, t(10), "b"), (2, t(9), "c")],
+        ["k", "rts", "val"],
+    )
+    out = joins.asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+    rows = {(r.k, r.ts.second): (r.val, r.rts.second if r.rts else None)
+            for r in out.collect()}
+    assert out.count() == 4                      # every left row survives
+    assert rows[(1, 5)] == ("a", 4)              # strictly-before match
+    assert rows[(1, 10)] == ("b", 10)            # equal-ts tie matches
+    assert rows[(2, 3)] == (None, None)          # right row is later: no match
+    assert rows[(3, 7)] == (None, None)          # key absent from right

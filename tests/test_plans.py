@@ -80,3 +80,34 @@ def test_exact_dedup_groups_on_hash(q):
     plan = I.formatted_plan(df)
     assert "md5" in plan
     I.assert_max_shuffles(df, 1)
+
+
+def test_correlated_rewrites_single_shuffle(q):
+    # window rewrites of MIN/AVG join-backs: one shuffle on the
+    # correlation key (the self-join formulation would need two)
+    df = q("cheapest_shipment_per_part")
+    I.assert_max_shuffles(df, 1)
+    # small_quantity_revenue adds the final scalar-agg exchange
+    df = q("small_quantity_revenue")
+    I.assert_max_shuffles(df, 2)
+
+
+def test_nation_trade_volume_fact_fact(q):
+    df = q("nation_trade_volume")
+    # all four dims broadcast; at test SF the slim orders side fits
+    # under the broadcast threshold too (5 broadcasts, 0-1 shuffles);
+    # at 100 TB orders exceeds it and becomes the one shuffle join
+    assert I.num_broadcast_joins(df) >= 4
+    I.assert_max_shuffles(df, 3)
+
+
+def test_asof_join_single_shuffle(q):
+    # union + running window: one shuffle on user_id + scalar agg
+    df = q("asof_last_click_before_error")
+    I.assert_max_shuffles(df, 2)
+
+
+def test_tumbling_window_partial_agg(q):
+    df = q("tumbling_hourly_events")
+    I.assert_max_shuffles(df, 1)
+    I.assert_scan_pruned(df, table_cols=6, max_cols=3)
