@@ -106,3 +106,105 @@ def run_available_now(
     )
     query.awaitTermination()
     return query
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: event-time sessionization with a gap timeout
+# (applyInPandasWithState — SURVEY §2 custom-operator policy (b): the one
+# semantics Spark's built-in streaming aggregations can't express).
+# ---------------------------------------------------------------------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id string, session_start timestamp, session_end timestamp, "
+    "n_events long"
+)
+# State kept per user: open session bounds as epoch micros (long — the
+# state store holds only fixed-width scalars, no timestamp marshalling).
+SESSION_STATE_SCHEMA = "start_us long, end_us long, n long"
+
+
+def sessionize_stateful(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "event_ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful sessionization: one output row per *closed* session
+    (user, start, end, event count), sessions split on > ``gap`` of
+    inactivity.
+
+    This is the operator the batch ``operators.windows.sessionize``
+    computes with a lag-window; in streaming it needs true per-key
+    state: the open session must survive across micro-batches and
+    close either when a later event arrives past the gap or when the
+    event-time watermark passes ``end + gap`` (EventTimeTimeout).
+    State is three longs per active user — bounded by active users,
+    not stream length. Arrow-batched `applyInPandasWithState`, no
+    row-at-a-time Python.
+    """
+    import pandas as pd  # local: only the executors need it
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(pd.Timedelta(gap).total_seconds() * 1_000_000)
+
+    def fn(key, pdf_iter, state: GroupState):
+        user = key[0]
+        if state.hasTimedOut:
+            start_us, end_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user],
+                    "session_start": [pd.Timestamp(start_us, unit="us")],
+                    "session_end": [pd.Timestamp(end_us, unit="us")],
+                    "n_events": [n],
+                }
+            )
+            return
+
+        ts: list[int] = []
+        for pdf in pdf_iter:
+            ts.extend(int(t.value // 1000) for t in pdf[ts_col])
+        ts.sort()
+
+        cur = state.get if state.exists else None
+        closed: list[tuple[int, int, int]] = []
+        for t in ts:
+            if cur is None:
+                cur = (t, t, 1)
+            elif t - cur[1] <= gap_us:
+                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            else:
+                closed.append(cur)
+                cur = (t, t, 1)
+        if cur is not None:
+            state.update(cur)
+            # close the open session when event time passes end + gap
+            state.setTimeoutTimestamp(cur[1] // 1000 + gap_us // 1000)
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user] * len(closed),
+                    "session_start": [
+                        pd.Timestamp(s, unit="us") for s, _, _ in closed
+                    ],
+                    "session_end": [
+                        pd.Timestamp(e, unit="us") for _, e, _ in closed
+                    ],
+                    "n_events": [n for _, _, n in closed],
+                }
+            )
+
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(user_col)
+        .applyInPandasWithState(
+            fn,
+            SESSION_OUTPUT_SCHEMA,
+            SESSION_STATE_SCHEMA,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -101,3 +101,53 @@ def test_watermark_drops_late_state(spark, tmp_path):
     # the first window (12:00) closed once the 12:30 event advanced the
     # watermark past 12:05+10m; the 12:30 window stays open → 1 row
     assert len(got) == 1 and got[0].n_events == 1
+
+
+def test_stateful_sessionization(spark, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap splits close
+    sessions; the trailing open session stays in state (no row)."""
+    import json
+    from pathlib import Path
+
+    base = datetime(2024, 1, 1, 0, 0, 0)
+    iso = lambda m: (base + timedelta(minutes=m)).strftime(
+        "%Y-%m-%dT%H:%M:%S.%f"
+    ) + "Z"
+    # user u1: events at 0,5,10 min (session of 3), then 120,121 (open tail)
+    # user u2: single event at 0 (open tail)
+    rows = [
+        {"user_id": "u1", "timestamp": iso(0)},
+        {"user_id": "u1", "timestamp": iso(5)},
+        {"user_id": "u1", "timestamp": iso(10)},
+        {"user_id": "u1", "timestamp": iso(120)},
+        {"user_id": "u1", "timestamp": iso(121)},
+        {"user_id": "u2", "timestamp": iso(0)},
+    ]
+    src = tmp_path / "sess"
+    src.mkdir()
+    (src / "batch_1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("user_id string, timestamp string")
+        .json(str(src / "*.json"))
+        .withColumn(
+            "event_ts",
+            F.to_timestamp("timestamp", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        )
+    )
+    sessions = jobs.sessionize_stateful(stream, gap="30 minutes")
+    jobs.run_available_now(sessions, str(tmp_path / "ckpt"), "sessions_out")
+    out = {
+        (r.user_id, r.n_events): (r.session_start, r.session_end)
+        for r in spark.table("sessions_out").collect()
+    }
+    # u1's first session closed by the in-batch 110-min gap
+    assert ("u1", 3) in out
+    start, end = out[("u1", 3)]
+    assert (end - start).total_seconds() == 600
+    # u2's lone-event session closed by EventTimeTimeout: the final
+    # watermark (121 min - 1 h = 61 min) passed its end + 30-min gap
+    assert ("u2", 1) in out
+    # u1's tail session (120,121 min) stays open in state: its
+    # timeout (121 + 30 = 151 min) is beyond the watermark → no row
+    assert ("u1", 2) not in out
