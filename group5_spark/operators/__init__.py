@@ -9,8 +9,9 @@ idiomatic, Catalyst-optimizable DataFrame operations:
 - ``setops``   union / intersect / except over sparse schemas
 - ``columns``  add / drop / rename / cast, caching policy
 - ``flatten``  generic nested-struct flatten + array explode
+- ``skew``     salted join / two-phase salted aggregation for hot keys
 """
 
-from group5_spark.operators import columns, flatten, joins, setops, windows
+from group5_spark.operators import columns, flatten, joins, setops, skew, windows
 
-__all__ = ["columns", "flatten", "joins", "setops", "windows"]
+__all__ = ["columns", "flatten", "joins", "setops", "skew", "windows"]

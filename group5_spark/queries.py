@@ -1715,3 +1715,81 @@ def asof_last_click_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("click_ts").alias("n_with_prior_click"),
         F.round(F.avg(gap.cast("double")), 6).alias("avg_gap_s"),
     )
+
+
+# --------------------------------------------------------------------
+# Batch 7: composed training-data pipeline
+# --------------------------------------------------------------------
+
+
+@register(
+    "doc_pipeline_filtered_corpus",
+    """
+    WITH scored AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM (
+            SELECT doc_id, text, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM scored
+            WHERE n_tokens >= 20
+        ) WHERE rn = 1
+    ),
+    langed AS (
+        SELECT n_tokens,
+          len(list_filter(string_split(text,' '), x -> x IN ('the','a','of','and','is'))) AS score_en,
+          len(list_filter(string_split(text,' '), x -> x IN ('der','die','das','und','ist'))) AS score_de,
+          len(list_filter(string_split(text,' '), x -> x IN ('el','la','de','y','es'))) AS score_es,
+          len(list_filter(string_split(text,' '), x -> x IN ('le','la','de','et','est'))) AS score_fr
+        FROM kept
+    )
+    SELECT CASE
+             WHEN score_en >= greatest(score_en, score_de, score_es, score_fr)
+                  AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'en'
+             WHEN score_de >= greatest(score_en, score_de, score_es, score_fr)
+                  AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'de'
+             WHEN score_es >= greatest(score_en, score_de, score_es, score_fr)
+                  AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'es'
+             WHEN score_fr >= greatest(score_en, score_de, score_es, score_fr)
+                  AND greatest(score_en, score_de, score_es, score_fr) > 0 THEN 'fr'
+             ELSE 'unknown'
+           END AS lang_pred,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS total_tokens
+    FROM langed
+    GROUP BY lang_pred
+    """,
+)
+def doc_pipeline_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end training-corpus curation: quality filter (min token
+    count) → normalized-fingerprint dedup (keep lowest doc_id) →
+    language ID → per-language corpus stats.
+
+    The composition is what a 100 TB pre-training pipeline runs
+    nightly: every stage is the extensions operator used alone in its
+    own query; chained they stay one scan + one dedup shuffle + one
+    tiny agg shuffle — stages fuse into the same codegen pass where
+    no shuffle intervenes.
+    """
+    from group5_spark.extensions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = T.token_count(docs, "text", "n_tokens").filter(
+        F.col("n_tokens") >= 20
+    )
+    fp = T.fingerprint(scored, "text", "fp")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    kept = (
+        fp.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "fp")
+    )
+    langed = T.language_id(kept, "text")
+    return langed.groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -162,3 +162,39 @@ def test_asof_join_backward_with_ties_and_no_match(spark):
     assert rows[(1, 10)] == ("b", 10)            # equal-ts tie matches
     assert rows[(2, 3)] == (None, None)          # right row is later: no match
     assert rows[(3, 7)] == (None, None)          # key absent from right
+
+
+def test_salted_join_matches_plain_join(spark):
+    from group5_spark.operators import skew
+
+    # hot key 1 (90 rows), cold keys 2..5
+    left = spark.createDataFrame(
+        [(1, i) for i in range(90)] + [(k, 0) for k in range(2, 6)], ["k", "v"]
+    )
+    right = spark.createDataFrame([(k, f"d{k}") for k in range(1, 5)], ["k", "name"])
+    plain = left.join(right, "k").groupBy("k").count()
+    salted = skew.salted_join(left, right, "k", n_salts=4).groupBy("k").count()
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # replication really happened: pre-join right side carries 4 salts
+    assert skew.salted_join(left, right, "k", n_salts=4).count() == plain.agg(
+        F.sum("count")
+    ).collect()[0][0]
+
+
+def test_salted_sum_count_matches_groupby(spark):
+    from group5_spark.operators import skew
+
+    df = spark.createDataFrame(
+        [(i % 3, float(i)) for i in range(100)], ["k", "v"]
+    )
+    expected = {
+        (r.k): (r.s, r.n)
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {
+        (r.k): (r.sum_v, r.n_rows)
+        for r in skew.salted_sum_count(df, "k", ["v"], n_salts=8).collect()
+    }
+    assert got == expected
