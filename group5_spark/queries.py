@@ -1793,3 +1793,28 @@ def doc_pipeline_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register(
+    "order_part_baskets",
+    """
+    SELECT l_orderkey, list_sort(list(l_partkey)) AS parts,
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def order_part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-order sorted basket of part keys.
+
+    `collect_list` + `sort_array` makes the array deterministic for
+    the oracle compare (bare collect_list order is partition-
+    dependent). The basket form feeds market-basket / co-occurrence
+    analyses; the shuffle carries one array per order, built from
+    map-side partial lists.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("parts"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
