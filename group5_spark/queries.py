@@ -1818,3 +1818,124 @@ def order_part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("l_partkey")).alias("parts"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@register(
+    "order_count_distribution",
+    """
+    SELECT c_count, COUNT(*) AS n_customers
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level aggregation (TPC-H Q13): orders-per-customer
+    histogram. Left join keeps zero-order customers (COUNT of a null
+    key column yields 0). Second agg runs on the ~|customers| frame —
+    at 100 TB the only big shuffle is the first, on custkey.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        joins.left_join(
+            cust.select("c_custkey"),
+            orders.select(F.col("o_custkey").alias("c_custkey"), "o_orderkey"),
+            "c_custkey",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@register(
+    "rich_inactive_customers",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_cust,
+           SUM(CAST(c_acctbal AS DECIMAL(18,2)))::DECIMAL(18,2) AS total_bal
+    FROM customer c
+    WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY c_nationkey
+    """,
+)
+def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery + NOT EXISTS (TPC-H Q22 shape): above-average-
+    balance customers who never ordered, per nation.
+
+    Anti join against the projected custkey set + a broadcast 1-row
+    threshold — the customer scan happens once; orders contributes
+    only its key column to the anti-join shuffle.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("_avg_bal")
+    )
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("_avg_bal")
+    )
+    inactive = joins.anti_join(
+        rich, orders.select(F.col("o_custkey").alias("c_custkey")), "c_custkey"
+    )
+    return inactive.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        F.sum(F.col("c_acctbal").cast(DEC2)).cast(DEC2).alias("total_bal"),
+    )
+
+
+@register(
+    "brand_market_share",
+    """
+    SELECT p_type, CAST(EXTRACT(YEAR FROM l_shipdate) AS INT) AS l_year,
+           ROUND(
+             CAST(SUM(CASE WHEN p_brand = 'Brand#1'
+                      THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                      ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE),
+             6) AS brand1_share,
+           COUNT(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_type, l_year
+    """,
+)
+def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-share aggregation (TPC-H Q8 shape): Brand#1's
+    revenue share within each part type and year.
+
+    Both numerator and denominator are exact decimal sums computed in
+    the same grouped pass (no second scan, no join back); the final
+    double division is a deterministic scalar on the tiny result.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    j = joins.dim_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"),
+        part.select("p_partkey", "p_brand", "p_type"),
+        "p_partkey",
+    )
+    disc = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    zero = F.lit(0).cast(DEC4)
+    return (
+        j.groupBy("p_type", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(
+            F.sum(F.when(F.col("p_brand") == "Brand#1", disc).otherwise(zero))
+            .alias("_b1"),
+            F.sum(disc).alias("_tot"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "p_type",
+            "l_year",
+            F.round(
+                F.col("_b1").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("brand1_share"),
+            "n_items",
+        )
+    )
