@@ -32,6 +32,14 @@ HEADLINE = [
     "pct_revenue_by_segment",
     "yoy_revenue",
     "mtd_revenue",
+    # scale showcases: fact-fact join, as-of join, event-time window,
+    # and the training-data extension pipelines
+    "nation_trade_volume",
+    "tumbling_hourly_events",
+    "asof_last_click_before_error",
+    "doc_pipeline_filtered_corpus",
+    "dedup_exact",
+    "text_token_count",
 ]
 
 

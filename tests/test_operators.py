@@ -198,3 +198,34 @@ def test_salted_sum_count_matches_groupby(spark):
         for r in skew.salted_sum_count(df, "k", ["v"], n_salts=8).collect()
     }
     assert got == expected
+
+
+def test_asof_join_property_matches_reference(spark):
+    """Property test: asof_join equals the per-row 'latest right ts
+    <= left ts per key' reference computed driver-side."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    for trial in range(3):
+        lrows = [
+            (rng.randint(1, 4), base + dt.timedelta(seconds=rng.randint(0, 300)))
+            for _ in range(40)
+        ]
+        rrows = [
+            (rng.randint(1, 4), base + dt.timedelta(seconds=rng.randint(0, 300)), i)
+            for i in range(30)
+        ]
+        left = spark.createDataFrame(lrows, ["k", "ts"])
+        right = spark.createDataFrame(rrows, ["k", "rts", "rid"])
+        out = joins.asof_join(left, right, on="k", left_ts="ts", right_ts="rts")
+
+        def expected_rts(k, ts):
+            cands = [r for kk, r, _ in rrows if kk == k and r <= ts]
+            return max(cands) if cands else None
+
+        got = [(r.k, r.ts, r.rts) for r in out.collect()]
+        assert len(got) == len(lrows)
+        for k, ts, rts in got:
+            assert rts == expected_rts(k, ts), (trial, k, ts)
