@@ -161,3 +161,84 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into Voronoi
+    cells around sampled centroids, search only the ``n_probe``
+    nearest cells per query.
+
+    Centroid selection is a deterministic modulo-sample of corpus
+    vectors (no iterative k-means — no training loop, reproducible).
+    Cell assignment is a map-only argmax over an array of
+    (cosine, cell) structs built from the broadcast centroid
+    literals: struct comparison orders by the first field, so
+    ``array_max`` *is* the argmax — zero shuffle to assign. The
+    probe join is an equi-join on cell_id: at 100 TB each query
+    touches ~``n_probe/n_cells`` of the corpus instead of all of it,
+    and the cell-partitioned layout can be persisted/bucketed so
+    repeated query batches skip re-assignment.
+    """
+    c_vec = corpus.withColumn("v", _as_double(corpus, vec_col)).select(
+        F.col(id_col).alias("cand_id"), "v"
+    )
+    q_vec = queries.withColumn("v", _as_double(queries, vec_col)).select(
+        F.col(id_col).alias("query_id"), "v"
+    )
+
+    n_corpus = c_vec.count()
+    stride = max(1, n_corpus // n_cells)
+    centroids = [
+        (int(r.cand_id), [float(x) for x in r.v])
+        for r in c_vec.filter(F.pmod(F.col("cand_id"), F.lit(stride)) == 0)
+        .orderBy("cand_id")
+        .limit(n_cells)
+        .collect()
+    ]
+
+    def cell_scores(v_col: str) -> F.Column:
+        entries = []
+        for cid, cvec in centroids:
+            cos = F.expr(
+                DOT.format(a=v_col, b=f"array({', '.join(repr(x) for x in cvec)})")
+            )
+            entries.append(
+                F.struct(cos.alias("score"), F.lit(cid).alias("cell"))
+            )
+        return F.array(*entries)
+
+    assigned = c_vec.withColumn(
+        "cell_id", F.array_max(cell_scores("v")).getField("cell")
+    )
+    probes = (
+        q_vec.withColumn(
+            "probe",
+            F.slice(F.reverse(F.array_sort(cell_scores("v"))), 1, n_probe),
+        )
+        .withColumn("cell_id", F.explode(F.col("probe.cell")))
+        .select("query_id", F.col("v").alias("qv"), "cell_id")
+    )
+
+    cand = probes.join(assigned, on="cell_id").filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    dot = F.expr(DOT.format(a="qv", b="v"))
+    qn = F.sqrt(F.expr(DOT.format(a="qv", b="qv")))
+    cn = F.sqrt(F.expr(DOT.format(a="v", b="v")))
+    scored = cand.withColumn("cosine", F.round(dot / (qn * cn), 6)).select(
+        "query_id", "cand_id", "cosine"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )

@@ -1939,3 +1939,17 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_items",
         )
     )
+
+
+@register("sim_ivf_topk")  # no oracle: approximate by design
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat approximate nearest neighbors (scale path #2, beside
+    the hyperplane-LSH variant): Voronoi-cell partitioning with
+    n_probe cell search. Rows-only check — recall vs the exact
+    cosine_topk baseline is asserted in tests/test_extensions.py.
+    """
+    from group5_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    return S.ivf_topk(emb, q, k=10)

@@ -124,3 +124,27 @@ def test_multimodal_plumbing(spark):
     assert [f.frame_idx for f in frames] == list(
         range(0, row.n_bytes % 300 + 1, 5)
     )
+
+
+def test_ivf_topk_recall_and_shape(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+    from group5_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.limit(8)
+    ivf = S.ivf_topk(emb, q, k=10, n_cells=16, n_probe=4).collect()
+    exact = S.cosine_topk(emb, q, k=10).collect()
+    # shape: at most k per query, no self-matches
+    per_q: dict[int, int] = {}
+    for r in ivf:
+        assert r.query_id != r.cand_id
+        per_q[r.query_id] = per_q.get(r.query_id, 0) + 1
+    assert all(n <= 10 for n in per_q.values())
+    # probing 4/16 cells of the label-clustered embeddings must beat
+    # random candidate selection (which would land ~25% recall)
+    ivf_pairs = {(r.query_id, r.cand_id) for r in ivf}
+    exact_pairs = {(r.query_id, r.cand_id) for r in exact}
+    recall = len(ivf_pairs & exact_pairs) / len(exact_pairs)
+    assert recall >= 0.4, recall
