@@ -1953,3 +1953,87 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     return S.ivf_topk(emb, q, k=10)
+
+
+@register(
+    "cohort_weekly_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               date_trunc('week', f.first_day) AS cohort_week,
+               CAST(floor(date_diff('day', date_trunc('week', f.first_day),
+                                    CAST(e.ts AS DATE)) / 7.0) AS INT) AS week_no
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS DATE) AS cohort_week, week_no,
+           COUNT(*) AS n_active
+    FROM activity
+    GROUP BY cohort_week, week_no
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    as active in each subsequent week offset.
+
+    Two shuffles on user_id (first-touch agg + the distinct), then a
+    tiny (cohort, week) agg. The first-touch frame joins back
+    broadcast at test SF; at 100 TB both sides are partitioned on
+    user_id so the join is co-located after the first shuffle.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("day")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        joins.inner_join(ev, firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(F.datediff("day", F.col("cohort_week")) / 7)
+            .cast("int")
+            .alias("week_no"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_no").agg(
+        F.count(F.lit(1)).alias("n_active")
+    )
+
+
+@register(
+    "latest_event_per_user",
+    """
+    SELECT user_id,
+           arg_max(event_type, ts || '#' || CAST(event_id AS VARCHAR)) AS last_type,
+           MAX(ts) AS last_ts,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-1-per-group via max_by aggregation, not a ranking window.
+
+    max_by is an algebraic aggregate: partial (value, key) maxima
+    combine map-side, so the shuffle carries one pair per (partition,
+    user) — a window row_number would sort every row. The ordering
+    key appends event_id to the timestamp so ties break identically
+    in both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tie_key = F.concat(
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.lit("#"),
+        F.col("event_id").cast("string"),
+    )
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", tie_key).alias("last_type"),
+        F.max("ts").alias("last_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
