@@ -140,3 +140,42 @@ def refresh_gold(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
         "agg_daily_revenue",
     )
     return counts
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str,
+    n_buckets: int = 8,
+    sort_by: str | None = None,
+) -> None:
+    """B16: persist a DataFrame as a bucketed (and optionally
+    sort-ordered) catalog table.
+
+    Bucketing pre-shuffles the data ONCE at write time: every
+    subsequent join or aggregation on ``key`` between tables bucketed
+    with the same bucket count reads co-located buckets and skips the
+    exchange entirely — the cure for a fact↔fact join key that recurs
+    across queries (user_id here). Requires ``saveAsTable`` (bucket
+    metadata lives in the catalog, not the parquet files).
+    """
+    writer = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, key)
+    if sort_by:
+        writer = writer.sortBy(sort_by)
+    writer.saveAsTable(table)
+
+
+def bucketed_facts(
+    spark: SparkSession, warehouse_dir: str, n_buckets: int = 8
+) -> list[str]:
+    """Publish the user-keyed fact tables bucketed by ``user_id`` so
+    activity↔transaction joins (funnel, conversion, LTV) are
+    exchange-free."""
+    tables = []
+    for fact in ("fact_transactions", "fact_user_activity"):
+        path = os.path.join(warehouse_dir, "gold", fact)
+        save_bucketed(
+            spark.read.parquet(path), f"{fact}_bucketed", "user_id", n_buckets
+        )
+        tables.append(f"{fact}_bucketed")
+    return tables

@@ -168,3 +168,33 @@ def test_generator_determinism():
     a = gen.make_transactions(50, gen.make_customers(10), gen.make_products(10))
     b = gen.make_transactions(50, gen.make_customers(10), gen.make_products(10))
     assert a == b
+
+
+def test_bucketed_join_skips_exchange(spark, tmp_path):
+    """B16: two tables bucketed on the same key with the same bucket
+    count join without any shuffle exchange."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.gold import save_bucketed
+
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    save_bucketed(left, "bkt_left", "k", n_buckets=4, sort_by="k")
+    save_bucketed(right, "bkt_right", "k", n_buckets=4, sort_by="k")
+    try:
+        j = (
+            spark.table("bkt_left")
+            .hint("merge")
+            .join(spark.table("bkt_right"), "k")
+        )
+        assert j.count() == 1000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
