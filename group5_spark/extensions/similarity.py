@@ -176,16 +176,21 @@ def ivf_topk(
     cells around sampled centroids, search only the ``n_probe``
     nearest cells per query.
 
-    Centroid selection is a deterministic modulo-sample of corpus
-    vectors (no iterative k-means — no training loop, reproducible).
-    Cell assignment is a map-only argmax over an array of
-    (cosine, cell) structs built from the broadcast centroid
+    Centroid selection is a deterministic pseudo-random sample: the
+    ``n_cells`` corpus vectors with the smallest ``xxhash64(id)`` —
+    id-distribution-independent (sparse/offset id spaces work), no
+    iterative k-means, no training loop, one small collect job.
+    Centroids are L2-normalized driver-side, so the map-side dot
+    product against them IS cosine assignment (row norm is constant
+    across cells). Cell assignment is a map-only argmax over an
+    array of (cosine, cell) structs built from the broadcast centroid
     literals: struct comparison orders by the first field, so
     ``array_max`` *is* the argmax — zero shuffle to assign. The
     probe join is an equi-join on cell_id: at 100 TB each query
-    touches ~``n_probe/n_cells`` of the corpus instead of all of it,
-    and the cell-partitioned layout can be persisted/bucketed so
-    repeated query batches skip re-assignment.
+    touches ~``n_probe/n_cells`` of the corpus instead of all of it;
+    persist/bucket the assigned layout (and ``.cache()`` ``corpus``
+    when assignment and search run in one job) so repeated query
+    batches skip re-assignment.
     """
     c_vec = corpus.withColumn("v", _as_double(corpus, vec_col)).select(
         F.col(id_col).alias("cand_id"), "v"
@@ -194,14 +199,21 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), "v"
     )
 
-    n_corpus = c_vec.count()
-    stride = max(1, n_corpus // n_cells)
-    centroids = [
-        (int(r.cand_id), [float(x) for x in r.v])
-        for r in c_vec.filter(F.pmod(F.col("cand_id"), F.lit(stride)) == 0)
-        .orderBy("cand_id")
+    sampled = (
+        c_vec.orderBy(F.xxhash64(F.col("cand_id")), F.col("cand_id"))
         .limit(n_cells)
         .collect()
+    )
+    if not sampled:
+        raise ValueError("ivf_topk: corpus is empty, cannot sample centroids")
+
+    def _l2_normalize(vec: list[float]) -> list[float]:
+        norm = sum(x * x for x in vec) ** 0.5
+        return [x / norm for x in vec] if norm > 0 else vec
+
+    centroids = [
+        (int(r.cand_id), _l2_normalize([float(x) for x in r.v]))
+        for r in sampled
     ]
 
     def cell_scores(v_col: str) -> F.Column:

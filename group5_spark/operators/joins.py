@@ -81,12 +81,27 @@ def asof_join(
     time-series engine's as-of executor performs, expressed in pure
     DataFrame ops (SURVEY §2 custom-operator policy (a)).
 
-    Right-side value columns must not collide with left column names
-    (pre-project/rename on the caller side). Ties (`right_ts ==
-    left_ts`) match: the right row sorts first at equal timestamps.
+    Right-side value columns and ``right_ts`` must not collide with
+    left column names (pre-project/rename on the caller side) —
+    validated eagerly below. Ties (`right_ts == left_ts`) match: the
+    right row sorts first at equal timestamps.
     """
     keys = [on] if isinstance(on, str) else list(on)
     val_cols = [c for c in right.columns if c not in set(keys) | {right_ts}]
+
+    left_cols = set(left.columns)
+    clashes = (set(val_cols) | {right_ts}) & left_cols
+    if clashes:
+        raise ValueError(
+            f"asof_join: right-side columns {sorted(clashes)} collide with "
+            "left column names; rename them before joining"
+        )
+    reserved = {"_t", "_is_r"} | {f"_asof_{c}" for c in val_cols + [right_ts]}
+    if reserved & left_cols:
+        raise ValueError(
+            f"asof_join: left columns {sorted(reserved & left_cols)} clash "
+            "with internal working names; rename them before joining"
+        )
 
     r = right.select(
         *keys,

@@ -1371,26 +1371,77 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "stats_price_quantity",
     """
+    WITH s AS (
+        SELECT l_returnflag,
+               COUNT(*) AS n,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sx,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sy,
+               SUM(CAST(l_discount AS DECIMAL(18,2))) AS sd,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_extendedprice AS DECIMAL(18,2))) AS sxx,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS syy,
+               SUM(CAST(l_discount AS DECIMAL(18,2))
+                   * CAST(l_discount AS DECIMAL(18,2))) AS sdd,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS sxy
+        FROM lineitem
+        GROUP BY l_returnflag
+    )
     SELECT l_returnflag,
-           ROUND(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
-           ROUND(stddev_samp(l_extendedprice), 6) AS price_stddev,
-           ROUND(var_samp(l_discount), 6) AS disc_var,
-           ROUND(covar_samp(l_extendedprice, l_quantity), 6) AS price_qty_covar
-    FROM lineitem
-    GROUP BY l_returnflag
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS price_qty_corr,
+           ROUND(sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      / (CAST(n AS DOUBLE) * (n - 1))), 6) AS price_stddev,
+           ROUND((n * CAST(sdd AS DOUBLE) - CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS disc_var,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * (n - 1)), 6) AS price_qty_covar
+    FROM s
     """,
 )
 def stats_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregate family: corr/stddev/variance/covariance —
-    all single-pass streaming moments, mergeable map-side."""
+    """Statistical aggregate family — corr/stddev/variance/covariance
+    computed from EXACT decimal sums (Σx, Σx², Σxy), with the moment
+    formulas applied in double only on the per-group scalars.
+
+    Native corr()/stddev() merge per-partition double states in
+    nondeterministic order, so results drift ~1e-12 between runs and
+    engines — a flaky hash-gate. Decimal sums are exact and
+    associative (identical regardless of partition order), and the
+    final double arithmetic is the same scalar expression in both
+    engines, so the result is bit-stable. Same single-pass, map-side
+    combinable plan shape as the native aggregates.
+    """
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
-        F.round(F.stddev_samp("l_extendedprice"), 6).alias("price_stddev"),
-        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
-        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 6).alias(
-            "price_qty_covar"
-        ),
+    x = F.col("l_extendedprice").cast(DEC2)
+    y = F.col("l_quantity").cast(DEC2)
+    d = F.col("l_discount").cast(DEC2)
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(d).alias("sd"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+        F.sum(d * d).alias("sdd"),
+        F.sum(x * y).alias("sxy"),
+    )
+    n = F.col("n")
+    dbl = lambda c: F.col(c).cast("double")  # noqa: E731
+    nd = n.cast("double")
+    cov_num = n * dbl("sxy") - dbl("sx") * dbl("sy")
+    varx_num = n * dbl("sxx") - dbl("sx") * dbl("sx")
+    vary_num = n * dbl("syy") - dbl("sy") * dbl("sy")
+    vard_num = n * dbl("sdd") - dbl("sd") * dbl("sd")
+    return s.select(
+        "l_returnflag",
+        F.round(cov_num / F.sqrt(varx_num * vary_num), 6).alias("price_qty_corr"),
+        F.round(F.sqrt(varx_num / (nd * (n - 1))), 6).alias("price_stddev"),
+        F.round(vard_num / (nd * (n - 1)), 6).alias("disc_var"),
+        F.round(cov_num / (nd * (n - 1)), 6).alias("price_qty_covar"),
     )
 
 
@@ -1411,26 +1462,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     path is extensions.similarity.lsh_topk (hyperplane-bucketed
     candidates), which cuts the pair space by ~2^bits.
     """
+    from group5_spark.extensions.similarity import DOT, _as_double
+
     emb = load_table(spark, sf_dir, "embeddings")
 
     def prep(prefix: str) -> DataFrame:
-        v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
         return emb.select(
             F.col("vec_id").alias(f"id_{prefix}"),
-            v.alias(f"v_{prefix}"),
+            _as_double(emb, "embedding").alias(f"v_{prefix}"),
         )
 
     a, b = prep("a"), prep("b")
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(
-        F.zip_with("v_a", "v_b", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    norm = lambda c: F.sqrt(
-        F.aggregate(c, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    cos = dot / (norm(F.col("v_a")) * norm(F.col("v_b")))
+    dot = F.expr(DOT.format(a="v_a", b="v_b"))
+    norm_a = F.sqrt(F.expr(DOT.format(a="v_a", b="v_a")))
+    norm_b = F.sqrt(F.expr(DOT.format(a="v_b", b="v_b")))
+    cos = dot / (norm_a * norm_b)
     return (
         pairs.withColumn("cos_sim", cos)
         .filter(F.col("cos_sim") >= 0.95)

@@ -174,11 +174,20 @@ def sessionize_stateful(
         for t in ts:
             if cur is None:
                 cur = (t, t, 1)
-            elif t - cur[1] <= gap_us:
-                cur = (cur[0], max(cur[1], t), cur[2] + 1)
+            elif t >= cur[0]:
+                if t - cur[1] <= gap_us:
+                    cur = (cur[0], max(cur[1], t), cur[2] + 1)
+                else:
+                    closed.append(cur)
+                    cur = (t, t, 1)
+            elif cur[0] - t <= gap_us:
+                # late event (within watermark) older than the open
+                # session's start: extend the session backward — the
+                # batch twin would have included it
+                cur = (t, cur[1], cur[2] + 1)
             else:
-                closed.append(cur)
-                cur = (t, t, 1)
+                # too old to merge and already past: its own session
+                closed.append((t, t, 1))
         if cur is not None:
             state.update(cur)
             # close the open session when event time passes end + gap

@@ -229,3 +229,15 @@ def test_asof_join_property_matches_reference(spark):
         assert len(got) == len(lrows)
         for k, ts, rts in got:
             assert rts == expected_rts(k, ts), (trial, k, ts)
+
+
+def test_asof_join_rejects_column_collisions(spark):
+    import datetime as dt
+
+    import pytest
+
+    t = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame([(1, t)], ["k", "ts"])
+    right = spark.createDataFrame([(1, t, "x")], ["k", "ts", "val"])
+    with pytest.raises(ValueError, match="collide"):
+        joins.asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
