@@ -115,21 +115,32 @@ def write_gold_zone(
         writer.parquet(path)
 
 
+def _date_filter(df: DataFrame, date: str | None) -> DataFrame:
+    """B18 backfill filter: keep events whose ISO timestamp falls on
+    ``date`` (YYYY-MM-DD). The payload timestamps are UTC ISO-8601
+    strings, so a lexicographic prefix match is exact and sargable."""
+    if date is None:
+        return df
+    return df.filter(F.col("timestamp").startswith(date))
+
+
 def run_etl(
     spark: SparkSession,
     input_dir: str,
     output_dir: str,
     fmt: str = "parquet",
     single_file: bool = False,
+    date: str | None = None,
 ) -> dict[str, int]:
     """The reference's ``run_etl`` contract (``etl_job.py:8-129``):
     per-entity read → transform → write, tolerating missing sources.
-    Returns row counts per entity (telemetry, A7)."""
+    Returns row counts per entity (telemetry, A7). ``date`` restricts
+    the run to one event day (backfill, B18)."""
     counts: dict[str, int] = {}
 
     txn = read_transactions(spark, input_dir)
     if txn is not None:
-        flat = flatten_transactions(txn)
+        flat = flatten_transactions(_date_filter(txn, date))
         write_gold_zone(flat, f"{output_dir}/transactions", fmt, single_file)
         counts["transactions"] = spark.read.format(fmt).options(
             **({"header": True} if fmt == "csv" else {})
@@ -137,7 +148,7 @@ def run_etl(
 
     ue = read_user_events(spark, input_dir)
     if ue is not None:
-        proj = project_user_events(ue)
+        proj = project_user_events(_date_filter(ue, date))
         write_gold_zone(proj, f"{output_dir}/user_events", fmt, single_file)
         counts["user_events"] = spark.read.format(fmt).options(
             **({"header": True} if fmt == "csv" else {})

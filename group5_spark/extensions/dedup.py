@@ -50,13 +50,28 @@ def drop_exact_duplicates(
     return df.join(keep, on=id_col, how="left_semi")
 
 
-def shingles(text_col: str, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingle array, via built-in array functions."""
-    return F.expr(
+def _shingles_sql(text_col: str, n: int) -> str:
+    """SQL fragment for the distinct word n-gram shingle array — the
+    single source of truth shared by shingles(), minhash_signatures,
+    and the LSH verification step.
+
+    Kept as a SQL string (not Column API) deliberately: embedding a
+    parsed F.expr array inside an F.transform Python lambda silently
+    mis-binds the lambda's extra literal arguments (observed on
+    4.1.2: every xxhash64(s, lit(seed)) collapsed to the same
+    seed-independent value), so the minhash path composes the full
+    expression as one SQL string.
+    """
+    return (
         f"array_distinct(transform("
         f"  sequence(0, greatest(size(split({text_col}, ' ')) - {n}, 0)),"
         f"  i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {n}))))"
     )
+
+
+def shingles(text_col: str, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingle array, via built-in array functions."""
+    return F.expr(_shingles_sql(text_col, n))
 
 
 def jaccard_pairs(
@@ -86,13 +101,18 @@ def jaccard_pairs(
     )
     inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
     union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    # filter on the RAW ratio (like the SQL oracle), round only for
+    # display — filtering on the rounded value would admit pairs just
+    # under the threshold that round up across the boundary
+    raw = inter.cast("double") / union
     return (
         pairs.select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            raw.alias("_raw"),
         )
-        .filter(F.col("jaccard") >= threshold)
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("jaccard"))
     )
 
 
@@ -105,14 +125,10 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signature per document: for seed i, min over shingles of
     xxhash64(shingle, i). Pure built-ins → codegen, no UDF."""
-    sh = shingles(text_col, shingle_n).alias("sh")
+    sh_sql = _shingles_sql(text_col, shingle_n)
     sig_cols = [
         F.expr(
-            f"array_min(transform("
-            f"  array_distinct(transform("
-            f"    sequence(0, greatest(size(split({text_col}, ' ')) - {shingle_n}, 0)),"
-            f"    i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {shingle_n})))),"
-            f"  s -> xxhash64(s, {seed})))"
+            f"array_min(transform({sh_sql}, s -> xxhash64(s, {seed})))"
         ).alias(f"mh_{seed}")
         for seed in range(num_hashes)
     ]
@@ -170,13 +186,7 @@ def minhash_lsh_pairs(
 
     words = df.select(
         F.col(id_col).alias("id"),
-        F.array_distinct(
-            F.expr(
-                f"transform("
-                f"  sequence(0, greatest(size(split({text_col}, ' ')) - {shingle_n}, 0)),"
-                f"  i -> concat_ws(' ', slice(split({text_col}, ' '), i + 1, {shingle_n})))"
-            )
-        ).alias("sh"),
+        shingles(text_col, shingle_n).alias("sh"),
     )
     verified = (
         candidates.join(words.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

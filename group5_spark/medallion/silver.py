@@ -24,14 +24,26 @@ from group5_spark.schemas import (
 )
 
 
-def _dedup_latest(df: DataFrame, key: str, order_col: str = "load_ts") -> DataFrame:
+def _dedup_latest(
+    df: DataFrame, key: str, tie_cols: list[str] | None = None
+) -> DataFrame:
     """Keep the most recently loaded row per natural key (A29).
 
-    row_number over (partition by key order by load_ts desc) = 1 —
-    one shuffle on the key; at scale this is the idempotency
+    row_number over (partition by key order by load_ts desc, ties) = 1
+    — one shuffle on the key; at scale this is the idempotency
     workhorse for re-runs and backfills.
+
+    ``load_ts`` alone cannot break ties within one bronze build
+    (current_timestamp() is plan-constant), so later batch files win
+    via ``source_file`` desc (landing filenames embed the batch
+    timestamp), then any caller-supplied tie columns. Remaining ties
+    are byte-identical duplicate payloads, where either row is the
+    same row.
     """
-    w = Window.partitionBy(key).orderBy(F.col(order_col).desc())
+    order = [F.col("load_ts").desc(), F.col("source_file").desc()] + [
+        F.col(c).desc() for c in (tie_cols or [])
+    ]
+    w = Window.partitionBy(key).orderBy(*order)
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -39,30 +51,61 @@ def _dedup_latest(df: DataFrame, key: str, order_col: str = "load_ts") -> DataFr
     )
 
 
-def stg_user_events(spark: SparkSession, warehouse_dir: str) -> DataFrame:
-    """B19: bronze raw_user_events → typed, event_id-deduped rows."""
+def _quarantine(
+    typed: DataFrame, key: str, quarantine_path: str | None
+) -> DataFrame:
+    """Split off rows whose natural key failed to parse.
+
+    Bronze's contract (bronze.py module docstring) is that malformed
+    payloads are quarantined with lineage, never silently dropped —
+    the explicit opposite of the reference's ON_ERROR='CONTINUE'.
+    """
+    bad = typed.filter(F.col(key).isNull()).select(
+        "raw_payload", "source_file", "load_ts"
+    )
+    if quarantine_path is not None:
+        bad.write.mode("overwrite").parquet(quarantine_path)
+    return typed.filter(F.col(key).isNotNull()).drop("raw_payload")
+
+
+def stg_user_events(
+    spark: SparkSession, warehouse_dir: str, quarantine: bool = True
+) -> DataFrame:
+    """B19: bronze raw_user_events → typed, event_id-deduped rows;
+    unparseable rows land in silver/_quarantine/stg_user_events."""
     bronze = spark.read.parquet(os.path.join(warehouse_dir, "bronze", "raw_user_events"))
     parsed = bronze.select(
         F.from_json("raw_payload", USER_EVENT_SCHEMA).alias("p"),
+        "raw_payload",
         "source_file",
         "load_ts",
-    ).select("p.*", "source_file", "load_ts")
+    ).select("p.*", "raw_payload", "source_file", "load_ts")
     typed = parsed.withColumn(
         "event_ts", F.to_timestamp("timestamp", ISO_TS_FORMAT)
     ).withColumn("event_date", F.to_date(F.to_timestamp("timestamp", ISO_TS_FORMAT)))
-    return _dedup_latest(typed.filter(F.col("event_id").isNotNull()), "event_id")
+    qpath = (
+        os.path.join(warehouse_dir, "silver", "_quarantine", "stg_user_events")
+        if quarantine
+        else None
+    )
+    good = _quarantine(typed, "event_id", qpath)
+    return _dedup_latest(good, "event_id", tie_cols=["timestamp"])
 
 
-def stg_transactions(spark: SparkSession, warehouse_dir: str) -> DataFrame:
-    """B20: transaction headers, typed; line_items kept nested here."""
+def stg_transactions(
+    spark: SparkSession, warehouse_dir: str, quarantine: bool = True
+) -> DataFrame:
+    """B20: transaction headers, typed; line_items kept nested here;
+    unparseable rows land in silver/_quarantine/stg_transactions."""
     bronze = spark.read.parquet(
         os.path.join(warehouse_dir, "bronze", "raw_transactions")
     )
     parsed = bronze.select(
         F.from_json("raw_payload", TRANSACTION_SCHEMA).alias("p"),
+        "raw_payload",
         "source_file",
         "load_ts",
-    ).select("p.*", "source_file", "load_ts")
+    ).select("p.*", "raw_payload", "source_file", "load_ts")
     typed = (
         parsed.withColumn("txn_ts", F.to_timestamp("timestamp", ISO_TS_FORMAT))
         .withColumn("txn_date", F.to_date(F.to_timestamp("timestamp", ISO_TS_FORMAT)))
@@ -70,7 +113,13 @@ def stg_transactions(spark: SparkSession, warehouse_dir: str) -> DataFrame:
         .withColumn("tax", F.col("tax").cast(MONEY))
         .withColumn("total", F.col("total").cast(MONEY))
     )
-    return _dedup_latest(typed.filter(F.col("transaction_id").isNotNull()), "transaction_id")
+    qpath = (
+        os.path.join(warehouse_dir, "silver", "_quarantine", "stg_transactions")
+        if quarantine
+        else None
+    )
+    good = _quarantine(typed, "transaction_id", qpath)
+    return _dedup_latest(good, "transaction_id", tie_cols=["timestamp"])
 
 
 def stg_transaction_items(stg_txn: DataFrame) -> DataFrame:
@@ -121,23 +170,24 @@ def refresh_silver(spark: SparkSession, warehouse_dir: str) -> dict[str, int]:
     Parquet, partitioned by event date for downstream pruning (B15).
     """
     counts = {}
-    sue = stg_user_events(spark, warehouse_dir)
-    sue.write.mode("overwrite").partitionBy("event_date").parquet(
-        os.path.join(warehouse_dir, "silver", "stg_user_events")
-    )
-    counts["stg_user_events"] = sue.count()
 
-    stx = stg_transactions(spark, warehouse_dir)
-    stx.write.mode("overwrite").partitionBy("txn_date").parquet(
-        os.path.join(warehouse_dir, "silver", "stg_transactions")
-    )
-    counts["stg_transactions"] = stx.count()
+    def save(df: DataFrame, table: str, partition_col: str) -> None:
+        out = os.path.join(warehouse_dir, "silver", table)
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(out)
+        # count the written parquet: re-counting the unmaterialized
+        # plan would re-run the whole parse+dedup DAG (the reference's
+        # multi-action defect, SURVEY §4.1)
+        counts[table] = spark.read.parquet(out).count()
 
-    items = stg_transaction_items(
-        spark.read.parquet(os.path.join(warehouse_dir, "silver", "stg_transactions"))
+    save(stg_user_events(spark, warehouse_dir), "stg_user_events", "event_date")
+    save(stg_transactions(spark, warehouse_dir), "stg_transactions", "txn_date")
+    save(
+        stg_transaction_items(
+            spark.read.parquet(
+                os.path.join(warehouse_dir, "silver", "stg_transactions")
+            )
+        ),
+        "stg_transaction_items",
+        "txn_date",
     )
-    items.write.mode("overwrite").partitionBy("txn_date").parquet(
-        os.path.join(warehouse_dir, "silver", "stg_transaction_items")
-    )
-    counts["stg_transaction_items"] = items.count()
     return counts

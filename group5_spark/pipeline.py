@@ -61,7 +61,7 @@ def cmd_run(args: argparse.Namespace, spark: SparkSession) -> None:
     if "etl" in stages:
         counts = run_etl(
             spark, args.input_path, f"{args.output_path}/goldzone",
-            fmt=args.format, single_file=args.single_file,
+            fmt=args.format, single_file=args.single_file, date=args.date,
         )
         print(f"etl: {counts}")
     if "bronze" in stages:

@@ -2084,3 +2084,51 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ts").alias("last_ts"),
         F.count(F.lit(1)).alias("n_events"),
     )
+
+
+@register(
+    "moving_avg_7d_range",
+    """
+    SELECT d, daily_rev,
+           ROUND(CAST(SUM(daily_rev) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS avg_7d
+    FROM (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS daily_rev
+        FROM orders GROUP BY 1
+    )
+    WINDOW w AS (ORDER BY d RANGE BETWEEN INTERVAL 6 DAYS PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE moving average (B6's rangeBetween variant): the
+    frame is defined by calendar distance, not row offsets, so gaps
+    in the date spine are handled correctly — a row frame silently
+    averages the last 7 *present* days, this averages days d-6..d.
+
+    Runs on the pre-aggregated daily rollup (one row per date), so
+    the unpartitioned window is a few-thousand-row sort, never raw
+    orders.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("d")
+    ).agg(F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("daily_rev"))
+    # rangeBetween needs a numeric ordering key: days since epoch.
+    # Frame aggregates follow the module determinism rules: EXACT
+    # decimal SUM over the frame, one double division, then ROUND —
+    # a windowed AVG(double) would differ in the last ulp between
+    # engines (sequential vs segment-tree accumulation).
+    w = (
+        Window.orderBy(F.unix_date(F.col("d")))
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "d",
+        "daily_rev",
+        F.round(
+            F.sum("daily_rev").over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("avg_7d"),
+    )

@@ -65,11 +65,18 @@ def build_bronze(
     Returns per-table row counts (the loader's telemetry, parity with
     the COPY INTO result scan).
     """
+    from pyspark.errors import AnalysisException
+
     counts: dict[str, int] = {}
     for table, pattern in (sources or DEFAULT_SOURCES).items():
         glob = os.path.join(landing_dir, pattern)
-        df = load_raw_json(spark, glob)
         out = os.path.join(warehouse_dir, "bronze", table)
-        df.write.mode("overwrite").parquet(out)
+        try:
+            load_raw_json(spark, glob).write.mode("overwrite").parquet(out)
+        except AnalysisException:
+            # A11 graceful-skip parity with the landing readers: a
+            # source whose consumer hasn't run yet is not an error
+            counts[table] = 0
+            continue
         counts[table] = spark.read.parquet(out).count()
     return counts

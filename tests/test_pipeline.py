@@ -198,3 +198,58 @@ def test_bucketed_join_skips_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_left")
         spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
+def test_silver_quarantines_malformed_rows(spark, tmp_path):
+    """Malformed bronze payloads must land in quarantine with lineage,
+    not silently vanish (bronze.py contract)."""
+    import json
+
+    from group5_spark.medallion.silver import stg_user_events
+    from group5_spark.sources.bronze import build_bronze
+
+    landing = tmp_path / "landing"
+    landing.mkdir()
+    good = {"event_id": "e1", "user_id": "u1", "session_id": "s", "event_type": "login",
+            "timestamp": "2026-01-02T00:00:00.000000Z", "page": "p", "device": "d",
+            "browser": "b", "ip_address": "i", "country": "US", "city": "c"}
+    (landing / "user_events_batch_1.json").write_text(
+        json.dumps(good) + "\nthis is not json\n"
+    )
+    wh = str(tmp_path / "wh")
+    counts = build_bronze(spark, str(landing), wh)
+    assert counts["raw_user_events"] == 2  # bad line still in bronze
+    silver_df = stg_user_events(spark, wh)
+    assert silver_df.count() == 1
+    q = spark.read.parquet(f"{wh}/silver/_quarantine/stg_user_events")
+    assert q.count() == 1
+    assert "source_file" in q.columns
+
+
+def test_bronze_skips_missing_source(spark, tmp_path):
+    """A source glob with no files is a skip (count 0), not a crash."""
+    from group5_spark.sources.bronze import build_bronze
+
+    landing = tmp_path / "empty_landing"
+    landing.mkdir()
+    counts = build_bronze(spark, str(landing), str(tmp_path / "wh2"))
+    assert counts == {"raw_user_events": 0, "raw_transactions": 0}
+
+
+def test_etl_date_backfill_filter(spark, tmp_path):
+    """--date restricts the ETL run to one event day (B18)."""
+    from group5_spark.etl import run_etl
+    from group5_spark.generator import events as gen
+    from group5_spark.sources.landing import write_ndjson_batch
+
+    customers = gen.make_customers(10)
+    products = gen.make_products(10)
+    ue = gen.make_user_events(50, customers, products)
+    # all generated events share a recent date range; pick the date of
+    # the first event and expect only that day's rows
+    target = ue[0]["timestamp"][:10]
+    n_target = sum(1 for e in ue if e["timestamp"].startswith(target))
+    landing = str(tmp_path / "landing")
+    write_ndjson_batch(ue, "user_events", landing, batch_ts=1)
+    counts = run_etl(spark, landing, str(tmp_path / "gold"), date=target)
+    assert counts["user_events"] == n_target > 0
