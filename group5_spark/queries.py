@@ -2132,3 +2132,82 @@ def moving_avg_7d_range(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("avg_7d"),
     )
+
+
+@register(
+    "crossmodal_dup_agreement",
+    """
+    WITH pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+    ),
+    meta AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+               lang
+        FROM documents
+    )
+    SELECT (ma.fp = mb.fp) AS same_fingerprint,
+           (ma.lang = mb.lang) AS same_lang,
+           COUNT(*) AS n_pairs
+    FROM pairs
+    JOIN meta ma ON pairs.id_a = ma.doc_id
+    JOIN meta mb ON pairs.id_b = mb.doc_id
+    GROUP BY same_fingerprint, same_lang
+    """,
+)
+def crossmodal_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal validation: do embedding near-duplicates agree with
+    text-level duplicates?
+
+    Joins the cosine>=0.95 pair set (vector modality) against
+    normalized-text fingerprints and language tags (text modality) on
+    the shared document id, then cross-tabulates agreement. The
+    modality join is the pattern a multimodal curation pipeline runs
+    to calibrate near-dup thresholds; the pair set is tiny after the
+    similarity filter, so both metadata joins broadcast.
+    """
+    from group5_spark.extensions import text as T
+    from group5_spark.extensions.similarity import DOT, _as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    meta = T.fingerprint(docs, "text", "fp")
+    lang = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    meta = meta.join(lang, "doc_id").select("doc_id", "fp", "lang")
+
+    def prep(prefix: str) -> DataFrame:
+        return emb.select(
+            F.col("vec_id").alias(f"id_{prefix}"),
+            _as_double(emb, "embedding").alias(f"v_{prefix}"),
+        )
+
+    a, b = prep("a"), prep("b")
+    dot = F.expr(DOT.format(a="v_a", b="v_b"))
+    na = F.sqrt(F.expr(DOT.format(a="v_a", b="v_a")))
+    nb = F.sqrt(F.expr(DOT.format(a="v_b", b="v_b")))
+    pairs = (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .filter(dot / (na * nb) >= 0.95)
+        .select("id_a", "id_b")
+    )
+    ma = meta.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("fp").alias("fp_a"),
+        F.col("lang").alias("lang_a"),
+    )
+    mb = meta.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("fp").alias("fp_b"),
+        F.col("lang").alias("lang_b"),
+    )
+    return (
+        pairs.join(F.broadcast(ma), "id_a")
+        .join(F.broadcast(mb), "id_b")
+        .groupBy(
+            (F.col("fp_a") == F.col("fp_b")).alias("same_fingerprint"),
+            (F.col("lang_a") == F.col("lang_b")).alias("same_lang"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
