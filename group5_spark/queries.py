@@ -2211,3 +2211,260 @@ def crossmodal_dup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+# --------------------------------------------------------------------
+# More TPC-H query shapes (Q3/Q9/Q15/Q16/Q18 adaptations)
+# --------------------------------------------------------------------
+
+
+@register(
+    "shipping_priority",
+    """
+    WITH agg AS (
+        SELECT l_orderkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DECIMAL(18,4) AS revenue,
+               CAST(o_orderdate AS DATE) AS orderdate,
+               o_orderpriority
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+          AND l_shipdate  > TIMESTAMP '1998-06-01 00:00:00'
+        GROUP BY l_orderkey, orderdate, o_orderpriority
+    )
+    SELECT l_orderkey, revenue, orderdate, o_orderpriority
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, l_orderkey) AS rn
+        FROM agg
+    ) WHERE rn <= 10
+    """,
+)
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter × unshipped-order window, top-10
+    by revenue.
+
+    The customer segment filter (1/5 selectivity) broadcasts into the
+    orders join; both date predicates push to the scans. Top-10 uses
+    row_number over the *aggregated* per-order set with l_orderkey as
+    the unique tie-break (a bare LIMIT would be nondeterministic).
+    At scale the final window is a single-partition sort of only the
+    surviving order keys — bounded by the date filter, not by
+    lineitem cardinality.
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cut = F.lit("1998-06-01 00:00:00").cast("timestamp")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cut)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cut)
+    agg = (
+        joins.dim_join(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            orders.withColumnRenamed("o_custkey", "c_custkey"),
+            "o_orderkey",
+        )
+        .join(F.broadcast(cust.select("c_custkey")), "c_custkey")
+        .groupBy(
+            F.col("o_orderkey").alias("l_orderkey"),
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+            ).cast(DEC4).alias("revenue"),
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("l_orderkey", "revenue", "orderdate", "o_orderpriority")
+    )
+
+
+@register(
+    "profit_by_nation_year",
+    """
+    SELECT n_name,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS ship_year,
+           SUM(CAST(l_extendedprice * (1 - l_discount)
+                    - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,4)))::DECIMAL(18,4) AS profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_type = 'PROMO'
+    GROUP BY n_name, ship_year
+    """,
+)
+def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: product-line profit by supplier nation and year.
+
+    The testdata has no partsupp/supplycost, so cost is modeled as
+    0.5 × p_retailprice × quantity — the per-row profit expression is
+    a pure IEEE-double computation identical in both engines, cast to
+    decimal before the sum. All three dimensions broadcast; lineitem
+    is scanned once and never shuffled before the partial aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    joined = joins.dim_join(
+        joins.dim_join(
+            joins.dim_join(
+                li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey"
+            ).withColumnRenamed("l_suppkey", "s_suppkey"),
+            sup,
+            "s_suppkey",
+        ).withColumnRenamed("s_nationkey", "n_nationkey"),
+        nat,
+        "n_nationkey",
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return joined.groupBy(
+        "n_name", F.year("l_shipdate").alias("ship_year")
+    ).agg(F.sum(profit.cast(DEC4)).cast(DEC4).alias("profit"))
+
+
+@register(
+    "top_supplier_by_revenue",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DECIMAL(18,4) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_rev
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+    """,
+)
+def top_supplier_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with maximum quarterly revenue.
+
+    The scalar-subquery MAX becomes an unpartitioned window max over
+    the per-supplier aggregate — at any scale that aggregate has one
+    row per supplier (tiny), so the single-partition window is safe.
+    Decimal revenue makes the equality comparison exact; ties keep
+    every max supplier, exactly like the SQL.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+            ).cast(DEC4).alias("total_rev")
+        )
+    )
+    rev = rev.withColumn(
+        "max_rev", F.max("total_rev").over(Window.partitionBy(F.lit(1)))
+    )
+    sup = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(sup.select("s_suppkey", "s_name")), "s_suppkey")
+        .select("s_suppkey", "s_name", "total_rev")
+    )
+
+
+@register(
+    "supplier_counts_by_part",
+    """
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_brand <> 'Brand#9'
+      AND p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def supplier_counts_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier counts per part attribute.
+
+    The brand/size predicates prune the broadcast part dimension
+    before the join; COUNT(DISTINCT) expands to a two-phase
+    aggregate (partial distinct per partition, then merge), so the
+    only full shuffle carries (brand, type, size, suppkey) pairs —
+    far smaller than lineitem.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#9")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        joins.dim_join(
+            li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct(F.col("l_suppkey")).alias("supplier_cnt"))
+    )
+
+
+@register(
+    "large_volume_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           CAST(o_totalprice AS DECIMAL(18,2)) AS totalprice,
+           SUM(CAST(l_quantity AS DECIMAL(18,2)))::DECIMAL(18,2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 300
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, orderdate, totalprice
+    """,
+)
+def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: customers behind very large orders.
+
+    The IN-subquery becomes aggregate→filter→semi-join: per-order
+    quantity sums (map-side partials over lineitem, keyed shuffle on
+    l_orderkey) filtered by the HAVING, then joined back. The
+    surviving key set is small (top ~1% of orders), so the join back
+    to lineitem/orders is a broadcast of keys — the big table still
+    shuffles only once, for its own aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC2)).alias("sq"))
+        .filter(F.col("sq") > 300)
+        .select("l_orderkey")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(F.broadcast(big), "l_orderkey", "left_semi")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(orders, "o_orderkey")
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .join(F.broadcast(cust.select("c_custkey", "c_name")), "c_custkey")
+        .groupBy(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            F.col("o_totalprice").cast(DEC2).alias("totalprice"),
+        )
+        .agg(F.sum(F.col("l_quantity").cast(DEC2)).cast(DEC2).alias("total_qty"))
+    )

@@ -111,3 +111,47 @@ def test_tumbling_window_partial_agg(q):
     df = q("tumbling_hourly_events")
     I.assert_max_shuffles(df, 1)
     I.assert_scan_pruned(df, table_cols=6, max_cols=3)
+
+
+def test_shipping_priority_plan(q):
+    df = q("shipping_priority")
+    # both date predicates push to their scans
+    I.assert_filter_pushed(df, "l_shipdate")
+    I.assert_filter_pushed(df, "o_orderdate")
+    # customer filter broadcasts; at test SF orders broadcasts too
+    assert I.num_broadcast_joins(df) >= 1
+    I.assert_no_fact_shuffle_join(df)
+    # agg exchange + single-partition top-k window (post-agg, tiny)
+    I.assert_max_shuffles(df, 3)
+
+
+def test_profit_by_nation_year_broadcasts(q):
+    df = q("profit_by_nation_year")
+    assert I.num_broadcast_joins(df) == 3
+    I.assert_no_fact_shuffle_join(df)
+    I.assert_max_shuffles(df, 1)
+    # lineitem: partkey, suppkey, shipdate, extprice, discount, qty
+    I.assert_scan_pruned(df, table_cols=11, max_cols=6)
+
+
+def test_top_supplier_plan(q):
+    df = q("top_supplier_by_revenue")
+    I.assert_filter_pushed(df, "l_shipdate")
+    # supplier agg exchange + single-partition max window (100 rows)
+    I.assert_max_shuffles(df, 2)
+
+
+def test_supplier_counts_plan(q):
+    df = q("supplier_counts_by_part")
+    assert I.num_broadcast_joins(df) >= 1
+    I.assert_no_fact_shuffle_join(df)
+    # two-phase count-distinct: partial distinct + final agg
+    I.assert_max_shuffles(df, 2)
+
+
+def test_large_volume_customers_plan(q):
+    df = q("large_volume_customers")
+    # lineitem shuffles once for the per-order agg; the HAVING key
+    # set broadcasts back, so no fact-fact shuffle join
+    assert I.num_broadcast_joins(df) >= 2
+    I.assert_max_shuffles(df, 3)
