@@ -139,3 +139,85 @@ def asof_join(
         F.col(f"_asof_{c}").alias(c) for c in val_cols
     ] + [F.col(f"_asof_{right_ts}").alias(right_ts)]
     return carried.filter(F.col("_is_r") == 0).select(*out_cols)
+
+
+def band_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    band_seconds: int,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Banded time join: pairs where |left_ts − right_ts| ≤ band.
+
+    Spark's optimizer turns a pure inequality join condition into a
+    nested-loop join — O(n·m) comparisons, unusable at scale. The
+    classic rewrite buckets time into band-sized bins: a pair within
+    the band is at most one bin apart, so exploding the left side
+    into its bin and both neighbors turns the range condition into an
+    *equi*-join on (keys…, bin) — a plain shuffled hash join, 3×
+    left-side duplication, then an exact residual filter. Linear
+    work, AQE-skew-splittable. (Same strategy as Databricks' range
+    join optimization / Flink's interval join.)
+
+    ``keys`` adds equi-key columns (e.g. a user id) to the join, which
+    also bounds bucket width per key. Both timestamp columns must be
+    TimestampType; right-side columns must not collide with left's.
+    """
+    keys = list(keys or [])
+    clashes = set(right.columns) & set(left.columns) - set(keys)
+    if clashes:
+        raise ValueError(
+            f"band_join: columns {sorted(clashes)} exist on both sides; "
+            "rename them before joining"
+        )
+    lbin = (F.unix_timestamp(F.col(left_ts)) / F.lit(band_seconds)).cast("bigint")
+    rbin = (F.unix_timestamp(F.col(right_ts)) / F.lit(band_seconds)).cast("bigint")
+    l = left.withColumn(
+        "_bin", F.explode(F.array(lbin - 1, lbin, lbin + 1))
+    )
+    r = right.withColumn("_bin", rbin)
+    residual = (
+        F.abs(F.unix_timestamp(F.col(left_ts)) - F.unix_timestamp(F.col(right_ts)))
+        <= band_seconds
+    )
+    return l.join(r, on=keys + ["_bin"], how="inner").filter(residual).drop("_bin")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    bucket_seconds: int,
+    keys: Sequence[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join: point rows matched to every interval
+    with start ≤ point < end (half-open).
+
+    Same bucketing strategy as :func:`band_join`, generalized to
+    variable-length intervals: each interval explodes into every
+    bucket it overlaps (``sequence()`` on bin numbers — JVM-side, no
+    UDF), points map to exactly one bucket, and the equi-join on
+    (keys…, bucket) replaces the nested loop. Choose
+    ``bucket_seconds`` near the typical interval length: too small
+    multiplies interval duplication, too large widens candidate sets.
+    """
+    keys = list(keys or [])
+    clashes = set(intervals.columns) & set(points.columns) - set(keys)
+    if clashes:
+        raise ValueError(
+            f"interval_join: columns {sorted(clashes)} exist on both sides; "
+            "rename them before joining"
+        )
+    pbin = (F.unix_timestamp(F.col(point_ts)) / F.lit(bucket_seconds)).cast("bigint")
+    sbin = (F.unix_timestamp(F.col(start_ts)) / F.lit(bucket_seconds)).cast("bigint")
+    ebin = (F.unix_timestamp(F.col(end_ts)) / F.lit(bucket_seconds)).cast("bigint")
+    p = points.withColumn("_bin", pbin)
+    i = intervals.withColumn("_bin", F.explode(F.sequence(sbin, ebin)))
+    residual = (F.col(point_ts) >= F.col(start_ts)) & (
+        F.col(point_ts) < F.col(end_ts)
+    )
+    return p.join(i, on=keys + ["_bin"], how="inner").filter(residual).drop("_bin")

@@ -2468,3 +2468,42 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.sum(F.col("l_quantity").cast(DEC2)).cast(DEC2).alias("total_qty"))
     )
+
+
+@register(
+    "repeat_orders_within_3d",
+    """
+    SELECT a.o_custkey AS c_custkey, COUNT(*) AS n_pairs
+    FROM orders a
+    JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND a.o_orderkey < b.o_orderkey
+     AND abs(epoch(a.o_orderdate) - epoch(b.o_orderdate)) <= 259200
+    GROUP BY a.o_custkey
+    """,
+)
+def repeat_orders_within_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded self-join: per customer, order pairs placed ≤3 days apart.
+
+    Uses the :func:`operators.joins.band_join` bucketed rewrite — the
+    range predicate becomes an equi-join on (custkey, 3-day bin), so
+    the work is a hash join after one shuffle instead of the
+    O(n²)-per-customer nested loop Spark would otherwise plan. The
+    `a < b` key filter dedups the symmetric pairs, exactly like the
+    SQL's inequality.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("key_a"),
+        F.col("o_orderdate").alias("ts_a"),
+    )
+    b = orders.select(
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_orderkey").alias("key_b"),
+        F.col("o_orderdate").alias("ts_b"),
+    )
+    pairs = joins.band_join(
+        a, b, "ts_a", "ts_b", band_seconds=259200, keys=["c_custkey"]
+    ).filter(F.col("key_a") < F.col("key_b"))
+    return pairs.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_pairs"))

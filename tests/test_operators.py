@@ -241,3 +241,103 @@ def test_asof_join_rejects_column_collisions(spark):
     right = spark.createDataFrame([(1, t, "x")], ["k", "ts", "val"])
     with pytest.raises(ValueError, match="collide"):
         joins.asof_join(left, right, on="k", left_ts="ts", right_ts="ts")
+
+
+def _ts_df(spark, name_key, name_ts, rows):
+    return spark.createDataFrame(
+        [(k, t) for k, t in rows], [name_key, "s"]
+    ).select(name_key, F.col("s").cast("timestamp").alias(name_ts))
+
+
+def test_band_join_matches_nested_loop(spark):
+    left = _ts_df(
+        spark, "lid", "lts",
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 05:00:00"),
+         (3, "2024-01-02 00:00:00"), (4, "2024-01-05 12:00:00")],
+    )
+    right = _ts_df(
+        spark, "rid", "rts",
+        [(10, "2024-01-01 01:00:00"), (11, "2024-01-01 23:59:59"),
+         (12, "2024-01-06 00:00:00")],
+    )
+    band = 6 * 3600
+    got = {
+        (r["lid"], r["rid"])
+        for r in joins.band_join(left, right, "lts", "rts", band).collect()
+    }
+    # reference: plain nested-loop condition join
+    expect = {
+        (r["lid"], r["rid"])
+        for r in left.join(
+            right,
+            F.abs(
+                F.unix_timestamp("lts") - F.unix_timestamp("rts")
+            ) <= band,
+        ).collect()
+    }
+    assert got == expect and len(got) > 0
+
+
+def test_band_join_with_keys(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "2024-01-01 00:00:00"), (2, 200, "2024-01-01 00:00:00")],
+        ["u", "lid", "s"],
+    ).select("u", "lid", F.col("s").cast("timestamp").alias("lts"))
+    right = spark.createDataFrame(
+        [(1, 900, "2024-01-01 00:30:00"), (2, 901, "2024-01-03 00:00:00")],
+        ["u", "rid", "s"],
+    ).select("u", "rid", F.col("s").cast("timestamp").alias("rts"))
+    out = joins.band_join(left, right, "lts", "rts", 3600, keys=["u"]).collect()
+    # only user 1's pair is inside the band; user 2's is 2 days away
+    assert [(r["u"], r["lid"], r["rid"]) for r in out] == [(1, 100, 900)]
+
+
+def test_band_join_rejects_collisions(spark):
+    df = _ts_df(spark, "k", "ts", [(1, "2024-01-01 00:00:00")])
+    try:
+        joins.band_join(df, df, "ts", "ts", 60)
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "both sides" in str(e)
+
+
+def test_interval_join_half_open(spark):
+    points = _ts_df(
+        spark, "pid", "pts",
+        [(1, "2024-01-01 00:00:00"), (2, "2024-01-01 12:00:00"),
+         (3, "2024-01-03 00:00:00"), (4, "2024-01-04 00:00:00")],
+    )
+    intervals = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+         (101, "2024-01-02 12:00:00", "2024-01-05 00:00:00")],
+        ["iid", "s1", "s2"],
+    ).select(
+        "iid",
+        F.col("s1").cast("timestamp").alias("start"),
+        F.col("s2").cast("timestamp").alias("end"),
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in joins.interval_join(
+            points, intervals, "pts", "start", "end", bucket_seconds=86400
+        ).collect()
+    }
+    # p1,p2 ∈ i100; p3 at i100's end is excluded (half-open) but ∈ i101;
+    # p4 ∈ i101
+    assert got == {(1, 100), (2, 100), (3, 101), (4, 101)}
+
+
+def test_interval_join_long_interval_no_dup(spark):
+    # an interval spanning many buckets must still match each point once
+    points = _ts_df(spark, "pid", "pts", [(1, "2024-01-05 00:00:00")])
+    intervals = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", "2024-02-01 00:00:00")], ["iid", "s1", "s2"]
+    ).select(
+        "iid",
+        F.col("s1").cast("timestamp").alias("start"),
+        F.col("s2").cast("timestamp").alias("end"),
+    )
+    out = joins.interval_join(
+        points, intervals, "pts", "start", "end", bucket_seconds=3600
+    ).collect()
+    assert len(out) == 1

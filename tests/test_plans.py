@@ -155,3 +155,13 @@ def test_large_volume_customers_plan(q):
     # set broadcasts back, so no fact-fact shuffle join
     assert I.num_broadcast_joins(df) >= 2
     I.assert_max_shuffles(df, 3)
+
+
+def test_band_join_is_equi_not_nested_loop(q):
+    # the bucketed rewrite must plan a hash join on (key, bin) — a
+    # BroadcastNestedLoopJoin here means the range predicate leaked
+    # into the join condition and the rewrite regressed to O(n·m)
+    df = q("repeat_orders_within_3d")
+    plan = I.formatted_plan(df)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+    I.assert_max_shuffles(df, 3)
