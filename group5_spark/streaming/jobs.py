@@ -217,3 +217,78 @@ def sessionize_stateful(
             GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming upsert sink: foreachBatch + MERGE (Delta-style CDC apply)
+# ---------------------------------------------------------------------------
+
+
+def stream_upsert(
+    df: DataFrame,
+    checkpoint_dir: str,
+    target_path: str,
+    keys: list[str],
+    *,
+    partition_col: str | None = None,
+    sequence_col: str | None = None,
+) -> StreamingQuery:
+    """Continuously upsert a change stream into a Parquet table.
+
+    Each micro-batch is applied with :func:`medallion.merge.merge_into`
+    via ``foreachBatch`` — the standard Spark pattern for sinks whose
+    semantics (MERGE) exceed the built-in append/complete modes.
+
+    Exactly-once story: ``foreachBatch`` gives at-least-once delivery
+    (a batch can be re-applied after a crash before the checkpoint
+    commit). MERGE makes the re-apply idempotent — with
+    ``sequence_col`` even against out-of-order replays — so the sink
+    is effectively-once, matching what Delta's streaming MERGE
+    provides. Within a batch, rows are deduplicated per key keeping
+    the highest sequence (or an arbitrary-but-deterministic max row
+    without one), since a single MERGE must see one row per key.
+
+    Blocks until the AvailableNow drain completes.
+    """
+    import os
+
+    from pyspark.sql import Window
+
+    from group5_spark.medallion.merge import merge_into
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        order = (
+            [F.col(sequence_col).desc()] if sequence_col else []
+        ) + [F.struct(*[F.col(c) for c in batch.columns]).desc()]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        deduped = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if not os.path.isdir(target_path):
+            writer = deduped.write.mode("overwrite")
+            if partition_col:
+                writer = writer.partitionBy(partition_col)
+            writer.parquet(target_path)
+            return
+        merge_into(
+            batch.sparkSession,
+            target_path,
+            deduped,
+            keys,
+            partition_col=partition_col,
+            sequence_col=sequence_col,
+            validate_source_keys=False,  # dedup above guarantees it
+        )
+
+    query = (
+        df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

@@ -151,3 +151,66 @@ def test_stateful_sessionization(spark, tmp_path):
     # u1's tail session (120,121 min) stays open in state: its
     # timeout (121 + 30 = 151 min) is beyond the watermark → no row
     assert ("u1", 2) not in out
+
+
+def test_stream_upsert_foreachbatch_merge(spark, tmp_path):
+    import json
+    import os
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType([
+        StructField("id", IntegerType()),
+        StructField("d", StringType()),
+        StructField("v", StringType()),
+        StructField("seq", IntegerType()),
+    ])
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    target = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def emit(name, rows):
+        with open(src_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip("id d v seq".split(), r))) + "\n")
+
+    # batch 1: initial state (with an in-batch duplicate for id=2 —
+    # the higher seq must win)
+    emit("b1.json", [
+        (1, "2024-01-01", "a", 1),
+        (2, "2024-01-01", "b0", 1),
+        (2, "2024-01-01", "b1", 2),
+    ])
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    jobs.stream_upsert(
+        stream, ckpt, target, ["id"], partition_col="d", sequence_col="seq"
+    )
+    got = {
+        r["id"]: (r["v"], r["seq"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: ("a", 1), 2: ("b1", 2)}
+
+    # batch 2: update id=1, stale change for id=2 (ignored), insert 3
+    emit("b2.json", [
+        (1, "2024-01-01", "a2", 5),
+        (2, "2024-01-01", "STALE", 1),
+        (3, "2024-01-02", "c", 1),
+    ])
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    jobs.stream_upsert(
+        stream, ckpt, target, ["id"], partition_col="d", sequence_col="seq"
+    )
+    got = {
+        r["id"]: (r["v"], r["seq"])
+        for r in spark.read.parquet(target).collect()
+    }
+    assert got == {1: ("a2", 5), 2: ("b1", 2), 3: ("c", 1)}
+    # checkpoint prevented re-reading b1.json: id=2 kept seq=2 state
+    assert os.path.isdir(ckpt)
