@@ -40,6 +40,12 @@ HEADLINE = [
     "doc_pipeline_filtered_corpus",
     "dedup_exact",
     "text_token_count",
+    # TPC-H shape sweep: join-heavy (Q3/Q9), IN-subquery (Q18), and
+    # the bucketed band-join rewrite
+    "shipping_priority",
+    "profit_by_nation_year",
+    "large_volume_customers",
+    "repeat_orders_within_3d",
 ]
 
 

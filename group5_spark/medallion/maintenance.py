@@ -1,0 +1,109 @@
+"""Table maintenance: small-file compaction for Parquet tables.
+
+Incremental writers — the streaming upsert sink (`streaming.jobs.
+stream_upsert`), repeated MERGE batches, per-trigger appends — leave
+behind many small files. At scale that is a silent killer: a 100 TB
+table in 1 MB files means ~10⁸ scan tasks, file-listing RPCs, and
+footer reads dominating every query. Compaction rewrites fragmented
+partitions into files near a target size, restoring healthy scan
+parallelism and letting parquet row-group statistics work (each file
+covers a contiguous chunk, so min/max pruning actually prunes).
+
+Only fragmented partitions are rewritten (count > needed-files);
+healthy partitions are never touched — compaction cost tracks the
+write rate, not the table size. Swap-in reuses the staging-rename
+pattern from :mod:`merge` so readers never observe a half-compacted
+partition. Local-filesystem listing here; the list/stat/rename calls
+map 1:1 onto the Hadoop FileSystem API for cluster storage.
+"""
+
+from __future__ import annotations
+
+import math
+import shutil
+import uuid
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+__all__ = ["table_file_stats", "compact"]
+
+DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
+
+
+def _data_files(d: Path) -> list[Path]:
+    return [f for f in d.rglob("*.parquet") if f.is_file()]
+
+
+def _partition_dirs(path: Path) -> list[Path]:
+    return sorted(
+        d for d in path.iterdir() if d.is_dir() and "=" in d.name
+    )
+
+
+def table_file_stats(path: str) -> dict:
+    """Per-partition file census: ``{partition: (n_files, bytes)}``
+    with ``""`` as the key for an unpartitioned table."""
+    root = Path(path)
+    parts = _partition_dirs(root)
+    if not parts:
+        files = _data_files(root)
+        return {"": (len(files), sum(f.stat().st_size for f in files))}
+    return {
+        d.name: (
+            len(_data_files(d)),
+            sum(f.stat().st_size for f in _data_files(d)),
+        )
+        for d in parts
+    }
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files_to_compact: int = 2,
+) -> dict[str, int]:
+    """Rewrite fragmented partitions into ~target-sized files.
+
+    A partition with ``n`` files needs ``ceil(bytes/target)`` files;
+    it is rewritten only when ``n`` exceeds both that and
+    ``min_files_to_compact``. Returns ``{partition: files_before}``
+    for every partition rewritten.
+    """
+    root = Path(path)
+    stats = table_file_stats(path)
+    compacted: dict[str, int] = {}
+
+    for part, (n_files, nbytes) in stats.items():
+        needed = max(1, math.ceil(nbytes / target_file_bytes))
+        if n_files <= max(needed, min_files_to_compact):
+            continue
+        src = root / part if part else root
+        # staging lives OUTSIDE the table root: a staging dir inside
+        # the directory being read could be swept into the source
+        # file listing (unpartitioned case) mid-write
+        staging = root.parent / f".{root.name}_compact_{uuid.uuid4().hex[:8]}"
+        (
+            spark.read.parquet(str(src))
+            .coalesce(needed)
+            .write.mode("overwrite")
+            .parquet(str(staging))
+        )
+        if part:
+            shutil.rmtree(src)
+            staging.rename(src)
+        else:
+            for f in list(root.iterdir()):
+                if f == staging:
+                    continue
+                if f.is_dir():
+                    shutil.rmtree(f)
+                else:
+                    f.unlink()
+            for f in list(staging.iterdir()):
+                f.rename(root / f.name)
+            staging.rmdir()
+        compacted[part] = n_files
+    return compacted

@@ -2507,3 +2507,53 @@ def repeat_orders_within_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
         a, b, "ts_a", "ts_b", band_seconds=259200, keys=["c_custkey"]
     ).filter(F.col("key_a") < F.col("key_b"))
     return pairs.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+@register(
+    "window_navigation_showcase",
+    """
+    SELECT o_orderkey,
+           o_custkey AS c_custkey,
+           FIRST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS first_order,
+           LAST_VALUE(o_orderkey) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS second_order,
+           ROUND(PERCENT_RANK() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ), 6) AS cume
+    FROM orders
+    """,
+)
+def window_navigation_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation family (B4 beyond ranking): first/last/nth
+    value and distribution functions over per-customer order history.
+
+    All five functions share one (partition, ordering) spec → Catalyst
+    evaluates them in a single Window operator after one shuffle on
+    o_custkey. Ordering ties broken by the unique o_orderkey so both
+    engines agree row-for-row; the full-frame last/nth need the
+    explicit UNBOUNDED FOLLOWING frame (default frames stop at
+    CURRENT ROW).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w_full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_order"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )

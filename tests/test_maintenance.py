@@ -1,0 +1,72 @@
+"""Small-file compaction (medallion.maintenance)."""
+
+from __future__ import annotations
+
+import os
+
+from group5_spark.medallion.maintenance import compact, table_file_stats
+
+
+def _fragmented_table(spark, path, partitioned: bool):
+    df = spark.createDataFrame(
+        [(i, f"d{i % 2}", f"v{i}") for i in range(100)], ["id", "d", "v"]
+    ).repartition(10)
+    w = df.write.mode("overwrite")
+    if partitioned:
+        w = w.partitionBy("d")
+    w.parquet(path)
+
+
+def test_stats_and_compact_partitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path, partitioned=True)
+    stats = table_file_stats(path)
+    assert set(stats) == {"d=d0", "d=d1"}
+    assert all(n > 1 for n, _ in stats.values())
+
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+    done = compact(spark, path, target_file_bytes=1 << 30)
+    assert set(done) == {"d=d0", "d=d1"}
+
+    stats = table_file_stats(path)
+    assert all(n == 1 for n, _ in stats.values())
+    after = {r["id"] for r in spark.read.parquet(path).collect()}
+    assert after == before
+
+
+def test_compact_skips_healthy_partitions(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path, partitioned=True)
+    compact(spark, path, target_file_bytes=1 << 30)
+    # already compacted: nothing to do, files untouched
+    files_before = sorted(os.listdir(os.path.join(path, "d=d0")))
+    done = compact(spark, path, target_file_bytes=1 << 30)
+    assert done == {}
+    assert sorted(os.listdir(os.path.join(path, "d=d0"))) == files_before
+
+
+def test_compact_unpartitioned(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path, partitioned=False)
+    n_before, _ = table_file_stats(path)[""]
+    assert n_before > 1
+    before = {r["id"] for r in spark.read.parquet(path).collect()}
+    done = compact(spark, path, target_file_bytes=1 << 30)
+    assert done == {"": n_before}
+    n_after, _ = table_file_stats(path)[""]
+    assert n_after == 1
+    assert {r["id"] for r in spark.read.parquet(path).collect()} == before
+    # no staging leftovers next to the table
+    assert not [
+        d for d in os.listdir(tmp_path) if "_compact_" in d
+    ]
+
+
+def test_target_size_splits_output(spark, tmp_path):
+    path = str(tmp_path / "t")
+    _fragmented_table(spark, path, partitioned=True)
+    # tiny target forces needed-files > 1; partition has 10 small
+    # files totalling a few KB → needed = ceil(bytes/2KB) ≥ 2
+    compact(spark, path, target_file_bytes=2048)
+    n, _ = table_file_stats(path)["d=d0"]
+    assert n >= 2

@@ -165,3 +165,12 @@ def test_band_join_is_equi_not_nested_loop(q):
     plan = I.formatted_plan(df)
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan
     I.assert_max_shuffles(df, 3)
+
+
+def test_window_navigation_single_window_op(q):
+    # five functions, one shared (partition, order) spec → exactly one
+    # Window operator and one exchange on o_custkey
+    df = q("window_navigation_showcase")
+    plan = I.formatted_plan(df)
+    assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
+    I.assert_max_shuffles(df, 1)
