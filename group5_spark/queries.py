@@ -2557,3 +2557,63 @@ def window_navigation_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 6).alias("cume"),
     )
+
+
+@register(
+    "part_pair_affinity",
+    """
+    WITH parts AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+        FROM parts a JOIN parts b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    counted AS (
+        SELECT part_a, part_b, COUNT(*) AS n_orders
+        FROM pairs GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, n_orders
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY n_orders DESC, part_a, part_b
+        ) AS rn FROM counted
+    ) WHERE rn <= 20
+    """,
+)
+def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: top-20 part pairs bought together.
+
+    Scale-first formulation: instead of the SQL's lineitem self-join
+    (which shuffles the fact twice and explodes the join output), the
+    basket is collected per order (one keyed shuffle, arrays of ~5
+    keys) and the pairs are generated JVM-side from the sorted array
+    with nested `transform`/`slice` higher-order functions — O(k²)
+    per basket with tiny k, zero Python. Pair counts then aggregate
+    on a much smaller intermediate. The HOF pipeline is one SQL
+    string end-to-end (mixing Column-API lambdas into expr-parsed
+    arrays silently drops literal args in PySpark 4.1).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+    )
+    pairs_expr = (
+        "flatten(transform(parts, (x, i) -> "
+        "transform(slice(parts, i + 2, size(parts)), "
+        "y -> struct(x AS part_a, y AS part_b))))"
+    )
+    counted = (
+        baskets.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    w = Window.orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("part_a", "part_b", "n_orders")
+    )
