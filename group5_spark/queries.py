@@ -1719,6 +1719,55 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hopping_event_counts",
+    """
+    WITH assigned AS (
+        SELECT event_type, value,
+               time_bucket(INTERVAL 30 MINUTES, ts) AS ws
+        FROM events
+        UNION ALL
+        SELECT event_type, value,
+               time_bucket(INTERVAL 30 MINUTES, ts) - INTERVAL 30 MINUTES AS ws
+        FROM events
+    )
+    SELECT ws AS window_start, event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(value AS DECIMAL(18,2)))::DECIMAL(18,2) AS total_value
+    FROM assigned
+    GROUP BY ws, event_type
+    """,
+)
+def hopping_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) event-time window: 1 h length, 30 min hop —
+    each event lands in exactly two overlapping windows.
+
+    `F.window(ts, "1 hour", "30 minutes")` expands events to their
+    windows map-side (a 2× row expansion, the unavoidable cost of
+    overlap), then aggregates like the tumbling case. The oracle
+    expresses the same assignment arithmetically: the two windows
+    containing t start at bucket(t) and bucket(t) − hop. Same
+    expression streams under a watermark, state bounded by
+    (watermark/hop) × groups.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC2)).cast(DEC2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+@register(
     "asof_last_click_before_error",
     """
     SELECT COUNT(*) AS n_errors,

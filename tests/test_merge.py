@@ -142,3 +142,34 @@ def test_schema_mismatch_raises(spark, tmp_path):
     src = spark.createDataFrame([(1, "x")], ["id", "v"])
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_into(spark, path, src, ["id"], partition_col="d")
+
+
+def test_merge_property_matches_dict_semantics(spark, tmp_path):
+    """Property test: repeated random merges equal a driver-side dict
+    replaying the same upserts (last-writer-wins by sequence)."""
+    import random
+
+    rng = random.Random(99)
+    path = str(tmp_path / "t")
+    state = {i: ("2024-01-0" + str(1 + i % 3), f"v{i}", 0) for i in range(8)}
+    _write_target(
+        spark, path, [(k, *v) for k, v in state.items()], partition_col="d"
+    )
+    for step in range(1, 4):
+        batch = {}
+        for _ in range(5):
+            k = rng.randint(0, 11)
+            # partition stays stable per key (merge contract)
+            d = "2024-01-0" + str(1 + k % 3)
+            seq = rng.choice([step - 1, step])  # sometimes stale
+            batch[k] = (d, f"s{step}k{k}", seq)
+        src = spark.createDataFrame(
+            [(k, *v) for k, v in batch.items()], ["id", "d", "v", "seq"]
+        )
+        merge_into(
+            spark, path, src, ["id"], partition_col="d", sequence_col="seq"
+        )
+        for k, (d, v, seq) in batch.items():
+            if k not in state or seq >= state[k][2]:
+                state[k] = (d, v, seq)
+        assert _read(spark, path) == state, step

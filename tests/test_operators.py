@@ -341,3 +341,36 @@ def test_interval_join_long_interval_no_dup(spark):
         points, intervals, "pts", "start", "end", bucket_seconds=3600
     ).collect()
     assert len(out) == 1
+
+
+def test_band_join_property_matches_reference(spark):
+    """Property test: band_join equals the driver-side O(n·m) pair
+    enumeration, across random timestamps straddling bin edges."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(13)
+    base = dt.datetime(2024, 1, 1)
+    band = 90  # seconds — not a divisor-friendly bin size
+    for trial in range(3):
+        lrows = [
+            (i, base + dt.timedelta(seconds=rng.randint(0, 600)))
+            for i in range(30)
+        ]
+        rrows = [
+            (100 + i, base + dt.timedelta(seconds=rng.randint(0, 600)))
+            for i in range(25)
+        ]
+        left = spark.createDataFrame(lrows, ["lid", "lts"])
+        right = spark.createDataFrame(rrows, ["rid", "rts"])
+        got = {
+            (r["lid"], r["rid"])
+            for r in joins.band_join(left, right, "lts", "rts", band).collect()
+        }
+        expect = {
+            (li, ri)
+            for li, lt in lrows
+            for ri, rt in rrows
+            if abs((lt - rt).total_seconds()) <= band
+        }
+        assert got == expect, trial
