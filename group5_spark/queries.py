@@ -1719,6 +1719,80 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "waiting_suppliers",
+    """
+    WITH per AS (
+        SELECT l_orderkey, l_suppkey,
+               MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 30 DAY
+                        THEN 1 ELSE 0 END) AS is_late
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY l_orderkey, l_suppkey
+    ),
+    ord AS (
+        SELECT l_orderkey,
+               COUNT(*) AS n_supp,
+               SUM(is_late) AS n_late
+        FROM per GROUP BY l_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM per
+    JOIN ord USING (l_orderkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE per.is_late = 1 AND ord.n_supp > 1 AND ord.n_late = 1
+    GROUP BY s_name
+    """,
+)
+def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who alone held up multi-supplier
+    orders (shipped >30 days after the order date while every other
+    supplier shipped on time).
+
+    Q21's EXISTS/NOT-EXISTS pair decorrelates into per-order counts:
+    a supplier is the lone culprit iff the order has >1 supplier and
+    exactly 1 late one. The oracle joins the counts back; the Spark
+    plan gets them from a window over the already-(orderkey,suppkey)-
+    aggregated rows — the window repartitions by the agg key's
+    prefix, avoiding the join-back's second scan. Supplier names
+    broadcast at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per = (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(orders, "o_orderkey")
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                    1,
+                ).otherwise(0)
+            ).alias("is_late")
+        )
+    )
+    w = Window.partitionBy("o_orderkey")
+    flagged = per.select(
+        "o_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("is_late").over(w).alias("n_late"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").withColumnRenamed(
+        "s_suppkey", "l_suppkey"
+    )
+    return (
+        flagged.filter(
+            (F.col("is_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .join(F.broadcast(sup.select("l_suppkey", "s_name")), "l_suppkey")
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+@register(
     "hopping_event_counts",
     """
     WITH assigned AS (

@@ -174,3 +174,11 @@ def test_window_navigation_single_window_op(q):
     plan = I.formatted_plan(df)
     assert plan.count("Window") - plan.count("WindowGroupLimit") <= 2
     I.assert_max_shuffles(df, 1)
+
+
+def test_waiting_suppliers_plan(q):
+    # (orderkey,suppkey) agg → orderkey window → broadcast supplier →
+    # final supplier agg: ≤3 exchanges, no fact shuffle for the dim
+    df = q("waiting_suppliers")
+    assert I.num_broadcast_joins(df) >= 1
+    I.assert_max_shuffles(df, 3)
