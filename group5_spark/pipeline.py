@@ -75,6 +75,25 @@ def cmd_run(args: argparse.Namespace, spark: SparkSession) -> None:
         print(f"validate: {len(files)} output files")
 
 
+def cmd_maintain(args: argparse.Namespace, spark: SparkSession) -> None:
+    from group5_spark.medallion.maintenance import compact, table_file_stats
+
+    if args.stats_only:
+        for part, (n, nbytes) in sorted(table_file_stats(args.table_path).items()):
+            print(f"{part or '<unpartitioned>'}: {n} files, {nbytes} bytes")
+        return
+    done = compact(
+        spark,
+        args.table_path,
+        target_file_bytes=args.target_file_mb * 1024 * 1024,
+    )
+    if done:
+        for part, n in sorted(done.items()):
+            print(f"compacted {part or '<unpartitioned>'}: {n} files → target")
+    else:
+        print("nothing to compact")
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="group5_spark.pipeline")
     parser.add_argument("--app_name", default="group5_pipeline")
@@ -101,6 +120,14 @@ def main(argv: list[str] | None = None) -> int:
     p_run.add_argument("--date", default=None,
                        help="backfill date filter YYYY-MM-DD (B18)")
 
+    p_maint = sub.add_parser(
+        "maintain", help="table maintenance: small-file compaction"
+    )
+    p_maint.add_argument("--table_path", required=True)
+    p_maint.add_argument("--target_file_mb", type=int, default=128)
+    p_maint.add_argument("--stats-only", action="store_true",
+                         help="print the file census without rewriting")
+
     args = parser.parse_args(argv)
     if args.command == "generate":
         cmd_generate(args)
@@ -108,7 +135,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = create_spark_session(args.app_name, args.master, parse_conf(args.conf))
     try:
-        cmd_run(args, spark)
+        if args.command == "maintain":
+            cmd_maintain(args, spark)
+        else:
+            cmd_run(args, spark)
     finally:
         spark.stop()
     return 0

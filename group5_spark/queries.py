@@ -863,6 +863,68 @@ def sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_label_vote",
+    """
+    WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e
+               FROM embeddings),
+    nn AS (
+        SELECT q.vec_id AS query_id, c.label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id
+               ) AS rank
+        FROM v q JOIN v c ON q.vec_id != c.vec_id
+        WHERE q.vec_id < 16
+    ),
+    votes AS (
+        SELECT query_id, label, COUNT(*) AS n
+        FROM nn WHERE rank <= 5 GROUP BY query_id, label
+    )
+    SELECT query_id, label AS predicted_label, n AS n_votes FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY n DESC, label
+        ) AS r FROM votes
+    ) WHERE r = 1
+    """,
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification: majority label of the 5 nearest neighbors
+    (cosine) for each query vector, ties broken by smaller label.
+
+    Applied similarity search — the label-propagation /
+    weak-supervision pattern a training-data pipeline runs to label
+    new documents from an annotated corpus. Reuses the exact
+    brute-force top-k (its ROUND-then-rank ordering keeps both
+    engines identical); the label lookup is a broadcast dim join on
+    the candidate id; votes are a tiny two-level aggregate. At scale
+    the top-k stage swaps for the IVF variant unchanged.
+    """
+    from group5_spark.extensions import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 16), k=5)
+    labels = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label")
+    )
+    votes = (
+        topk.join(F.broadcast(labels), "cand_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("label").alias("predicted_label"),
+            F.col("n").alias("n_votes"),
+        )
+    )
+
+
 @register("sim_lsh_topk")  # hyperplane sketch uses xxhash64 → rows-only
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH banding + exact

@@ -46,3 +46,23 @@ def test_cli_generate_then_run(tmp_path):
     for marker in ("etl:", "bronze:", "silver:", "gold:", "validate:"):
         assert marker in run.stdout
     assert (wh / "gold" / "agg_daily_revenue").exists()
+
+
+def test_cli_maintain_compacts(spark, tmp_path):
+    from group5_spark.medallion.maintenance import table_file_stats
+    from group5_spark.pipeline import main
+
+    path = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(i, f"v{i}") for i in range(50)], ["id", "v"]
+    ).repartition(8).write.parquet(path)
+    n_before, _ = table_file_stats(path)[""]
+    assert n_before > 1
+    # in-process main() reuses the session fixture's JVM via getOrCreate
+    rc = main([
+        "--master", "local[4]",
+        "maintain", "--table_path", path, "--target_file_mb", "1024",
+    ])
+    assert rc == 0
+    n_after, _ = table_file_stats(path)[""]
+    assert n_after == 1
