@@ -107,3 +107,28 @@ def compact(
             staging.rmdir()
         compacted[part] = n_files
     return compacted
+
+
+def write_sorted(
+    df,
+    path: str,
+    sort_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Range-partitioned, sorted Parquet write for data skipping.
+
+    ``repartitionByRange`` gives each output file a narrow,
+    non-overlapping range of ``sort_cols``; the in-file sort makes
+    every row group's footer min/max tight. A selective filter on the
+    sort key then skips whole files and row groups at scan time — the
+    poor man's Z-order, and the single highest-leverage layout choice
+    for a table with a dominant filter column (time, tenant, key
+    prefix). Pair with :func:`compact` cadence: compaction preserves
+    per-partition locality, this establishes it.
+    """
+    out = (
+        df.repartitionByRange(n_files, *sort_cols)
+        if n_files
+        else df.repartitionByRange(*sort_cols)
+    )
+    out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

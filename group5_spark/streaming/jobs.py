@@ -292,3 +292,37 @@ def stream_upsert(
     )
     query.awaitTermination()
     return query
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+    how: str = "inner",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: right rows matched to
+    left rows with the same key where ``left_ts ≤ right_ts ≤
+    left_ts + within`` (e.g. click → purchase attribution).
+
+    Both sides buffer state; the time-interval condition plus the
+    watermarks let Spark evict it — a left row can stop waiting once
+    the watermark passes ``left_ts + within``, so state is bounded by
+    (watermark + within) × arrival rate, never by stream length. An
+    unbounded equi-join (no time condition) would grow state forever;
+    this wrapper makes the bounded form the only one available.
+
+    ``how`` may be "inner" or "leftOuter" (outer emits nulls only
+    after the watermark proves no match can arrive).
+    """
+    l = left.withWatermark(left_ts, watermark)
+    r = right.withWatermark(right_ts, watermark)
+    cond = (
+        (l[key] == r[key])
+        & (r[right_ts] >= l[left_ts])
+        & (r[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
+    )
+    return l.join(r, cond, how)

@@ -70,3 +70,35 @@ def test_target_size_splits_output(spark, tmp_path):
     compact(spark, path, target_file_bytes=2048)
     n, _ = table_file_stats(path)["d=d0"]
     assert n >= 2
+
+
+def test_write_sorted_nonoverlapping_file_ranges(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from group5_spark.medallion.maintenance import write_sorted
+
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "id % 97 AS v"
+    )
+    path = str(tmp_path / "sorted")
+    write_sorted(df, path, ["id"], n_files=4)
+
+    ranges = []
+    for f in glob.glob(path + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            col = md.row_group(rg).column(0)  # id
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    assert len(ranges) == 4
+    # file ranges are disjoint → a point/range filter on id can skip
+    # every other file via footer stats alone
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    # data intact
+    assert spark.read.parquet(path).count() == 10_000

@@ -214,3 +214,70 @@ def test_stream_upsert_foreachbatch_merge(spark, tmp_path):
     assert got == {1: ("a2", 5), 2: ("b1", 2), 3: ("c", 1)}
     # checkpoint prevented re-reading b1.json: id=2 kept seq=2 state
     assert os.path.isdir(ckpt)
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    import json
+
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    def emit(d, name, rows, ts_name):
+        d.mkdir(exist_ok=True)
+        with open(d / name, "w") as f:
+            for uid, ts, extra in rows:
+                f.write(json.dumps({"user": uid, ts_name: ts, "tag": extra}) + "\n")
+
+    clicks_dir = tmp_path / "clicks"
+    buys_dir = tmp_path / "buys"
+    emit(clicks_dir, "c1.json", [
+        (1, "2024-01-01 10:00:00", "c-a"),
+        (1, "2024-01-01 12:00:00", "c-b"),
+        (2, "2024-01-01 10:00:00", "c-c"),
+    ], "cts")
+    emit(buys_dir, "b1.json", [
+        (1, "2024-01-01 10:30:00", "b-a"),   # joins c-a only (c-b later)
+        (2, "2024-01-01 11:30:00", "b-b"),   # 90min after c-c: outside 1h
+        (3, "2024-01-01 10:15:00", "b-c"),   # no click
+    ], "bts")
+
+    def src(d, ts_name):
+        schema = StructType([
+            StructField("user", IntegerType()),
+            StructField(ts_name, StringType()),
+            StructField("tag", StringType()),
+        ])
+        return (
+            spark.readStream.schema(schema).json(str(d))
+            .withColumn(ts_name, F.col(ts_name).cast("timestamp"))
+        )
+
+    clicks = src(clicks_dir, "cts").withColumnRenamed("tag", "click_tag")
+    buys = (
+        src(buys_dir, "bts")
+        .withColumnRenamed("tag", "buy_tag")
+        .withColumnRenamed("user", "buyer")
+    )
+    joined = jobs.stream_stream_join(
+        clicks.withColumnRenamed("user", "u"),
+        buys.withColumnRenamed("buyer", "u"),
+        "u", "cts", "bts", within="1 hour",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {
+        (r["click_tag"], r["buy_tag"])
+        for r in spark.sql("SELECT * FROM ssj").collect()
+    }
+    assert rows == {("c-a", "b-a")}
