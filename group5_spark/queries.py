@@ -1781,6 +1781,156 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "forecast_revenue_change",
+    """
+    SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))::DECIMAL(18,4)
+               AS revenue_delta,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '2000-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: revenue impact of dropping a discount band.
+
+    Pure scan→filter→scalar-agg: all three predicates push to the
+    parquet scan, the aggregate is a map-side partial + single-row
+    final — the cheapest possible plan shape, and the canonical test
+    that filter pushdown actually happens (gated in test_plans).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast(DEC4)
+            ).cast(DEC4).alias("revenue_delta"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "returned_item_customers",
+    """
+    WITH agg AS (
+        SELECT c_custkey, c_name, n_name,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))::DECIMAL(18,4)
+                   AS revenue
+        FROM customer
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          AND o_orderdate <  TIMESTAMP '1999-04-01 00:00:00'
+        GROUP BY c_custkey, c_name, n_name
+    )
+    SELECT c_custkey, c_name, n_name, revenue
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY revenue DESC, c_custkey) AS rn
+        FROM agg
+    ) WHERE rn <= 20
+    """,
+)
+def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+
+    Lineitem filters on returnflag at the scan; the quarter filter
+    prunes orders before the join, so the fact→fact join input is a
+    fraction of both tables. Customer and nation broadcast. Top-20
+    runs on the per-customer aggregate with c_custkey tie-break.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-04-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    agg = (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .join(orders.select("o_orderkey", "o_custkey"), "o_orderkey")
+        .withColumnRenamed("o_custkey", "c_custkey")
+        .join(F.broadcast(cust.select("c_custkey", "c_name", "c_nationkey")), "c_custkey")
+        .join(
+            F.broadcast(
+                nat.select(
+                    F.col("n_nationkey").alias("c_nationkey"), "n_name"
+                )
+            ),
+            "c_nationkey",
+        )
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+            ).cast(DEC4).alias("revenue")
+        )
+    )
+    w = Window.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    SELECT ROUND(
+        100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))
+                   ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+              / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+                     AS DOUBLE), 6) AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1999-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1999-10-01 00:00:00'
+    """,
+)
+def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo parts' share of monthly revenue.
+
+    Conditional aggregation over a broadcast dim join — numerator and
+    denominator in one pass (no second scan, no self-join). Decimal
+    sums keep both engines exact; the single double division is
+    rounded per the module determinism rules.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1999-09-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-10-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+    joined = joins.dim_join(
+        li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey"
+    )
+    return joined.agg(
+        F.round(
+            100.0
+            * F.sum(
+                F.when(F.col("p_type") == "PROMO", rev).otherwise(
+                    F.lit(0).cast(DEC4)
+                )
+            ).cast("double")
+            / F.sum(rev).cast("double"),
+            6,
+        ).alias("promo_pct")
+    )
+
+
+@register(
     "waiting_suppliers",
     """
     WITH per AS (

@@ -182,3 +182,31 @@ def test_waiting_suppliers_plan(q):
     df = q("waiting_suppliers")
     assert I.num_broadcast_joins(df) >= 1
     I.assert_max_shuffles(df, 3)
+
+
+def test_forecast_revenue_change_pushdown(q):
+    df = q("forecast_revenue_change")
+    I.assert_filter_pushed(df, "l_shipdate")
+    I.assert_filter_pushed(df, "l_discount")
+    I.assert_filter_pushed(df, "l_quantity")
+    # map-side partial + single-row final agg
+    I.assert_max_shuffles(df, 1)
+    I.assert_scan_pruned(df, table_cols=11, max_cols=5)
+
+
+def test_returned_item_customers_plan(q):
+    df = q("returned_item_customers")
+    I.assert_filter_pushed(df, "l_returnflag")
+    I.assert_filter_pushed(df, "o_orderdate")
+    assert I.num_broadcast_joins(df) >= 2
+    # agg exchange + top-20 single-partition window (+ slack for the
+    # fact-fact join exchanges at larger SF)
+    I.assert_max_shuffles(df, 4)
+
+
+def test_promo_revenue_share_plan(q):
+    df = q("promo_revenue_share")
+    I.assert_filter_pushed(df, "l_shipdate")
+    assert I.num_broadcast_joins(df) >= 1
+    I.assert_no_fact_shuffle_join(df)
+    I.assert_max_shuffles(df, 1)
