@@ -1,0 +1,76 @@
+"""Deterministic dataset splitting for training pipelines.
+
+A training-data pipeline needs train/val/test assignment that is
+(1) deterministic — re-running the pipeline reproduces the split;
+(2) stable under growth — adding documents never reassigns existing
+ones (no `rand()`, no row-number modulo, both of which reshuffle on
+re-partition or insert); (3) key-consistent — all rows of one
+document/user land in the same split (no leakage between splits of
+near-identical rows that share a key).
+
+The standard construction: hash the key, map the hash into [0, 1),
+cut at the cumulative split fractions. Implemented here over the
+*hex string prefix* of md5 — lexicographic comparison of fixed-width
+lowercase hex equals numeric comparison, is engine-portable (DuckDB
+has md5 too — the registry query cross-checks it), and is a pure
+codegen expression: zero shuffle, zero UDF, linear scan at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["hash_split", "split_bounds"]
+
+_PREFIX_LEN = 8  # 32 bits of the digest: granularity 1/2^32
+
+
+def split_bounds(splits: dict[str, float]) -> list[tuple[str, str]]:
+    """Cumulative-fraction cut points as fixed-width hex strings.
+
+    ``{"train": .8, "val": .1, "test": .1}`` →
+    ``[("train", "cccccccc"), ("val", "e6666666"), ("test", "ffffffff")]``
+    """
+    total = sum(splits.values())
+    if not 0.999 <= total <= 1.001:
+        raise ValueError(f"split fractions must sum to 1, got {total}")
+    bounds = []
+    acc = 0.0
+    names = list(splits)
+    hi = (1 << (4 * _PREFIX_LEN)) - 1
+    for i, name in enumerate(names):
+        acc += splits[name]
+        # inclusive upper bound: bucket <= cut ⇔ bucket < acc·2³²
+        cut = hi if i == len(names) - 1 else max(0, min(hi, int(acc * (hi + 1)) - 1))
+        bounds.append((name, format(cut, f"0{_PREFIX_LEN}x")))
+    return bounds
+
+
+def _bucket(key: Column, salt: str) -> Column:
+    return F.substring(
+        F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, _PREFIX_LEN
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    salt: str = "",
+    out_col: str = "split",
+) -> DataFrame:
+    """Assign each row to a named split by hashing ``key_col``.
+
+    ``salt`` derives independent splits from the same keys (e.g. a
+    fresh holdout per experiment) — change the salt, get a fresh
+    uncorrelated assignment, still deterministic.
+    """
+    bucket = _bucket(F.col(key_col), salt)
+    expr: Column | None = None
+    for name, cut in split_bounds(splits):
+        cond = bucket <= F.lit(cut)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    # numerically the last bound is the max hex value, so the chain is
+    # exhaustive; otherwise() guards rounding pathologies only
+    return df.withColumn(out_col, expr.otherwise(list(splits)[-1]))

@@ -1781,6 +1781,94 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "train_val_test_split",
+    """
+    WITH assigned AS (
+        SELECT CASE
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= 'cccccccb'
+                THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= 'e6666665'
+                THEN 'val'
+            ELSE 'test' END AS split,
+            n_chars
+        FROM documents
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars
+    FROM assigned GROUP BY split
+    """,
+)
+def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment by key hash
+    (extensions.splits.hash_split) — the split every training-data
+    pipeline needs: reproducible, stable under corpus growth (adding
+    docs never reassigns existing ones), and key-consistent so
+    near-duplicate rows sharing a doc_id can't leak across splits.
+
+    The md5-hex-prefix bucketing is pure codegen (no shuffle, no UDF,
+    no rand()) and engine-portable — the oracle recomputes the same
+    assignment in DuckDB and must agree on every count.
+    """
+    from group5_spark.extensions.splits import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = hash_split(
+        docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
+    "doc_frequency_top_words",
+    """
+    WITH words AS (
+        SELECT DISTINCT doc_id,
+               unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    df AS (
+        SELECT word, COUNT(*) AS n_docs
+        FROM words WHERE length(word) >= 3
+        GROUP BY word
+    )
+    SELECT word, n_docs FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n_docs DESC, word) AS rn
+        FROM df
+    ) WHERE rn <= 20
+    """,
+)
+def doc_frequency_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency wordcount: top-20 words by the number of
+    distinct documents containing them.
+
+    The canonical explode(split()) shape a text pipeline runs to
+    build stopword/IDF tables. Per-doc dedup happens *before* the
+    global count, so the shuffle carries (doc, word) pairs once each;
+    the final count is a plain hash aggregate. Tokenization is a
+    single-space split in both engines — byte-identical tokens.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"),
+        )
+        .filter(F.length("word") >= 3)
+        .distinct()
+    )
+    counted = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("word"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("word", "n_docs")
+    )
+
+
+@register(
     "forecast_revenue_change",
     """
     SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))::DECIMAL(18,4)

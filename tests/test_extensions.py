@@ -3,6 +3,7 @@ similarity correctness, text features, multimodal plumbing."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from group5_spark.catalog import load_table
@@ -169,3 +170,52 @@ def test_ivf_topk_sparse_ids(spark):
     rows_out = out.collect()
     assert rows_out, "sparse-id corpus must still produce neighbors"
     assert all(r.query_id != r.cand_id for r in rows_out)
+
+
+def test_hash_split_proportions_and_determinism(spark):
+    from group5_spark.extensions.splits import hash_split
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = {r["split"]: r["n"] for r in hash_split(df, "k", splits)
+         .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # proportions within ~2% absolute of target on 20k keys
+    assert abs(a["train"] / 20_000 - 0.8) < 0.02
+    assert abs(a["val"] / 20_000 - 0.1) < 0.02
+    assert abs(a["test"] / 20_000 - 0.1) < 0.02
+    # exact re-run determinism
+    b = {r["split"]: r["n"] for r in hash_split(df, "k", splits)
+         .groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert a == b
+
+
+def test_hash_split_stable_under_growth(spark):
+    from group5_spark.extensions.splits import hash_split
+
+    splits = {"train": 0.5, "test": 0.5}
+    small = spark.range(0, 500).withColumnRenamed("id", "k")
+    big = spark.range(0, 1_000).withColumnRenamed("id", "k")
+    sa = {r["k"]: r["split"] for r in hash_split(small, "k", splits).collect()}
+    ba = {r["k"]: r["split"] for r in hash_split(big, "k", splits).collect()}
+    # growing the dataset never reassigns an existing key
+    assert all(ba[k] == v for k, v in sa.items())
+
+
+def test_hash_split_salt_gives_independent_assignment(spark):
+    from group5_spark.extensions.splits import hash_split
+
+    df = spark.range(0, 2_000).withColumnRenamed("id", "k")
+    splits = {"train": 0.5, "test": 0.5}
+    a = {r["k"]: r["split"] for r in hash_split(df, "k", splits).collect()}
+    b = {r["k"]: r["split"] for r in hash_split(df, "k", splits, salt="exp2").collect()}
+    changed = sum(1 for k in a if a[k] != b[k])
+    # ~half the keys should move under an independent assignment
+    assert 0.35 < changed / len(a) < 0.65
+
+
+def test_hash_split_rejects_bad_fractions(spark):
+    from group5_spark.extensions.splits import hash_split
+
+    df = spark.range(0, 10).withColumnRenamed("id", "k")
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, "k", {"a": 0.5, "b": 0.3})
