@@ -50,7 +50,6 @@ def test_cli_generate_then_run(tmp_path):
 
 def test_cli_maintain_compacts(spark, tmp_path):
     from group5_spark.medallion.maintenance import table_file_stats
-    from group5_spark.pipeline import main
 
     path = str(tmp_path / "t")
     spark.createDataFrame(
@@ -58,11 +57,15 @@ def test_cli_maintain_compacts(spark, tmp_path):
     ).repartition(8).write.parquet(path)
     n_before, _ = table_file_stats(path)[""]
     assert n_before > 1
-    # in-process main() reuses the session fixture's JVM via getOrCreate
-    rc = main([
-        "--master", "local[4]",
-        "maintain", "--table_path", path, "--target_file_mb", "1024",
-    ])
-    assert rc == 0
+    # subprocess, NOT in-process main(): main() stops its session on
+    # exit, which would tear down the shared session-scoped fixture
+    # (getOrCreate returns the same JVM session)
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline",
+         "--master", "local[4]",
+         "maintain", "--table_path", path, "--target_file_mb", "1024"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
     n_after, _ = table_file_stats(path)[""]
     assert n_after == 1
