@@ -75,6 +75,27 @@ def cmd_run(args: argparse.Namespace, spark: SparkSession) -> None:
         print(f"validate: {len(files)} output files")
 
 
+def cmd_query(args: argparse.Namespace, spark: SparkSession) -> None:
+    """Ad-hoc SQL over the engine's tables: registers every parquet
+    table under --sf_dir as a temp view (via catalog.load_table, so
+    nanos-timestamp rebuilds etc. apply) and runs the statement —
+    the 'switch your warehouse queries over' entry point."""
+    import os as _os
+
+    from group5_spark.catalog import TABLES, load_table
+
+    for t in TABLES:
+        if _os.path.exists(_os.path.join(args.sf_dir, f"{t}.parquet")):
+            load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+    result = spark.sql(args.sql)
+    if args.output_path:
+        result.write.mode("overwrite").parquet(args.output_path)
+        print(f"wrote {spark.read.parquet(args.output_path).count()} rows "
+              f"→ {args.output_path}")
+    else:
+        result.show(args.limit, truncate=False)
+
+
 def cmd_maintain(args: argparse.Namespace, spark: SparkSession) -> None:
     from group5_spark.medallion.maintenance import compact, table_file_stats
 
@@ -128,6 +149,13 @@ def main(argv: list[str] | None = None) -> int:
     p_maint.add_argument("--stats-only", action="store_true",
                          help="print the file census without rewriting")
 
+    p_query = sub.add_parser("query", help="ad-hoc SQL over engine tables")
+    p_query.add_argument("--sf_dir", default="/root/testdata/sf0.01")
+    p_query.add_argument("--sql", required=True)
+    p_query.add_argument("--output_path", default=None,
+                        help="write result parquet instead of showing")
+    p_query.add_argument("--limit", type=int, default=20)
+
     args = parser.parse_args(argv)
     if args.command == "generate":
         cmd_generate(args)
@@ -137,6 +165,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.command == "maintain":
             cmd_maintain(args, spark)
+        elif args.command == "query":
+            cmd_query(args, spark)
         else:
             cmd_run(args, spark)
     finally:

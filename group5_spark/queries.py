@@ -1781,6 +1781,65 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_rfm_segments",
+    """
+    WITH rfm AS (
+        SELECT o_custkey AS c_custkey,
+               MAX(CAST(o_orderdate AS DATE)) AS last_order,
+               COUNT(*) AS frequency,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DECIMAL(18,2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT *,
+               NTILE(4) OVER (ORDER BY last_order DESC, c_custkey) AS r_quartile,
+               NTILE(4) OVER (ORDER BY frequency DESC, c_custkey)  AS f_quartile,
+               NTILE(4) OVER (ORDER BY monetary DESC, c_custkey)   AS m_quartile
+        FROM rfm
+    )
+    SELECT r_quartile, f_quartile, m_quartile,
+           COUNT(*) AS n_customers,
+           SUM(monetary)::DECIMAL(18,2) AS segment_value
+    FROM scored
+    GROUP BY r_quartile, f_quartile, m_quartile
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quartiles per
+    customer, rolled up to segment sizes and value.
+
+    The canonical CRM/BI segmentation: one aggregate over orders (a
+    keyed shuffle), then three NTILE windows over the *per-customer*
+    rollup — global sorts, but of one row per customer, not per
+    order. Quartile ordering ties broken by c_custkey so both engines
+    assign identical quartiles. At 100 TB the window input is the
+    customer dimension's cardinality — the heavy table never sorts.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.col("o_totalprice").cast(DEC2)).cast(DEC2).alias("monetary"),
+    )
+    scored = rfm.select(
+        "*",
+        F.ntile(4).over(
+            Window.orderBy(F.desc("last_order"), F.asc("c_custkey"))
+        ).alias("r_quartile"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("frequency"), F.asc("c_custkey"))
+        ).alias("f_quartile"),
+        F.ntile(4).over(
+            Window.orderBy(F.desc("monetary"), F.asc("c_custkey"))
+        ).alias("m_quartile"),
+    )
+    return scored.groupBy("r_quartile", "f_quartile", "m_quartile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("monetary").cast(DEC2).alias("segment_value"),
+    )
+
+
+@register(
     "train_val_test_split",
     """
     WITH assigned AS (

@@ -326,3 +326,21 @@ def stream_stream_join(
         & (r[right_ts] <= F.expr(f"{left_ts} + INTERVAL {within}"))
     )
     return l.join(r, cond, how)
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exactly-once-per-key dedup with bounded state.
+
+    ``dropDuplicatesWithinWatermark`` keeps a key's fingerprint only
+    until the watermark passes its event time — duplicates arriving
+    within the watermark window (the realistic at-least-once redelivery
+    horizon) are dropped, and state is bounded by watermark × key
+    arrival rate instead of growing with the stream like a plain
+    ``dropDuplicates`` on a stream would.
+    """
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)

@@ -69,3 +69,17 @@ def test_cli_maintain_compacts(spark, tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     n_after, _ = table_file_stats(path)[""]
     assert n_after == 1
+
+
+def test_cli_query_over_tables(tmp_path):
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline",
+         "--master", "local[4]",
+         "query", "--sf_dir", "/root/testdata/sf0.001",
+         "--sql",
+         "SELECT r_name, COUNT(*) AS n FROM region GROUP BY r_name",
+         "--output_path", str(tmp_path / "out")],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "wrote 5 rows" in out.stdout

@@ -281,3 +281,42 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in spark.sql("SELECT * FROM ssj").collect()
     }
     assert rows == {("c-a", "b-a")}
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    import json
+
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows = [
+        ("e1", "2024-01-01 10:00:00"),
+        ("e1", "2024-01-01 10:05:00"),  # redelivery: dropped
+        ("e2", "2024-01-01 10:10:00"),
+        ("e2", "2024-01-01 10:10:00"),  # exact dup: dropped
+        ("e3", "2024-01-01 11:00:00"),
+    ]
+    with open(src / "b.json", "w") as f:
+        for eid, ts in rows:
+            f.write(json.dumps({"event_id": eid, "ts": ts}) + "\n")
+    schema = StructType([
+        StructField("event_id", StringType()),
+        StructField("ts", StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    deduped = jobs.stream_dedup(stream, ["event_id"], "ts", watermark="2 hours")
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("sdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM sdedup").collect())
+    assert got == ["e1", "e2", "e3"]
