@@ -132,3 +132,39 @@ def write_sorted(
         else df.repartitionByRange(*sort_cols)
     )
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def analyze_tables(
+    spark,
+    tables: list[str] | None = None,
+    with_columns: bool = True,
+) -> dict[str, int]:
+    """ANALYZE catalog tables so Catalyst's cost-based optimizer has
+    real statistics.
+
+    CBO join reordering, broadcast decisions beyond the static
+    threshold, and semi-join selectivity estimates all key off table
+    and column stats (`spark.sql.cbo.enabled` is set in the session
+    factory). Without ANALYZE, every saveAsTable'd fact is a black
+    box sized by file bytes. Run after each gold refresh; cost is one
+    scan per table — amortized across every query planned afterwards.
+
+    Returns ``{table: row_count}`` from the freshly computed stats.
+    """
+    names = tables or [
+        t.name for t in spark.catalog.listTables() if t.tableType != "VIEW"
+    ]
+    counts: dict[str, int] = {}
+    for t in names:
+        suffix = " FOR ALL COLUMNS" if with_columns else ""
+        spark.sql(f"ANALYZE TABLE {t} COMPUTE STATISTICS{suffix}")
+        desc = spark.sql(f"DESCRIBE TABLE EXTENDED {t}").collect()
+        for row in desc:
+            if row["col_name"] == "Statistics":
+                # e.g. "1234 bytes, 56 rows"
+                for part in row["data_type"].split(","):
+                    part = part.strip()
+                    if part.endswith("rows"):
+                        counts[t] = int(part.split()[0])
+        counts.setdefault(t, -1)
+    return counts

@@ -31,6 +31,11 @@ DEFAULT_CONFIG: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Small dims (reference: 1k customers / 2k products) broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Cost-based optimization: join reordering + selectivity from
+    # ANALYZE TABLE stats (medallion.maintenance.analyze_tables).
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
+    "spark.sql.statistics.histogram.enabled": "true",
     # Sized for local testing; on a real cluster AQE coalesces upward
     # from a larger initial number instead.
     "spark.sql.shuffle.partitions": "32",

@@ -102,3 +102,22 @@ def test_write_sorted_nonoverlapping_file_ranges(spark, tmp_path):
         assert hi1 < lo2
     # data intact
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_analyze_tables_computes_stats(spark, tmp_path):
+    from group5_spark.medallion.maintenance import analyze_tables
+
+    spark.createDataFrame(
+        [(i, i % 5) for i in range(123)], ["id", "grp"]
+    ).write.mode("overwrite").saveAsTable("t_stats_probe")
+    try:
+        counts = analyze_tables(spark, ["t_stats_probe"])
+        assert counts["t_stats_probe"] == 123
+        # column-level stats exist (CBO inputs): distinct count for grp
+        desc = spark.sql(
+            "DESCRIBE EXTENDED t_stats_probe grp"
+        ).collect()
+        kv = {r["info_name"]: r["info_value"] for r in desc}
+        assert kv.get("distinct_count") == "5"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_stats_probe")

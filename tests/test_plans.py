@@ -210,3 +210,37 @@ def test_promo_revenue_share_plan(q):
     assert I.num_broadcast_joins(df) >= 1
     I.assert_no_fact_shuffle_join(df)
     I.assert_max_shuffles(df, 1)
+
+
+# Queries whose plans legitimately contain a nested-loop/cartesian
+# stage: all-pairs similarity over a (tiny, broadcast) side, or a
+# deliberately-unkeyed pair enumeration bounded elsewhere.
+NLJ_ALLOWED = {
+    "sim_topk",              # query side broadcast (8 vectors)
+    "sim_lsh_topk",          # bucket-local pairs after LSH banding
+    "sim_ivf_topk",          # probe×centroid distances (tiny)
+    "knn_label_vote",        # reuses sim_topk's broadcast NLJ
+    "dedup_embedding_cosine",    # documented brute-force baseline
+    "dedup_jaccard_pairs",       # candidate pairs from shared shingles
+    "crossmodal_dup_agreement",  # reuses the cosine pair set
+    "scalar_subquery_pricey_parts",  # scalar subquery → 1-row bcast NLJ
+    "rich_inactive_customers",       # scalar AVG subquery, same shape
+    "small_quantity_revenue",        # scalar agg join-back
+}
+
+
+def test_no_query_plans_a_cartesian_product(spark):
+    """Registry-wide scale guard: no query may silently regress to a
+    cartesian product / unbounded nested loop. Catches a forgotten
+    join key or an inequality-only condition in ANY future query."""
+    from group5_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in QUERIES.items():
+        plan = I.formatted_plan(fn(spark, sf))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in NLJ_ALLOWED:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
