@@ -1781,6 +1781,50 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_money_components",
+    """
+    SELECT measure,
+           SUM(CAST(val AS DECIMAL(18,2)))::DECIMAL(18,2) AS total,
+           COUNT(*) AS n_rows
+    FROM (
+        SELECT 'extendedprice' AS measure, l_extendedprice AS val FROM lineitem
+        UNION ALL SELECT 'tax', l_tax FROM lineitem
+        UNION ALL SELECT 'discount', l_discount FROM lineitem
+    )
+    GROUP BY measure
+    """,
+)
+def unpivot_money_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide money columns → long (measure, value)
+    rows, then aggregate per measure — the inverse of the pivot
+    query, completing the reshape pair.
+
+    `DataFrame.unpivot` expands 1 row → 3 map-side (no shuffle until
+    the 3-group aggregate, which is partial-aggregated to almost
+    nothing). The oracle's UNION ALL formulation would scan lineitem
+    three times; unpivot scans once — same result, one pass.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("extendedprice"),
+        F.col("l_tax").alias("tax"),
+        F.col("l_discount").alias("discount"),
+    )
+    return (
+        li.unpivot(
+            ids=[],
+            values=["extendedprice", "tax", "discount"],
+            variableColumnName="measure",
+            valueColumnName="val",
+        )
+        .groupBy("measure")
+        .agg(
+            F.sum(F.col("val").cast(DEC2)).cast(DEC2).alias("total"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@register(
     "customer_rfm_segments",
     """
     WITH rfm AS (
