@@ -320,3 +320,39 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r["event_id"] for r in spark.sql("SELECT * FROM sdedup").collect())
     assert got == ["e1", "e2", "e3"]
+
+
+def test_stream_static_enrichment_join(spark, tmp_path):
+    """Stream-static join: a static dimension broadcasts into each
+    micro-batch (no state, no watermark needed) — the streaming twin
+    of dim_join enrichment."""
+    import json
+
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for uid in (1, 2, 9):
+            f.write(json.dumps({"user": uid}) + "\n")
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], ["user", "tier"]
+    )
+    stream = spark.readStream.schema(
+        StructType([StructField("user", IntegerType())])
+    ).json(str(src))
+    enriched = stream.join(F.broadcast(dim), "user", "left")
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["user"], r["tier"])
+        for r in spark.sql("SELECT * FROM enrich").collect()
+    }
+    assert got == {(1, "gold"), (2, "silver"), (9, None)}
