@@ -46,6 +46,10 @@ HEADLINE = [
     "profit_by_nation_year",
     "large_volume_customers",
     "repeat_orders_within_3d",
+    "waiting_suppliers",
+    "customer_rfm_segments",
+    "part_pair_affinity",
+    "train_val_test_split",
 ]
 
 

@@ -74,3 +74,46 @@ def hash_split(
     # numerically the last bound is the max hex value, so the chain is
     # exhaustive; otherwise() guards rounding pathologies only
     return df.withColumn(out_col, expr.otherwise(list(splits)[-1]))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-stratum Bernoulli sampling (``sampleBy``): each row kept
+    with its stratum's probability. Map-only (no shuffle), one pass,
+    deterministic for a fixed seed+partitioning — use for quick
+    class-rebalanced subsets where approximate per-stratum counts are
+    acceptable."""
+    return df.sampleBy(strata_col, fractions, seed)
+
+
+def stratified_exact(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly-n-per-stratum sample, deterministic and seedable.
+
+    Rows are ranked inside each stratum by the md5 hash of their key
+    (+salt) — a uniform, reproducible shuffle order — and the first n
+    kept. One shuffle on the stratum column; the sort is per-stratum.
+    Unlike ``sampleBy`` this guarantees exact counts (class-balanced
+    eval sets, per-language caps in corpus curation) and, like
+    hash_split, never changes a row's fate when other rows arrive:
+    membership only changes if a new row hashes into the top n.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        _bucket(F.col(key_col), salt), F.col(key_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= n_per_stratum)
+        .drop("_rk")
+    )

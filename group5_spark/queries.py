@@ -1925,6 +1925,42 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_doc_sample",
+    """
+    WITH ranked AS (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+               ) AS rk
+        FROM documents
+    )
+    SELECT lang, COUNT(*) AS n_docs, SUM(doc_id) AS id_sum
+    FROM ranked WHERE rk <= 25 GROUP BY lang
+    """,
+)
+def stratified_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-25-per-language document sample
+    (extensions.splits.stratified_exact): per-stratum caps for
+    corpus curation / class-balanced eval sets.
+
+    Rows rank within each language by the md5 hash of their id — a
+    reproducible uniform order both engines compute identically
+    (id_sum pins the exact membership, not just the counts). One
+    shuffle on the stratum column; at scale the sort is per-stratum
+    and the output is n × strata rows regardless of corpus size.
+    """
+    from group5_spark.extensions.splits import stratified_exact
+
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    sample = stratified_exact(docs, "lang", 25, "doc_id")
+    return sample.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").alias("id_sum"),
+    )
+
+
+@register(
     "doc_frequency_top_words",
     """
     WITH words AS (

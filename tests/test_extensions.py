@@ -219,3 +219,37 @@ def test_hash_split_rejects_bad_fractions(spark):
     df = spark.range(0, 10).withColumnRenamed("id", "k")
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, "k", {"a": 0.5, "b": 0.3})
+
+
+def test_stratified_exact_counts_and_determinism(spark):
+    from group5_spark.extensions.splits import stratified_exact
+
+    df = spark.range(0, 3_000).select(
+        F.col("id").alias("k"), (F.col("id") % 3).alias("lang")
+    )
+    s1 = stratified_exact(df, "lang", 50, "k")
+    counts = {r["lang"]: r["n"] for r in s1.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 50, 1: 50, 2: 50}
+    # deterministic across runs
+    a = sorted(r["k"] for r in s1.collect())
+    b = sorted(r["k"] for r in stratified_exact(df, "lang", 50, "k").collect())
+    assert a == b
+    # a different salt draws a different (but equally sized) sample
+    c = sorted(
+        r["k"] for r in stratified_exact(df, "lang", 50, "k", salt="s2").collect()
+    )
+    assert len(c) == 150 and c != a
+
+
+def test_stratified_sample_proportions(spark):
+    from group5_spark.extensions.splits import stratified_sample
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 2).alias("cls")
+    )
+    s = stratified_sample(df, "cls", {0: 0.1, 1: 0.5}, seed=7)
+    counts = {r["cls"]: r["n"] for r in s.groupBy("cls")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert abs(counts[0] / 5_000 - 0.1) < 0.03
+    assert abs(counts[1] / 5_000 - 0.5) < 0.03
