@@ -237,29 +237,41 @@ def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_hamming: int = 8,
+    max_hamming: int = 3,
 ) -> DataFrame:
-    """SimHash near-dup pairs blocked on 16-bit signature quarters.
+    """SimHash near-dup pairs blocked on ``max_hamming + 1`` disjoint
+    signature segments.
 
-    Two docs within Hamming distance ≤ 3 share at least one of the 4
-    quarters exactly (pigeonhole); wider thresholds trade recall.
-    Blocking keeps the self-join an equi-join on the quarter value.
+    Pigeonhole guarantee: two 64-bit signatures within Hamming
+    distance ≤ ``max_hamming`` differ in at most ``max_hamming`` of
+    the ``max_hamming + 1`` disjoint bit segments, so they agree
+    exactly on at least one — candidate generation is a segment-value
+    equi-self-join with FULL recall at the advertised threshold.
+    (A fixed 4-quarter split only guarantees distance ≤ 3; wider
+    thresholds automatically use more, narrower segments.)
+    Blocking keeps the self-join an equi-join on the segment value;
+    ``max_hamming + 1`` candidate rows per doc is the recall price.
     """
+    if not 0 <= max_hamming <= 31:
+        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    n_blocks = max_hamming + 1
+    width = 64 // n_blocks
+    segs = []
+    for q in range(n_blocks):
+        start = q * width
+        w = 64 - start if q == n_blocks - 1 else width
+        mask = (1 << w) - 1
+        segs.append(
+            F.struct(
+                F.lit(q).alias("q"),
+                F.expr(f"shiftright(simhash, {start}) & {mask}L").alias("qv"),
+            )
+        )
     sigs = simhash(df, id_col, text_col)
     quarters = sigs.select(
         "id",
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(q).alias("q"),
-                        F.expr(f"shiftright(simhash, {q * 16}) & 65535L").alias("qv"),
-                    )
-                    for q in range(4)
-                ]
-            )
-        ).alias("qq"),
+        F.explode(F.array(*segs)).alias("qq"),
     ).select("id", "simhash", F.col("qq.q").alias("q"), F.col("qq.qv").alias("qv"))
     a = quarters.alias("a")
     b = quarters.alias("b")

@@ -3,15 +3,21 @@
 
 Images/audio/video are carried as ``binary`` columns with a typed
 metadata struct; decode / feature-extract / resize / frame-sample run
-as Arrow-batched ``mapInPandas`` transforms. The codec libraries
-(PIL/av/librosa) are not in this container, so the decode step is
-STUBBED: a clearly-marked deterministic fake stands in, and the real
-import is gated — the Spark-side plumbing (schema, partitioning, UDF
-signature, batch shape) is real and tested.
+as Arrow-batched ``mapInPandas`` transforms.
+
+The decode step is REAL for two uncompressed raster formats that need
+no codec library: 24-bpp **BMP** (``struct``-unpacked
+BITMAPFILE/INFOHEADER + pixel-row walk that skips stride padding) and
+binary **PPM** (``P6`` ASCII header parse). ``make_bmp`` writes real,
+spec-compliant BMP files so the decoder has genuine payloads to parse
+end-to-end in-container; with PIL installed the same ``mapInPandas``
+iterator shape would call ``Image.open`` for compressed formats
+(gated on ``HAVE_PIL``, absent here).
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -19,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
+    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -26,7 +33,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:  # real decoder, absent in this container
+try:  # compressed-format decoder, absent in this container
     from PIL import Image  # noqa: F401
 
     HAVE_PIL = True
@@ -50,6 +57,7 @@ FEATURE_SCHEMA = StructType(
         StructField("n_bytes", LongType(), True),
         StructField("width", IntegerType(), True),
         StructField("height", IntegerType(), True),
+        StructField("mean_pixel", DoubleType(), True),
         StructField("feature_norm", StringType(), True),
     ]
 )
@@ -70,41 +78,132 @@ def attach_binary(
     )
 
 
-def _fake_decode(payload: bytes) -> tuple[int, int]:
-    """Deterministic stand-in for image decode: derive (width, height)
-    from payload bytes. STUB — replace with PIL decode when available."""
-    if payload is None:
-        return (0, 0)
-    w = 64 + (len(payload) % 64)
-    h = 64 + (sum(payload[:16]) % 64 if payload else 0)
-    return (w, h)
+def bmp_stride(width: int) -> int:
+    """BMP rows pad to 4-byte boundaries: stride of a 24-bpp row."""
+    return ((width * 3 + 3) // 4) * 4
+
+
+def make_bmp(width: int, height: int, fill: int) -> bytes:
+    """Write a real, spec-compliant 24-bpp BMP file: 14-byte file
+    header + 40-byte BITMAPINFOHEADER + padded pixel rows, every RGB
+    byte = ``fill``. Decoders (this module's, PIL, any viewer) parse
+    it as a ``width``×``height`` solid-color image."""
+    stride = bmp_stride(width)
+    file_size = 54 + stride * height
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII",
+        40, width, height, 1, 24, 0, stride * height, 2835, 2835, 0, 0,
+    )
+    row = bytes([fill % 256]) * (width * 3) + b"\x00" * (stride - width * 3)
+    return header + info + row * height
+
+
+def decode_image(payload: bytes) -> tuple[int, int, float]:
+    """Parse an uncompressed raster payload → (width, height,
+    mean pixel value). Dependency-free real decode:
+
+    - ``BM``: BITMAPINFOHEADER width/height/bpp/pixel-offset via
+      ``struct.unpack``; the mean walks actual pixel rows, skipping
+      the 4-byte stride padding.
+    - ``P6``: binary PPM ASCII header (whitespace-separated
+      width/height/maxval), then raw RGB triples.
+
+    Unknown magic → (0, 0, nan): metadata-only passthrough.
+    """
+    if payload is None or len(payload) < 2:
+        return (0, 0, float("nan"))
+    if payload[:2] == b"BM":
+        width, height = struct.unpack_from("<ii", payload, 18)
+        bpp = struct.unpack_from("<H", payload, 28)[0]
+        offset = struct.unpack_from("<I", payload, 10)[0]
+        height = abs(height)
+        if bpp != 24:
+            return (width, height, float("nan"))
+        stride = bmp_stride(width)
+        total = 0
+        for r in range(height):
+            row = payload[offset + r * stride : offset + r * stride + width * 3]
+            total += sum(row)
+        n = width * height * 3
+        return (width, height, total / n if n else float("nan"))
+    if payload[:2] == b"P6":
+        fields: list[int] = []
+        pos = 2
+        while len(fields) < 3 and pos < len(payload):
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":  # comment line
+                while pos < len(payload) and payload[pos] != 0x0A:
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        width, height = fields[0], fields[1]
+        pixels = payload[pos : pos + width * height * 3]
+        n = width * height * 3
+        return (width, height, sum(pixels) / n if n else float("nan"))
+    return (0, 0, float("nan"))
+
+
+def attach_bmp_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize real BMP image rows from an id column (the sandbox
+    has no image files): dims and fill derive deterministically from
+    the id, the payload is a genuine BMP file from :func:`make_bmp`.
+    Arrow-batched mapInPandas; output follows ``MEDIA_SCHEMA`` minus
+    the content hash (hashing a synthetic payload adds nothing).
+    """
+    import hashlib
+
+    out_schema = MEDIA_SCHEMA
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [
+                make_bmp(4 + i % 13, 3 + i % 7, (i * 7) % 256) for i in ids
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "image/bmp",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "content_hash": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema=out_schema)
 
 
 def decode_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """Decode + feature-extract over media rows via Arrow-batched
     mapInPandas.
 
-    Real plumbing: the UDF receives pandas batches (Arrow transfer),
-    preserves partitioning, and emits a typed feature schema. The
-    pixel-level decode itself is stubbed (`_fake_decode`) because no
-    codec libs exist in this container; with PIL installed the same
-    iterator shape does `Image.open(io.BytesIO(p))`.
+    The UDF receives pandas batches (Arrow transfer), preserves
+    partitioning, and emits a typed feature schema. BMP/PPM payloads
+    get a REAL header + pixel decode (:func:`decode_image`); other
+    formats pass metadata through with null dimensions (with PIL
+    installed the same iterator would `Image.open` them — gated,
+    absent in this container).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if HAVE_PIL:
-                raise NotImplementedError(
-                    "real decoder path not wired in this container"
-                )
-            dims = pdf["payload"].map(_fake_decode)
+            decoded = pdf["payload"].map(decode_image)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
                     "n_bytes": pdf["n_bytes"],
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
+                    "width": decoded.map(lambda d: d[0]).astype("int32"),
+                    "height": decoded.map(lambda d: d[1]).astype("int32"),
+                    "mean_pixel": decoded.map(lambda d: d[2]).astype("float64"),
                     "feature_norm": pdf["content_hash"].str.slice(0, 8),
                 }
             )

@@ -190,13 +190,17 @@ def _swap_in(
         }
         # Partitions read into the merge but absent from the staged
         # output had every row deleted → remove them from the target.
-        if affected_parts is not None:
-            for old in target.glob(f"{partition_col}=*"):
-                if old.name in staged_dirs:
-                    continue
-                value = old.name.split("=", 1)[1]
-                if any(str(p) == value for p in affected_parts):
-                    shutil.rmtree(old)
+        # ``affected_parts is None`` means the merge read the WHOLE
+        # target (prune_partitions=False), so every existing partition
+        # was in scope and any one missing from staging was emptied.
+        for old in target.glob(f"{partition_col}=*"):
+            if old.name in staged_dirs:
+                continue
+            value = old.name.split("=", 1)[1]
+            if affected_parts is None or any(
+                str(p) == value for p in affected_parts
+            ):
+                shutil.rmtree(old)
         for name, d in staged_dirs.items():
             dest = target / name
             if dest.exists():

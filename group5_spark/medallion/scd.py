@@ -169,14 +169,27 @@ def scd2_apply(
         )
         new_current = fresh.unionByName(kept)
 
-        # history is append-only; current partition swaps via staging
-        _write_partitioned(closed_rows, target_path, "append")
+        # Stage the newly-closed history rows and the rebuilt current
+        # partition in ONE write. The target is not touched until the
+        # rename phase below, so a failure anywhere above leaves it
+        # unchanged and a retry cannot duplicate history appends.
         staging = Path(target_path) / f"_scd_staging_{uuid.uuid4().hex[:8]}"
-        _write_partitioned(new_current, str(staging), "overwrite")
+        _write_partitioned(
+            closed_rows.unionByName(new_current), str(staging), "overwrite"
+        )
     finally:
         marked.unpersist()
 
     target = Path(target_path)
+    # History is append-only: move the staged closed-row files in
+    # (Spark part-file names embed a UUID — no collisions).
+    staged_hist = staging / "is_current=false"
+    if staged_hist.exists():
+        hist = target / "is_current=false"
+        hist.mkdir(exist_ok=True)
+        for f in staged_hist.iterdir():
+            if f.is_file() and f.suffix == ".parquet":
+                f.rename(hist / f.name)
     staged_cur = staging / "is_current=true"
     dest = target / "is_current=true"
     if dest.exists():

@@ -119,12 +119,40 @@ def test_multimodal_plumbing(spark):
     row = media.collect()[0]
     assert row.n_bytes == len("payload text".encode())
     assert len(row.content_hash) == 64
+    # non-image payload: decode passes metadata through, no dims
     feats = multimodal.decode_features(media).collect()[0]
-    assert feats.media_id == 7 and feats.width >= 64 and feats.height >= 64
+    assert feats.media_id == 7 and feats.width == 0 and feats.height == 0
     frames = multimodal.frame_sample_plan(media, every_n=5).collect()
     assert [f.frame_idx for f in frames] == list(
         range(0, row.n_bytes % 300 + 1, 5)
     )
+
+
+def test_bmp_roundtrip_local():
+    # stride padding exercised: width 5 → 15 pixel bytes, stride 16
+    payload = multimodal.make_bmp(5, 4, 200)
+    assert payload[:2] == b"BM" and len(payload) == 54 + 16 * 4
+    w, h, mean = multimodal.decode_image(payload)
+    assert (w, h) == (5, 4)
+    assert mean == 200.0  # padding bytes must NOT dilute the mean
+    # PPM decode, incl. a comment line in the header
+    ppm = b"P6\n# test\n3 2\n255\n" + bytes([10, 20, 30]) * 6
+    assert multimodal.decode_image(ppm) == (3, 2, 20.0)
+    # unknown magic → metadata-only
+    assert multimodal.decode_image(b"GIF89a....")[0] == 0
+
+
+def test_bmp_decode_distributed(spark):
+    df = spark.createDataFrame([(i,) for i in range(40)], ["doc_id"])
+    media = multimodal.attach_bmp_payloads(df, "doc_id")
+    feats = {r.media_id: r for r in multimodal.decode_features(media).collect()}
+    assert len(feats) == 40
+    for i in range(40):
+        r = feats[i]
+        assert r.width == 4 + i % 13 and r.height == 3 + i % 7
+        assert r.mean_pixel == float((i * 7) % 256)
+        stride = ((r.width * 3 + 3) // 4) * 4
+        assert r.n_bytes == 54 + stride * r.height
 
 
 def test_ivf_topk_recall_and_shape(spark, sf_dir):

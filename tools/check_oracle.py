@@ -4,7 +4,18 @@ Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on
 DuckDB over the same parquet tables, then compares row count, column
 names, and order-insensitive values. Use while iterating:
 
-    python tools/check_oracle.py [sf_dir] [query ...]
+    python tools/check_oracle.py [--strict] [sf_dir] [query ...]
+
+``--strict`` replicates the driver's representation-sensitive hash:
+the oracle is fetched via ``fetchdf()`` (DECIMAL and HUGEINT become
+float64 — the driver's float path) and cells compare by *type class +
+repr* with no Decimal normalization.  Under strict mode any Spark-side
+``Decimal`` in the final output fails (the driver hashed Spark
+``Decimal('4997.10')`` differently from DuckDB's ``4997.1`` in round
+1 despite value-equality), as does an int↔float class mismatch (DuckDB
+``SUM(int)`` is HUGEINT → float on fetch).  Rule of thumb enforced
+here: every final output column must be DOUBLE, BIGINT, STRING, DATE,
+TIMESTAMP, BOOLEAN, or an array thereof — on BOTH sides.
 """
 
 from __future__ import annotations
@@ -45,7 +56,60 @@ def normalize(v):
     return ("s", str(v))
 
 
-def compare(name, spark_df, duck_rows, duck_cols):
+def strict_normalize(v):
+    """Driver-faithful cell key: type class + exact repr, no Decimal
+    normalization, no int/float unification.  Temporal values collapse
+    to their isoformat date/instant (both engines agree there)."""
+    if v is None:
+        return ("0none", "")
+    if type(v).__module__ == "numpy" and getattr(v, "ndim", None) == 0:
+        v = v.item()  # numpy scalar (e.g. int32 inside a list cell)
+    if isinstance(v, Decimal):
+        return ("DECIMAL", str(v))  # presence alone should fail vs float
+    if isinstance(v, bool):
+        return ("b", str(v))
+    if isinstance(v, float):
+        return ("f", "nan" if math.isnan(v) else repr(v))
+    if isinstance(v, int):
+        return ("i", f"{v:+025d}")
+    if hasattr(v, "isoformat"):
+        iso = v.isoformat()
+        # pandas Timestamp at midnight vs datetime.date: same instant
+        return ("t", iso[:10] if iso.endswith("T00:00:00") else iso)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return ("arr", tuple(strict_normalize(x) for x in v))
+    if isinstance(v, (bytes, bytearray)):
+        return ("bin", bytes(v).hex())
+    return ("s", str(v))
+
+
+def _df_rows(pdf):
+    """pandas DataFrame → list of python-native row tuples (fetchdf path)."""
+    out = []
+    for row in pdf.itertuples(index=False, name=None):
+        cells = []
+        for v in row:
+            if type(v).__name__ == "ndarray":
+                cells.append(list(v))
+                continue
+            if v is None or (isinstance(v, float) and math.isnan(v)):
+                cells.append(v)
+                continue
+            if type(v).__name__ == "NaTType" or (
+                not isinstance(v, (str, bytes, list, tuple)) and v != v
+            ):
+                cells.append(None)  # pandas NaT / NA → SQL NULL
+                continue
+            item = getattr(v, "item", None)
+            if item is not None and type(v).__module__ == "numpy":
+                v = v.item()
+            cells.append(v)
+        out.append(tuple(cells))
+    return out
+
+
+def compare(name, spark_df, duck_rows, duck_cols, strict=False):
+    norm = strict_normalize if strict else normalize
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_cols)
     if s_cols != d_cols:
@@ -53,9 +117,9 @@ def compare(name, spark_df, duck_rows, duck_cols):
     s_idx = [spark_df.columns.index(c) for c in s_cols]
     d_idx = [duck_cols.index(c) for c in d_cols]
     s_rows = sorted(
-        tuple(normalize(r[i]) for i in s_idx) for r in spark_df.collect()
+        tuple(norm(r[i]) for i in s_idx) for r in spark_df.collect()
     )
-    d_rows = sorted(tuple(normalize(r[i]) for i in d_idx) for r in duck_rows)
+    d_rows = sorted(tuple(norm(r[i]) for i in d_idx) for r in duck_rows)
     if len(s_rows) != len(d_rows):
         return f"ROWCOUNT MISMATCH spark={len(s_rows)} duck={len(d_rows)}"
     if s_rows != d_rows:
@@ -67,6 +131,8 @@ def compare(name, spark_df, duck_rows, duck_cols):
 
 def main():
     args = sys.argv[1:]
+    strict = "--strict" in args
+    args = [a for a in args if a != "--strict"]
     sf_dir = args[0] if args and "/" in args[0] else "/root/testdata/sf0.01"
     only = [a for a in args if "/" not in a]
 
@@ -92,7 +158,11 @@ def main():
                 continue
             res = con.execute(oracles[name])
             duck_cols = [d[0] for d in res.description]
-            err = compare(name, sdf, res.fetchall(), duck_cols)
+            if strict:
+                pdf = res.fetchdf()
+                err = compare(name, sdf, _df_rows(pdf), duck_cols, strict=True)
+            else:
+                err = compare(name, sdf, res.fetchall(), duck_cols)
             if err:
                 failures += 1
                 print(f"✗ {name}: {err}")
