@@ -19,6 +19,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def portable_hash56_sql(expr_sql: str) -> str:
+    """SQL fragment hashing a string expression to a 56-bit BIGINT that
+    DuckDB reproduces bit-for-bit: first 14 hex chars of md5, parsed as
+    an integer.
+
+    Spark:  cast(conv(substring(md5(x), 1, 14), 16, 10) as bigint)
+    DuckDB: CAST(concat('0x', substr(md5(x), 1, 14)) AS BIGINT)
+
+    Production paths default to xxhash64 (one JVM intrinsic vs md5's
+    digest + hex + parse), but md5 mode makes every LSH query exactly
+    verifiable against a SQL oracle on another engine — the hash IS the
+    semantics for MinHash/SimHash, so a cross-engine check needs a
+    cross-engine hash.
+    """
+    return f"cast(conv(substring(md5({expr_sql}), 1, 14), 16, 10) as bigint)"
+
+
 def exact_duplicates(
     df: DataFrame, key_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -122,13 +139,28 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document: for seed i, min over shingles of
-    xxhash64(shingle, i). Pure built-ins → codegen, no UDF."""
+    hash(shingle, i). Pure built-ins → codegen, no UDF.
+
+    ``hash_fn="xxhash64"`` (default) is the fast production hash;
+    ``"md5"`` selects the 56-bit portable hash (seed mixed in via
+    ``concat(shingle, ':', seed)``) whose signatures a DuckDB oracle
+    reproduces exactly — see :func:`portable_hash56_sql`.
+    """
     sh_sql = _shingles_sql(text_col, shingle_n)
+    if hash_fn == "md5":
+        def seeded(seed: int) -> str:
+            return portable_hash56_sql(f"concat(s, ':', {seed})")
+    elif hash_fn == "xxhash64":
+        def seeded(seed: int) -> str:
+            return f"xxhash64(s, {seed})"
+    else:
+        raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
     sig_cols = [
         F.expr(
-            f"array_min(transform({sh_sql}, s -> xxhash64(s, {seed})))"
+            f"array_min(transform({sh_sql}, s -> {seeded(seed)}))"
         ).alias(f"mh_{seed}")
         for seed in range(num_hashes)
     ]
@@ -143,6 +175,7 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (shingle → minhash → band →
     bucket-join → verify).
@@ -150,17 +183,26 @@ def minhash_lsh_pairs(
     Signatures are split into ``bands``; documents sharing any band
     hash become candidates (one explode + one equi-self-join on the
     band bucket — the classic scalable plan). Candidates are verified
-    with true word-set Jaccard. Deterministic: xxhash64 seeds fixed.
+    with true word-set Jaccard. Deterministic: fixed hash seeds; with
+    ``hash_fn="md5"`` the whole pipeline (signatures, band buckets,
+    verified pairs) is reproducible in DuckDB SQL for oracle gating.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_n)
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, shingle_n, hash_fn=hash_fn)
+
+    def bucket_col(b: int) -> F.Column:
+        members = [f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)]
+        if hash_fn == "md5":
+            return F.expr(
+                portable_hash56_sql(f"concat_ws('|', {', '.join(members)})"))
+        return F.xxhash64(*[F.col(m) for m in members])
+
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
-                ).alias("bucket"),
+                bucket_col(b).alias("bucket"),
             )
             for b in range(bands)
         ]
@@ -188,43 +230,63 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("id"),
         shingles(text_col, shingle_n).alias("sh"),
     )
+    # filter on the RAW ratio (like jaccard_pairs and the SQL oracle),
+    # round only for display
+    raw = (
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b"))
+    )
     verified = (
         candidates.join(words.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
         .join(words.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn("_raw", raw)
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("jaccard"))
     )
     return verified
 
 
+def simhash_bits(hash_fn: str) -> int:
+    """Signature width per hash: xxhash64 gives 64 bits, the portable
+    md5 hash 56 (14 hex chars)."""
+    return 56 if hash_fn == "md5" else 64
+
+
 def simhash(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash per document from word-level xxhash64.
+    """64-bit (56-bit in md5 mode) SimHash per document from word-level
+    hashing.
 
     Bit b of the signature is the sign of Σ_tokens (±1 per token,
-    + if bit b of xxhash64(token) is set). Expressed entirely with
+    + if bit b of hash(token) is set). Expressed entirely with
     built-in higher-order array functions (transform/aggregate/filter)
-    — stays in codegen; no Python.
+    — stays in codegen; no Python. Token hashes are computed once and
+    reused across all bit positions.
     """
-    return df.select(
+    bits = simhash_bits(hash_fn)
+    tok_hash = (
+        portable_hash56_sql("t") if hash_fn == "md5" else "xxhash64(t)"
+    )
+    hashed = df.select(
         F.col(id_col).alias("id"),
+        F.expr(f"transform(split({text_col}, ' '), t -> {tok_hash})").alias(
+            "_hs"
+        ),
+    )
+    return hashed.select(
+        "id",
         F.expr(
             f"""
             aggregate(
-              transform(sequence(0, 63), b ->
+              transform(sequence(0, {bits - 1}), b ->
                 CASE WHEN aggregate(
-                  split({text_col}, ' '),
+                  _hs,
                   0L,
-                  (acc, t) -> acc + CASE WHEN (shiftright(xxhash64(t), b) & 1L) = 1L
+                  (acc, h) -> acc + CASE WHEN (shiftright(h, b) & 1L) = 1L
                                     THEN 1L ELSE -1L END
                 ) > 0 THEN shiftleft(1L, b) ELSE 0L END),
               0L, (acc, v) -> acc | v)
@@ -238,13 +300,14 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-dup pairs blocked on ``max_hamming + 1`` disjoint
     signature segments.
 
-    Pigeonhole guarantee: two 64-bit signatures within Hamming
-    distance ≤ ``max_hamming`` differ in at most ``max_hamming`` of
-    the ``max_hamming + 1`` disjoint bit segments, so they agree
+    Pigeonhole guarantee: two signatures within Hamming distance ≤
+    ``max_hamming`` differ in at most ``max_hamming`` of the
+    ``max_hamming + 1`` disjoint bit segments, so they agree
     exactly on at least one — candidate generation is a segment-value
     equi-self-join with FULL recall at the advertised threshold.
     (A fixed 4-quarter split only guarantees distance ≤ 3; wider
@@ -252,14 +315,16 @@ def simhash_near_pairs(
     Blocking keeps the self-join an equi-join on the segment value;
     ``max_hamming + 1`` candidate rows per doc is the recall price.
     """
-    if not 0 <= max_hamming <= 31:
-        raise ValueError(f"max_hamming must be in [0, 31], got {max_hamming}")
+    bits = simhash_bits(hash_fn)
+    if not 0 <= max_hamming <= bits // 2 - 1:
+        raise ValueError(
+            f"max_hamming must be in [0, {bits // 2 - 1}], got {max_hamming}")
     n_blocks = max_hamming + 1
-    width = 64 // n_blocks
+    width = bits // n_blocks
     segs = []
     for q in range(n_blocks):
         start = q * width
-        w = 64 - start if q == n_blocks - 1 else width
+        w = bits - start if q == n_blocks - 1 else width
         mask = (1 << w) - 1
         segs.append(
             F.struct(
@@ -267,7 +332,7 @@ def simhash_near_pairs(
                 F.expr(f"shiftright(simhash, {start}) & {mask}L").alias("qv"),
             )
         )
-    sigs = simhash(df, id_col, text_col)
+    sigs = simhash(df, id_col, text_col, hash_fn=hash_fn)
     quarters = sigs.select(
         "id",
         "simhash",

@@ -72,13 +72,29 @@ def hyperplane_sketch(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Sign-bit sketch: bit j = sign(v · plane_j), planes generated
-    deterministically from xxhash64(j, i) — no stored model, fully
-    reproducible, all built-ins."""
-    plane_component = (
-        "(CAST(xxhash64(concat('p', {j}, '_', i)) % 1000 AS DOUBLE) / 1000.0)"
-    )
+    deterministically from hash(j, i) — no stored model, fully
+    reproducible, all built-ins.
+
+    ``hash_fn="md5"`` derives plane components from the 56-bit
+    portable hash (centered to ±0.5 since it is non-negative), making
+    the sketch — and therefore the LSH bucketing — reproducible in a
+    DuckDB oracle; the dot products fold left in DOUBLE on both
+    engines, so the sign bits agree bit-for-bit.
+    """
+    if hash_fn == "md5":
+        from group5_spark.extensions.dedup import portable_hash56_sql
+
+        h = portable_hash56_sql("concat('p', {j}, '_', i)")
+        plane_component = (
+            f"(CAST({h} % 1000 - 500 AS DOUBLE) / 1000.0)"
+        )
+    else:
+        plane_component = (
+            "(CAST(xxhash64(concat('p', {j}, '_', i)) % 1000 AS DOUBLE) / 1000.0)"
+        )
     bits = [
         F.expr(
             f"""
@@ -110,6 +126,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 32,
     band_bits: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Approximate top-k: hyperplane-sketch banding for candidates,
     exact cosine re-rank within buckets.
@@ -122,7 +139,7 @@ def lsh_topk(
     mask = (1 << band_bits) - 1
 
     def banded(df: DataFrame, prefix: str) -> DataFrame:
-        s = hyperplane_sketch(df, id_col, vec_col, n_planes)
+        s = hyperplane_sketch(df, id_col, vec_col, n_planes, hash_fn=hash_fn)
         bands = F.array(
             *[
                 F.struct(
@@ -171,6 +188,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     n_cells: int = 16,
     n_probe: int = 4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """IVF-flat approximate top-k: partition the corpus into Voronoi
     cells around sampled centroids, search only the ``n_probe``
@@ -199,8 +217,14 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), "v"
     )
 
+    if hash_fn == "md5":
+        from group5_spark.extensions.dedup import portable_hash56_sql
+
+        sample_key = F.expr(portable_hash56_sql("cast(cand_id as string)"))
+    else:
+        sample_key = F.xxhash64(F.col("cand_id"))
     sampled = (
-        c_vec.orderBy(F.xxhash64(F.col("cand_id")), F.col("cand_id"))
+        c_vec.orderBy(sample_key, F.col("cand_id"))
         .limit(n_cells)
         .collect()
     )
@@ -208,7 +232,11 @@ def ivf_topk(
         raise ValueError("ivf_topk: corpus is empty, cannot sample centroids")
 
     def _l2_normalize(vec: list[float]) -> list[float]:
-        norm = sum(x * x for x in vec) ** 0.5
+        # math.sqrt (correctly-rounded IEEE) rather than ** 0.5: a SQL
+        # oracle recomputing the centroids must land on the same bits.
+        import math
+
+        norm = math.sqrt(sum(x * x for x in vec))
         return [x / norm for x in vec] if norm > 0 else vec
 
     centroids = [

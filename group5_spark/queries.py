@@ -751,28 +751,102 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, block_col="source", threshold=0.9)
 
 
-@register("dedup_minhash_lsh")  # xxhash64-based → not SQL-expressible, rows-only
+# 56-bit portable hash, DuckDB spelling (Spark spelling:
+# extensions.dedup.portable_hash56_sql) — the hash IS the semantics for
+# MinHash/SimHash, so cross-engine verification requires a hash both
+# engines compute bit-for-bit.
+_DUCK_H56 = "CAST(concat('0x', substr(md5({x}), 1, 14)) AS BIGINT)"
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS sh
+      FROM documents
+    ),
+    sigs AS (
+      SELECT id,
+             list_transform(range(0, 16), k ->
+               list_aggregate(
+                 list_transform(sh, s -> {_DUCK_H56.format(x="concat(s, ':', k)")}),
+                 'min')) AS sig
+      FROM sh
+    ),
+    buckets AS (
+      SELECT id, b.band,
+             {_DUCK_H56.format(x=("concat_ws('|', sig[b.band*4+1], sig[b.band*4+2],"
+                                  " sig[b.band*4+3], sig[b.band*4+4])"))} AS bucket
+      FROM sigs, generate_series(0, 3) b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+    FROM cand c JOIN sh x ON c.id_a = x.id JOIN sh y ON c.id_b = y.id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.9
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs: shingle → minhash → band → bucket
-    join → exact-Jaccard verify. Deterministic (fixed xxhash64 seeds)
-    but Spark-hash-specific, so the driver records a rows-only check;
-    test_extensions.py cross-checks recall against dedup_jaccard_pairs."""
+    join → exact-Jaccard verify. Runs in portable-hash mode (56-bit
+    md5-derived hash, seeds mixed via ``concat(shingle, ':', seed)``)
+    so the DuckDB oracle replays the identical signature/banding
+    pipeline; production callers default to xxhash64."""
     from group5_spark.extensions import dedup
 
     docs = load_table(spark, sf_dir, "documents")
     # Unigram shingles: the corpus's near-dups are word-order shuffles,
     # so the match metric is word-set Jaccard (same as dedup_jaccard_pairs).
-    return dedup.minhash_lsh_pairs(docs, shingle_n=1, threshold=0.9)
+    return dedup.minhash_lsh_pairs(
+        docs, shingle_n=1, threshold=0.9, hash_fn="md5")
 
 
-@register("dedup_simhash_pairs")  # xxhash64-based → rows-only
+@register(
+    "dedup_simhash_pairs",
+    f"""
+    WITH tok AS (
+      SELECT doc_id AS id,
+             list_transform(string_split(text, ' '), t -> {_DUCK_H56.format(x='t')}) AS hs
+      FROM documents
+    ),
+    sig AS (
+      SELECT id,
+             list_aggregate(list_transform(range(0, 56), b ->
+               CASE WHEN list_aggregate(list_transform(hs, h ->
+                      CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+                    THEN (CAST(1 AS BIGINT) << b) ELSE 0 END), 'sum') AS simhash
+      FROM tok
+    ),
+    segs AS (
+      SELECT id, simhash, q.q AS q,
+             (simhash >> (q.q * 6)) & (CASE WHEN q.q = 8 THEN 255 ELSE 63 END) AS qv
+      FROM sig, generate_series(0, 8) q(q)
+    ),
+    pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      FROM segs a JOIN segs b
+        ON a.q = b.q AND a.qv = b.qv AND a.id < b.id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 8
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs, blocked on 9 disjoint signature
-    segments (full pigeonhole recall at Hamming ≤ 8)."""
+    segments (full pigeonhole recall at Hamming ≤ 8). Portable-hash
+    mode: 56-bit md5-derived token hashes → the DuckDB oracle rebuilds
+    the exact signatures, segment blocking, and Hamming filter."""
     from group5_spark.extensions import dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_near_pairs(docs, max_hamming=8)
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=8, hash_fn="md5")
+    return pairs.withColumn("hamming", F.col("hamming").cast("bigint"))
 
 
 @register(
@@ -936,14 +1010,67 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_lsh_topk")  # hyperplane sketch uses xxhash64 → rows-only
+# hyperplane component j,i (portable mode): centered 56-bit hash → the
+# same double in both engines; the sketch-bit dot products fold left
+# from 0.0 in DOUBLE on both sides, so sign bits agree bit-for-bit.
+_DUCK_PLANE = (
+    "((" + _DUCK_H56.format(x="concat('p', {j}, '_', i)")
+    + " % 1000 - 500) / 1000.0)"
+)
+_DUCK_SKETCH_BITS = " + ".join(
+    "(CASE WHEN list_reduce(list_transform(range(0, len(v)), i -> "
+    f"v[i+1] * {_DUCK_PLANE.format(j=j)}), (a, b) -> a + b) > 0 "
+    f"THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+    for j in range(32)
+)
+
+
+@register(
+    "sim_lsh_topk",
+    f"""
+    WITH base AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sk AS (
+      SELECT id, v, ({_DUCK_SKETCH_BITS}) AS sketch FROM base
+    ),
+    cb AS (
+      SELECT id AS cand_id, v AS cv, b.band,
+             (sketch >> (b.band * 4)) & 15 AS bv
+      FROM sk, generate_series(0, 7) b(band)
+    ),
+    qb AS (
+      SELECT id AS query_id, v AS qv, b.band,
+             (sketch >> (b.band * 4)) & 15 AS bv
+      FROM sk, generate_series(0, 7) b(band)
+      WHERE id < 8
+    ),
+    cand AS (
+      SELECT DISTINCT query_id, qv, cand_id, cv
+      FROM qb JOIN cb USING (band, bv)
+      WHERE query_id != cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT query_id, cand_id,
+             ROUND(list_cosine_similarity(qv, cv), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(list_cosine_similarity(qv, cv), 6) DESC, cand_id
+             ) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+    """,
+)
 def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH banding + exact
-    re-rank within buckets; recall vs sim_topk checked in tests."""
+    re-rank within buckets; recall vs sim_topk checked in tests.
+    Portable-hash mode: the DuckDB oracle rebuilds the identical
+    32-bit sign sketch, 8×4-bit banding, candidate set, and re-rank."""
     from group5_spark.extensions import similarity
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.lsh_topk(emb, emb.filter(F.col("vec_id") < 8), k=10)
+    return similarity.lsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=10, hash_fn="md5")
 
 
 @register(
@@ -2597,18 +2724,70 @@ def brand_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sim_ivf_topk")  # no oracle: approximate by design
+@register(
+    "sim_ivf_topk",
+    f"""
+    WITH base AS (
+      SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cent AS (
+      -- deterministic centroid sample: the 16 ids with the smallest
+      -- portable hash, L2-normalized (left-fold sum of squares + IEEE
+      -- sqrt — bit-identical to the engine's driver-side normalize)
+      SELECT id AS cell,
+             list_transform(v, x -> x / sqrt(list_reduce(
+               list_transform(v, y -> y * y), (a, b) -> a + b))) AS cv
+      FROM base
+      ORDER BY {_DUCK_H56.format(x="CAST(id AS VARCHAR)")}, id
+      LIMIT 16
+    ),
+    scores AS (
+      SELECT b.id, b.v, c.cell,
+             list_reduce(list_transform(range(0, len(b.v)),
+               i -> b.v[i+1] * c.cv[i+1]), (a, b2) -> a + b2) AS score
+      FROM base b CROSS JOIN cent c
+    ),
+    assigned AS (
+      SELECT id AS cand_id, v AS cvv, cell FROM (
+        SELECT id, v, cell, ROW_NUMBER() OVER (
+          PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
+        FROM scores) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT id AS query_id, v AS qv, cell FROM (
+        SELECT id, v, cell, ROW_NUMBER() OVER (
+          PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
+        FROM scores WHERE id < 8) WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, p.qv, a.cand_id, a.cvv
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE p.query_id != a.cand_id
+    )
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT query_id, cand_id,
+             ROUND(list_cosine_similarity(qv, cvv), 6) AS cosine,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id
+               ORDER BY ROUND(list_cosine_similarity(qv, cvv), 6) DESC,
+                        cand_id) AS rank
+      FROM cand
+    ) WHERE rank <= 10
+    """,
+)
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-flat approximate nearest neighbors (scale path #2, beside
     the hyperplane-LSH variant): Voronoi-cell partitioning with
-    n_probe cell search. Rows-only check — recall vs the exact
-    cosine_topk baseline is asserted in tests/test_extensions.py.
+    n_probe cell search. Portable-hash mode: the DuckDB oracle
+    re-derives the same centroid sample, cell assignment (argmax with
+    score-then-cell tie-break), probe set, and re-rank; recall vs the
+    exact cosine_topk baseline is asserted in tests/test_extensions.py.
     """
     from group5_spark.extensions import similarity as S
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    return S.ivf_topk(emb, q, k=10)
+    return S.ivf_topk(emb, q, k=10, hash_fn="md5")
 
 
 @register(
@@ -3260,8 +3439,11 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 #         hopping windows, cohorts, basket affinity).
 # Queries after the window either carry a green round-1 row already
 # (rotated out per ADVICE so never-checked ones get driver evidence),
-# are rows-only by design (xxhash64/sketches), or are showcase
-# variants of operators already covered inside the window.
+# are rows-only by design (sketch_scale_stats — approximate HLL), or
+# are showcase variants of operators already covered inside the window.
+# The LSH/IVF family (dedup_minhash_lsh, dedup_simhash_pairs,
+# sim_lsh_topk, sim_ivf_topk) runs in portable-hash mode and is fully
+# oracle-gated; rotate into the window in a later round.
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",
