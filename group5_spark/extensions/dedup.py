@@ -246,6 +246,75 @@ def minhash_lsh_pairs(
     return verified
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair graph via
+    iterative min-label propagation: every vertex converges to the
+    minimum id in its component (the canonical representative).
+
+    Returns ``(id, comp)`` for every id appearing in ``pairs``.
+
+    Scale design: each round is one equi-join (edges × labels) + one
+    min-aggregate — both shuffle on the vertex id, no cross join, no
+    driver-side graph. Rounds needed = component diameter, and
+    near-dup clusters are shallow (dozens of docs, diameter ≤ a few),
+    so convergence is fast; ``localCheckpoint`` truncates the plan
+    lineage each round so the DAG stays O(1) per iteration (on a real
+    cluster point ``spark.sparkContext.setCheckpointDir`` at durable
+    storage and swap in ``checkpoint`` for executor-loss resilience).
+    Convergence is detected with a single scalar aggregate per round
+    (count of changed labels), not a data collect.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("comp").alias("dst_comp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_comp").alias("nbr_comp"))
+            .select(F.col("src").alias("id"), "nbr_comp")
+        )
+        stepped = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.col("comp").alias("comp_prev"),
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        changed = stepped.agg(
+            F.sum((F.col("comp") != F.col("comp_prev")).cast("long"))
+        ).first()[0]
+        labels = stepped.select("id", "comp")
+        if not changed:
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds "
+        "(component diameter exceeds max_iter)"
+    )
+
+
 def simhash_bits(hash_fn: str) -> int:
     """Signature width per hash: xxhash64 gives 64 bits, the portable
     md5 hash 56 (14 hex chars)."""

@@ -751,6 +751,74 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.jaccard_pairs(docs, block_col="source", threshold=0.9)
 
 
+@register(
+    "dedup_clusters",
+    """
+    WITH RECURSIVE t AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS words
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.words, b.words))) >= 0.9
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comps AS (
+        SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM (
+        SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+    )
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clustering: near-dup pairs → connected components →
+    one canonical doc (min id) per cluster — the step a corpus
+    pipeline runs after pair generation to actually drop duplicates.
+
+    Spark side: iterative min-label propagation (equi-join + min-agg
+    per round, lineage truncated each round); the oracle replays it as
+    a DuckDB recursive reachability CTE. Docs in no pair are their own
+    singleton cluster.
+    """
+    from group5_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, block_col="source", threshold=0.9
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    base = docs.select("doc_id").join(
+        comp.select(F.col("id").alias("doc_id"), "comp"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+    )
+    w = Window.partitionBy("cluster_id")
+    return base.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
 # 56-bit portable hash, DuckDB spelling (Spark spelling:
 # extensions.dedup.portable_hash56_sql) — the hash IS the semantics for
 # MinHash/SimHash, so cross-engine verification requires a hash both

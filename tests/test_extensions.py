@@ -281,3 +281,54 @@ def test_stratified_sample_proportions(spark):
               .agg(F.count(F.lit(1)).alias("n")).collect()}
     assert abs(counts[0] / 5_000 - 0.1) < 0.03
     assert abs(counts[1] / 5_000 - 0.5) < 0.03
+
+
+def test_connected_components_labels_and_convergence(spark):
+    from group5_spark.extensions.dedup import connected_components
+
+    # two components: a 5-chain {1..5} (diameter 4) and a triangle
+    # {10,11,12}; ids deliberately out of order in the pair list
+    pairs = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3), (5, 4), (11, 10), (12, 11), (12, 10)],
+        "id_a long, id_b long",
+    )
+    comp = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    from group5_spark.extensions.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "id_a long, id_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        connected_components(chain, max_iter=2)
+
+
+def test_portable_hash_modes_match_xxhash_pair_semantics(spark, sf_dir):
+    """md5-mode LSH finds the same verified pairs as xxhash64 mode when
+    both use enough hashes (verification is exact Jaccard either way —
+    only candidate recall can differ)."""
+    from group5_spark.catalog import load_table
+    from group5_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, shingle_n=1, threshold=0.9, hash_fn="md5"
+        ).collect()
+    }
+    b = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_pairs(
+            docs, shingle_n=1, threshold=0.9, hash_fn="xxhash64"
+        ).collect()
+    }
+    # both are subsets of true jaccard pairs; at 16 hashes / 4 bands on
+    # the testdata's shuffle-dups they should agree almost entirely
+    inter = len(a & b)
+    assert inter >= int(0.9 * max(len(a), len(b)))
