@@ -134,6 +134,73 @@ def write_sorted(
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
 
 
+def write_zorder(
+    df,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Z-order (Morton-interleaved) Parquet layout over ``cols`` for
+    multi-column data skipping.
+
+    :func:`write_sorted` clusters one dominant filter column; when two
+    (or three) columns are filtered independently — (user, day),
+    (lat, lon), (tenant, event_type) — a lexicographic sort leaves the
+    trailing columns scattered (every file spans their full range).
+    Z-ordering interleaves the bit patterns of all keys into one
+    Morton value, so sorting by it keeps EVERY key locally clustered:
+    each file/row-group covers a narrow rectangle of the key space and
+    parquet footer min/max skips it for selective filters on ANY of
+    the columns.
+
+    Mechanics: each column is linearly scaled to ``bits`` unsigned
+    bits using its global min/max (one scalar aggregate — no global
+    window, no sort-by-rank shuffle), bit j of column i lands at
+    Morton position ``j * k + i`` (pure HOF SQL, codegen), and the
+    write is ``repartitionByRange`` + ``sortWithinPartitions`` on the
+    Morton value, which is dropped before writing. ``bits * len(cols)``
+    must stay ≤ 63 (it defaults to 16 bits/col, enough that file-level
+    rectangles, not bit resolution, bound skipping precision).
+    Numeric columns only — hash or dictionary-encode strings first.
+    """
+    from pyspark.sql import functions as F
+
+    k = len(cols)
+    if k < 2:
+        raise ValueError("write_zorder needs >= 2 columns; use write_sorted")
+    if bits * k > 63:
+        raise ValueError(f"bits*len(cols) must be <= 63, got {bits * k}")
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"min_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).cast("double").alias(f"max_{i}") for i, c in enumerate(cols)],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for i, c in enumerate(cols):
+        lo, hi = bounds[f"min_{i}"], bounds[f"max_{i}"]
+        if lo is None or hi is None or hi == lo:
+            scaled.append("0L")
+        else:
+            scaled.append(
+                f"cast(round((cast({c} as double) - {lo!r}) / ({hi!r} - {lo!r}) * {top}) as bigint)"
+            )
+    terms = [
+        f"(aggregate(sequence(0, {bits - 1}), 0L, "
+        f"(acc, b) -> acc | shiftleft((({s}) >> b) & 1L, b * {k} + {i})))"
+        for i, s in enumerate(scaled)
+    ]
+    z = df.withColumn("_zval", F.expr(" | ".join(terms)))
+    out = (
+        z.repartitionByRange(n_files, "_zval")
+        if n_files
+        else z.repartitionByRange("_zval")
+    )
+    out.sortWithinPartitions("_zval").drop("_zval").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def analyze_tables(
     spark,
     tables: list[str] | None = None,

@@ -2247,6 +2247,55 @@ def doc_frequency_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "word_position_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS word,
+               unnest(range(0, len(string_split(lower(text), ' ')))) AS pos
+        FROM documents
+    ),
+    agg AS (
+        SELECT word, COUNT(*) AS n,
+               ROUND(AVG(pos), 6) AS avg_pos,
+               CAST(MIN(pos) AS BIGINT) AS min_pos
+        FROM tok WHERE length(word) >= 3
+        GROUP BY word
+    )
+    SELECT word, n, avg_pos, min_pos FROM (
+        SELECT *, ROW_NUMBER() OVER (ORDER BY n DESC, word) AS rn FROM agg
+    ) WHERE rn <= 20
+    """,
+)
+def word_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode / WITH-ORDINALITY showcase: tokens with their
+    0-based position (Spark ``posexplode``; the oracle zips DuckDB's
+    parallel ``unnest``s), aggregated to per-word occurrence count,
+    mean position, and first position for the top-20 words.
+
+    AVG over integer positions is order-independent in double (integer
+    partial sums < 2^53 are exact), so distributed vs sequential
+    aggregation land on the same bits.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col("text")), " ")).alias("pos", "word"),
+    ).filter(F.length("word") >= 3)
+    agg = tok.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("pos"), 6).alias("avg_pos"),
+        F.min("pos").cast("bigint").alias("min_pos"),
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("word", "n", "avg_pos", "min_pos")
+    )
+
+
+@register(
     "forecast_revenue_change",
     """
     SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))::DOUBLE

@@ -121,3 +121,53 @@ def test_analyze_tables_computes_stats(spark, tmp_path):
         assert kv.get("distinct_count") == "5"
     finally:
         spark.sql("DROP TABLE IF EXISTS t_stats_probe")
+
+
+def test_write_zorder_clusters_both_columns(spark, tmp_path):
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from group5_spark.medallion.maintenance import write_sorted, write_zorder
+
+    # 64x64 grid: x and y each span 0..63 uniformly
+    df = spark.range(0, 4096).selectExpr("id % 64 AS x", "id DIV 64 AS y")
+
+    def file_spans(path, col_idx):
+        spans = []
+        for f in glob.glob(path + "/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            mins, maxs = [], []
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(col_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            spans.append(max(maxs) - min(mins))
+        return spans
+
+    zpath = str(tmp_path / "zorder")
+    write_zorder(df, zpath, ["x", "y"], bits=6, n_files=16)
+    # lexicographic baseline: sorted by x only
+    spath = str(tmp_path / "xsort")
+    write_sorted(df, spath, ["x"], n_files=16)
+
+    # x-sorted files each cover ~the full y range; z-ordered files
+    # cover a narrow rectangle in BOTH dimensions
+    assert max(file_spans(zpath, 0)) <= 32  # x span per file
+    assert max(file_spans(zpath, 1)) <= 32  # y span per file
+    assert max(file_spans(spath, 1)) >= 56  # baseline: y unclustered
+    # data intact
+    got = spark.read.parquet(zpath)
+    assert got.count() == 4096 and set(got.columns) == {"x", "y"}
+
+
+def test_write_zorder_validates_args(spark, tmp_path):
+    import pytest as _pytest
+
+    from group5_spark.medallion.maintenance import write_zorder
+
+    df = spark.range(10).selectExpr("id AS a", "id AS b")
+    with _pytest.raises(ValueError, match="needs >= 2"):
+        write_zorder(df, str(tmp_path / "z1"), ["a"])
+    with _pytest.raises(ValueError, match="<= 63"):
+        write_zorder(df, str(tmp_path / "z2"), ["a", "b"], bits=32)
