@@ -1,0 +1,264 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+train/test contamination detection, contiguous sequence packing, and
+TF-IDF term scoring (SURVEY §2 B-7 "beyond-reference" family; parity
+target: the reference's documents-table analytics, reference
+`Scripts/etl_landing_to_gold.py` has no equivalent — these are the
+operations a 100 TB pretraining pipeline adds on top).
+
+Scale design:
+- Contamination joins on a 56-bit hash of the n-gram, never the
+  n-gram string: the shuffle carries 8-byte keys. The test-side
+  shingle set is distinct-reduced before the join and is typically
+  the small side (test split ≪ train) — Spark broadcasts it.
+- Sequence packing needs a *global* running token count, which a
+  naive `Window.orderBy(...)` computes on ONE task. Here it is a
+  distributed prefix sum: per-shard cumulative sums (parallel) plus
+  a tiny shard-offset table (one row per shard) joined back by
+  broadcast — the classic two-phase scan, linear at any scale.
+- TF-IDF is two hash aggregations (term-per-doc, doc-freq) and one
+  broadcast of the global doc count; the per-doc top-k uses a
+  rank-window partitioned by term's doc — no global window.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import _shingles_sql, portable_hash56_sql
+from .splits import hash_split
+
+__all__ = [
+    "contamination_report",
+    "pack_sequences",
+    "tfidf_top_terms",
+    "bigram_counts",
+]
+
+
+def _doc_shingle_hashes(
+    df: DataFrame, id_col: str, text_col: str, n: int
+) -> DataFrame:
+    """(id, shingle_hash) pairs — one row per distinct word n-gram per
+    document, the n-gram represented only by its portable 56-bit hash
+    (8-byte join keys; the strings never shuffle)."""
+    sh = F.expr(_shingles_sql(text_col, n))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .select(
+            "id",
+            F.expr(portable_hash56_sql("shingle")).alias("shingle_hash"),
+        )
+    )
+
+
+def contamination_report(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_n: int = 3,
+    test_frac: float = 0.2,
+    salt: str = "contam",
+) -> DataFrame:
+    """Benchmark-contamination check: which *train* documents contain
+    word n-grams that also appear in the held-out *test* split.
+
+    The split is derived with :func:`hash_split` (deterministic,
+    growth-stable), so the report is reproducible run over run. Output
+    is one row per contaminated train document:
+    ``(doc_id, n_shingles, n_hit, contamination_pct)``.
+
+    At 100 TB the test side is the small side by construction —
+    ``test_frac`` of the corpus, distinct-reduced to unique shingle
+    hashes — so Spark's planner broadcasts it and the train side
+    never shuffles; otherwise it is one equi-join on an 8-byte key.
+    """
+    split = hash_split(
+        df, id_col, {"train": 1.0 - test_frac, "test": test_frac}, salt=salt
+    )
+    shingled = _doc_shingle_hashes(split, id_col, text_col, shingle_n)
+    # re-attach split by recomputing the hash bucket on the id — a
+    # column, not a join (the split is a pure function of the id)
+    split_col = hash_split(
+        shingled.withColumnRenamed("id", id_col),
+        id_col,
+        {"train": 1.0 - test_frac, "test": test_frac},
+        salt=salt,
+    )
+    train = split_col.filter(F.col("split") == "train").select(
+        F.col(id_col).alias("id"), "shingle_hash"
+    )
+    test_set = (
+        split_col.filter(F.col("split") == "test")
+        .select("shingle_hash")
+        .distinct()
+    )
+    hits = (
+        train.join(test_set, "shingle_hash", "left_semi")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    totals = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(hits, "id", "inner")
+        .select(
+            F.col("id").alias(id_col),
+            F.col("n_shingles").cast("bigint").alias("n_shingles"),
+            F.col("n_hit").cast("bigint").alias("n_hit"),
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination_pct"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_budget: int = 512,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Contiguous sequence packing: concatenate documents in ``id_col``
+    order and cut the stream every ``token_budget`` tokens; each
+    document is assigned the bin in which it *starts*.
+
+    Adds ``n_tokens``, ``cum_before`` (exclusive prefix sum of tokens
+    in id order) and ``bin_id = floor(cum_before / token_budget)``.
+
+    The prefix sum is distributed: ids are range-bucketed into
+    ``n_shards`` shards, each shard computes its local running sum in
+    parallel, and shard base offsets (one tiny row per shard) are
+    joined back by broadcast. Equivalent to a global ordered window,
+    without the single-task bottleneck a global ``Window.orderBy``
+    creates at scale.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+    )
+    # range-shard on id so shard order == id order (required for the
+    # contiguous semantics); span from one tiny max() broadcast row
+    bounds = toks.agg(
+        F.max(id_col).alias("max_id"), F.min(id_col).alias("min_id")
+    )
+    sharded = toks.crossJoin(F.broadcast(bounds)).withColumn(
+        "shard",
+        F.least(
+            F.lit(n_shards - 1),
+            F.floor(
+                (F.col(id_col) - F.col("min_id"))
+                * n_shards
+                / (F.col("max_id") - F.col("min_id") + 1)
+            ),
+        ).cast("bigint"),
+    )
+    intra_w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sharded.withColumn("intra_cum", F.sum("n_tokens").over(intra_w))
+    shard_tot = local.groupBy("shard").agg(
+        F.sum("n_tokens").alias("shard_tokens")
+    )
+    offset_w = (
+        Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # the offsets table has n_shards rows — the single-task window here
+    # is over a bounded tiny input, then broadcast back
+    offsets = shard_tot.withColumn(
+        "shard_offset",
+        F.sum("shard_tokens").over(offset_w) - F.col("shard_tokens"),
+    ).select("shard", "shard_offset")
+    return (
+        local.join(F.broadcast(offsets), "shard")
+        .withColumn(
+            "cum_before",
+            (F.col("shard_offset") + F.col("intra_cum") - F.col("n_tokens")),
+        )
+        .withColumn(
+            "bin_id", F.floor(F.col("cum_before") / token_budget).cast("bigint")
+        )
+        .select(id_col, "n_tokens", "cum_before", "bin_id")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document:
+    ``score = tf(term, doc) · ln(N / df(term))``, rounded to 6 so the
+    double is engine-canonical (see queries.py determinism rules).
+
+    Two hash aggregations (term counts per doc; document frequency per
+    term) plus one 1-row broadcast for N. Ties break on term text, so
+    the top-k set is fully deterministic.
+    """
+    words = df.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.countDistinct(id_col).alias("n_docs"))
+    scored = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_docs").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    rank_w = Window.partitionBy(id_col).orderBy(
+        F.desc("tfidf"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(rank_w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            id_col,
+            F.col("rnk").cast("bigint").alias("rnk"),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            F.col("tfidf").cast("double").alias("tfidf"),
+        )
+    )
+
+
+def bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus bigram table (adjacent word pairs → occurrence counts),
+    the building block for n-gram LM stats and collocation mining.
+
+    The pair array is built JVM-side with ``transform(sequence(...))``
+    over the token array (no UDF, no self-join); counting is one hash
+    aggregation on the bigram string.
+    """
+    # guard single-token docs: sequence(1, 0) in Spark counts DOWN to
+    # [1, 0] rather than yielding an empty array, and element_at(_, 0)
+    # throws — so emit array() explicitly when there is no pair
+    pairs = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) < 2 THEN array()"
+        f" ELSE transform(sequence(1, size(split({text_col}, ' ')) - 1),"
+        f"   i -> concat(element_at(split({text_col}, ' '), i), ' ',"
+        f"              element_at(split({text_col}, ' '), i + 1))) END"
+    )
+    return (
+        df.select(F.explode(pairs).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("bigram", F.col("n").cast("bigint").alias("n"))
+    )

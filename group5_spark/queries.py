@@ -2296,6 +2296,164 @@ def word_position_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contamination_check",
+    f"""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR) || 'contam'), 1, 8)
+                         <= 'cccccccb'
+                    THEN 'train' ELSE 'test' END AS split,
+               unnest(list_distinct([array_to_string(toks[i+1:i+3], ' ')
+                   FOR i IN range(0, greatest(len(toks) - 3, 0) + 1)])) AS s
+        FROM tok
+    ),
+    h AS (
+        SELECT doc_id, split, {_DUCK_H56.format(x="s")} AS sh_hash FROM sh
+    ),
+    train AS (SELECT doc_id, sh_hash FROM h WHERE split = 'train'),
+    hits AS (
+        SELECT doc_id, COUNT(*) AS n_hit FROM train
+        WHERE sh_hash IN (SELECT DISTINCT sh_hash FROM h WHERE split = 'test')
+        GROUP BY doc_id
+    ),
+    tot AS (SELECT doc_id, COUNT(*) AS n_shingles FROM train GROUP BY doc_id)
+    SELECT t.doc_id, t.n_shingles::BIGINT AS n_shingles,
+           hits.n_hit::BIGINT AS n_hit,
+           ROUND(CAST(hits.n_hit AS DOUBLE) / t.n_shingles, 6)
+               AS contamination_pct
+    FROM tot t JOIN hits USING (doc_id)
+    """,
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination report: train-split documents whose
+    word 3-grams also occur in the held-out test split
+    (extensions.corpus.contamination_report) — the leakage check every
+    pretraining pipeline runs before an eval.
+
+    The split is the deterministic md5 hash_split (salted 'contam'),
+    shingles travel as 56-bit portable hashes (8-byte join keys, both
+    engines compute identical buckets), and the distinct test-shingle
+    set is the broadcast-small side of one left-semi join.
+    """
+    from group5_spark.extensions.corpus import contamination_report
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return contamination_report(
+        docs, shingle_n=3, test_frac=0.2, salt="contam"
+    )
+
+
+@register(
+    "packed_sequence_bins",
+    """
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, n_tokens,
+               SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+        FROM t
+    )
+    SELECT CAST(cum_before // 512 AS BIGINT) AS bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens)::BIGINT AS started_tokens
+    FROM c GROUP BY 1
+    """,
+)
+def packed_sequence_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contiguous sequence packing (extensions.corpus.pack_sequences):
+    documents concatenated in doc_id order, cut every 512 tokens; each
+    doc lands in the bin where it starts. Output: docs and tokens
+    started per bin.
+
+    The oracle states the semantics as one global ordered window; the
+    engine computes the identical prefix sum distributed — per-shard
+    cumulative sums plus a broadcast shard-offset table — because a
+    global Window.orderBy is a single task at 100 TB.
+    """
+    from group5_spark.extensions.corpus import pack_sequences
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    packed = pack_sequences(docs, token_budget=512, n_shards=32)
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("started_tokens"),
+    )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM words GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+           tf::BIGINT AS tf, df::BIGINT AS df, tfidf
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rnk
+        FROM scored
+    ) WHERE rnk <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document
+    (extensions.corpus.tfidf_top_terms): tf · ln(N/df), the classic
+    keyword/relevance score a curation pipeline uses for topic
+    filtering and near-duplicate triage.
+
+    Two hash aggregations plus a 1-row broadcast for N; the top-k
+    window partitions by doc (never global). Scores round to 6 before
+    ranking so both engines rank identical values; ties break on term.
+    """
+    from group5_spark.extensions.corpus import tfidf_top_terms as op
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return op(docs, k=3)
+
+
+@register(
+    "bigram_top_counts",
+    """
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    bg AS (
+        SELECT unnest([toks[i] || ' ' || toks[i+1]
+                FOR i IN range(1, greatest(len(toks), 1))]) AS bigram
+        FROM t
+    )
+    SELECT bigram, COUNT(*)::BIGINT AS n
+    FROM bg GROUP BY bigram HAVING COUNT(*) >= 2
+    """,
+)
+def bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram counts (extensions.corpus.bigram_counts) — the
+    n-gram LM / collocation building block. Adjacent pairs are built
+    JVM-side from the token array (transform over sequence; no
+    self-join, no UDF), then one hash aggregation on the pair string.
+    """
+    from group5_spark.extensions.corpus import bigram_counts
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bigram_counts(docs, min_count=2)
+
+
+@register(
     "forecast_revenue_change",
     """
     SELECT SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))::DOUBLE

@@ -215,6 +215,33 @@ def test_promo_revenue_share_plan(q):
 # Queries whose plans legitimately contain a nested-loop/cartesian
 # stage: all-pairs similarity over a (tiny, broadcast) side, or a
 # deliberately-unkeyed pair enumeration bounded elsewhere.
+def test_contamination_check_plan(q):
+    df = q("contamination_check")
+    # distinct test-shingle set broadcasts into the left-semi join
+    assert I.num_broadcast_joins(df) >= 1
+    I.assert_max_shuffles(df, 4)
+
+
+def test_packed_sequence_bins_plan(q):
+    # distributed prefix sum: shard window + tiny offsets window +
+    # broadcast join back — never a global data-sized window
+    df = q("packed_sequence_bins")
+    assert I.num_broadcast_joins(df) >= 1
+    I.assert_max_shuffles(df, 6)
+
+
+def test_tfidf_plan(q):
+    df = q("tfidf_top_terms")
+    I.assert_max_shuffles(df, 6)
+    assert I.has_codegen(df)
+
+
+def test_bigram_counts_single_shuffle(q):
+    df = q("bigram_top_counts")
+    I.assert_max_shuffles(df, 1)
+    assert I.has_codegen(df)
+
+
 NLJ_ALLOWED = {
     "sim_topk",              # query side broadcast (8 vectors)
     "sim_lsh_topk",          # bucket-local pairs after LSH banding
@@ -226,6 +253,8 @@ NLJ_ALLOWED = {
     "scalar_subquery_pricey_parts",  # scalar subquery → 1-row bcast NLJ
     "rich_inactive_customers",       # scalar AVG subquery, same shape
     "small_quantity_revenue",        # scalar agg join-back
+    "tfidf_top_terms",               # 1-row N(docs) scalar broadcast
+    "packed_sequence_bins",          # 1-row min/max id bounds broadcast
 }
 
 
