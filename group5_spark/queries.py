@@ -2453,6 +2453,38 @@ def bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_counts(docs, min_count=2)
 
 
+def _kmeans_oracle() -> str:
+    from group5_spark.extensions.clustering import kmeans_oracle_sql
+
+    return kmeans_oracle_sql(k=8, iters=3, dim=64)
+
+
+@register("kmeans_embedding_clusters", _kmeans_oracle())
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, 3 Lloyd iterations) over the 64-dim embedding
+    column (extensions.clustering.kmeans_assign): per-cluster sizes
+    and inertia — corpus topic/quality bucketing by embedding
+    geometry.
+
+    An *iterative* algorithm held to the full value-hash gate: the
+    oracle unrolls the identical iteration as chained DuckDB CTEs.
+    Determinism comes from rounding centroids and distances to 6 each
+    pass and folding distance terms in array order (both engines are
+    sequential left folds). Per iteration the points table streams
+    through codegen'd distance expressions (no UDF, no join); driver
+    state is k x 64 doubles — same bounded-collect contract as
+    similarity.ivf_topk.
+    """
+    from group5_spark.extensions.clustering import kmeans_assign
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = kmeans_assign(emb, k=8, iters=3)
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.sum("dist"), 4).alias("inertia"),
+    )
+
+
 @register(
     "forecast_revenue_change",
     """

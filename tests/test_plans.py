@@ -236,6 +236,15 @@ def test_tfidf_plan(q):
     assert I.has_codegen(df)
 
 
+def test_kmeans_clusters_plan(q):
+    # assignment is pure map-side codegen (distance HOFs against
+    # literal centroids — no join); only the size/inertia agg shuffles
+    df = q("kmeans_embedding_clusters")
+    I.assert_max_shuffles(df, 1)
+    plan = I.formatted_plan(df)
+    assert "Join" not in plan
+
+
 def test_bigram_counts_single_shuffle(q):
     df = q("bigram_top_counts")
     I.assert_max_shuffles(df, 1)
