@@ -106,13 +106,11 @@ def write_gold_zone(
     df: DataFrame, path: str, fmt: str = "parquet", single_file: bool = False
 ) -> None:
     """Gold-zone sink (A9-A10): Parquet primary, CSV for reference
-    parity; overwrite mode keeps re-runs idempotent."""
-    out = df.coalesce(1) if single_file else df
-    writer = out.write.mode("overwrite")
-    if fmt == "csv":
-        writer.option("header", True).csv(path)
-    else:
-        writer.parquet(path)
+    parity, ORC/JSON via the format router; overwrite mode keeps
+    re-runs idempotent."""
+    from group5_spark.sources.formats import write_table
+
+    write_table(df, path, fmt=fmt, single_file=single_file)
 
 
 def _date_filter(df: DataFrame, date: str | None) -> DataFrame:

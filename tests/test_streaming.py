@@ -76,6 +76,33 @@ def test_checkpoint_no_reprocess(spark, landing):
     assert total_b == 350  # complete mode: cumulative state, +50 only
 
 
+def test_rate_limit_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger=1 bounds each micro-batch to one landing
+    file: an AvailableNow drain over 3 files runs 3 micro-batches
+    (backpressure knob — at scale this caps per-trigger input so one
+    burst of landed files cannot blow out an executor)."""
+    root = tmp_path / "landing"
+    customers = gen.make_customers(10)
+    products = gen.make_products(10)
+    for batch_ts in (1, 2, 3):
+        ue = gen.make_user_events(40, customers, products, seed=batch_ts)
+        write_ndjson_batch(ue, "user_events", str(root), batch_ts=batch_ts)
+    glob = str(root / "user_events_batch_*.json")
+    stream = jobs.stream_landing(
+        spark, glob, USER_EVENT_SCHEMA, max_files_per_trigger=1
+    )
+    q = jobs.run_available_now(
+        stream.groupBy("event_type").count(),
+        str(tmp_path / "ckpt_rate"),
+        "rate_limited",
+        output_mode="complete",
+    )
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches == 3
+    total = spark.table("rate_limited").agg(F.sum("count")).collect()[0][0]
+    assert total == 120
+
+
 def test_watermark_drops_late_state(spark, tmp_path):
     """Rows older than the watermark do not open new windows in the
     final result (append mode emits only closed windows)."""
