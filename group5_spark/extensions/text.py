@@ -97,3 +97,35 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     text. Stable across engines (standard MD5 hex)."""
     normalized = F.lower(F.trim(F.regexp_replace(F.col(text_col), "\\s+", " ")))
     return df.withColumn(out, F.md5(normalized))
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Per-document repetition metrics, Gopher-rule style: the
+    most-frequent-unigram fraction (``max_tf_ratio``) and the
+    distinct-token fraction (``distinct_ratio``) — the two cheapest
+    signals of boilerplate/degenerate text in a pretraining corpus.
+
+    Explode → two hash aggregations (term-per-doc, then per-doc max) —
+    the same shuffle shape as TF-IDF; at 100 TB the shuffled rows are
+    (doc, term) pairs, bounded by corpus token *types* per doc, never
+    raw token instances. ``carry_cols`` ride through the group keys
+    (they must be functionally dependent on ``id_col`` — metadata like
+    source/lang), which costs nothing and avoids a doc-sized join-back.
+    """
+    keys = [id_col, *carry_cols]
+    toks = df.select(
+        *keys, F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(*keys, "term").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy(*keys).agg(
+        F.sum("tf").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("tf").cast("bigint").alias("max_tf"),
+        F.round(F.max("tf") / F.sum("tf"), 6).alias("max_tf_ratio"),
+        F.round(F.count(F.lit(1)) / F.sum("tf"), 6).alias("distinct_ratio"),
+    )

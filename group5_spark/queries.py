@@ -2453,6 +2453,69 @@ def bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bigram_counts(docs, min_count=2)
 
 
+@register(
+    "corpus_quality_gate",
+    """
+    WITH tf AS (
+        SELECT doc_id, source, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, source,
+                     unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, source, term
+    ),
+    per_doc AS (
+        SELECT doc_id, source,
+               SUM(tf) AS n_tokens,
+               COUNT(*) AS n_distinct,
+               MAX(tf) AS max_tf,
+               ROUND(CAST(MAX(tf) AS DOUBLE) / SUM(tf), 6) AS max_tf_ratio,
+               ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(tf), 6) AS distinct_ratio
+        FROM tf GROUP BY doc_id, source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(CASE WHEN max_tf_ratio > 0.15 THEN 1 ELSE 0 END)::BIGINT
+               AS n_repetitive,
+           SUM(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END)::BIGINT AS n_short,
+           SUM(CASE WHEN max_tf_ratio <= 0.15 AND n_tokens >= 20
+                    THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+           ROUND(CAST(SUM(CASE WHEN max_tf_ratio <= 0.15 AND n_tokens >= 20
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS kept_pct
+    FROM per_doc GROUP BY source
+    """,
+)
+def corpus_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality gate rollup (extensions.text
+    repetition_stats): per source, how many documents fail the
+    repetition rule (most-frequent unigram > 15% of tokens) or the
+    length rule (< 20 tokens), and the kept fraction — the go/no-go
+    dashboard a curation pipeline emits before training.
+
+    Source rides through the group keys (functionally dependent on
+    doc_id), so there is no doc-sized join-back; the rollup output is
+    one row per source.
+    """
+    from group5_spark.extensions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    stats = repetition_stats(docs, carry_cols=("source",))
+    repetitive = F.col("max_tf_ratio") > 0.15
+    short = F.col("n_tokens") < 20
+    kept = ~repetitive & ~short
+    return stats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(repetitive.cast("int")).cast("bigint").alias("n_repetitive"),
+        F.sum(short.cast("int")).cast("bigint").alias("n_short"),
+        F.sum(kept.cast("int")).cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum(kept.cast("int")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("kept_pct"),
+    )
+
+
 def _kmeans_oracle() -> str:
     from group5_spark.extensions.clustering import kmeans_oracle_sql
 
@@ -3750,7 +3813,11 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are showcase variants of operators already covered inside the window.
 # The LSH/IVF family (dedup_minhash_lsh, dedup_simhash_pairs,
 # sim_lsh_topk, sim_ivf_topk) runs in portable-hash mode and is fully
-# oracle-gated; rotate into the window in a later round.
+# oracle-gated, as are the round-2 corpus-prep additions
+# (contamination_check, packed_sequence_bins, tfidf_top_terms,
+# bigram_top_counts, kmeans_embedding_clusters) — all strict-mode
+# green locally; rotate them into the window in a later round once
+# this round's 50 have banked green rows.
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

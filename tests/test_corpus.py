@@ -100,6 +100,21 @@ def test_tfidf_topk_shape_and_ordering(spark, sf_dir):
     assert misordered.count() == 0
 
 
+def test_repetition_stats_counts(spark):
+    from group5_spark.extensions.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b", "s1"), (2, "x y z w", "s1")],
+        ["doc_id", "text", "source"],
+    )
+    rows = {r["doc_id"]: r for r in
+            repetition_stats(df, carry_cols=("source",)).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[1]["max_tf"] == 3
+    assert rows[1]["max_tf_ratio"] == 0.75
+    assert rows[2]["n_distinct"] == 4 and rows[2]["distinct_ratio"] == 1.0
+    assert rows[1]["source"] == "s1"
+
+
 def test_tfidf_scores_positive_for_rare_terms(spark, sf_dir):
     out = tfidf_top_terms(_docs(spark, sf_dir), k=3)
     # a term present in every document has idf = ln(1) = 0; top-ranked

@@ -236,6 +236,15 @@ def test_tfidf_plan(q):
     assert I.has_codegen(df)
 
 
+def test_corpus_quality_gate_plan(q):
+    # explode → (doc, term) agg → per-doc agg → per-source rollup:
+    # three keyed shuffles, no join anywhere
+    df = q("corpus_quality_gate")
+    I.assert_max_shuffles(df, 3)
+    plan = I.formatted_plan(df)
+    assert "Join" not in plan
+
+
 def test_kmeans_clusters_plan(q):
     # assignment is pure map-side codegen (distance HOFs against
     # literal centroids — no join); only the size/inertia agg shuffles
