@@ -59,9 +59,14 @@ def main() -> None:
     spark = create_spark_session("group5-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM + file listing once so per-query numbers measure the
-    # query, not session startup.
-    QUERIES["pricing_summary"](spark, sf_dir).count()
+    # Steady-state methodology: one full untimed warm-up pass (JIT +
+    # whole-stage-codegen compilation, parquet footer/page cache, file
+    # listing), then the timed pass. One-shot timings on a shared box
+    # mix compilation and ambient load into the numbers and flap ±25%
+    # run to run; the steady-state pass measures the query plan.
+    for name in HEADLINE:
+        if name in QUERIES:
+            QUERIES[name](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
