@@ -2454,6 +2454,119 @@ def bigram_top_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_revenue",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                            (l_returnflag), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (the general form of the rollup/cube
+    pair already in the registry): detail, per-flag subtotal, and
+    grand total in one pass via Spark's Expand operator — one scan +
+    one shuffle instead of three queries with a UNION.
+
+    NULL grouping keys become 'ALL' labels (string canonical form,
+    per the determinism rules — both engines agree on labels, not on
+    NULL hashing).
+    """
+    from group5_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "dq_orders_checks",
+    """
+    SELECT 'o_orderkey_not_null' AS check_name, 'o_orderkey' AS col_name,
+           'not_null' AS kind,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)::BIGINT
+               AS n_violations,
+           SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderkey_unique', 'o_orderkey', 'unique',
+           (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT,
+           COUNT(*) = COUNT(DISTINCT o_orderkey)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus_accepted', 'o_orderstatus', 'accepted_values',
+           SUM(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O','F','P')
+                    THEN 1 ELSE 0 END)::BIGINT,
+           SUM(CASE WHEN o_orderstatus IS NULL
+                    OR o_orderstatus NOT IN ('O','F','P')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice_range', 'o_totalprice', 'in_range',
+           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                    THEN 1 ELSE 0 END)::BIGINT,
+           SUM(CASE WHEN o_totalprice IS NULL OR o_totalprice < 0
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority_shape', 'o_orderpriority', 'matches',
+           SUM(CASE WHEN o_orderpriority IS NULL
+                    OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                    THEN 1 ELSE 0 END)::BIGINT,
+           SUM(CASE WHEN o_orderpriority IS NULL
+                    OR NOT regexp_matches(o_orderpriority, '^[1-5]-')
+                    THEN 1 ELSE 0 END) = 0
+    FROM orders
+    """,
+)
+def dq_orders_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality report over orders (quality.run_checks,
+    Deequ-lite): key not-null + unique, status domain, price range,
+    priority shape — one row per constraint with violation counts.
+
+    All row-local checks fold into a single aggregation over one scan;
+    the uniqueness check is the only keyed shuffle. The oracle states
+    each constraint as its own aggregate UNION ALL — same verdicts,
+    five scans; the engine's single-pass form is the point.
+    """
+    from group5_spark.quality import (
+        accepted_values,
+        in_range,
+        matches,
+        not_null,
+        run_checks,
+        unique,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    return run_checks(
+        orders,
+        [
+            not_null("o_orderkey"),
+            unique("o_orderkey"),
+            accepted_values("o_orderstatus", ("O", "F", "P")),
+            in_range("o_totalprice", lo=0),
+            matches("o_orderpriority", "^[1-5]-"),
+        ],
+    )
+
+
+@register(
     "corpus_quality_gate",
     """
     WITH tf AS (

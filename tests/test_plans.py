@@ -236,6 +236,22 @@ def test_tfidf_plan(q):
     assert I.has_codegen(df)
 
 
+def test_grouping_sets_single_pass(q):
+    # Expand operator: detail + subtotal + grand total in one scan,
+    # one aggregate exchange — not three UNIONed queries
+    df = q("grouping_sets_revenue")
+    plan = I.formatted_plan(df)
+    assert "Expand" in plan
+    I.assert_max_shuffles(df, 1)
+
+
+def test_dq_checks_bounded_shuffles(q):
+    # one scalar agg for all row-local checks + one keyed agg for the
+    # uniqueness check + the tiny union/meta join
+    df = q("dq_orders_checks")
+    I.assert_max_shuffles(df, 4)
+
+
 def test_corpus_quality_gate_plan(q):
     # explode → (doc, term) agg → per-doc agg → per-source rollup:
     # three keyed shuffles, no join anywhere
