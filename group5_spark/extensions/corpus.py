@@ -234,6 +234,54 @@ def tfidf_top_terms(
     )
 
 
+def boilerplate_fraction(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """C4-style boilerplate gate: for each document, the fraction of
+    its distinct word ``n``-grams that occur in at least ``min_df``
+    documents corpus-wide. High fractions mark template/boilerplate
+    text (navigation chrome, license banners) that a pretraining
+    pipeline down-weights or drops.
+
+    Plan shape at scale: one explode of distinct per-doc shingles
+    feeds (a) a doc-frequency hash agg whose ``>= min_df`` survivors
+    are broadcast, and (b) a per-doc left join + single hash agg
+    counting matched vs total shingles. The shuffled unit is the
+    shingle string, never the document body, and the frequent set is
+    tiny by construction (frequency threshold), so the join side
+    stays broadcastable at any corpus size.
+    """
+    shingles = F.expr(
+        f"CASE WHEN size(split({text_col}, ' ')) < {n} THEN array()"
+        f" ELSE array_distinct(transform("
+        f"   sequence(0, size(split({text_col}, ' ')) - {n}),"
+        f"   i -> array_join(slice(split({text_col}, ' '), i + 1, {n}), ' ')))"
+        f" END"
+    )
+    sh = df.select(F.col(id_col), F.explode(shingles).alias("sh"))
+    frequent = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("sh", F.lit(True).alias("_freq"))
+    )
+    return (
+        sh.join(F.broadcast(frequent), "sh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.count("_freq").cast("bigint").alias("n_frequent"),
+            F.round(F.count("_freq") / F.count(F.lit(1)), 6).alias(
+                "boilerplate_frac"
+            ),
+        )
+    )
+
+
 def bigram_counts(
     df: DataFrame,
     text_col: str = "text",

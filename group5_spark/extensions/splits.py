@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["hash_split", "split_bounds"]
+__all__ = ["hash_split", "split_bounds", "temperature_resample"]
 
 _PREFIX_LEN = 8  # 32 bits of the digest: granularity 1/2^32
 
@@ -74,6 +74,53 @@ def hash_split(
     # numerically the last bound is the max hex value, so the chain is
     # exhaustive; otherwise() guards rounding pathologies only
     return df.withColumn(out_col, expr.otherwise(list(splits)[-1]))
+
+
+def temperature_resample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    salt: str = "",
+    rate_col: str = "keep_rate",
+) -> DataFrame:
+    """Temperature-based corpus rebalancing: keep each row of stratum
+    *l* with probability ``(p_l^(alpha-1)) / max_m(p_m^(alpha-1))``
+    where ``p_l`` is the stratum's corpus share — the multilingual
+    up/down-sampling rule (sampling ∝ p^alpha, rarest stratum kept in
+    full). ``alpha=1`` keeps everything; ``alpha→0`` approaches
+    uniform-over-strata.
+
+    Deterministic: the keep/drop decision hashes ``key_col`` (same
+    md5-prefix bucket as :func:`hash_split`), so re-runs and engine
+    ports reproduce row-for-row. Two tiny aggregations compute the
+    per-stratum rates (k rows — broadcast back); the corpus itself
+    sees one broadcast join + map-side filter, no shuffle of data
+    rows at any scale.
+
+    For ``alpha=0.5`` the weight is computed as ``1/sqrt(p)`` —
+    ``sqrt`` is IEEE correctly-rounded in every engine, while ``pow``
+    may differ by 1 ulp across libm implementations, which would make
+    boundary rows engine-dependent.
+    """
+    p = F.col("_n") / F.col("_total")
+    if alpha == 0.5:
+        weight = F.lit(1.0) / F.sqrt(p)
+    else:
+        weight = F.pow(p, F.lit(alpha - 1.0))
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    total = counts.agg(F.sum("_n").cast("double").alias("_total"))
+    weighted = counts.crossJoin(F.broadcast(total)).select(
+        strata_col, weight.alias("_w")
+    )
+    wmax = weighted.agg(F.max("_w").alias("_wmax"))
+    rates = weighted.crossJoin(F.broadcast(wmax)).select(
+        strata_col, (F.col("_w") / F.col("_wmax")).alias(rate_col)
+    )
+    u = F.conv(_bucket(F.col(key_col), salt), 16, 10).cast("bigint")
+    return df.join(F.broadcast(rates), strata_col).filter(
+        u < F.col(rate_col) * F.lit(float(1 << 32))
+    )
 
 
 def stratified_sample(

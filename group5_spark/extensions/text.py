@@ -99,6 +99,41 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     return df.withColumn(out, F.md5(normalized))
 
 
+# PII patterns written in the regex subset Java (Spark) and RE2
+# (DuckDB, Go) share: character classes, bounded repeats, \b, \d —
+# no lookaround, no backreferences. Order matters: emails are
+# redacted before IPs/phones so an address never half-matches the
+# digit patterns.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out: str = "redacted"
+) -> DataFrame:
+    """PII scrubbing for training corpora: redact emails, IPv4
+    addresses, and phone-shaped numbers, and count each category
+    (the counts feed per-source PII-rate dashboards; the redacted
+    text replaces the original downstream).
+
+    Pure ``regexp_count``/``regexp_replace`` — JVM-side, codegen'd,
+    map-only: zero shuffle at any scale. Counts are taken on the
+    original text *before* any replacement so categories don't mask
+    each other; replacements then apply in PII_PATTERNS order.
+    """
+    counts = [
+        F.regexp_count(F.col(text_col), F.lit(pat)).cast("bigint").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    redacted = F.col(text_col)
+    for _, pat, token in PII_PATTERNS:
+        redacted = F.regexp_replace(redacted, pat, token)
+    return df.select("*", *counts, redacted.alias(out))
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

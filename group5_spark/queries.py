@@ -3902,6 +3902,307 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------
+# Round-2 additions: calendar spine, cluster representatives, PII,
+# boilerplate gate, temperature resampling
+# --------------------------------------------------------------------
+
+
+@register(
+    "gap_filled_daily_revenue",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders GROUP BY 1
+    ),
+    bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+    spine AS (
+        SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS d
+        FROM bounds
+    )
+    SELECT s.d,
+           COALESCE(dd.revenue, 0.0) AS revenue,
+           COALESCE(dd.n_orders, 0) AS n_orders,
+           dd.n_orders IS NULL AS is_gap
+    FROM spine s LEFT JOIN daily dd ON s.d = dd.d
+    """,
+)
+def gap_filled_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: dense daily revenue with zero-filled
+    missing days — the dim_date pattern (SURVEY §2 B25/B28) applied
+    as a query. The spine is ``explode(sequence(min, max))`` off a
+    1-row bounds aggregate: bounded by the calendar (a few thousand
+    rows at any data scale), so the left join broadcasts the daily
+    aggregate and nothing large ever shuffles for the fill itself.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC2)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    spine = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("d")
+    )
+    return spine.join(F.broadcast(daily), "d", "left").select(
+        "d",
+        F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        F.coalesce("n_orders", F.lit(0).cast("bigint")).alias("n_orders"),
+        F.col("n_orders").isNull().alias("is_gap"),
+    )
+
+
+@register(
+    "dedup_cluster_representatives",
+    """
+    WITH RECURSIVE t AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS words
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.words, b.words))) >= 0.9
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comps AS (
+        SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+    ),
+    clustered AS (
+        SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id, d.n_chars
+        FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+    )
+    SELECT cluster_id, doc_id AS rep_id, cluster_size,
+           cluster_size - 1 AS n_dropped
+    FROM (
+        SELECT doc_id, cluster_id,
+               COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+               ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                  ORDER BY n_chars DESC, doc_id) AS rn
+        FROM clustered
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_cluster_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware canonical selection: after near-dup clustering,
+    keep the *best* document per cluster (longest, then lowest id as
+    the deterministic tie-break) instead of the arbitrary min-id — the
+    step that decides which copy of a duplicated page survives into
+    the training set. One window over cluster_id on top of the
+    connected-components output; shuffle key is the cluster id.
+    """
+    from group5_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(
+        docs, block_col="source", threshold=0.9
+    ).select("id_a", "id_b")
+    comp = dedup.connected_components(pairs)
+    clustered = (
+        docs.select("doc_id", "n_chars")
+        .join(comp.select(F.col("id").alias("doc_id"), "comp"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("comp", F.col("doc_id")).alias("cluster_id"),
+            "n_chars",
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    ranked = clustered.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("rn"),
+    )
+    return ranked.filter(F.col("rn") == 1).select(
+        "cluster_id",
+        F.col("doc_id").alias("rep_id"),
+        "cluster_size",
+        (F.col("cluster_size") - 1).alias("n_dropped"),
+    )
+
+
+@register(
+    "pii_redaction_report",
+    """
+    WITH synth AS (
+        SELECT doc_id,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                            || '@example.com' ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                            || '.7' ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' call 555-010-'
+                            || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+           len(regexp_extract_all(text,
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+           len(regexp_extract_all(text,
+               '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}')) AS n_phone,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+               '<IP>', 'g'),
+               '\\+?\\d{3}[- ]\\d{3}[- ]\\d{4}',
+               '<PHONE>', 'g')) AS redacted_md5
+    FROM synth
+    """,
+)
+def pii_redaction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails / IPv4 / phone numbers) over the corpus.
+
+    The testdata text is synthetic word-soup with no natural PII, so
+    the query first *injects* deterministic PII derived from doc_id
+    (both engines build the identical string), then runs the real
+    :func:`extensions.text.redact_pii` operator and reports per-doc
+    category counts plus the md5 of the redacted text — pinning the
+    exact redaction output, not just the counts. Map-only, zero
+    shuffle at any scale.
+    """
+    from group5_spark.extensions import text as tx
+
+    docs = load_table(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    did.cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 5 == 0,
+                F.concat(
+                    F.lit(" from 10.0."),
+                    (did % 256).cast("string"),
+                    F.lit(".7"),
+                ),
+            ).otherwise(""),
+            F.when(
+                did % 7 == 0,
+                F.concat(
+                    F.lit(" call 555-010-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    return tx.redact_pii(synth).select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        F.md5("redacted").alias("redacted_md5"),
+    )
+
+
+@register(
+    "boilerplate_ngram_fraction",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(
+                   CASE WHEN len(words) < 5 THEN CAST([] AS VARCHAR[])
+                        ELSE list_transform(range(1, len(words) - 3), i ->
+                             array_to_string(words[i:i+4], ' ')) END)) AS sh
+        FROM w
+    ),
+    freq AS (
+        SELECT sh FROM sh GROUP BY sh HAVING COUNT(*) >= 3
+    )
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           COUNT(f.sh) AS n_frequent,
+           ROUND(CAST(COUNT(f.sh) AS DOUBLE) / COUNT(*), 6)
+               AS boilerplate_frac
+    FROM sh s LEFT JOIN freq f ON s.sh = f.sh
+    GROUP BY s.doc_id
+    """,
+)
+def boilerplate_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate gate: per-doc fraction of distinct 5-gram
+    shingles occurring in >= 3 documents corpus-wide (see
+    :func:`extensions.corpus.boilerplate_fraction` for the scale
+    analysis — frequent set broadcast, shingles shuffled, bodies
+    never)."""
+    from group5_spark.extensions import corpus
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus.boilerplate_fraction(docs, n=5, min_df=3)
+
+
+@register(
+    "lang_temperature_resample",
+    """
+    WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(n) AS DOUBLE) AS total FROM c),
+    w AS (SELECT lang, n, 1.0 / sqrt(n / total) AS w FROM c, t),
+    m AS (SELECT MAX(w) AS wmax FROM w),
+    r AS (SELECT lang, n, w / wmax AS keep_rate FROM w, m)
+    SELECT d.lang,
+           MIN(r.n) AS n_total,
+           COUNT(*) AS n_kept,
+           ROUND(MIN(r.keep_rate), 6) AS keep_rate
+    FROM documents d JOIN r ON d.lang = r.lang
+    WHERE CAST(concat('0x',
+               substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          < r.keep_rate * 4294967296.0
+    GROUP BY d.lang
+    """,
+)
+def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language rebalancing (sampling ∝ p^0.5,
+    rarest language kept in full) via
+    :func:`extensions.splits.temperature_resample` — deterministic
+    md5-bucket Bernoulli, so both engines keep the identical row set.
+    Reports per-language before/after counts and the keep rate.
+    """
+    from group5_spark.extensions import splits
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    kept = splits.temperature_resample(docs, "lang", "doc_id", alpha=0.5)
+    kept_agg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(F.first("keep_rate"), 6).alias("keep_rate"),
+    )
+    return totals.join(kept_agg, "lang").select(
+        "lang", "n_total", "n_kept", "keep_rate"
+    )
+
+
+# --------------------------------------------------------------------
 # Registration order
 # --------------------------------------------------------------------
 

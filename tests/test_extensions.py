@@ -332,3 +332,86 @@ def test_portable_hash_modes_match_xxhash_pair_semantics(spark, sf_dir):
     # the testdata's shuffle-dups they should agree almost entirely
     inter = len(a & b)
     assert inter >= int(0.9 * max(len(a), len(b)))
+
+
+def test_redact_pii_exact_behavior(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@foo-bar.io now"),
+            (2, "server at 192.168.0.1 and 8.8.8.8"),
+            (3, "call +1 555-010-1234 or 555 123 4567"),
+            (4, "clean text with no pii at all"),
+            (5, "combo x@y.co 10.0.0.7 555-010-0001"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in T.redact_pii(df).collect()}
+    assert (rows[1].n_email, rows[1].n_ip, rows[1].n_phone) == (1, 0, 0)
+    assert rows[1].redacted == "mail <EMAIL> now"
+    assert (rows[2].n_email, rows[2].n_ip, rows[2].n_phone) == (0, 2, 0)
+    assert rows[2].redacted == "server at <IP> and <IP>"
+    # "+1 555-010-1234" matches on "555-010-1234"; "555 123 4567" on spaces
+    assert rows[3].n_phone == 2
+    assert rows[3].redacted == "call +1 <PHONE> or <PHONE>"
+    assert (rows[4].n_email, rows[4].n_ip, rows[4].n_phone) == (0, 0, 0)
+    assert rows[4].redacted == rows[4].text
+    assert (rows[5].n_email, rows[5].n_ip, rows[5].n_phone) == (1, 1, 1)
+    assert rows[5].redacted == "combo <EMAIL> <IP> <PHONE>"
+
+
+def test_boilerplate_fraction_flags_template_text(spark):
+    from group5_spark.extensions.corpus import boilerplate_fraction
+
+    banner = "all rights reserved by the site"
+    df = spark.createDataFrame(
+        [
+            (1, banner + " alpha beta gamma delta epsilon"),
+            (2, banner + " zeta eta theta iota kappa"),
+            (3, banner + " unus duo tres quattuor quinque"),
+            (4, "completely original sentence nothing shared here at all"),
+            (5, "tiny"),  # < n words: no shingles, absent from output
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in boilerplate_fraction(df, n=5, min_df=3).collect()}
+    assert 5 not in out
+    assert out[4].n_frequent == 0 and out[4].boilerplate_frac == 0.0
+    # the 6-word banner contributes 2 shared 5-grams to each carrier
+    for d in (1, 2, 3):
+        assert out[d].n_frequent == 2
+        assert out[d].n_shingles == 7  # 11 words -> 7 shingles
+        assert out[d].boilerplate_frac == pytest.approx(2 / 7, abs=1e-6)
+
+
+def test_temperature_resample_rates_and_determinism(spark):
+    from group5_spark.extensions.splits import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)],
+        ["doc_id", "lang"],
+    )
+    kept = temperature_resample(df, "lang", "doc_id", alpha=0.5)
+    rates = {r.lang: r.keep_rate for r in
+             kept.select("lang", "keep_rate").distinct().collect()}
+    # rarest stratum is kept in full (rate exactly 1.0)
+    assert rates["small"] == 1.0
+    # p_big/p_small = 9 -> rate_big = sqrt(1/9) = 1/3
+    assert rates["big"] == pytest.approx(1 / 3, abs=1e-12)
+    counts = {r.lang: r.n for r in
+              kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["small"] == 100          # rate 1.0 keeps every row
+    assert abs(counts["big"] - 300) < 60   # Bernoulli(1/3) on 900 rows
+    # deterministic: identical row set on re-run
+    a = sorted(r.doc_id for r in kept.collect())
+    b = sorted(r.doc_id for r in
+               temperature_resample(df, "lang", "doc_id", alpha=0.5).collect())
+    assert a == b
+
+
+def test_temperature_resample_alpha_one_keeps_all(spark):
+    from group5_spark.extensions.splits import temperature_resample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 4 else "b") for i in range(400)], ["doc_id", "lang"]
+    )
+    assert temperature_resample(df, "lang", "doc_id", alpha=1.0).count() == 400

@@ -276,6 +276,47 @@ def test_bigram_counts_single_shuffle(q):
     assert I.has_codegen(df)
 
 
+def test_gap_fill_broadcasts_daily_agg(q):
+    df = q("gap_filled_daily_revenue")
+    # spine (calendar-bounded) left-joins a BROADCAST daily aggregate;
+    # the two shuffles are the daily agg feeding the bounds scalar-agg
+    # and the same agg on the broadcast side — both partial-agg'd
+    # map-side, so each moves at most #days rows
+    assert I.num_broadcast_joins(df) >= 1
+    I.assert_max_shuffles(df, 2)
+    I.assert_scan_pruned(df, table_cols=6, max_cols=2)
+
+
+def test_pii_redaction_is_map_only(q):
+    df = q("pii_redaction_report")
+    # regex scrub is pure codegen: zero shuffles, zero joins
+    I.assert_max_shuffles(df, 0)
+    assert I.has_codegen(df)
+
+
+def test_boilerplate_fraction_broadcasts_frequent_set(q):
+    df = q("boilerplate_ngram_fraction")
+    # frequent-shingle set is broadcast; shuffles are the two hash
+    # aggs (doc-frequency, per-doc rollup) over shingle/doc keys
+    assert I.num_broadcast_joins(df) >= 1
+    I.assert_max_shuffles(df, 2)
+
+
+def test_cluster_representatives_shuffle_budget(q):
+    df = q("dedup_cluster_representatives")
+    # pair gen + min-label iterations + one cluster_id window; the
+    # representative pick adds no shuffle beyond the window
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_temperature_resample_broadcasts_rates(q):
+    df = q("lang_temperature_resample")
+    # per-language rate table (k rows) broadcast back onto the corpus;
+    # corpus rows never shuffle for the filter itself
+    assert I.num_broadcast_joins(df) >= 1
+
+
 NLJ_ALLOWED = {
     "sim_topk",              # query side broadcast (8 vectors)
     "sim_lsh_topk",          # bucket-local pairs after LSH banding
@@ -289,6 +330,7 @@ NLJ_ALLOWED = {
     "small_quantity_revenue",        # scalar agg join-back
     "tfidf_top_terms",               # 1-row N(docs) scalar broadcast
     "packed_sequence_bins",          # 1-row min/max id bounds broadcast
+    "lang_temperature_resample",     # 1-row total/max-weight broadcasts
 }
 
 
