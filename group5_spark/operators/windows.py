@@ -113,7 +113,7 @@ def sessionize(
     prev_ts = F.lag(F.col(ts_col)).over(w)
     is_new = F.when(
         prev_ts.isNull()
-        | (F.col(ts_col).cast("long") - prev_ts.cast("long") > gap_sec),
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_sec),
         F.lit(1),
     ).otherwise(F.lit(0))
     return df.withColumn("_new_session", is_new).withColumn(
