@@ -67,6 +67,41 @@ def drop_exact_duplicates(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def incremental_new_docs(
+    new_df: DataFrame,
+    existing_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cross-corpus incremental dedup: rows of ``new_df`` whose
+    normalized-content fingerprint appears nowhere in ``existing_df``
+    (the already-ingested corpus), deduped within the batch itself
+    (min-id row wins per fingerprint).
+
+    This is the every-crawl operation of a training-data pipeline:
+    yesterday's corpus never rewrites; today's batch anti-joins
+    against it. Both sides reduce to 32-char md5 fingerprints before
+    the join, so the shuffle carries hashes, not documents — and the
+    anti-join is an equi-join Spark can run shuffled-hash or
+    broadcast (when the *batch* is the small side, Spark broadcasts
+    the batch fingerprints against the big historical corpus).
+    """
+    normalized = F.lower(
+        F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    )
+    new_fp = new_df.withColumn("fingerprint", F.md5(normalized))
+    old_fp = existing_df.select(F.md5(normalized).alias("fingerprint"))
+    fresh = new_fp.join(old_fp, "fingerprint", "left_anti")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fingerprint").orderBy(id_col)
+    return (
+        fresh.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def _shingles_sql(text_col: str, n: int) -> str:
     """SQL fragment for the distinct word n-gram shingle array — the
     single source of truth shared by shingles(), minhash_signatures,

@@ -134,6 +134,63 @@ def redact_pii(
     return df.select("*", *counts, redacted.alias(out))
 
 
+def unigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    carry_cols: tuple[str, ...] = (),
+    min_count: int = 1,
+) -> DataFrame:
+    """Self-supervised unigram language-model score per document: the
+    corpus's own token frequencies become the model, and each doc is
+    scored by its mean token log-probability. Degenerate/gibberish
+    text scores far below fluent text — the classic cheap proxy for
+    perplexity-based quality filtering when no external LM is
+    available.
+
+    Plan shape (scale-first):
+    - one explode → two hash aggregations: per-(doc, term) TF and the
+      global vocabulary. Shuffled rows are token *types*, not token
+      instances.
+    - the vocabulary (bounded by distinct terms, further truncated by
+      ``min_count``) broadcasts back onto the per-doc TF rows — no
+      doc-sized shuffle for the scoring join.
+    - out-of-vocabulary terms (possible only when ``min_count > 1``)
+      get a floor log-prob of ``ln(0.5) - ln(total)`` (Laplace-ish
+      half-count), so truncating the broadcast never drops tokens.
+
+    Both engines compute ``ln(tf_global) - ln(total)`` (not
+    ``ln(tf/total)``) so the floating-point expression trees are
+    identical before the final ROUND.
+    """
+    keys = [id_col, *carry_cols]
+    toks = df.select(
+        *keys,
+        F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(*keys, "term").agg(F.count(F.lit(1)).alias("tfd"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("tfg"))
+    total_df = vocab.agg(F.sum("tfg").alias("n_total"))
+    kept = vocab.filter(F.col("tfg") >= min_count) if min_count > 1 else vocab
+    scored = (
+        tf.join(F.broadcast(kept), "term", "left")
+        .crossJoin(F.broadcast(total_df))
+        .withColumn(
+            "logp",
+            F.when(
+                F.col("tfg").isNotNull(),
+                F.log(F.col("tfg")) - F.log(F.col("n_total")),
+            ).otherwise(F.log(F.lit(0.5)) - F.log(F.col("n_total"))),
+        )
+    )
+    return scored.groupBy(*keys).agg(
+        F.sum("tfd").cast("bigint").alias("n_tokens"),
+        F.round(F.sum(F.col("tfd") * F.col("logp")) / F.sum("tfd"), 6).alias(
+            "avg_logprob"
+        ),
+    )
+
+
 def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -221,3 +221,43 @@ def interval_join(
         F.col(point_ts) < F.col(end_ts)
     )
     return p.join(i, on=keys + ["_bin"], how="inner").filter(residual).drop("_bin")
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigating equi-join: identical results to
+    ``big.join(small, key, how)``, but a hot key's rows spread over
+    ``n_salts`` reducers instead of landing on one.
+
+    The big side gets a deterministic per-row salt (xxhash64 of the
+    whole row, mod ``n_salts`` — stable across task retries, unlike
+    ``rand()``/``monotonically_increasing_id``); the small side
+    replicates once per salt via ``explode`` (n_salts× duplication —
+    keep the *smaller* relation on this side). Joining on
+    ``(key, _salt)`` then makes every partition of a hot key an
+    independent join task.
+
+    When to reach for this instead of AQE's skew-join split: AQE only
+    rebalances *sort-merge* join partitions at runtime and can't help
+    a skewed shuffled-hash join, a skewed aggregation feeding a join,
+    or stream-static joins. Salting is the plan-level fix that works
+    everywhere. With ``how='inner'`` or ``'left'``, semantics are
+    exactly the plain join's (each big-side row still meets every
+    matching small-side row exactly once — in its own salt slice).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if key in ("_salt",) or "_salt" in big.columns or "_salt" in small.columns:
+        raise ValueError("column _salt already exists")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(n_salts)])),
+    )
+    return b.join(s, on=[key, "_salt"], how=how).drop("_salt")

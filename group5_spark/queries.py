@@ -4232,6 +4232,119 @@ def lang_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 # bigram_top_counts, kmeans_embedding_clusters) — all strict-mode
 # green locally; rotate them into the window in a later round once
 # this round's 50 have banked green rows.
+# --------------------------------------------------------------------
+# Batch 12: corpus LM scoring, incremental cross-corpus dedup, and
+# skew-salted join equivalence
+# --------------------------------------------------------------------
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tok2 AS (SELECT doc_id, term FROM tok WHERE term <> ''),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tfd FROM tok2 GROUP BY 1, 2),
+    vocab AS (SELECT term, COUNT(*) AS tfg FROM tok2 GROUP BY 1),
+    tot AS (SELECT SUM(tfg) AS n_total FROM vocab)
+    SELECT doc_id,
+           CAST(SUM(tfd) AS BIGINT) AS n_tokens,
+           ROUND(SUM(tfd * (ln(tfg) - ln(n_total))) / SUM(tfd), 6) AS avg_logprob
+    FROM tf JOIN vocab USING (term) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM score per document — the cheap proxy
+    for perplexity filtering when no external LM exists.
+
+    Two hash aggregations over one explode (per-doc TF and global
+    vocabulary — token *types* shuffle, never instances), then the
+    vocabulary broadcasts back onto the TF rows. See
+    extensions.text.unigram_logprob for the 100 TB notes (min_count
+    truncation + OOV floor bound the broadcast).
+    """
+    from group5_spark.extensions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.unigram_logprob(docs)
+
+
+@register(
+    "dedup_incremental_new",
+    """
+    WITH fp AS (
+        SELECT doc_id,
+               md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint
+        FROM documents
+    ),
+    newb AS (SELECT doc_id, fingerprint FROM fp WHERE doc_id % 10 >= 8),
+    hist AS (SELECT fingerprint FROM fp WHERE doc_id % 10 < 8)
+    SELECT doc_id, fingerprint
+    FROM (
+        SELECT doc_id, fingerprint,
+               ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) AS rn
+        FROM newb
+        WHERE NOT EXISTS (
+            SELECT 1 FROM hist WHERE hist.fingerprint = newb.fingerprint
+        )
+    )
+    WHERE rn = 1
+    """,
+)
+def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental cross-corpus dedup: today's batch (doc_id % 10 ≥ 8)
+    anti-joined by content fingerprint against the already-ingested
+    corpus (doc_id % 10 < 8), deduped within the batch (min id wins).
+
+    The every-crawl operation of a training-data pipeline: history
+    never rewrites; the new batch reduces to md5 fingerprints before
+    the anti-join, so only 32-char hashes shuffle at any scale.
+    """
+    from group5_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    history = docs.filter(F.col("doc_id") % 10 < 8)
+    return D.incremental_new_docs(new_batch, history).select(
+        "doc_id", "fingerprint"
+    )
+
+
+@register(
+    "salted_segment_revenue",
+    """
+    SELECT c_mktsegment,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join equivalence gate: revenue per segment computed
+    through operators.joins.salted_join (8 salts, small side hinted
+    SHUFFLE_HASH so the salted path actually executes rather than
+    collapsing to a broadcast) — the oracle is the PLAIN join, so a
+    green row proves salting preserves join semantics exactly.
+
+    This is the skew weapon AQE can't replace: AQE splits skewed
+    sort-merge partitions at runtime but can't rebalance a shuffled
+    hash join, a skewed pre-join aggregation, or a stream-static join.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    j = joins.salted_join(orders, cust.hint("shuffle_hash"), "o_custkey", n_salts=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.sum(F.col("o_totalprice").cast(DEC2)).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

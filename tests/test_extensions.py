@@ -415,3 +415,82 @@ def test_temperature_resample_alpha_one_keeps_all(spark):
         [(i, "a" if i % 4 else "b") for i in range(400)], ["doc_id", "lang"]
     )
     assert temperature_resample(df, "lang", "doc_id", alpha=1.0).count() == 400
+
+
+def test_unigram_logprob_scores_fluent_above_gibberish(spark):
+    from group5_spark.extensions.text import unigram_logprob
+
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog sat on the mat"),
+        (3, "zqxj vwpk qzzv xkcq jjqz"),  # tokens seen nowhere else
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in unigram_logprob(df).collect()}
+    assert out[3]["avg_logprob"] < out[1]["avg_logprob"]
+    assert out[3]["avg_logprob"] < out[2]["avg_logprob"]
+    assert out[1]["n_tokens"] == 6
+
+
+def test_unigram_logprob_oov_floor_below_kept_vocab(spark):
+    from group5_spark.extensions.text import unigram_logprob
+
+    rows = [
+        (1, "common common common rare"),
+        (2, "common common common common"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # min_count=2 drops 'rare' from the kept vocab -> OOV floor
+    out = {r["doc_id"]: r for r in unigram_logprob(df, min_count=2).collect()}
+    assert out[1]["avg_logprob"] < out[2]["avg_logprob"]
+    assert out[1]["n_tokens"] == 4  # OOV tokens still counted
+
+
+def test_incremental_new_docs_drops_history_and_batch_dups(spark):
+    from group5_spark.extensions.dedup import incremental_new_docs
+
+    hist = spark.createDataFrame(
+        [(1, "already ingested"), (2, "old   news")], ["doc_id", "text"]
+    )
+    new = spark.createDataFrame(
+        [
+            (10, "Already    Ingested"),   # dup of history (normalized)
+            (11, "fresh content"),
+            (12, "fresh content"),         # in-batch dup: id 11 wins
+            (13, "more fresh"),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r["doc_id"] for r in incremental_new_docs(new, hist).collect()
+    )
+    assert kept == [11, 13]
+
+
+def test_salted_join_matches_plain_join(spark):
+    from group5_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame(
+        [(k, v) for v, k in enumerate([1] * 50 + [2] * 3 + [3] * 2)],
+        ["k", "val"],
+    )
+    small = spark.createDataFrame([(1, "a"), (2, "b"), (4, "d")], ["k", "tag"])
+    for how in ("inner", "left"):
+        got = sorted(
+            (r["k"], r["val"], r["tag"])
+            for r in salted_join(big, small, "k", n_salts=4, how=how).collect()
+        )
+        want = sorted(
+            (r["k"], r["val"], r["tag"])
+            for r in big.join(small, "k", how).collect()
+        )
+        assert got == want, how
+
+
+def test_salted_join_rejects_unsupported_how(spark):
+    from group5_spark.operators.joins import salted_join
+
+    big = spark.createDataFrame([(1, 1)], ["k", "v"])
+    small = spark.createDataFrame([(1, "a")], ["k", "t"])
+    with pytest.raises(ValueError):
+        salted_join(big, small, "k", how="full")

@@ -317,7 +317,35 @@ def test_temperature_resample_broadcasts_rates(q):
     assert I.num_broadcast_joins(df) >= 1
 
 
+def test_unigram_logprob_plan(q):
+    df = q("text_unigram_logprob")
+    # vocabulary broadcasts back onto per-doc TF rows — the scoring
+    # join must never shuffle doc-sized data
+    assert I.num_broadcast_joins(df) >= 1
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_plan(q):
+    df = q("dedup_incremental_new")
+    # fingerprint anti-join + within-batch window; both sides reduce
+    # to md5 before any exchange
+    plan = I.formatted_plan(df)
+    assert "CartesianProduct" not in plan
+    I.assert_max_shuffles(df, 3)
+
+
+def test_salted_join_runs_shuffled_hash(q):
+    df = q("salted_segment_revenue")
+    # the SHUFFLE_HASH hint must survive salting — a broadcast here
+    # would mean the salted path never executed
+    plan = I.formatted_plan(df)
+    assert "ShuffledHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 NLJ_ALLOWED = {
+    "text_unigram_logprob",          # 1-row corpus-total broadcast
     "sim_topk",              # query side broadcast (8 vectors)
     "sim_lsh_topk",          # bucket-local pairs after LSH banding
     "sim_ivf_topk",          # probe×centroid distances (tiny)
