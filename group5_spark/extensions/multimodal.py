@@ -211,6 +211,138 @@ def decode_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     return df.mapInPandas(extract, schema=FEATURE_SCHEMA)
 
 
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("media_type", StringType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+
+def make_wav(media_id: int) -> bytes:
+    """Write a real, spec-compliant mono 16-bit PCM WAV file: RIFF
+    header + ``fmt `` chunk + ``data`` chunk. Rate, length, and the
+    sample waveform derive deterministically from ``media_id`` (pure
+    integer math, so a SQL oracle can recompute every decoded feature
+    independently):
+
+    - ``sample_rate = 8000 + (id % 3) * 4000``
+    - ``n_samples  = 400 + (id % 200)``
+    - ``sample[i]  = ((i*37 + id*11) % 201) - 100``
+    """
+    rate = 8000 + (media_id % 3) * 4000
+    n = 400 + (media_id % 200)
+    samples = bytes()
+    vals = [((i * 37 + media_id * 11) % 201) - 100 for i in range(n)]
+    samples = struct.pack(f"<{n}h", *vals)
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    data_len = len(samples)
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + data_len, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16)
+        + fmt
+        + struct.pack("<4sI", b"data", data_len)
+        + samples
+    )
+
+
+def decode_audio(payload: bytes) -> tuple[int, int, int, float, float]:
+    """Parse a PCM WAV payload → (n_channels, sample_rate, n_samples,
+    duration seconds, RMS amplitude). Dependency-free real decode:
+    walks RIFF chunks to the ``fmt `` and ``data`` chunks (robust to
+    extra chunks between them), then reads the actual int16 samples.
+
+    Unknown magic or non-PCM → zeros/NaN metadata passthrough, same
+    contract as :func:`decode_image`.
+    """
+    import math
+
+    import numpy as np
+
+    bad = (0, 0, 0, float("nan"), float("nan"))
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF":
+        return bad
+    if payload[8:12] != b"WAVE":
+        return bad
+    pos, channels, rate, bits = 12, 0, 0, 0
+    data = b""
+    while pos + 8 <= len(payload):
+        cid, clen = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if cid == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0
+            )
+            if audio_fmt != 1:
+                return bad
+        elif cid == b"data":
+            data = body
+        pos += 8 + clen + (clen % 2)  # RIFF chunks pad to even sizes
+    if not (channels and rate and bits == 16):
+        return bad
+    vals = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n_samples = len(vals) // channels
+    sumsq = int((vals * vals).sum())
+    n = len(vals)
+    rms = math.sqrt(sumsq / n) if n else float("nan")
+    return (channels, rate, n_samples, n_samples / rate, rms)
+
+
+def attach_wav_payloads(df: DataFrame, id_col: str) -> DataFrame:
+    """Synthesize real WAV audio rows from an id column (no audio
+    files in the sandbox): genuine RIFF/PCM payloads from
+    :func:`make_wav`, Arrow-batched mapInPandas, MEDIA_SCHEMA out."""
+    import hashlib
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            payloads = [make_wav(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "media_type": "audio/wav",
+                    "payload": payloads,
+                    "n_bytes": [len(p) for p in payloads],
+                    "content_hash": [
+                        hashlib.sha256(p).hexdigest() for p in payloads
+                    ],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(synth, schema=MEDIA_SCHEMA)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Decode + feature-extract over audio media rows (Arrow-batched
+    mapInPandas, same iterator shape as :func:`decode_features`):
+    real header parse + sample walk via :func:`decode_audio`."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf["payload"].map(decode_audio)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "n_bytes": pdf["n_bytes"],
+                    "sample_rate": decoded.map(lambda d: d[1]).astype("int32"),
+                    "n_channels": decoded.map(lambda d: d[0]).astype("int32"),
+                    "n_samples": decoded.map(lambda d: d[2]).astype("int64"),
+                    "duration_s": decoded.map(lambda d: d[3]).astype("float64"),
+                    "rms": decoded.map(lambda d: d[4]).astype("float64"),
+                }
+            )
+
+    return df.mapInPandas(extract, schema=AUDIO_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame-sampling plumbing for video payloads: emits one row per
     sampled frame index. Frame decode is stubbed — frame count is

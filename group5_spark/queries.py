@@ -1212,6 +1212,60 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_audio_features",
+    """
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(8000 + (doc_id % 3) * 4000 AS INTEGER) AS sample_rate,
+               CAST(400 + doc_id % 200 AS BIGINT) AS n_samples
+        FROM documents
+    ),
+    idx AS (SELECT unnest(range(0, 600)) AS i),
+    rms AS (
+        SELECT media_id,
+               ROUND(sqrt(SUM(CAST(v * v AS DOUBLE)) / COUNT(*)), 6) AS rms
+        FROM (
+            SELECT b.media_id,
+                   ((idx.i * 37 + b.media_id * 11) % 201) - 100 AS v
+            FROM base b JOIN idx ON idx.i < b.n_samples
+        ) s(media_id, v)
+        GROUP BY media_id
+    )
+    SELECT b.media_id, 'audio/wav' AS media_type,
+           CAST(44 + b.n_samples * 2 AS BIGINT) AS n_bytes,
+           b.sample_rate, 1 AS n_channels, b.n_samples,
+           ROUND(CAST(b.n_samples AS DOUBLE) / b.sample_rate, 6) AS duration_s,
+           r.rms
+    FROM base b JOIN rms r USING (media_id)
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas audio decode: real RIFF/PCM WAV files
+    are synthesized per doc_id (multimodal.make_wav) and genuinely
+    parsed back — chunk-walking header parse + int16 sample read
+    (multimodal.decode_audio). The oracle re-derives rate, sample
+    count, file size, duration, and RMS arithmetically from the WAV
+    spec and the generative waveform, so every decoded feature is
+    value-checked end-to-end; any byte-level bug in writer or parser
+    breaks the hash."""
+    from group5_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_wav_payloads(docs, "doc_id")
+    feats = multimodal.audio_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "sample_rate",
+        "n_channels",
+        "n_samples",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+@register(
     "sessionized_event_counts",
     """
     WITH s AS (

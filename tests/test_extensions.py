@@ -494,3 +494,43 @@ def test_salted_join_rejects_unsupported_how(spark):
     small = spark.createDataFrame([(1, "a")], ["k", "t"])
     with pytest.raises(ValueError):
         salted_join(big, small, "k", how="full")
+
+
+def test_wav_roundtrip_local():
+    import math
+
+    from group5_spark.extensions.multimodal import decode_audio, make_wav
+
+    for mid in (0, 1, 2, 7, 199, 12345):
+        payload = make_wav(mid)
+        ch, rate, n, dur, rms = decode_audio(payload)
+        assert (ch, rate) == (1, 8000 + (mid % 3) * 4000)
+        assert n == 400 + (mid % 200)
+        assert dur == n / rate
+        vals = [((i * 37 + mid * 11) % 201) - 100 for i in range(n)]
+        want = math.sqrt(sum(v * v for v in vals) / n)
+        assert abs(rms - want) < 1e-12
+        assert len(payload) == 44 + n * 2
+
+
+def test_wav_decode_rejects_garbage():
+    from group5_spark.extensions.multimodal import decode_audio
+
+    for junk in (None, b"", b"RIFFxxxx", b"not audio at all"):
+        ch, rate, n, dur, rms = decode_audio(junk)
+        assert (ch, rate, n) == (0, 0, 0)
+
+
+def test_wav_decode_distributed(spark):
+    from group5_spark.extensions.multimodal import (
+        attach_wav_payloads,
+        audio_features,
+    )
+
+    ids = spark.range(1, 21).withColumnRenamed("id", "doc_id")
+    feats = audio_features(attach_wav_payloads(ids, "doc_id")).collect()
+    assert len(feats) == 20
+    for r in feats:
+        assert r["sample_rate"] in (8000, 12000, 16000)
+        assert r["n_samples"] == 400 + (r["media_id"] % 200)
+        assert r["n_bytes"] == 44 + r["n_samples"] * 2

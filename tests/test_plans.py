@@ -317,6 +317,12 @@ def test_temperature_resample_broadcasts_rates(q):
     assert I.num_broadcast_joins(df) >= 1
 
 
+def test_audio_decode_is_map_only(q):
+    df = q("multimodal_audio_features")
+    # synth → decode → project is one Arrow pipeline: zero shuffles
+    I.assert_max_shuffles(df, 0)
+
+
 def test_unigram_logprob_plan(q):
     df = q("text_unigram_logprob")
     # vocabulary broadcasts back onto per-doc TF rows — the scoring
