@@ -4399,6 +4399,90 @@ def salted_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "per_source_doc_cap",
+    """
+    SELECT doc_id, source
+    FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        FROM documents
+    )
+    WHERE rn <= 50
+    """,
+)
+def per_source_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap (C4-style dominance control): keep at
+    most K docs per source so no single domain overwhelms the corpus
+    mix. Deterministic min-doc_id-first selection.
+
+    One shuffle on the source key; Spark rewrites the rn<=K filter to
+    WindowGroupLimit, so each upstream partition forwards at most K
+    rows per source — the window never materializes a whole domain.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 50)
+        .drop("rn")
+    )
+
+
+@register(
+    "nation_supply_value_share",
+    """
+    WITH sup_val AS (
+        SELECT n_name, l_partkey,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS val
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(val) AS total FROM sup_val)
+    SELECT n_name, l_partkey, CAST(val AS DOUBLE) AS supply_value
+    FROM sup_val, tot
+    WHERE CAST(val AS DOUBLE) > CAST(total AS DOUBLE) * 0.0005
+    """,
+)
+def nation_supply_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted: no partsupp table, so supplied value
+    derives from lineitem): per-(nation, part) supply value, keeping
+    entries above a fraction of the GLOBAL total — a group-agg
+    filtered against a scalar subquery.
+
+    Plan: dims broadcast onto the fact, one agg shuffle; the global
+    total re-aggregates the grouped result (tiny) and broadcasts back
+    as a 1-row join — the fact is scanned once, never twice.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    sup_val = (
+        li.join(
+            F.broadcast(
+                sup.select("s_suppkey", F.col("s_nationkey").alias("n_nationkey"))
+            ),
+            li.l_suppkey == F.col("s_suppkey"),
+        )
+        .join(F.broadcast(nat.select("n_nationkey", "n_name")), "n_nationkey")
+        .groupBy("n_name", "l_partkey")
+        .agg(F.sum(F.col("l_extendedprice").cast(DEC2)).alias("val"))
+    )
+    tot = sup_val.agg(F.sum("val").alias("total"))
+    return (
+        sup_val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("val").cast("double")
+            > F.col("total").cast("double") * F.lit(0.0005)
+        )
+        .select(
+            "n_name", "l_partkey", F.col("val").cast("double").alias("supply_value")
+        )
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -350,8 +350,30 @@ def test_salted_join_runs_shuffled_hash(q):
     assert "CartesianProduct" not in plan
 
 
+def test_per_source_cap_uses_window_group_limit(q):
+    df = q("per_source_doc_cap")
+    plan = I.formatted_plan(df)
+    assert "WindowGroupLimit" in plan
+    I.assert_max_shuffles(df, 1)
+
+
+def test_supply_value_share_single_fact_scan(q):
+    df = q("nation_supply_value_share")
+    # dims broadcast; the global-total scalar comes from re-aggregating
+    # the grouped result, so lineitem scans exactly once
+    assert I.num_broadcast_joins(df) >= 2
+    I.assert_no_fact_shuffle_join(df)
+    # the grouped subplan feeds both the output and the global-total
+    # scalar; the two identical agg exchanges must collapse to one
+    # runtime fact scan via AQE exchange reuse
+    df.collect()
+    executed = I.simple_plan(df)
+    assert "ReusedExchange" in executed or executed.count("lineitem") <= 1
+
+
 NLJ_ALLOWED = {
     "text_unigram_logprob",          # 1-row corpus-total broadcast
+    "nation_supply_value_share",     # 1-row global-total broadcast
     "sim_topk",              # query side broadcast (8 vectors)
     "sim_lsh_topk",          # bucket-local pairs after LSH banding
     "sim_ivf_topk",          # probe×centroid distances (tiny)
