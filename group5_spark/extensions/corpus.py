@@ -33,6 +33,7 @@ __all__ = [
     "pack_sequences",
     "tfidf_top_terms",
     "bigram_counts",
+    "inverted_index",
 ]
 
 
@@ -310,3 +311,48 @@ def bigram_counts(
         .filter(F.col("n") >= min_count)
         .select("bigram", F.col("n").cast("bigint").alias("n"))
     )
+
+
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Per-term inverted index: exact document frequency, total
+    occurrence count, and a BOUNDED posting list — the ``k`` documents
+    with the highest in-document term frequency (ties break to the
+    lowest document id), as a rank-ordered array.
+
+    Scale design: df/total_tf are plain hash aggregations. The posting
+    list deliberately is NOT ``collect_list`` over every matching
+    document — a stopword term would accumulate corpus-sized agg state.
+    Instead a per-term rank window keeps k rows per term (Spark rewrites
+    ``row_number <= k`` to WindowGroupLimit, pruning each map partition
+    to k before the shuffle), and only those k rows reach the array
+    build. The two term-keyed subplans (stats, postings) hash-partition
+    identically, so the join adds no exchange and the Exchange reuse
+    rule dedupes the shuffle.
+    """
+    words = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = words.groupBy("term", "doc").agg(F.count(F.lit(1)).alias("tf"))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc"))
+    postings = (
+        tf.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .groupBy("term")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rnk", "doc"))),
+                lambda s: s["doc"].cast("bigint"),
+            ).alias("top_docs")
+        )
+    )
+    return stats.join(postings, "term")

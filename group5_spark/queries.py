@@ -4483,6 +4483,106 @@ def nation_supply_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "inverted_index_postings",
+    """
+    WITH words AS (
+        SELECT doc_id AS doc, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ), tf AS (
+        SELECT term, doc, COUNT(*) AS tf
+        FROM words WHERE term <> '' GROUP BY 1, 2
+    ), stats AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY term
+    ), ranked AS (
+        SELECT term, doc,
+               ROW_NUMBER() OVER (
+                   PARTITION BY term ORDER BY tf DESC, doc
+               ) AS rnk
+        FROM tf
+    ), postings AS (
+        SELECT term, list(CAST(doc AS BIGINT) ORDER BY rnk) AS top_docs
+        FROM ranked WHERE rnk <= 10 GROUP BY term
+    )
+    SELECT s.term, s.df, s.total_tf, p.top_docs
+    FROM stats s JOIN postings p USING (term)
+    """,
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over the documents corpus — per-term document
+    frequency + bounded top-10 posting list (see
+    extensions/corpus.py:inverted_index for the WindowGroupLimit-bounded
+    scale story; a stopword term never materializes an unbounded
+    posting array)."""
+    from group5_spark.extensions.corpus import inverted_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    return inverted_index(docs, "doc_id", "text", k=10)
+
+
+@register(
+    "ohlc_hourly_value",
+    """
+    WITH ranked AS (
+        SELECT date_trunc('hour', ts) AS bucket, value,
+               ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY ts, event_id
+               ) AS rn_a,
+               ROW_NUMBER() OVER (
+                   PARTITION BY date_trunc('hour', ts)
+                   ORDER BY ts DESC, event_id DESC
+               ) AS rn_d
+        FROM events
+    )
+    SELECT bucket,
+           ROUND(MAX(CASE WHEN rn_a = 1 THEN value END), 2) AS open_value,
+           ROUND(MAX(value), 2) AS high_value,
+           ROUND(MIN(value), 2) AS low_value,
+           ROUND(MAX(CASE WHEN rn_d = 1 THEN value END), 2) AS close_value,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS volume,
+           COUNT(*) AS n_events
+    FROM ranked GROUP BY bucket
+    """,
+)
+def ohlc_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC (open/high/low/close) hourly downsampling of the event
+    value series — the hypertable/candlestick rollup shape.
+
+    One bucket exchange total: both rank windows and the final hash
+    aggregation share the hour-bucket hash partitioning, so Spark
+    plans a single shuffle and runs the windows + agg in one stage.
+    Open/close come from forward/reverse rank-1 rows with a full
+    (ts, event_id) tie-break — deterministic on both engines, no
+    first()/min_by() ordering ambiguity.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        F.date_trunc("hour", "ts").alias("bucket"), "ts", "event_id", "value"
+    )
+    w_a = Window.partitionBy("bucket").orderBy(F.asc("ts"), F.asc("event_id"))
+    w_d = Window.partitionBy("bucket").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        b.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 2
+            ).alias("open_value"),
+            F.round(F.max("value"), 2).alias("high_value"),
+            F.round(F.min("value"), 2).alias("low_value"),
+            F.round(
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 2
+            ).alias("close_value"),
+            F.sum(F.col("value").cast(DEC2)).cast("double").alias("volume"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

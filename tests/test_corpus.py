@@ -120,3 +120,40 @@ def test_tfidf_scores_positive_for_rare_terms(spark, sf_dir):
     # a term present in every document has idf = ln(1) = 0; top-ranked
     # terms should carry strictly positive scores on this corpus
     assert out.filter("rnk = 1 AND tfidf <= 0").count() == 0
+
+
+def test_inverted_index_small_corpus_exact(spark):
+    from group5_spark.extensions.corpus import inverted_index
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a b"),
+            (2, "a c"),
+            (3, "b b b c"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["term"]: (r["df"], r["total_tf"], r["top_docs"])
+        for r in inverted_index(df, k=2).collect()
+    }
+    # df = docs containing term; total_tf = corpus occurrences;
+    # postings ranked by in-doc tf desc, doc_id asc, capped at k=2
+    assert rows == {
+        "a": (2, 3, [1, 2]),
+        "b": (2, 4, [3, 1]),
+        "c": (2, 2, [2, 3]),
+    }
+
+
+def test_inverted_index_posting_list_is_bounded(spark, sf_dir):
+    from group5_spark.extensions.corpus import inverted_index
+
+    docs = _docs(spark, sf_dir)
+    out = inverted_index(docs, k=5)
+    assert out.filter(F.size("top_docs") > 5).count() == 0
+    # every term's df is exact even when the posting list is capped:
+    # stopword-ish terms must report df > k while postings stay at k
+    capped = out.filter(F.col("df") > 5)
+    assert capped.count() > 0
+    assert capped.filter(F.size("top_docs") != 5).count() == 0

@@ -371,6 +371,27 @@ def test_supply_value_share_single_fact_scan(q):
     assert "ReusedExchange" in executed or executed.count("lineitem") <= 1
 
 
+def test_inverted_index_bounded_postings(q):
+    df = q("inverted_index_postings")
+    plan = I.formatted_plan(df)
+    # the posting list must be rank-bounded before the array build —
+    # an unbounded collect_list over a stopword term is the scale bug
+    assert "WindowGroupLimit" in plan
+    # (term,doc) tf agg + term-keyed stats/window exchanges; the
+    # duplicated tf subplan dedupes at runtime via exchange reuse
+    I.assert_max_shuffles(df, 4)
+    df.collect()
+    assert "ReusedExchange" in I.simple_plan(df)
+
+
+def test_ohlc_single_shuffle(q):
+    df = q("ohlc_hourly_value")
+    # both rank windows and the final agg share the hour-bucket
+    # partitioning: exactly one exchange end-to-end
+    I.assert_max_shuffles(df, 1)
+    assert I.has_codegen(df)
+
+
 NLJ_ALLOWED = {
     "text_unigram_logprob",          # 1-row corpus-total broadcast
     "nation_supply_value_share",     # 1-row global-total broadcast
