@@ -344,3 +344,70 @@ def stream_dedup(
     ``dropDuplicates`` on a stream would.
     """
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+
+
+def running_totals_tws(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-key running totals on the modern ``transformWithState``
+    API (Spark 4.x): one typed ValueState cell (two scalars) per key,
+    re-emitted in Update mode whenever the key sees new rows.
+
+    This is the successor API to ``applyInPandasWithState`` (used by
+    :func:`sessionize_stateful`): state is schema-typed and composable
+    (value/list/map cells + timers) instead of one opaque tuple, and
+    the runtime requires the RocksDB state store provider — the
+    configuration that actually scales, since state lives off-heap and
+    incremental-checkpoints to the cluster store rather than being
+    JVM-heap-resident like the default HDFS-backed provider. State
+    size: two longs + a double per distinct key, independent of stream
+    length. Arrow-batched pandas on the executor; no row-at-a-time
+    Python.
+
+    Runtime note: the transformWithState Python state-server protocol
+    needs the ``protobuf`` package at execution time (absent in this
+    sandbox — the end-to-end test skips without it; plan construction
+    and schema are exercised unconditionally).
+    """
+    import pandas as pd  # local: only the executors need it
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n LONG, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf[value_col].sum())
+            total = round(total, 2)
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    user_col: [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(user_col).transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType=f"{user_col} LONG, n_events LONG, total_value DOUBLE",
+        outputMode="Update",
+        timeMode="None",
+    )
