@@ -173,3 +173,26 @@ def test_merge_property_matches_dict_semantics(spark, tmp_path):
             if k not in state or seq >= state[k][2]:
                 state[k] = (d, v, seq)
         assert _read(spark, path) == state, step
+
+
+def test_delete_empties_partition_without_pruning(spark, tmp_path):
+    """Full-table merge (prune_partitions=False) whose deletes empty a
+    partition: the emptied directory must be removed, not left holding
+    stale pre-merge files that would resurrect deleted rows on the
+    next read (round-1 advisory regression)."""
+    path = str(tmp_path / "t")
+    _write_target(spark, path, BASE, partition_col="d")
+    src = spark.createDataFrame(
+        [(3, "2024-01-02", "c", 1)], ["id", "d", "v", "seq"]
+    )
+    counts = merge_into(
+        spark, path, src, ["id"], partition_col="d",
+        when_matched="delete", when_not_matched="ignore",
+        prune_partitions=False,
+    )
+    assert counts["deleted"] == 1
+    got = _read(spark, path)
+    assert 3 not in got and len(got) == 3
+    assert not os.path.isdir(os.path.join(path, "d=2024-01-02"))
+    # untouched partitions survive the full-table rewrite with rows intact
+    assert got[4] == ("2024-01-03", "d", 1)
