@@ -4583,6 +4583,117 @@ def ohlc_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "winsorized_order_stats",
+    """
+    WITH seg AS (
+        SELECT c_mktsegment AS segment,
+               CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), ranked AS (
+        SELECT segment, price,
+               cume_dist() OVER (PARTITION BY segment ORDER BY price) AS cd
+        FROM seg
+    ), pct AS (
+        SELECT segment,
+               MIN(CASE WHEN cd >= 0.05 THEN price END) AS lo,
+               MIN(CASE WHEN cd >= 0.95 THEN price END) AS hi
+        FROM ranked GROUP BY segment
+    )
+    SELECT s.segment,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(GREATEST(LEAST(s.price, p.hi), p.lo)) AS DOUBLE)
+                 / COUNT(*), 6) AS winsorized_mean,
+           ROUND(CAST(SUM(s.price) AS DOUBLE) / COUNT(*), 6) AS raw_mean,
+           CAST(SUM(CASE WHEN s.price < p.lo OR s.price > p.hi
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+    FROM seg s JOIN pct p USING (segment)
+    GROUP BY s.segment
+    """,
+)
+def winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment winsorized (p05/p95-clipped) mean order value —
+    the outlier-robust statistic a data-curation pipeline prefers over
+    a raw mean that one corrupt row can move arbitrarily.
+
+    Determinism: the clip bounds are DISCRETE percentiles (smallest
+    value with cume_dist ≥ q), so lo/hi are actual 2-decimal data
+    values and every clipped value stays exact DECIMAL — no
+    interpolated-double drift between engines. Plan: one segment
+    exchange shared by the cume_dist window and both aggregations;
+    the 5-row bounds table broadcasts back onto the seg rows.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast(DEC2).alias("price"),
+    )
+    w = Window.partitionBy("segment").orderBy("price")
+    pct = (
+        seg.withColumn("cd", F.cume_dist().over(w))
+        .groupBy("segment")
+        .agg(
+            F.min(F.when(F.col("cd") >= 0.05, F.col("price"))).alias("lo"),
+            F.min(F.when(F.col("cd") >= 0.95, F.col("price"))).alias("hi"),
+        )
+    )
+    clipped = F.greatest(F.least(F.col("price"), F.col("hi")), F.col("lo"))
+    return (
+        seg.join(F.broadcast(pct), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(clipped).cast("double") / F.count(F.lit(1)), 6
+            ).alias("winsorized_mean"),
+            F.round(
+                F.sum("price").cast("double") / F.count(F.lit(1)), 6
+            ).alias("raw_mean"),
+            F.sum(
+                F.when(
+                    (F.col("price") < F.col("lo"))
+                    | (F.col("price") > F.col("hi")),
+                    1,
+                ).otherwise(0)
+            ).cast("bigint").alias("n_clipped"),
+        )
+    )
+
+
+@register(
+    "global_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DOUBLE) AS total
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-100 orders by price — the ORDER BY … LIMIT shape.
+
+    Spark must plan TakeOrderedAndProject (per-partition top-100
+    heaps merged on the driver), NEVER a full global sort: at 100 TB
+    a global sort is a range-exchange of every row, while the heap
+    merge moves 100 rows per partition. Asserted in test_plans.
+    Tie-break on o_orderkey makes the row set deterministic.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.col("o_totalprice").cast("double").alias("total"),
+        )
+        .orderBy(F.desc("total"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -392,6 +392,29 @@ def test_ohlc_single_shuffle(q):
     assert I.has_codegen(df)
 
 
+def test_global_top_orders_avoids_global_sort(q):
+    df = q("global_top_orders")
+    plan = I.formatted_plan(df)
+    # ORDER BY ... LIMIT must plan the heap-merge, not a range-exchange
+    # full sort: at 100 TB the difference is 100 rows/partition moved
+    # vs every row
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    I.assert_max_shuffles(df, 0)
+    I.assert_scan_pruned(df, table_cols=9, max_cols=3)
+
+
+def test_winsorized_stats_single_segment_exchange(q):
+    df = q("winsorized_order_stats")
+    # customer dim broadcasts; the cume_dist window, bounds agg, and
+    # final agg all hash-partition on segment
+    assert I.num_broadcast_joins(df) >= 2
+    I.assert_no_fact_shuffle_join(df)
+    I.assert_max_shuffles(df, 2)
+    df.collect()
+    assert "ReusedExchange" in I.simple_plan(df)
+
+
 NLJ_ALLOWED = {
     "text_unigram_logprob",          # 1-row corpus-total broadcast
     "nation_supply_value_share",     # 1-row global-total broadcast
