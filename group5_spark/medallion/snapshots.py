@@ -48,6 +48,7 @@ __all__ = [
     "snapshot_read",
     "snapshot_versions",
     "snapshot_expire",
+    "snapshot_changes",
     "prune_files",
 ]
 
@@ -141,6 +142,10 @@ def snapshot_commit(
         "version": version,
         "parent": parent,
         "ts": time.time(),
+        # schema travels in the metadata (Iceberg-style): readers never
+        # infer from data files, and an appended column evolves cleanly —
+        # old files simply surface NULLs for it
+        "schema": json.loads(df.schema.json()),
         "files": entries,
     }
     _manifest_path(root, version).write_text(json.dumps(manifest, indent=1))
@@ -225,12 +230,22 @@ def snapshot_read(
     plan (manifest pruning is file-granular; the residual filter still
     pushes down to parquet row groups), so results are exact even when
     stats are absent."""
-    kept, _ = prune_files(path, predicates or [], version)
+    from pyspark.sql.types import StructType
+
+    root = Path(path)
+    v = version if version is not None else _read_pointer(root)
+    manifest = json.loads(_manifest_path(root, v).read_text())
+    kept, _ = prune_files(path, predicates or [], v)
+    reader = spark.read
+    schema_json = manifest.get("schema")
+    if schema_json is not None:
+        # manifest schema, not file-footer inference: zero listing cost,
+        # and appended columns read as NULL from pre-evolution files
+        reader = reader.schema(StructType.fromJson(schema_json))
     if not kept:
-        # preserve schema from an empty scan of any manifest file
-        all_files, _ = prune_files(path, [], version)
-        return spark.read.parquet(*all_files).limit(0)
-    df = spark.read.parquet(*kept)
+        all_files = [str(root / e["path"]) for e in manifest["files"]]
+        return reader.parquet(*all_files).limit(0)
+    df = reader.parquet(*kept)
     for col, op, val in predicates or []:
         df = df.filter(f"{col} {'=' if op == '=' else op} {val!r}")
     return df
@@ -261,3 +276,44 @@ def snapshot_expire(path: str, keep_last: int = 1) -> dict:
         if d.is_dir() and not any(d.iterdir()):
             shutil.rmtree(d)
     return {"versions_dropped": len(drop), "files_deleted": deleted}
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    path: str,
+    keys: list[str],
+    v_from: int,
+    v_to: int | None = None,
+) -> DataFrame:
+    """Change data feed between two snapshots: one row per key whose
+    row was inserted, deleted, or updated from ``v_from`` to ``v_to``
+    (latest by default), tagged ``_change`` ∈ insert|delete|update.
+
+    Computed as a full-outer key join of the two versions with a
+    whole-row fingerprint on each side — the downstream-sync primitive
+    (feed a search index, invalidate caches, drive incremental gold
+    refresh) that a plain overwrite table can't provide. Cost: one
+    join shuffle over the two snapshots' keys; at 100 TB you bound it
+    by diffing only the partitions the manifests show changed (the
+    file lists make changed-partition detection metadata-only).
+    """
+    from pyspark.sql import functions as F
+
+    new = snapshot_read(spark, path, version=v_to)
+    old = snapshot_read(spark, path, version=v_from)
+    cols = [c for c in new.columns]
+    fp = F.xxhash64(*[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in cols])
+    o = old.select(*keys, fp.alias("_fp_old"))
+    n = new.select(*cols, fp.alias("_fp_new"))
+    j = o.join(n, keys, "full_outer")
+    return (
+        j.withColumn(
+            "_change",
+            F.when(F.col("_fp_old").isNull(), F.lit("insert"))
+            .when(F.col("_fp_new").isNull(), F.lit("delete"))
+            .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("update"))
+            .otherwise(F.lit(None)),
+        )
+        .filter(F.col("_change").isNotNull())
+        .drop("_fp_old", "_fp_new")
+    )

@@ -107,3 +107,41 @@ def test_expire_keeps_files_shared_with_retained_append(spark, tmp_path):
     out = snapshot_expire(t, keep_last=1)
     assert out["files_deleted"] == 0
     assert snapshot_read(spark, t).count() == 150
+
+
+def test_change_data_feed_between_versions(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], ["id", "v"]
+    )
+    snapshot_commit(base, t)
+    nxt = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], ["id", "v"]
+    )
+    snapshot_commit(nxt, t)
+    from group5_spark.medallion.snapshots import snapshot_changes
+
+    got = {
+        r["id"]: r["_change"]
+        for r in snapshot_changes(spark, t, ["id"], v_from=1).collect()
+    }
+    # 1 unchanged → absent; 2 updated; 3 deleted; 4 inserted
+    assert got == {2: "update", 3: "delete", 4: "insert"}
+
+
+def test_schema_evolution_on_append(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.createDataFrame([(1, "a")], ["id", "v"]), t
+    )
+    evolved = spark.createDataFrame(
+        [(2, "b", 9.5)], ["id", "v", "score"]
+    )
+    snapshot_commit(evolved, t, mode="append")
+    cur = snapshot_read(spark, t)
+    assert set(cur.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in cur.collect()}
+    # pre-evolution file surfaces NULL for the appended column
+    assert rows == {1: None, 2: 9.5}
+    # time travel to v1 keeps the original 2-column schema
+    assert set(snapshot_read(spark, t, version=1).columns) == {"id", "v"}
