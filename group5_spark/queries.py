@@ -4694,6 +4694,53 @@ def global_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "trailing_7d_active_users",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), expanded AS (
+        SELECT du.user_id,
+               CAST(du.day + x.o * INTERVAL 1 DAY AS DATE) AS report_day
+        FROM du, (SELECT unnest(generate_series(0, 6)) AS o) x
+    ), days AS (SELECT DISTINCT day FROM du)
+    SELECT e.report_day, COUNT(DISTINCT e.user_id) AS active_users_7d
+    FROM expanded e JOIN days d ON e.report_day = d.day
+    GROUP BY e.report_day
+    """,
+)
+def trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the sliding
+    rolling-distinct metric, which unlike a rolling SUM cannot use a
+    window frame (distinct doesn't decompose over frames).
+
+    Scale rewrite: each (day, user) pair is expanded map-side to the
+    ≤7 report days it contributes to (`explode(sequence(0,6))` — a
+    BOUNDED 7× blowup of the *deduplicated* day-user pairs, not raw
+    events), then one exact countDistinct per report day. This beats
+    the naive day×day range self-join (quadratic in days) and keeps
+    everything in codegen. Report days prune to days present in the
+    data via a broadcast semi-join on the tiny distinct-days set.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    expanded = du.select(
+        "user_id", "day", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("o")
+    ).select("user_id", F.date_add("day", F.col("o")).alias("report_day"))
+    return (
+        expanded.join(
+            F.broadcast(days.withColumnRenamed("day", "report_day")),
+            "report_day",
+            "semi",
+        )
+        .groupBy("report_day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

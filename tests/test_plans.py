@@ -392,6 +392,18 @@ def test_ohlc_single_shuffle(q):
     assert I.has_codegen(df)
 
 
+def test_trailing_distinct_bounded_expansion(q):
+    df = q("trailing_7d_active_users")
+    plan = I.formatted_plan(df)
+    # the sliding-distinct rewrite: map-side Generate (bounded 7×),
+    # never a day×day range self-join
+    assert "Generate" in plan
+    assert I.num_broadcast_joins(df) >= 1
+    I.assert_no_fact_shuffle_join(df)
+    # dedup exchange + exact countDistinct two-phase (expand) exchanges
+    I.assert_max_shuffles(df, 4)
+
+
 def test_global_top_orders_avoids_global_sort(q):
     df = q("global_top_orders")
     plan = I.formatted_plan(df)
