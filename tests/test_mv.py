@@ -1,0 +1,115 @@
+"""Materialized-view rewrite (plans/mv.py): summary-table matching,
+partial-state re-aggregation soundness, derived AVG, and refusal for
+non-decomposable or unmatched shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from group5_spark.catalog import load_table
+from group5_spark.plans.mv import MVCatalog
+
+
+@pytest.fixture()
+def catalog(spark, sf_dir, tmp_path):
+    cat = MVCatalog()
+    mv = cat.register(
+        name="orders_by_date_status",
+        source="orders",
+        group_cols=["o_orderdate", "o_orderstatus"],
+        measures={
+            "sum_total": ("sum", "o_totalprice"),
+            "n_orders": ("count", "*"),
+            "max_total": ("max", "o_totalprice"),
+        },
+        path=str(tmp_path / "mv_orders"),
+    )
+    cat.build(load_table(spark, sf_dir, "orders"), mv)
+    return cat
+
+
+def _rows(df, keys):
+    return {
+        tuple(r[k] for k in keys): tuple(
+            round(float(v), 4) if v is not None else None
+            for k2, v in r.asDict().items() if k2 not in keys
+        )
+        for r in df.collect()
+    }
+
+
+def test_exact_grain_served_from_mv(spark, sf_dir, catalog):
+    orders = load_table(spark, sf_dir, "orders")
+    measures = {"rev": ("sum", "o_totalprice"), "n": ("count", "*")}
+    got, used = catalog.aggregate(
+        spark, "orders", ["o_orderdate", "o_orderstatus"], measures, orders
+    )
+    assert used == "orders_by_date_status"
+    # the plan must scan the summary, not the base table
+    assert all("mv_orders" in f for f in got.inputFiles())
+    want = orders.groupBy("o_orderdate", "o_orderstatus").agg(
+        F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    assert _rows(got, ["o_orderdate", "o_orderstatus"]) == _rows(
+        want, ["o_orderdate", "o_orderstatus"]
+    )
+
+
+def test_coarser_grain_rolls_up_partials(spark, sf_dir, catalog):
+    orders = load_table(spark, sf_dir, "orders")
+    measures = {
+        "rev": ("sum", "o_totalprice"),
+        "n": ("count", "*"),
+        "mx": ("max", "o_totalprice"),
+    }
+    got, used = catalog.aggregate(
+        spark, "orders", ["o_orderstatus"], measures, orders
+    )
+    assert used == "orders_by_date_status"
+    want = orders.groupBy("o_orderstatus").agg(
+        F.sum("o_totalprice").alias("rev"),
+        F.count(F.lit(1)).alias("n"),
+        F.max("o_totalprice").alias("mx"),
+    )
+    assert _rows(got, ["o_orderstatus"]) == _rows(want, ["o_orderstatus"])
+
+
+def test_avg_derived_from_sum_and_count(spark, sf_dir, catalog):
+    orders = load_table(spark, sf_dir, "orders")
+    got, used = catalog.aggregate(
+        spark, "orders", ["o_orderstatus"],
+        {"aov": ("avg", "o_totalprice")}, orders,
+    )
+    assert used == "orders_by_date_status"
+    want = orders.groupBy("o_orderstatus").agg(
+        F.avg("o_totalprice").alias("aov")
+    )
+    assert _rows(got, ["o_orderstatus"]) == _rows(want, ["o_orderstatus"])
+
+
+def test_unmatched_shapes_fall_back_to_base(spark, sf_dir, catalog):
+    orders = load_table(spark, sf_dir, "orders")
+    # grouping col outside the MV grain
+    got, used = catalog.aggregate(
+        spark, "orders", ["o_custkey"],
+        {"rev": ("sum", "o_totalprice")}, orders,
+    )
+    assert used is None
+    # measure the MV doesn't carry
+    got2, used2 = catalog.aggregate(
+        spark, "orders", ["o_orderstatus"],
+        {"mn": ("min", "o_totalprice")}, orders,
+    )
+    assert used2 is None
+    assert got.count() > 0 and got2.count() > 0
+
+
+def test_non_decomposable_measures_rejected_at_registration(tmp_path):
+    cat = MVCatalog()
+    with pytest.raises(ValueError, match="not decomposable"):
+        cat.register(
+            "bad", "orders", ["o_orderdate"],
+            {"users": ("count_distinct", "o_custkey")},
+            str(tmp_path / "bad"),
+        )
