@@ -50,6 +50,7 @@ __all__ = [
     "snapshot_expire",
     "snapshot_changes",
     "prune_files",
+    "latest_note",
 ]
 
 _MANIFEST_DIR = "_manifests"
@@ -103,6 +104,7 @@ def snapshot_commit(
     path: str,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
+    note: dict | None = None,
 ) -> int:
     """Write ``df`` as the next version of the table at ``path`` and
     return the new version number.
@@ -146,6 +148,9 @@ def snapshot_commit(
         # infer from data files, and an appended column evolves cleanly —
         # old files simply surface NULLs for it
         "schema": json.loads(df.schema.json()),
+        # writer-supplied marker (e.g. streaming batch id) — the hook
+        # idempotent sinks use to recognize an already-durable commit
+        "note": note or {},
         "files": entries,
     }
     _manifest_path(root, version).write_text(json.dumps(manifest, indent=1))
@@ -154,6 +159,16 @@ def snapshot_commit(
     tmp.write_text(str(version))
     tmp.replace(root / _MANIFEST_DIR / _POINTER)
     return version
+
+
+def latest_note(path: str) -> dict | None:
+    """The ``note`` recorded by the current snapshot, or None if the
+    table doesn't exist yet."""
+    root = Path(path)
+    v = _read_pointer(root)
+    if not v:
+        return None
+    return json.loads(_manifest_path(root, v).read_text()).get("note", {})
 
 
 def snapshot_versions(path: str) -> list[dict]:

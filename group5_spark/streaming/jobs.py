@@ -411,3 +411,50 @@ def running_totals_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def stream_snapshot_sink(
+    df: DataFrame,
+    table_path: str,
+    checkpoint: str,
+    stats_cols: list[str] | None = None,
+):
+    """Stream → snapshot-versioned table: every micro-batch lands as
+    one atomic append snapshot (medallion.snapshots), so downstream
+    readers get the full lakehouse contract over a live stream —
+    never a half-written batch, time travel to any batch boundary,
+    manifest file-skipping, and a change feed.
+
+    Exactly-once despite foreachBatch's at-least-once retries: each
+    commit records its streaming ``batch_id`` in the manifest note;
+    a retried batch sees ``latest_note().batch_id >= batch_id`` and
+    skips — the commit is already durable. The marker lives in the
+    table's own metadata, not the checkpoint, so even a full
+    checkpoint-loss replay of already-committed data dedupes (batch
+    ids restart at 0 ≤ the recorded id); only genuinely new batches
+    commit.
+
+    Returns an un-started DataStreamWriter (caller picks the trigger),
+    same convention as the other sinks here.
+    """
+    from group5_spark.medallion import snapshots as snap
+
+    def commit_batch(batch_df, batch_id: int) -> None:
+        last = snap.latest_note(table_path)
+        if (
+            last is not None
+            and last.get("batch_id") is not None
+            and int(last["batch_id"]) >= batch_id
+        ):
+            return
+        snap.snapshot_commit(
+            batch_df,
+            table_path,
+            mode="append",
+            stats_cols=stats_cols,
+            note={"batch_id": batch_id},
+        )
+
+    return df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint
+    )

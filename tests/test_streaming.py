@@ -471,3 +471,53 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_stream_snapshot_sink_versions_batches(spark, tmp_path):
+    """Each micro-batch commits as one atomic snapshot version; a
+    retried batch id is recognized as durable and skipped."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from group5_spark.medallion.snapshots import (
+        latest_note, snapshot_read, snapshot_versions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    schema = StructType([StructField("id", LongType())])
+
+    def run(rows, tag):
+        with open(src / f"{tag}.json", "w") as f:
+            for i in rows:
+                f.write(json.dumps({"id": i}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            jobs.stream_snapshot_sink(stream, tbl, str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run([1, 2, 3], "a")
+    run([4, 5], "b")
+    assert snapshot_read(spark, tbl).count() == 5
+    versions = snapshot_versions(tbl)
+    assert len(versions) == 2
+    # time travel to the first batch boundary
+    assert snapshot_read(spark, tbl, version=1).count() == 3
+    assert int(latest_note(tbl)["batch_id"]) == 1
+    # checkpoint loss → full replay as batch 0: every replayed row is
+    # already durable (batch_id 0 <= recorded 1), so the guard commits
+    # nothing — no duplicate rows, no phantom version
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_snapshot_sink(stream, tbl, str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert snapshot_read(spark, tbl).count() == 5
+    assert len(snapshot_versions(tbl)) == 2
