@@ -4741,6 +4741,60 @@ def trailing_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_norm_stats",
+    """
+    WITH v AS (
+        SELECT label,
+               CAST(ROUND(sqrt(list_sum(
+                   list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)
+               )), 6) AS DECIMAL(18,6)) AS nrm
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(CAST(SUM(nrm) AS DOUBLE) / COUNT(*), 6) AS avg_norm,
+           CAST(MIN(nrm) AS DOUBLE) AS min_norm,
+           CAST(MAX(nrm) AS DOUBLE) AS max_norm
+    FROM v GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm statistics — the vector-quality
+    check (un-normalized rows, dead embeddings, scale drift) a
+    similarity pipeline runs before trusting cosine scores.
+
+    The norm is a JVM-side HOF fold (`F.aggregate` x²-sum, then sqrt)
+    — codegen, no UDF, identical left-to-right float order to the
+    oracle's list_sum. Per-row norms round to 6 then sum as exact
+    decimals, so the cross-engine comparison never rides on float
+    accumulation order. Map-only + one 10-group agg.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.col("embedding").cast("array<double>"),
+                F.lit(0.0),
+                lambda acc, x: acc + x * x,
+            )
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        emb.select("label", norm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("nrm").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_norm"),
+            F.min("nrm").cast("double").alias("min_norm"),
+            F.max("nrm").cast("double").alias("max_norm"),
+        )
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -404,6 +404,14 @@ def test_trailing_distinct_bounded_expansion(q):
     I.assert_max_shuffles(df, 4)
 
 
+def test_embedding_norm_stats_map_only_agg(q):
+    df = q("embedding_norm_stats")
+    # HOF fold stays in codegen; one 10-group agg exchange, no joins
+    I.assert_max_shuffles(df, 1)
+    assert I.has_codegen(df)
+    assert I.num_broadcast_joins(df) == 0
+
+
 def test_global_top_orders_avoids_global_sort(q):
     df = q("global_top_orders")
     plan = I.formatted_plan(df)
