@@ -4795,6 +4795,67 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmv_distinct_estimate",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT {_DUCK_H56.format(x="CAST(user_id AS VARCHAR)")} AS hv
+        FROM events
+    ), mink AS (
+        SELECT hv, ROW_NUMBER() OVER (ORDER BY hv) AS rnk FROM h
+    ), kth AS (
+        SELECT MAX(hv) AS kth_hash, COUNT(*) AS k
+        FROM mink WHERE rnk <= 64
+    ), exact AS (
+        SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events
+    )
+    SELECT k, kth_hash,
+           ROUND((CAST(k AS DOUBLE) - 1) * 72057594037927936.0
+                 / CAST(kth_hash AS DOUBLE), 4) AS est_distinct,
+           exact_distinct
+    FROM kth, exact
+    """,
+)
+def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, exactly
+    oracle-gated: estimate ≈ (k-1)·2⁵⁶ / kth-smallest-hash.
+
+    This is the mergeable bounded-space sketch family
+    (HLL/theta/KMV) in a form another engine can replay bit-for-bit —
+    unlike approx_count_distinct, whose HLL++ internals aren't
+    portable, the portable 56-bit hash makes the sketch itself the
+    contract. Scale shape: the k smallest hashes come from
+    TakeOrderedAndProject (per-partition heaps, 64 rows each — never
+    a global sort), and dedup happens on 8-byte hashes. The exact
+    count rides along for error reference.
+    """
+    from group5_spark.extensions.dedup import portable_hash56_sql
+
+    k = 64
+    ev = load_table(spark, sf_dir, "events")
+    hashes = ev.select(
+        F.expr(
+            portable_hash56_sql("CAST(user_id AS STRING)")
+        ).alias("hv")
+    ).distinct()
+    mink = hashes.orderBy("hv").limit(k)
+    kth = mink.agg(
+        F.count(F.lit(1)).alias("k"), F.max("hv").alias("kth_hash")
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return kth.crossJoin(F.broadcast(exact)).select(
+        "k",
+        "kth_hash",
+        F.round(
+            (F.col("k").cast("double") - 1)
+            * F.lit(72057594037927936.0)
+            / F.col("kth_hash").cast("double"),
+            4,
+        ).alias("est_distinct"),
+        "exact_distinct",
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -404,6 +404,14 @@ def test_trailing_distinct_bounded_expansion(q):
     I.assert_max_shuffles(df, 4)
 
 
+def test_kmv_sketch_heap_not_sort(q):
+    df = q("kmv_distinct_estimate")
+    plan = I.formatted_plan(df)
+    # the k smallest hashes must come from per-partition heaps
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+
+
 def test_embedding_norm_stats_map_only_agg(q):
     df = q("embedding_norm_stats")
     # HOF fold stays in codegen; one 10-group agg exchange, no joins
@@ -451,6 +459,7 @@ NLJ_ALLOWED = {
     "tfidf_top_terms",               # 1-row N(docs) scalar broadcast
     "packed_sequence_bins",          # 1-row min/max id bounds broadcast
     "lang_temperature_resample",     # 1-row total/max-weight broadcasts
+    "kmv_distinct_estimate",         # 1-row sketch × 1-row exact-count bcast
 }
 
 
