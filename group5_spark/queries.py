@@ -4856,6 +4856,44 @@ def kmv_distinct_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmv_users_by_event_type",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT event_type,
+               {_DUCK_H56.format(x="CAST(user_id AS VARCHAR)")} AS hv
+        FROM events
+    ), mink AS (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY hv
+               ) AS rnk
+        FROM h
+    ), agg AS (
+        SELECT event_type, COUNT(*) AS n_hashes, MAX(hv) AS kth_hash
+        FROM mink WHERE rnk <= 64 GROUP BY event_type
+    )
+    SELECT event_type, n_hashes, kth_hash,
+           CASE WHEN n_hashes < 64 THEN CAST(n_hashes AS DOUBLE)
+                ELSE ROUND((CAST(n_hashes AS DOUBLE) - 1)
+                           * 72057594037927936.0
+                           / CAST(kth_hash AS DOUBLE), 4)
+           END AS est_distinct
+    FROM agg
+    """,
+)
+def kmv_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group KMV distinct-user sketch (extensions/sketches.py):
+    grouped min-k via WindowGroupLimit, mergeable partial sketches —
+    the bounded-space 'distinct users per anything' building block,
+    exactly replayed by the oracle through the portable hash."""
+    from group5_spark.extensions import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = SK.kmv_sketch(ev, "user_id", ["event_type"], k=64)
+    return SK.kmv_estimate(sk, ["event_type"], k=64)
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

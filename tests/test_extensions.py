@@ -534,3 +534,49 @@ def test_wav_decode_distributed(spark):
         assert r["sample_rate"] in (8000, 12000, 16000)
         assert r["n_samples"] == 400 + (r["media_id"] % 200)
         assert r["n_bytes"] == 44 + r["n_samples"] * 2
+
+
+def test_kmv_merge_equals_sketch_of_union(spark, sf_dir):
+    """Mergeability — the distributed property: merging two partial
+    sketches must equal sketching the union, exactly (same hash set)."""
+    from group5_spark.catalog import load_table
+    from group5_spark.extensions import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") % 2 == 0)
+    b = ev.filter(F.col("user_id") % 2 == 1)
+    merged = SK.kmv_merge(
+        SK.kmv_sketch(a, "user_id", ["event_type"]),
+        SK.kmv_sketch(b, "user_id", ["event_type"]),
+        ["event_type"],
+    )
+    direct = SK.kmv_sketch(ev, "user_id", ["event_type"])
+    m = {(r["event_type"], r["rnk"]): r["hv"] for r in merged.collect()}
+    d = {(r["event_type"], r["rnk"]): r["hv"] for r in direct.collect()}
+    assert m == d and len(d) > 0
+
+
+def test_kmv_estimate_within_tolerance_and_exact_when_small(spark, sf_dir):
+    from group5_spark.catalog import load_table
+    from group5_spark.extensions import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: (r["n_hashes"], r["est_distinct"])
+        for r in SK.kmv_estimate(
+            SK.kmv_sketch(ev, "user_id", ["event_type"]), ["event_type"]
+        ).collect()
+    }
+    assert set(est) == set(exact)
+    for et, (n_hashes, e) in est.items():
+        if n_hashes < 64:
+            assert e == exact[et]  # non-full sketch is exact
+        else:
+            # SE ~ 1/sqrt(k-2) ≈ 12.7% at k=64; allow 4 sigma
+            assert abs(e - exact[et]) / exact[et] < 0.51, (et, e, exact[et])

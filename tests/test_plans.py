@@ -404,6 +404,14 @@ def test_trailing_distinct_bounded_expansion(q):
     I.assert_max_shuffles(df, 4)
 
 
+def test_kmv_grouped_uses_window_group_limit(q):
+    df = q("kmv_users_by_event_type")
+    plan = I.formatted_plan(df)
+    # per-group min-k must prune map-side, not collect all hashes
+    assert "WindowGroupLimit" in plan
+    I.assert_max_shuffles(df, 3)
+
+
 def test_kmv_sketch_heap_not_sort(q):
     df = q("kmv_distinct_estimate")
     plan = I.formatted_plan(df)
