@@ -261,8 +261,18 @@ def snapshot_read(
         all_files = [str(root / e["path"]) for e in manifest["files"]]
         return reader.parquet(*all_files).limit(0)
     df = reader.parquet(*kept)
+    import operator as _op
+
+    ops = {
+        "=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+    }
+    from pyspark.sql import functions as F
+
     for col, op, val in predicates or []:
-        df = df.filter(f"{col} {'=' if op == '=' else op} {val!r}")
+        # Column expressions, not interpolated SQL strings: values with
+        # quotes or SQL metacharacters stay plain values, and the
+        # comparison still pushes down to the parquet row groups
+        df = df.filter(ops[op](F.col(col), F.lit(val)))
     return df
 
 
