@@ -122,13 +122,13 @@ def snapshot_commit(
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
     root = Path(path)
     (root / _MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
-    parent = _read_pointer(root)
-    version = parent + 1
 
-    data_dir = root / f"data-v{version:05d}-{uuid.uuid4().hex[:8]}"
+    # stage data files once — immutable, so a commit retry never
+    # rewrites them (dir name is uuid-unique, not version-bound)
+    data_dir = root / f"data-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(str(data_dir))
     stats_cols = stats_cols or []
-    entries = [
+    staged = [
         {
             "path": str(f.relative_to(root)),
             "bytes": f.stat().st_size,
@@ -136,28 +136,48 @@ def snapshot_commit(
         }
         for f in sorted(data_dir.glob("*.parquet"))
     ]
-    if mode == "append" and parent:
-        prior = json.loads(_manifest_path(root, parent).read_text())
-        entries = prior["files"] + entries
 
-    manifest = {
-        "version": version,
-        "parent": parent,
-        "ts": time.time(),
-        # schema travels in the metadata (Iceberg-style): readers never
-        # infer from data files, and an appended column evolves cleanly —
-        # old files simply surface NULLs for it
-        "schema": json.loads(df.schema.json()),
-        # writer-supplied marker (e.g. streaming batch id) — the hook
-        # idempotent sinks use to recognize an already-durable commit
-        "note": note or {},
-        "files": entries,
-    }
-    _manifest_path(root, version).write_text(json.dumps(manifest, indent=1))
-    # atomic publish: readers either see the old pointer or the new one
-    tmp = root / _MANIFEST_DIR / f"_ptr.{uuid.uuid4().hex[:8]}"
-    tmp.write_text(str(version))
-    tmp.replace(root / _MANIFEST_DIR / _POINTER)
+    # optimistic concurrency: the version slot is claimed by EXCLUSIVE
+    # manifest create (O_EXCL here; put-if-absent on an object store).
+    # A concurrent writer that claimed the slot first forces a re-read
+    # of the published parent and a retry on the next slot — no lock
+    # server, and nobody's manifest is ever overwritten.
+    while True:
+        parent = _read_pointer(root)
+        taken = [
+            int(m.stem[1:])
+            for m in (root / _MANIFEST_DIR).glob("v*.json")
+        ]
+        version = max([parent, *taken], default=0) + 1
+        entries = staged
+        if mode == "append" and parent:
+            prior = json.loads(_manifest_path(root, parent).read_text())
+            entries = prior["files"] + staged
+        manifest = {
+            "version": version,
+            "parent": parent,
+            "ts": time.time(),
+            # schema travels in the metadata (Iceberg-style): readers
+            # never infer from data files, and an appended column
+            # evolves cleanly — old files simply surface NULLs for it
+            "schema": json.loads(df.schema.json()),
+            # writer-supplied marker (e.g. streaming batch id) — the
+            # hook idempotent sinks use to recognize a durable commit
+            "note": note or {},
+            "files": entries,
+        }
+        try:
+            with open(_manifest_path(root, version), "x") as f:
+                f.write(json.dumps(manifest, indent=1))
+            break
+        except FileExistsError:
+            continue
+    # atomic publish: readers either see the old pointer or the new
+    # one; guarded so a slow older commit can never move it backwards
+    if version > _read_pointer(root):
+        tmp = root / _MANIFEST_DIR / f"_ptr.{uuid.uuid4().hex[:8]}"
+        tmp.write_text(str(version))
+        tmp.replace(root / _MANIFEST_DIR / _POINTER)
     return version
 
 
@@ -297,7 +317,7 @@ def snapshot_expire(path: str, keep_last: int = 1) -> dict:
                 deleted += 1
         m.unlink()
     # remove emptied data dirs
-    for d in root.glob("data-v*"):
+    for d in root.glob("data-*"):
         if d.is_dir() and not any(d.iterdir()):
             shutil.rmtree(d)
     return {"versions_dropped": len(drop), "files_deleted": deleted}

@@ -83,10 +83,11 @@ def test_crash_before_pointer_swap_is_invisible(spark, tmp_path):
     m2 = root / "_manifests" / "v00002.json"
     m2.write_text(json.dumps({"version": 2, "parent": 1, "ts": 0, "files": []}))
     assert snapshot_read(spark, t).count() == 10  # still v1
-    # the next real commit must supersede the orphan cleanly
-    (root / "_manifests" / "v00002.json").unlink()
+    # the next real commit skips the orphan's claimed slot (exclusive
+    # create) and publishes past it — the orphan stays unpublished
     v = snapshot_commit(_df(spark, 0, 5), t)
-    assert v == 2 and snapshot_read(spark, t).count() == 5
+    assert v == 3 and snapshot_read(spark, t).count() == 5
+    assert snapshot_read(spark, t, version=1).count() == 10
 
 
 def test_expire_drops_history_keeps_current(spark, tmp_path):
@@ -145,3 +146,26 @@ def test_schema_evolution_on_append(spark, tmp_path):
     assert rows == {1: None, 2: 9.5}
     # time travel to v1 keeps the original 2-column schema
     assert set(snapshot_read(spark, t, version=1).columns) == {"id", "v"}
+
+
+def test_concurrent_writers_never_clobber(spark, tmp_path):
+    """Optimistic concurrency: a rival claiming the next version slot
+    mid-commit forces this commit onto a later slot — both manifests
+    survive, the pointer lands on the highest published version, and
+    append lineage rebases onto the published parent."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t)  # v1
+    root = Path(t)
+    # rival writer claims slot v2 directly (exclusive create already
+    # done by the time we commit)
+    rival = {
+        "version": 2, "parent": 1, "ts": 0,
+        "schema": json.loads(_df(spark, 0, 1).schema.json()),
+        "note": {}, "files": [],
+    }
+    (root / "_manifests" / "v00002.json").write_text(json.dumps(rival))
+    v = snapshot_commit(_df(spark, 100, 105), t, mode="append")
+    assert v == 3
+    # rival's manifest untouched, ours published on top of v1's files
+    assert json.loads((root / "_manifests" / "v00002.json").read_text())["files"] == []
+    assert snapshot_read(spark, t).count() == 15  # 10 appended + 5
