@@ -4894,6 +4894,54 @@ def kmv_users_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.kmv_estimate(sk, ["event_type"], k=64)
 
 
+@register(
+    "native_session_windows",
+    """
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM x
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native ``session_window`` gap sessions (the built-in operator;
+    the lag-gap-cumsum rewrite in `sessionized_event_counts` and the
+    stateful streaming twin compute the same sessions — this closes
+    the family with the engine-native form, whose oracle IS that
+    rewrite). Session end = last event + gap, per Spark semantics.
+    One shuffle on user_id; session assignment is per-key local."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

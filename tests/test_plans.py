@@ -404,6 +404,13 @@ def test_trailing_distinct_bounded_expansion(q):
     I.assert_max_shuffles(df, 4)
 
 
+def test_native_session_windows_single_shuffle(q):
+    df = q("native_session_windows")
+    # one user_id exchange; session assignment happens key-local
+    I.assert_max_shuffles(df, 1)
+    I.assert_scan_pruned(df, table_cols=6, max_cols=2)
+
+
 def test_kmv_grouped_uses_window_group_limit(q):
     df = q("kmv_users_by_event_type")
     plan = I.formatted_plan(df)
