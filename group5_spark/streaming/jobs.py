@@ -458,3 +458,32 @@ def stream_snapshot_sink(
     return df.writeStream.foreachBatch(commit_batch).option(
         "checkpointLocation", checkpoint
     )
+
+
+def stream_enrich_refreshing_dim(
+    df: DataFrame,
+    dim_path: str,
+    on: list[str],
+    sink,
+    how: str = "left",
+):
+    """Micro-batch enrichment against the CURRENT version of a
+    snapshot dimension table: every batch re-resolves the snapshot
+    pointer, so a dimension update published mid-stream takes effect
+    from the next micro-batch — no query restart.
+
+    A plain stream-static join pins the static side's file listing
+    when the query starts; with a dimension that upserts hourly that
+    means stale enrichment until restart. Re-reading inside
+    foreachBatch costs one manifest resolve per batch (kilobytes) and
+    the dim broadcast — the same work the pinned plan does per batch
+    anyway. ``sink(enriched_df, batch_id)`` receives each joined
+    batch; returns the un-started DataStreamWriter.
+    """
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    def fn(batch_df, batch_id: int) -> None:
+        dim = snapshot_read(batch_df.sparkSession, dim_path)
+        sink(batch_df.join(F.broadcast(dim), on, how), batch_id)
+
+    return df.writeStream.foreachBatch(fn)

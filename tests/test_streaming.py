@@ -521,3 +521,51 @@ def test_stream_snapshot_sink_versions_batches(spark, tmp_path):
     q.awaitTermination()
     assert snapshot_read(spark, tbl).count() == 5
     assert len(snapshot_versions(tbl)) == 2
+
+
+def test_stream_enrichment_sees_dim_updates_between_batches(spark, tmp_path):
+    """The refreshing-dim join must pick up a dimension version
+    published between micro-batches — the property a pinned
+    stream-static join lacks."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    dim_path = str(tmp_path / "dim")
+    snapshot_commit(
+        spark.createDataFrame([(1, "bronze")], ["user_id", "tier"]), dim_path
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = StructType([StructField("user_id", LongType())])
+    got = {}
+
+    def sink(enriched, batch_id):
+        for r in enriched.collect():
+            got[(batch_id, r["user_id"])] = r["tier"]
+
+    def run(rows, tag):
+        with open(src / f"{tag}.json", "w") as f:
+            for i in rows:
+                f.write(json.dumps({"user_id": i}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            jobs.stream_enrich_refreshing_dim(
+                stream, dim_path, ["user_id"], sink
+            )
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run([1], "a")
+    # dim updated BETWEEN batches — next batch must see gold
+    snapshot_commit(
+        spark.createDataFrame([(1, "gold")], ["user_id", "tier"]), dim_path
+    )
+    run([1], "b")
+    tiers = [got[k] for k in sorted(got)]
+    assert tiers == ["bronze", "gold"]
