@@ -115,6 +115,31 @@ def cmd_maintain(args: argparse.Namespace, spark: SparkSession) -> None:
         print("nothing to compact")
 
 
+def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
+    from group5_spark.medallion.snapshots import (
+        snapshot_expire,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    if args.action == "log":
+        for v in snapshot_versions(args.table_path):
+            print(
+                f"v{v['version']:05d} parent=v{v['parent']:05d} "
+                f"files={v['n_files']} ts={v['ts']:.0f}"
+            )
+    elif args.action == "expire":
+        out = snapshot_expire(args.table_path, keep_last=args.keep_last)
+        print(
+            f"dropped {out['versions_dropped']} versions, "
+            f"deleted {out['files_deleted']} files"
+        )
+    elif args.action == "show":
+        df = snapshot_read(spark, args.table_path, version=args.version)
+        df.show(args.limit, truncate=False)
+        print(f"rows: {df.count()}")
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="group5_spark.pipeline")
     parser.add_argument("--app_name", default="group5_pipeline")
@@ -149,6 +174,17 @@ def main(argv: list[str] | None = None) -> int:
     p_maint.add_argument("--stats-only", action="store_true",
                          help="print the file census without rewriting")
 
+    p_snap = sub.add_parser(
+        "snapshot", help="snapshot tables: log / show / expire"
+    )
+    p_snap.add_argument("action", choices=["log", "show", "expire"])
+    p_snap.add_argument("--table_path", required=True)
+    p_snap.add_argument("--version", type=int, default=None,
+                        help="time-travel version for show")
+    p_snap.add_argument("--keep_last", type=int, default=3,
+                        help="versions retained by expire")
+    p_snap.add_argument("--limit", type=int, default=20)
+
     p_query = sub.add_parser("query", help="ad-hoc SQL over engine tables")
     p_query.add_argument("--sf_dir", default="/root/testdata/sf0.01")
     p_query.add_argument("--sql", required=True)
@@ -165,6 +201,8 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.command == "maintain":
             cmd_maintain(args, spark)
+        elif args.command == "snapshot":
+            cmd_snapshot(args, spark)
         elif args.command == "query":
             cmd_query(args, spark)
         else:

@@ -83,3 +83,27 @@ def test_cli_query_over_tables(tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "wrote 5 rows" in out.stdout
+
+
+def test_cli_snapshot_log_and_expire(spark, tmp_path):
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    path = str(tmp_path / "t")
+    snapshot_commit(spark.range(10).toDF("id"), path)
+    snapshot_commit(spark.range(5).toDF("id"), path)
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline",
+         "--master", "local[4]",
+         "snapshot", "log", "--table_path", path],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "v00001" in out.stdout and "v00002" in out.stdout
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline",
+         "--master", "local[4]",
+         "snapshot", "expire", "--table_path", path, "--keep_last", "1"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dropped 1 versions" in out.stdout
