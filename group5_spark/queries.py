@@ -4942,6 +4942,67 @@ def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "revenue_pareto_share",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        FROM orders GROUP BY o_custkey
+    ), ranked AS (
+        SELECT o_custkey, rev,
+               ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS rn,
+               COUNT(*) OVER () AS n
+        FROM cust
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+           CAST(CEIL(MAX(n) / 10.0) AS BIGINT) AS top_decile_customers,
+           ROUND(CAST(SUM(CASE WHEN rn <= CEIL(n / 10.0) THEN rev END)
+                      AS DOUBLE)
+                 / CAST(SUM(rev) AS DOUBLE), 6) AS top_decile_share
+    FROM ranked
+    """,
+)
+def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration (Pareto / Lorenz-curve point): the share
+    of total revenue contributed by the top decile of customers —
+    the skew diagnostic behind 'do 10% of keys carry 80% of load'.
+
+    The global rank window runs over the per-customer AGGREGATE
+    (customer-cardinality rows, not orders), with a deterministic
+    (rev desc, custkey) tie-break. At extreme customer counts the
+    swap-in is a two-pass quantile-threshold plan (approx threshold →
+    filtered sum) — documented rather than planned here because the
+    single-task window over aggregate rows is exact and bounded by
+    dimension, not fact, cardinality.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC2)).alias("rev")
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+    ranked = cust.select(
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()
+        ).alias("n"),
+    )
+    decile = F.ceil(F.col("n") / 10.0)
+    return ranked.agg(
+        F.max("n").cast("bigint").alias("n_customers"),
+        F.ceil(F.max("n") / 10.0).cast("bigint").alias(
+            "top_decile_customers"
+        ),
+        F.round(
+            F.sum(F.when(F.col("rn") <= decile, F.col("rev")))
+            .cast("double")
+            / F.sum("rev").cast("double"),
+            6,
+        ).alias("top_decile_share"),
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -404,6 +404,14 @@ def test_trailing_distinct_bounded_expansion(q):
     I.assert_max_shuffles(df, 4)
 
 
+def test_pareto_share_windows_over_aggregate_only(q):
+    df = q("revenue_pareto_share")
+    # the rank window must sit above the per-customer aggregate —
+    # bounded by customer cardinality, never a window over raw orders
+    I.assert_max_shuffles(df, 3)
+    I.assert_scan_pruned(df, table_cols=9, max_cols=2)
+
+
 def test_native_session_windows_single_shuffle(q):
     df = q("native_session_windows")
     # one user_id exchange; session assignment happens key-local
