@@ -113,3 +113,62 @@ def test_non_decomposable_measures_rejected_at_registration(tmp_path):
             {"users": ("count_distinct", "o_custkey")},
             str(tmp_path / "bad"),
         )
+
+
+def test_mv_refreshes_incrementally_and_still_serves(spark, sf_dir, tmp_path):
+    """The layers compose: an MV summary maintained by
+    changed-partition-only refresh (medallion.incremental) keeps
+    serving rewrites with post-refresh data — full rebuild never runs.
+    """
+    from group5_spark.medallion.incremental import refresh_aggregate
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "mv_daily")
+    cat = MVCatalog()
+    mv = cat.register(
+        name="orders_daily",
+        source="orders",
+        group_cols=["o_orderdate"],
+        measures={
+            "sum_total": ("sum", "o_totalprice"),
+            "n_orders": ("count", "*"),
+        },
+        path=path,
+    )
+
+    def build(df):
+        return df.groupBy("o_orderdate").agg(
+            F.sum("o_totalprice").alias("sum_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+
+    # initial build partitioned by the grain column so incremental
+    # refresh can swap single dates
+    build(orders).write.partitionBy("o_orderdate").mode("overwrite").parquet(path)
+
+    some_date = orders.select(F.min("o_orderdate")).first()[0]
+    # simulate a late-arriving batch doubling that date's orders
+    fact2 = orders.unionByName(
+        orders.filter(F.col("o_orderdate") == some_date)
+    )
+    refresh_aggregate(
+        spark, fact2, path, "o_orderdate", build, [some_date]
+    )
+
+    got, used = cat.aggregate(
+        spark, "orders", ["o_orderdate"],
+        {"n": ("count", "*")}, orders,
+    )
+    assert used == "orders_daily"
+    rows = {str(r["o_orderdate"]): r["n"] for r in got.collect()}
+    base = {
+        str(r["o_orderdate"]): r["n"]
+        for r in orders.groupBy("o_orderdate")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # refreshed date reflects the doubled batch; all others untouched
+    assert rows[str(some_date)] == 2 * base[str(some_date)]
+    for d, n in base.items():
+        if d != str(some_date):
+            assert rows[d] == n, d

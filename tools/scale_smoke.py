@@ -77,6 +77,21 @@ def main() -> None:
         "window_rank_shape",
         li.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1),
     )
+    # hot-key aggregation: 50% of rows forced onto ONE supplier key —
+    # the shape AQE skew handling + two-phase partial aggregation must
+    # absorb (partials collapse the hot key map-side, so the shuffle
+    # stays balanced even though the key distribution isn't)
+    skewed = li.withColumn(
+        "s_key",
+        F.when(F.rand(7) < 0.5, F.lit(1)).otherwise(F.col("l_suppkey")),
+    )
+    bench(
+        "skewed_key_agg_shape",
+        skewed.groupBy("s_key").agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev"),
+            F.count(F.lit(1)).alias("n"),
+        ),
+    )
     li.unpersist()
     spark.stop()
 
