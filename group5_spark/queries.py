@@ -5003,6 +5003,67 @@ def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ordered_funnel_users",
+    """
+    WITH t AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS viewed,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END)
+                AS BIGINT) AS clicked_after_view,
+           CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click
+                         THEN 1 ELSE 0 END) AS BIGINT)
+               AS purchased_in_order
+    FROM t
+    """,
+)
+def ordered_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-constrained funnel: users whose FIRST view precedes
+    their first click precedes their first purchase — the ordering
+    semantics `funnel_steps` (step membership only) can't see.
+
+    One conditional-min aggregation per user collapses each user's
+    history to three timestamps map-side; the second aggregation is a
+    single row. NULL propagation does the sequencing: a missing stage
+    makes the comparison NULL → the CASE scores 0 on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    t = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "t_view"
+        ),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias(
+            "t_click"
+        ),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("t_purchase"),
+    )
+    in_order = (F.col("t_click") > F.col("t_view")) & (
+        F.col("t_purchase") > F.col("t_click")
+    )
+    return t.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(
+            F.when(F.col("t_view").isNotNull(), 1).otherwise(0)
+        ).cast("bigint").alias("viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).cast("bigint").alias("clicked_after_view"),
+        F.sum(F.when(in_order, 1).otherwise(0)).cast("bigint").alias(
+            "purchased_in_order"
+        ),
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -404,6 +404,15 @@ def test_trailing_distinct_bounded_expansion(q):
     I.assert_max_shuffles(df, 4)
 
 
+def test_ordered_funnel_two_phase_agg(q):
+    df = q("ordered_funnel_users")
+    # per-user conditional mins collapse map-side; the sequencing
+    # comparison runs over user-cardinality rows, then a 1-row agg
+    I.assert_max_shuffles(df, 2)
+    I.assert_scan_pruned(df, table_cols=6, max_cols=3)
+    assert I.has_codegen(df)
+
+
 def test_pareto_share_windows_over_aggregate_only(q):
     df = q("revenue_pareto_share")
     # the rank window must sit above the per-customer aggregate —
