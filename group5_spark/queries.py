@@ -5064,6 +5064,64 @@ def ordered_funnel_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "fuzzy_part_name_pairs",
+    """
+    WITH n AS (
+        SELECT p_name AS name,
+               string_split(p_name, ' ')[2] AS block,
+               COUNT(*) AS n_parts
+        FROM part GROUP BY 1, 2
+    )
+    SELECT a.name AS name_a, b.name AS name_b,
+           CAST(levenshtein(a.name, b.name) AS BIGINT) AS edit_dist,
+           a.n_parts AS n_parts_a, b.n_parts AS n_parts_b
+    FROM n a JOIN n b ON a.block = b.block AND a.name < b.name
+    WHERE levenshtein(a.name, b.name) <= 3
+    """,
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution (blocked fuzzy matching): near-identical part
+    names found by block-then-verify — the record-linkage shape every
+    dedup of names/titles/addresses uses.
+
+    Scale structure mirrors the LSH dedup family: (1) collapse to
+    DISTINCT entity values first (the match runs on value cardinality,
+    not row count — 2000 rows → ~80 names here), (2) equi-join on a
+    cheap blocking key (the product-type token) so candidate pairs are
+    block-local, never all-pairs, (3) verify candidates with the
+    expensive measure (levenshtein, JVM intrinsic) only inside blocks.
+    Identical edit-distance semantics on both engines.
+    """
+    part = load_table(spark, sf_dir, "part")
+    n = (
+        part.groupBy(
+            F.col("p_name").alias("name"),
+            F.element_at(F.split("p_name", " "), 2).alias("block"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    a = n.alias("a")
+    b = n.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.name") < F.col("b.name")),
+        )
+        .filter(F.levenshtein(F.col("a.name"), F.col("b.name")) <= 3)
+        .select(
+            F.col("a.name").alias("name_a"),
+            F.col("b.name").alias("name_b"),
+            F.levenshtein(F.col("a.name"), F.col("b.name"))
+            .cast("bigint")
+            .alias("edit_dist"),
+            F.col("a.n_parts").alias("n_parts_a"),
+            F.col("b.n_parts").alias("n_parts_b"),
+        )
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -404,6 +404,17 @@ def test_trailing_distinct_bounded_expansion(q):
     I.assert_max_shuffles(df, 4)
 
 
+def test_fuzzy_pairs_blocked_equi_join(q):
+    df = q("fuzzy_part_name_pairs")
+    plan = I.formatted_plan(df)
+    # the match must be an equi-join on the blocking key with the
+    # edit-distance verify as a post-join filter — never an NLJ
+    # all-pairs with levenshtein in the join condition
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    I.assert_max_shuffles(df, 2)
+
+
 def test_ordered_funnel_two_phase_agg(q):
     df = q("ordered_funnel_users")
     # per-user conditional mins collapse map-side; the sequencing
