@@ -5122,6 +5122,63 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "multimodal_video_features",
+    """
+    WITH base AS (
+        SELECT CAST(doc_id AS BIGINT) AS media_id,
+               CAST(6 + doc_id % 10 AS INTEGER) AS n_frames,
+               CAST(10 + (doc_id % 3) * 5 AS INTEGER) AS fps,
+               CAST(4 + doc_id % 5 AS INTEGER) AS width,
+               CAST(3 + doc_id % 4 AS INTEGER) AS height
+        FROM documents
+    ),
+    idx AS (SELECT unnest(range(0, 16)) AS f),
+    px AS (
+        SELECT media_id,
+               ROUND(AVG(CAST((media_id * 7 + f * 13) % 256 AS DOUBLE)), 6)
+                   AS mean_pixel
+        FROM base JOIN idx ON idx.f < n_frames
+        GROUP BY media_id
+    )
+    SELECT b.media_id, 'video/bmpv' AS media_type,
+           CAST(12 + b.n_frames
+                * (54 + ((b.width * 3 + 3) // 4) * 4 * b.height)
+                AS BIGINT) AS n_bytes,
+           b.n_frames, b.fps, b.width, b.height,
+           ROUND(CAST(b.n_frames AS DOUBLE) / b.fps, 6) AS duration_s,
+           p.mean_pixel
+    FROM base b JOIN px p USING (media_id)
+    """,
+)
+def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched mapInPandas VIDEO decode: real multi-frame BMPV
+    containers are synthesized per doc_id (multimodal.make_bmpv —
+    every frame a spec-compliant BMP) and genuinely parsed back,
+    walking frame boundaries from each frame's declared size and
+    decoding every frame (multimodal.decode_video). The oracle
+    re-derives frame count, fps, geometry, container size, duration,
+    and the all-frames mean pixel arithmetically from the generative
+    spec — any byte-level bug in writer or parser breaks the hash.
+    Completes the real-decoder modality set: image, audio, video."""
+    from group5_spark.extensions import multimodal
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = multimodal.attach_bmpv_payloads(docs, "doc_id")
+    feats = multimodal.video_features(media)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        "n_frames",
+        "fps",
+        "width",
+        "height",
+        F.round("duration_s", 6).alias("duration_s"),
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -323,6 +323,11 @@ def test_audio_decode_is_map_only(q):
     I.assert_max_shuffles(df, 0)
 
 
+def test_video_decode_is_map_only(q):
+    df = q("multimodal_video_features")
+    I.assert_max_shuffles(df, 0)
+
+
 def test_unigram_logprob_plan(q):
     df = q("text_unigram_logprob")
     # vocabulary broadcasts back onto per-doc TF rows — the scoring

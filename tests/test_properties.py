@@ -83,3 +83,26 @@ def test_decoders_never_raise_on_garbage(blob):
     assert (w, h) == (0, 0) or blob[:2] in (b"BM", b"P6")
     ch, rate, n, _, _ = decode_audio(blob)
     assert (ch, rate, n) == (0, 0, 0) or blob[:4] == b"RIFF"
+
+
+@settings(max_examples=50)
+@given(st.integers(min_value=0, max_value=10_000))
+def test_bmpv_video_roundtrip_matches_formula(media_id):
+    from group5_spark.extensions.multimodal import decode_video, make_bmpv
+
+    payload = make_bmpv(media_id)
+    n_frames, fps, w, h, dur, mean = decode_video(payload)
+    assert n_frames == 6 + media_id % 10
+    assert fps == 10 + (media_id % 3) * 5
+    assert (w, h) == (4 + media_id % 5, 3 + media_id % 4)
+    assert abs(dur - n_frames / fps) < 1e-9
+    fills = [(media_id * 7 + f * 13) % 256 for f in range(n_frames)]
+    assert abs(mean - sum(fills) / len(fills)) < 1e-9
+
+
+@given(st.binary(max_size=64))
+def test_video_decoder_never_raises_on_garbage(blob):
+    from group5_spark.extensions.multimodal import decode_video
+
+    n, fps, w, h, _, _ = decode_video(blob)
+    assert (n, fps, w, h) == (0, 0, 0, 0) or blob[:4] == b"BMPV"
