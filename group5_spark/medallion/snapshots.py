@@ -99,12 +99,59 @@ def _file_stats(path: Path, stats_cols: list[str]) -> dict:
     return out
 
 
+_BLOOM_BITS = 4096
+_BLOOM_K = 5
+
+
+def _bloom_hashes(value) -> list[int]:
+    """k bit positions for a value — derived from md5 so any engine
+    (or the manifest reader) reproduces them; value is hashed by its
+    string form, matching the reader's probe."""
+    import hashlib
+
+    digest = hashlib.md5(str(value).encode("utf-8")).digest()
+    return [
+        int.from_bytes(digest[i * 3 : i * 3 + 3], "big") % _BLOOM_BITS
+        for i in range(_BLOOM_K)
+    ]
+
+
+def _file_bloom(path: Path, col: str) -> str | None:
+    """Per-file Bloom filter over a column's distinct values (hex
+    bitset). Commit-time cost: one single-column read of the new file
+    — the same work Parquet's own bloom writer does. Gives point
+    (``=``) predicates file-skipping power where min/max can't help:
+    interleaved key ranges overlap every file's [min, max], but a key
+    absent from a file is definitely-absent in its bloom."""
+    import pyarrow.parquet as pq
+
+    try:
+        table = pq.read_table(str(path), columns=[col])
+    except Exception:
+        return None
+    bits = bytearray(_BLOOM_BITS // 8)
+    for v in table.column(0).unique().to_pylist():
+        if v is None:
+            continue
+        for pos in _bloom_hashes(v):
+            bits[pos // 8] |= 1 << (pos % 8)
+    return bytes(bits).hex()
+
+
+def _bloom_might_contain(hex_bits: str, value) -> bool:
+    bits = bytes.fromhex(hex_bits)
+    return all(
+        bits[pos // 8] & (1 << (pos % 8)) for pos in _bloom_hashes(value)
+    )
+
+
 def snapshot_commit(
     df: DataFrame,
     path: str,
     mode: str = "overwrite",
     stats_cols: list[str] | None = None,
     note: dict | None = None,
+    bloom_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next version of the table at ``path`` and
     return the new version number.
@@ -128,14 +175,20 @@ def snapshot_commit(
     data_dir = root / f"data-{uuid.uuid4().hex[:8]}"
     df.write.mode("error").parquet(str(data_dir))
     stats_cols = stats_cols or []
-    staged = [
-        {
+    bloom_cols = bloom_cols or []
+    staged = []
+    for f in sorted(data_dir.glob("*.parquet")):
+        entry = {
             "path": str(f.relative_to(root)),
             "bytes": f.stat().st_size,
             "stats": _file_stats(f, stats_cols),
         }
-        for f in sorted(data_dir.glob("*.parquet"))
-    ]
+        blooms = {
+            c: b for c in bloom_cols if (b := _file_bloom(f, c)) is not None
+        }
+        if blooms:
+            entry["bloom"] = blooms
+        staged.append(entry)
 
     # optimistic concurrency: the version slot is claimed by EXCLUSIVE
     # manifest create (O_EXCL here; put-if-absent on an object store).
@@ -245,11 +298,19 @@ def prune_files(
     if not m.exists():
         raise FileNotFoundError(f"no snapshot v{v} at {path}")
     files = json.loads(m.read_text())["files"]
-    kept = [
-        str(root / e["path"])
-        for e in files
-        if all(_overlaps(e["stats"], c, op, val) for (c, op, val) in predicates)
-    ]
+
+    def may_match(e: dict) -> bool:
+        for c, op, val in predicates:
+            if not _overlaps(e["stats"], c, op, val):
+                return False
+            # bloom probe: an equality key definitely absent from the
+            # file prunes it even when min/max ranges overlap
+            b = e.get("bloom", {}).get(c)
+            if op == "=" and b and not _bloom_might_contain(b, val):
+                return False
+        return True
+
+    kept = [str(root / e["path"]) for e in files if may_match(e)]
     return kept, len(files)
 
 

@@ -169,3 +169,33 @@ def test_concurrent_writers_never_clobber(spark, tmp_path):
     # rival's manifest untouched, ours published on top of v1's files
     assert json.loads((root / "_manifests" / "v00002.json").read_text())["files"] == []
     assert snapshot_read(spark, t).count() == 15  # 10 appended + 5
+
+
+def test_bloom_prunes_where_minmax_cannot(spark, tmp_path):
+    """Interleaved keys: evens in one file, odds in the other — both
+    files span [0, 99], so min/max skipping keeps both. The per-file
+    bloom knows an equality key is definitely absent and prunes."""
+    t = str(tmp_path / "tbl")
+    evens = spark.createDataFrame(
+        [(i, "e") for i in range(0, 100, 2)], ["id", "tag"]
+    ).coalesce(1)
+    odds = spark.createDataFrame(
+        [(i, "o") for i in range(1, 100, 2)], ["id", "tag"]
+    ).coalesce(1)
+    snapshot_commit(
+        evens, t, stats_cols=["id"], bloom_cols=["id"]
+    )
+    snapshot_commit(
+        odds, t, mode="append", stats_cols=["id"], bloom_cols=["id"]
+    )
+    # ranges overlap → min/max alone keeps both files
+    kept_minmax_only, total = prune_files(t, [("id", ">=", 0)])
+    assert total == 2 and len(kept_minmax_only) == 2
+    # equality on an odd key → bloom drops the evens file
+    kept, total = prune_files(t, [("id", "=", 31)])
+    assert total == 2 and len(kept) == 1
+    got = snapshot_read(spark, t, predicates=[("id", "=", 31)])
+    assert [(r["id"], r["tag"]) for r in got.collect()] == [(31, "o")]
+    # absent key: bloom may prune everything; result must stay exact
+    got_none = snapshot_read(spark, t, predicates=[("id", "=", 100)])
+    assert got_none.count() == 0
