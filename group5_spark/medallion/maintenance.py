@@ -26,7 +26,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["table_file_stats", "compact"]
+__all__ = ["table_file_stats", "compact"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -134,14 +134,13 @@ def write_sorted(
     out.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
 
 
-def write_zorder(
+def zorder_arranged(
     df,
-    path: str,
     cols: list[str],
     bits: int = 16,
     n_files: int | None = None,
-) -> None:
-    """Z-order (Morton-interleaved) Parquet layout over ``cols`` for
+):
+    """Z-order (Morton-interleaved) arrangement over ``cols`` for
     multi-column data skipping.
 
     :func:`write_sorted` clusters one dominant filter column; when two
@@ -196,7 +195,22 @@ def write_zorder(
         if n_files
         else z.repartitionByRange("_zval")
     )
-    out.sortWithinPartitions("_zval").drop("_zval").write.mode(
+    return out.sortWithinPartitions("_zval").drop("_zval")
+
+
+def write_zorder(
+    df,
+    path: str,
+    cols: list[str],
+    bits: int = 16,
+    n_files: int | None = None,
+) -> None:
+    """Write ``df`` at ``path`` in the Z-ordered layout (see
+    :func:`zorder_arranged` for the clustering story — this is its
+    plain-parquet writer; pass the arranged frame to
+    ``snapshots.snapshot_commit`` instead to get the same layout
+    under a versioned table with manifest stats on every Z column)."""
+    zorder_arranged(df, cols, bits=bits, n_files=n_files).write.mode(
         "overwrite"
     ).parquet(path)
 

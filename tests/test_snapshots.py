@@ -199,3 +199,39 @@ def test_bloom_prunes_where_minmax_cannot(spark, tmp_path):
     # absent key: bloom may prune everything; result must stay exact
     got_none = snapshot_read(spark, t, predicates=[("id", "=", 100)])
     assert got_none.count() == 0
+
+
+def test_zorder_snapshot_prunes_on_both_columns(spark, tmp_path):
+    """Layout × metadata synergy: a Z-ordered snapshot keeps BOTH key
+    columns locally clustered, so manifest min/max stats prune files
+    for selective filters on either column — where a lexicographic
+    sort only serves the leading column."""
+    from group5_spark.medallion.maintenance import zorder_arranged
+
+    df = spark.createDataFrame(
+        [(x, y) for x in range(64) for y in range(64)], ["x", "y"]
+    )
+    zt = str(tmp_path / "ztbl")
+    snapshot_commit(
+        zorder_arranged(df, ["x", "y"], bits=6, n_files=16),
+        zt,
+        stats_cols=["x", "y"],
+    )
+    lt = str(tmp_path / "ltbl")
+    snapshot_commit(
+        df.repartitionByRange(16, "x", "y").sortWithinPartitions("x", "y"),
+        lt,
+        stats_cols=["x", "y"],
+    )
+    kept_zx, total_z = prune_files(zt, [("x", "=", 7)])
+    kept_zy, _ = prune_files(zt, [("y", "=", 7)])
+    kept_ly, total_l = prune_files(lt, [("y", "=", 7)])
+    assert total_z == 16 and total_l == 16
+    # z-order prunes well on BOTH columns...
+    assert len(kept_zx) <= total_z // 2
+    assert len(kept_zy) <= total_z // 2
+    # ...the lexicographic layout cannot prune on the trailing column
+    assert len(kept_ly) == total_l
+    # and pruned reads stay exact
+    got = snapshot_read(spark, zt, predicates=[("y", "=", 7)])
+    assert got.count() == 64
