@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 
 from .dedup import portable_hash56_sql
 
-__all__ = ["kmv_sketch", "kmv_estimate", "kmv_merge"]
+__all__ = ["kmv_sketch", "kmv_estimate", "kmv_merge", "kmv_regroup"]
 
 _HASH_SPACE = float(1 << 56)
 
@@ -115,5 +115,27 @@ def kmv_merge(
     )
     return (
         u.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def kmv_regroup(
+    sketch: DataFrame,
+    group_exprs: dict,
+    k: int = 64,
+) -> DataFrame:
+    """Re-aggregate stored sketches to a coarser grain WITHOUT raw
+    data: relabel each sketch row by ``group_exprs`` ({new_col:
+    Column}), pool the hashes per new group, and re-take min-k. This
+    is the mergeable-sketch payoff — daily sketches persisted once
+    answer weekly/monthly/all-time distinct questions forever, the
+    exact rollup a stored COUNT DISTINCT can never do."""
+    relabeled = sketch.select(
+        *[expr.alias(name) for name, expr in group_exprs.items()], "hv"
+    ).distinct()
+    names = list(group_exprs)
+    w = Window.partitionBy(*names).orderBy("hv")
+    return (
+        relabeled.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )

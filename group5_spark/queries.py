@@ -5179,6 +5179,74 @@ def multimodal_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "kmv_weekly_rollup",
+    f"""
+    WITH h AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day,
+               {_DUCK_H56.format(x="CAST(user_id AS VARCHAR)")} AS hv
+        FROM events
+    ), daily AS (
+        SELECT day, hv,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rnk
+        FROM h
+    ), pooled AS (
+        SELECT DISTINCT CAST(date_trunc('week', day) AS DATE) AS week, hv
+        FROM daily WHERE rnk <= 64
+    ), weekly AS (
+        SELECT week, hv,
+               ROW_NUMBER() OVER (PARTITION BY week ORDER BY hv) AS rnk
+        FROM pooled
+    ), agg AS (
+        SELECT week, COUNT(*) AS n_hashes, MAX(hv) AS kth_hash
+        FROM weekly WHERE rnk <= 64 GROUP BY week
+    ), exact AS (
+        SELECT CAST(date_trunc('week', CAST(ts AS DATE)) AS DATE) AS week,
+               COUNT(DISTINCT user_id) AS exact_distinct
+        FROM events GROUP BY 1
+    )
+    SELECT a.week, a.n_hashes, a.kth_hash,
+           CASE WHEN a.n_hashes < 64 THEN CAST(a.n_hashes AS DOUBLE)
+                ELSE ROUND((CAST(a.n_hashes AS DOUBLE) - 1)
+                           * 72057594037927936.0
+                           / CAST(a.kth_hash AS DOUBLE), 4)
+           END AS est_distinct,
+           e.exact_distinct
+    FROM agg a JOIN exact e USING (week)
+    """,
+)
+def kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch rollup — weekly distinct users derived ENTIRELY from
+    daily KMV sketches (extensions/sketches.py:kmv_regroup), never
+    from raw events: the mergeable-sketch payoff. A warehouse stores
+    per-day sketch rows once (k×8 bytes/day) and answers
+    weekly/monthly/all-time distinct questions by pooling hashes and
+    re-taking min-k — the rollup a stored COUNT DISTINCT column can
+    never provide (distinct doesn't sum). The exact weekly count rides
+    along to exhibit the estimate error; the oracle replays the
+    two-level sketch path bit-for-bit through the portable hash.
+    """
+    from group5_spark.extensions import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = SK.kmv_sketch(
+        ev.select(F.to_date("ts").alias("day"), "user_id"),
+        "user_id",
+        ["day"],
+        k=64,
+    )
+    weekly = SK.kmv_regroup(
+        daily,
+        {"week": F.date_trunc("week", F.col("day")).cast("date")},
+        k=64,
+    )
+    est = SK.kmv_estimate(weekly, ["week"], k=64)
+    exact = ev.groupBy(
+        F.date_trunc("week", F.to_date("ts")).cast("date").alias("week")
+    ).agg(F.countDistinct("user_id").alias("exact_distinct"))
+    return est.join(F.broadcast(exact), "week")
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -580,3 +580,29 @@ def test_kmv_estimate_within_tolerance_and_exact_when_small(spark, sf_dir):
         else:
             # SE ~ 1/sqrt(k-2) ≈ 12.7% at k=64; allow 4 sigma
             assert abs(e - exact[et]) / exact[et] < 0.51, (et, e, exact[et])
+
+
+def test_kmv_regroup_equals_direct_coarse_sketch(spark, sf_dir):
+    """Rolling daily sketches up to weeks must equal sketching weeks
+    directly — min-k pooling loses nothing the coarse sketch keeps."""
+    from group5_spark.catalog import load_table
+    from group5_spark.extensions import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = SK.kmv_sketch(ev, "user_id", ["day"])
+    rolled = SK.kmv_regroup(
+        daily, {"week": F.date_trunc("week", F.col("day")).cast("date")}
+    )
+    direct = SK.kmv_sketch(
+        ev.select(
+            F.date_trunc("week", F.col("day")).cast("date").alias("week"),
+            "user_id",
+        ),
+        "user_id",
+        ["week"],
+    )
+    r = {(str(x["week"]), x["rnk"]): x["hv"] for x in rolled.collect()}
+    d = {(str(x["week"]), x["rnk"]): x["hv"] for x in direct.collect()}
+    assert r == d and len(d) > 0

@@ -452,6 +452,14 @@ def test_kmv_grouped_uses_window_group_limit(q):
     I.assert_max_shuffles(df, 3)
 
 
+def test_kmv_rollup_two_level_window_limits(q):
+    df = q("kmv_weekly_rollup")
+    plan = I.formatted_plan(df)
+    # both sketch levels must bound state map-side
+    assert plan.count("WindowGroupLimit") >= 2
+    assert I.num_broadcast_joins(df) >= 1
+
+
 def test_kmv_sketch_heap_not_sort(q):
     df = q("kmv_distinct_estimate")
     plan = I.formatted_plan(df)
