@@ -5247,6 +5247,73 @@ def kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.join(F.broadcast(exact), "week")
 
 
+@register(
+    "user_active_coverage",
+    """
+    WITH x AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), s AS (
+        SELECT user_id, ts,
+               SUM(brk) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   ROWS UNBOUNDED PRECEDING
+               ) AS sid
+        FROM x
+    ), sess AS (
+        SELECT user_id, sid,
+               date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+        FROM s GROUP BY user_id, sid
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(dur_s) AS BIGINT) AS active_seconds,
+           CAST(MAX(dur_s) AS BIGINT) AS longest_session_s
+    FROM sess GROUP BY user_id
+    """,
+)
+def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage: total seconds each user was active,
+    counting overlapping/adjacent activity once — sessions merge on
+    ≤30 min gaps, then durations sum. The engagement-time metric a
+    raw event count overstates and a max-min range understates.
+
+    Same single user-keyed exchange as the session family: the gap
+    islands, per-session bounds, and the final per-user aggregate all
+    share the user_id partitioning.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    brk = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+            > 1800
+        ),
+        1,
+    ).otherwise(0)
+    s = ev.select("user_id", "ts").withColumn(
+        "sid",
+        F.sum(brk).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sess = s.groupBy("user_id", "sid").agg(
+        (
+            F.max(F.unix_timestamp("ts")) - F.min(F.unix_timestamp("ts"))
+        ).alias("dur_s")
+    )
+    return sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum("dur_s").cast("bigint").alias("active_seconds"),
+        F.max("dur_s").cast("bigint").alias("longest_session_s"),
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -437,6 +437,13 @@ def test_pareto_share_windows_over_aggregate_only(q):
     I.assert_scan_pruned(df, table_cols=9, max_cols=2)
 
 
+def test_active_coverage_single_user_exchange(q):
+    df = q("user_active_coverage")
+    # islands window + session agg + user agg share user_id hashing
+    I.assert_max_shuffles(df, 1)
+    I.assert_scan_pruned(df, table_cols=6, max_cols=2)
+
+
 def test_native_session_windows_single_shuffle(q):
     df = q("native_session_windows")
     # one user_id exchange; session assignment happens key-local
