@@ -5314,6 +5314,66 @@ def user_active_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mad_order_value_by_segment",
+    """
+    WITH seg AS (
+        SELECT c_mktsegment AS segment,
+               CAST(o_totalprice AS DOUBLE) AS price
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ), med AS (
+        SELECT segment, quantile_cont(price, 0.5) AS m
+        FROM seg GROUP BY segment
+    )
+    SELECT s.segment,
+           COUNT(*) AS n,
+           ROUND(MAX(p.m), 6) AS median_price,
+           ROUND(quantile_cont(abs(s.price - p.m), 0.5), 6) AS mad
+    FROM seg s JOIN med p USING (segment)
+    GROUP BY s.segment
+    """,
+)
+def mad_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation of order value per segment — the
+    robust dispersion companion to `winsorized_order_stats`: one
+    corrupt row moves a stddev arbitrarily but shifts the MAD by at
+    most one rank position.
+
+    Two exact-percentile passes (median, then median of absolute
+    deviations), both per-segment sort-based aggregations over the
+    same segment partitioning; the 5-row median table broadcasts back
+    onto the rows. The 100 TB swap-in is approx_percentile at both
+    levels (t-digest, mergeable) — documented, not planned, because
+    the exact form is what the oracle can replay.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    seg = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("o_totalprice").cast("double").alias("price"),
+    )
+    med = seg.groupBy("segment").agg(
+        F.percentile("price", F.lit(0.5)).alias("m")
+    )
+    return (
+        seg.join(F.broadcast(med), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.max("m"), 6).alias("median_price"),
+            F.round(
+                F.percentile(
+                    F.abs(F.col("price") - F.col("m")), F.lit(0.5)
+                ),
+                6,
+            ).alias("mad"),
+        )
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -495,6 +495,15 @@ def test_global_top_orders_avoids_global_sort(q):
     I.assert_scan_pruned(df, table_cols=9, max_cols=3)
 
 
+def test_mad_broadcasts_median_table(q):
+    df = q("mad_order_value_by_segment")
+    # customer dim + 5-row median table both broadcast; the two
+    # percentile aggs share the segment exchange via reuse
+    assert I.num_broadcast_joins(df) >= 2
+    I.assert_no_fact_shuffle_join(df)
+    I.assert_max_shuffles(df, 2)
+
+
 def test_winsorized_stats_single_segment_exchange(q):
     df = q("winsorized_order_stats")
     # customer dim broadcasts; the cume_dist window, bounds agg, and
