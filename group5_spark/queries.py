@@ -5374,6 +5374,99 @@ def mad_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "brand_customer_overlap",
+    """
+    WITH bc AS (
+        SELECT DISTINCT p_brand AS brand, o_custkey AS cust
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+    ), per AS (
+        SELECT brand, COUNT(*) AS n FROM bc GROUP BY brand
+    ), pairs AS (
+        SELECT a.brand AS brand_a, b.brand AS brand_b,
+               COUNT(*) AS n_both
+        FROM bc a JOIN bc b ON a.cust = b.cust AND a.brand < b.brand
+        GROUP BY 1, 2
+    )
+    SELECT p.brand_a, p.brand_b, p.n_both,
+           ROUND(CAST(p.n_both AS DOUBLE)
+                 / (pa.n + pb.n - p.n_both), 6) AS jaccard
+    FROM pairs p
+    JOIN per pa ON p.brand_a = pa.brand
+    JOIN per pb ON p.brand_b = pb.brand
+    WHERE p.n_both >= 50
+    """,
+)
+def brand_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-level set similarity: customer-base Jaccard overlap
+    between brand pairs — the audience-overlap / assortment-planning
+    metric (`part_pair_affinity` is its order-basket sibling at the
+    transaction grain; this compares WHOLE customer sets per entity).
+
+    Scale shape: the fact collapses to DISTINCT (brand, customer)
+    membership first — the self-join runs on membership cardinality,
+    never raw lineitems — and joins on the customer key, so pairs
+    generate per customer (bounded by brands² overall). Inclusion-
+    exclusion turns pair-intersection counts plus per-brand totals
+    into Jaccard without ever materializing set unions.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    orders = load_table(spark, sf_dir, "orders")
+    bc = (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_brand")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            F.col("p_brand").alias("brand"), F.col("o_custkey").alias("cust")
+        )
+        .distinct()
+    )
+    per = bc.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
+    a = bc.alias("a")
+    b = bc.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cust") == F.col("b.cust"))
+            & (F.col("a.brand") < F.col("b.brand")),
+        )
+        .groupBy(
+            F.col("a.brand").alias("brand_a"),
+            F.col("b.brand").alias("brand_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+        .filter(F.col("n_both") >= 50)
+    )
+    pa = per.select(
+        F.col("brand").alias("brand_a"), F.col("n").alias("na")
+    )
+    pb = per.select(
+        F.col("brand").alias("brand_b"), F.col("n").alias("nb")
+    )
+    return (
+        pairs.join(F.broadcast(pa), "brand_a")
+        .join(F.broadcast(pb), "brand_b")
+        .select(
+            "brand_a",
+            "brand_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

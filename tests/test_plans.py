@@ -409,6 +409,21 @@ def test_trailing_distinct_bounded_expansion(q):
     I.assert_max_shuffles(df, 4)
 
 
+def test_brand_overlap_joins_on_membership_not_facts(q):
+    df = q("brand_customer_overlap")
+    plan = I.formatted_plan(df)
+    # the self-join must be a customer-keyed equi-join over the
+    # distinct membership set — no nested loop, no cartesian
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # the membership subplan feeds per-brand totals and both pair
+    # sides: three identical copies pre-AQE (9 static exchanges) that
+    # MUST collapse to one scan chain at runtime via exchange reuse
+    I.assert_max_shuffles(df, 9)
+    df.collect()
+    assert "ReusedExchange" in I.simple_plan(df)
+
+
 def test_fuzzy_pairs_blocked_equi_join(q):
     df = q("fuzzy_part_name_pairs")
     plan = I.formatted_plan(df)
