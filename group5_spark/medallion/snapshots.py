@@ -29,7 +29,7 @@ Why a metadata layer at 100 TB:
 Local-filesystem implementation; every operation maps 1:1 onto the
 Hadoop FileSystem / object-store API (immutable puts + one atomic
 rename). Reference parity: the reference's warehouse tables
-(`Scripts/etl_landing_to_gold.py` full-overwrite outputs) have no
+(`Assets/Jobs/etl_job.py:68-75` full-overwrite CSV outputs) have no
 versioning at all — this is a beyond-reference scale component.
 """
 
@@ -51,6 +51,7 @@ __all__ = [
     "snapshot_changes",
     "prune_files",
     "latest_note",
+    "last_committed_batch",
 ]
 
 _MANIFEST_DIR = "_manifests"
@@ -83,12 +84,20 @@ def _file_stats(path: Path, stats_cols: list[str]) -> dict:
             continue
         mins, maxs = [], []
         for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx[col]).statistics
-            if st is None or not st.has_min_max:
+            # types pyarrow can't extract stats for (e.g. decimal)
+            # raise here — degrade to no-stats (= must-read), never
+            # fail the commit
+            try:
+                st = md.row_group(rg).column(idx[col]).statistics
+                has = st is not None and st.has_min_max
+                lo, hi = (st.min, st.max) if has else (None, None)
+            except Exception:
+                has = False
+            if not has:
                 mins, maxs = [], []
                 break
-            mins.append(st.min)
-            maxs.append(st.max)
+            mins.append(lo)
+            maxs.append(hi)
         if mins:
             lo, hi = min(mins), max(maxs)
             if isinstance(lo, bytes):
@@ -226,7 +235,15 @@ def snapshot_commit(
         except FileExistsError:
             continue
     # atomic publish: readers either see the old pointer or the new
-    # one; guarded so a slow older commit can never move it backwards
+    # one; guarded so a slow older commit can never move it backwards.
+    # NOTE: the guard is check-then-act, not compare-and-swap — two
+    # concurrent committers can interleave between the read and the
+    # replace, briefly publishing the older of the two versions until
+    # the next commit re-advances it (no data is lost: both manifests
+    # exist, append chains through the manifest slots not the pointer).
+    # Acceptable for the local-FS model; a real object-store port must
+    # publish with a conditional put (S3 If-None-Match / GCS
+    # ifGenerationMatch / HDFS rename) keyed on the expected pointer.
     if version > _read_pointer(root):
         tmp = root / _MANIFEST_DIR / f"_ptr.{uuid.uuid4().hex[:8]}"
         tmp.write_text(str(version))
@@ -242,6 +259,26 @@ def latest_note(path: str) -> dict | None:
     if not v:
         return None
     return json.loads(_manifest_path(root, v).read_text()).get("note", {})
+
+
+def last_committed_batch(path: str, app_id: str) -> int | None:
+    """Max streaming ``batch_id`` this ``app_id`` has durably committed
+    to the table, scanning all retained manifests' notes (Delta
+    txnAppId/txnVersion pattern). Keying on the pair — not the latest
+    note alone — keeps the idempotency check correct when several
+    writers (or a restarted query with a new id) interleave commits on
+    one table. Manifests are kilobytes, so the scan is metadata-cost."""
+    mdir = Path(path) / _MANIFEST_DIR
+    if not mdir.exists():
+        return None
+    best: int | None = None
+    for m in mdir.glob("v*.json"):
+        note = json.loads(m.read_text()).get("note") or {}
+        if note.get("app_id") == app_id and note.get("batch_id") is not None:
+            b = int(note["batch_id"])
+            if best is None or b > best:
+                best = b
+    return best
 
 
 def snapshot_versions(path: str) -> list[dict]:
@@ -264,11 +301,34 @@ def snapshot_versions(path: str) -> list[dict]:
 def _overlaps(stats: dict, col: str, op: str, value) -> bool:
     """Can a file with these stats contain a row satisfying
     ``col op value``?  Missing stats → must read (never wrong, just
-    unpruned)."""
+    unpruned).
+
+    Type discipline: ``_file_stats`` stringifies non-JSON-primitive
+    stats (dates, decimals), so a typed predicate value is normalized
+    through the SAME ``str()`` conversion when that preserves ordering
+    (ISO date/datetime strings sort chronologically). Any other
+    stat/value type mismatch — e.g. Decimal, whose string form is not
+    order-preserving — degrades to must-read instead of raising.
+    ``stats_cols`` should therefore be numeric, string, or date
+    columns for pruning to bite."""
+    import datetime
+
     s = stats.get(col)
     if s is None:
         return True
     lo, hi = s["min"], s["max"]
+    if isinstance(lo, str) and not isinstance(value, str):
+        if isinstance(value, (datetime.date, datetime.datetime)):
+            value = str(value)  # ISO form: lexicographic == chronological
+        else:
+            return True  # incomparable stat/value types → never prune
+    try:
+        return _overlaps_cmp(lo, hi, op, value)
+    except TypeError:
+        return True
+
+
+def _overlaps_cmp(lo, hi, op: str, value) -> bool:
     if op == "=":
         return lo <= value <= hi
     if op == "<":
@@ -357,16 +417,44 @@ def snapshot_read(
     return df
 
 
-def snapshot_expire(path: str, keep_last: int = 1) -> dict:
-    """Garbage-collect history: keep the newest ``keep_last``
-    manifests, delete older manifests and any data file no retained
-    manifest references. Returns ``{versions_dropped, files_deleted}``.
-    Expiry is the only operation that deletes data, and it never
-    touches a file the retained snapshots can reach — concurrent
-    readers of retained versions are safe."""
+def snapshot_expire(
+    path: str, keep_last: int = 1, orphan_grace_s: float = 300.0
+) -> dict:
+    """Garbage-collect history: keep the published pointer's manifest
+    plus the newest ``keep_last`` PUBLISHED versions, delete older
+    manifests and any data file no retained manifest references.
+    Returns ``{versions_dropped, files_deleted}``. Expiry is the only
+    operation that deletes data, and it never touches a file the
+    retained snapshots can reach — concurrent readers of retained
+    versions are safe.
+
+    Retention is anchored on the published pointer, NOT on filename
+    order: a manifest with version > pointer is an *unpublished
+    orphan* (a committer crashed between manifest create and pointer
+    swap — a state the commit protocol explicitly permits), not the
+    newest history. Counting such an orphan toward ``keep_last`` could
+    expire the currently-published manifest and delete live data.
+    Orphans are themselves expendable, but only once older than
+    ``orphan_grace_s`` — an in-flight commit sits in that state for
+    milliseconds, and the grace window keeps expire from racing it."""
     root = Path(path)
+    published = _read_pointer(root)
     manifests = sorted((root / _MANIFEST_DIR).glob("v*.json"))
-    drop, keep = manifests[:-keep_last], manifests[-keep_last:]
+    now = time.time()
+    keep, drop = [], []
+    published_kept = 0
+    for m in reversed(manifests):  # newest → oldest
+        version = int(m.stem[1:])
+        if version > published:
+            # unpublished orphan: never retained as history; deleted
+            # only after the grace window (don't race a live commit)
+            age = now - json.loads(m.read_text()).get("ts", 0)
+            (drop if age > orphan_grace_s else keep).append(m)
+        elif version == published or published_kept < keep_last:
+            keep.append(m)
+            published_kept += 1
+        else:
+            drop.append(m)
     live = set()
     for m in keep:
         live.update(e["path"] for e in json.loads(m.read_text())["files"])

@@ -11,10 +11,15 @@ every coarser query by RE-aggregating partial states — scanning the
 decomposable aggregates:
 
 - ``SUM(x)``   = SUM of partial sums
-- ``COUNT(*)`` = SUM of partial counts
+- ``COUNT(*)`` = SUM of partial counts (declare as ``("count", "*")``)
+- ``COUNT(x)`` = SUM of partial non-null counts (``("count", x)``)
 - ``MIN/MAX``  = MIN/MAX of partial mins/maxs
-- ``AVG(x)``   = SUM(sum_x) / SUM(count) — derived, so an MV serves
-  AVG it never declared, as long as it carries the sum and the count
+- ``AVG(x)``   = SUM(sum_x) / SUM(count_x) — derived, so an MV serves
+  AVG it never declared, but ONLY when it carries BOTH the sum and
+  the *non-null count of the same column*. A row count is not a valid
+  denominator: ``F.avg`` ignores NULLs, so SUM(x)/COUNT(*) diverges
+  from AVG(x) on any nullable column. The matcher therefore refuses
+  the AVG rewrite unless ``("count", x)`` itself is materialized.
 
 Non-decomposable aggregates (COUNT DISTINCT, percentiles) correctly
 refuse the rewrite and fall back to the base table. Freshness is the
@@ -42,7 +47,9 @@ _ROLLUP = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
 
 def _base_agg(agg: str, col: str):
     if agg == "count":
-        return F.count(F.lit(1))
+        # "*" counts rows; a column name counts its non-null values
+        # (the AVG-safe denominator).
+        return F.count(F.lit(1)) if col == "*" else F.count(col)
     return getattr(F, agg)(col)
 
 
@@ -103,10 +110,10 @@ class MVCatalog:
         for agg, col in measures.values():
             if (agg, col) in have:
                 continue
-            if agg == "avg" and ("sum", col) in have and any(
-                a == "count" for a, _ in have
-            ):
-                continue  # AVG derivable from sum + count
+            if agg == "avg" and ("sum", col) in have and ("count", col) in have:
+                # AVG derivable only from sum + NON-NULL count of the
+                # SAME column; a row count would miscount NULLs.
+                continue
             return False
         return True
 
@@ -139,10 +146,7 @@ class MVCatalog:
             for out, (agg, col) in measures.items():
                 if agg == "avg":
                     s = self._mv_col(mv, "sum", col)
-                    n = next(
-                        o for o, (a, _) in mv["measures"].items()
-                        if a == "count"
-                    )
+                    n = self._mv_col(mv, "count", col)
                     outs.append(
                         (F.sum(s) / F.sum(n)).alias(out)
                     )

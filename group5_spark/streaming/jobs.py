@@ -413,11 +413,30 @@ def running_totals_tws(
     )
 
 
+def _checkpoint_query_id(checkpoint: str) -> str | None:
+    """The streaming query id Structured Streaming persists at
+    ``<checkpoint>/metadata`` when a query first starts. Stable across
+    restarts of the same checkpoint; a NEW id is minted if the
+    checkpoint is deleted or replaced — exactly the identity an
+    idempotent sink should key on."""
+    import json
+    from pathlib import Path
+
+    p = Path(checkpoint) / "metadata"
+    if not p.exists():
+        return None
+    try:
+        return json.loads(p.read_text()).get("id")
+    except (OSError, ValueError):
+        return None
+
+
 def stream_snapshot_sink(
     df: DataFrame,
     table_path: str,
     checkpoint: str,
     stats_cols: list[str] | None = None,
+    app_id: str | None = None,
 ):
     """Stream → snapshot-versioned table: every micro-batch lands as
     one atomic append snapshot (medallion.snapshots), so downstream
@@ -426,13 +445,20 @@ def stream_snapshot_sink(
     manifest file-skipping, and a change feed.
 
     Exactly-once despite foreachBatch's at-least-once retries: each
-    commit records its streaming ``batch_id`` in the manifest note;
-    a retried batch sees ``latest_note().batch_id >= batch_id`` and
-    skips — the commit is already durable. The marker lives in the
-    table's own metadata, not the checkpoint, so even a full
-    checkpoint-loss replay of already-committed data dedupes (batch
-    ids restart at 0 ≤ the recorded id); only genuinely new batches
-    commit.
+    commit records ``(app_id, batch_id)`` in the manifest note — the
+    Delta txnAppId/txnVersion pattern — and a batch is skipped ONLY
+    when the SAME app id has already durably committed that batch id.
+    ``app_id`` defaults to the streaming query id persisted in the
+    checkpoint, so a retry of batch N within one query dedupes, while
+    a replaced/lost checkpoint (batch ids restart at 0 under a NEW
+    query id) re-commits rather than silently dropping genuinely new
+    data that a bare ``batch_id <= recorded`` check would mistake for
+    a replay. Checkpoint loss therefore degrades to at-least-once —
+    never to data loss. Callers who deliberately replay identical
+    data through a fresh checkpoint can pass an explicit stable
+    ``app_id`` to retain cross-checkpoint dedup (accepting the Delta
+    caveat: change the app id whenever checkpoint AND source offsets
+    are reset together).
 
     Returns an un-started DataStreamWriter (caller picks the trigger),
     same convention as the other sinks here.
@@ -440,19 +466,17 @@ def stream_snapshot_sink(
     from group5_spark.medallion import snapshots as snap
 
     def commit_batch(batch_df, batch_id: int) -> None:
-        last = snap.latest_note(table_path)
-        if (
-            last is not None
-            and last.get("batch_id") is not None
-            and int(last["batch_id"]) >= batch_id
-        ):
-            return
+        app = app_id or _checkpoint_query_id(checkpoint)
+        if app is not None:
+            done = snap.last_committed_batch(table_path, app)
+            if done is not None and done >= batch_id:
+                return  # this app already durably committed this batch
         snap.snapshot_commit(
             batch_df,
             table_path,
             mode="append",
             stats_cols=stats_cols,
-            note={"batch_id": batch_id},
+            note={"app_id": app, "batch_id": batch_id},
         )
 
     return df.writeStream.foreachBatch(commit_batch).option(

@@ -21,6 +21,7 @@ def catalog(spark, sf_dir, tmp_path):
         measures={
             "sum_total": ("sum", "o_totalprice"),
             "n_orders": ("count", "*"),
+            "n_total": ("count", "o_totalprice"),
             "max_total": ("max", "o_totalprice"),
         },
         path=str(tmp_path / "mv_orders"),
@@ -86,6 +87,45 @@ def test_avg_derived_from_sum_and_count(spark, sf_dir, catalog):
         F.avg("o_totalprice").alias("aov")
     )
     assert _rows(got, ["o_orderstatus"]) == _rows(want, ["o_orderstatus"])
+
+
+def test_avg_refused_without_same_column_count(spark, tmp_path):
+    """Regression: an MV carrying sum + ROW count must NOT serve AVG —
+    F.avg ignores NULLs, so sum/rowcount is wrong on nullable columns.
+    The matcher requires a ("count", col) measure of the same column."""
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", None), ("b", 4.0), ("b", 2.0)],
+        "k string, v double",
+    )
+    cat = MVCatalog()
+    mv = cat.register(
+        name="rowcount_only", source="t", group_cols=["k"],
+        measures={"s": ("sum", "v"), "n": ("count", "*")},
+        path=str(tmp_path / "mv_rowcount"),
+    )
+    cat.build(base, mv)
+    got, used = cat.aggregate(
+        spark, "t", ["k"], {"a": ("avg", "v")}, base
+    )
+    assert used is None  # refused: no non-null count of v
+    vals = {r["k"]: r["a"] for r in got.collect()}
+    # base-path AVG ignores the NULL: 10.0, not 5.0 (= sum/rowcount)
+    assert vals["a"] == 10.0 and vals["b"] == 3.0
+
+    # with ("count", col) materialized the rewrite is allowed and
+    # matches NULL-ignoring AVG semantics exactly
+    mv2 = cat.register(
+        name="colcount", source="t", group_cols=["k"],
+        measures={"s": ("sum", "v"), "nv": ("count", "v")},
+        path=str(tmp_path / "mv_colcount"),
+    )
+    cat.build(base, mv2)
+    got2, used2 = cat.aggregate(
+        spark, "t", ["k"], {"a": ("avg", "v")}, base
+    )
+    assert used2 == "colcount"
+    vals2 = {r["k"]: float(r["a"]) for r in got2.collect()}
+    assert vals2["a"] == 10.0 and vals2["b"] == 3.0
 
 
 def test_unmatched_shapes_fall_back_to_base(spark, sf_dir, catalog):

@@ -110,6 +110,84 @@ def test_expire_keeps_files_shared_with_retained_append(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 150
 
 
+def test_expire_anchored_on_pointer_not_filename_order(spark, tmp_path):
+    """Regression: an unpublished orphan manifest (version > pointer —
+    a crashed pre-swap commit, a state the protocol permits) must not
+    count as 'the newest history'. With keep_last=1, retention keeps
+    the PUBLISHED version; naive filename-order retention would retain
+    only the orphan and delete the published manifest + its data."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t, stats_cols=["id"])  # v1 published
+    root = Path(t)
+    # crashed writer: manifest v2 exists, pointer still → v1
+    orphan = {
+        "version": 2, "parent": 1, "ts": 0,  # ts=0 → well past grace
+        "schema": json.loads(_df(spark, 0, 1).schema.json()),
+        "note": {}, "files": [],
+    }
+    (root / "_manifests" / "v00002.json").write_text(json.dumps(orphan))
+    out = snapshot_expire(t, keep_last=1)
+    # the stale orphan is the expendable one; published v1 survives
+    assert out["versions_dropped"] == 1
+    assert snapshot_read(spark, t).count() == 100
+    assert [v["version"] for v in snapshot_versions(t)] == [1]
+
+
+def test_expire_grace_spares_in_flight_commit(spark, tmp_path):
+    """An orphan manifest younger than the grace window is an
+    IN-FLIGHT commit (between manifest create and pointer swap), not
+    garbage — expire must leave it alone so the racing writer's
+    publish still lands."""
+    import time as _time
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t)
+    root = Path(t)
+    inflight = {
+        "version": 2, "parent": 1, "ts": _time.time(),  # fresh
+        "schema": json.loads(_df(spark, 0, 1).schema.json()),
+        "note": {}, "files": [],
+    }
+    (root / "_manifests" / "v00002.json").write_text(json.dumps(inflight))
+    out = snapshot_expire(t, keep_last=1, orphan_grace_s=300.0)
+    assert out["versions_dropped"] == 0
+    assert (root / "_manifests" / "v00002.json").exists()
+
+
+def test_typed_date_predicate_prunes_instead_of_raising(spark, tmp_path):
+    """Regression: _file_stats stringifies date stats; a typed
+    datetime.date predicate must normalize through the same str()
+    conversion (ISO order == chronological) and actually prune —
+    previously this raised TypeError at prune time."""
+    import datetime
+
+    t = str(tmp_path / "tbl")
+    df = spark.sql(
+        "SELECT sequence(to_date('2024-01-01'), to_date('2024-12-31')) ds"
+    ).selectExpr("explode(ds) AS d", "1 AS one")
+    snapshot_commit(df.repartitionByRange(4, "d"), t, stats_cols=["d"])
+    cut = datetime.date(2024, 12, 1)
+    kept, total = prune_files(t, [("d", ">=", cut)])
+    assert total == 4 and len(kept) < total
+    got = snapshot_read(spark, t, predicates=[("d", ">=", cut)])
+    assert got.count() == 31
+
+
+def test_incomparable_predicate_type_degrades_to_must_read(spark, tmp_path):
+    """A predicate value whose string form is NOT order-preserving
+    (Decimal) must fall back to 'read every file' — never raise,
+    never wrongly prune."""
+    from decimal import Decimal
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 100).selectExpr("CAST(id AS DECIMAL(10,2)) AS amt")
+    snapshot_commit(df.repartitionByRange(4, "amt"), t, stats_cols=["amt"])
+    kept, total = prune_files(t, [("amt", ">=", Decimal("90.00"))])
+    assert len(kept) == total  # degraded, not pruned, not raised
+    got = snapshot_read(spark, t, predicates=[("amt", ">=", Decimal("90.00"))])
+    assert got.count() == 10  # row-level residual filter keeps it exact
+
+
 def test_change_data_feed_between_versions(spark, tmp_path):
     t = str(tmp_path / "tbl")
     base = spark.createDataFrame(
