@@ -2042,7 +2042,7 @@ def sketch_scale_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT time_bucket(INTERVAL 1 HOUR, ts) AS hour_start, event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(value AS DECIMAL(18,2)))::DECIMAL(18,2) AS total_value
+           SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS total_value
     FROM events
     GROUP BY hour_start, event_type
     """,
@@ -2077,7 +2077,7 @@ def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "unpivot_money_components",
     """
     SELECT measure,
-           SUM(CAST(val AS DECIMAL(18,2)))::DECIMAL(18,2) AS total,
+           SUM(CAST(val AS DECIMAL(18,2)))::DOUBLE AS total,
            COUNT(*) AS n_rows
     FROM (
         SELECT 'extendedprice' AS measure, l_extendedprice AS val FROM lineitem
