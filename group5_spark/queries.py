@@ -5467,6 +5467,247 @@ def brand_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# TPC-H Q2 / Q11 / Q20 on the derived partsupp bridge
+# (sources/partsupp.py; closes the last TPC-H coverage gap)
+# --------------------------------------------------------------------
+
+from group5_spark.sources.partsupp import PARTSUPP_CTES, partsupp_df  # noqa: E402
+
+
+@register(
+    "min_cost_supplier",
+    f"""
+    WITH {PARTSUPP_CTES},
+    eligible AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ),
+    cand AS (
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+               ps_supplycost,
+               MIN(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+        FROM partsupp
+        JOIN part ON ps_partkey = p_partkey
+        JOIN eligible ON ps_suppkey = s_suppkey
+        WHERE p_size <= 15 AND p_type = 'ECONOMY'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ps_supplycost AS supply_cost
+    FROM cand
+    WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+)
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier): for each small ECONOMY part,
+    the cheapest European supplier.
+
+    The spec's correlated MIN subquery decorrelates into one window
+    MIN over ps_partkey — a single shuffle of the (part- and
+    region-filtered) bridge, no second partsupp scan. Both filtered
+    dims broadcast; the final top-100 plans TakeOrderedAndProject.
+    supplycost is unique per (part, supplier) so the argmin — and the
+    LIMIT under the 4-key sort — are deterministic.
+    """
+    ps = partsupp_df(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+
+    eligible = (
+        sup.join(
+            F.broadcast(nat),
+            sup["s_nationkey"] == nat["n_nationkey"],
+        )
+        .join(
+            F.broadcast(reg.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = part.filter(
+        (F.col("p_size") <= 15) & (F.col("p_type") == "ECONOMY")
+    ).select("p_partkey", "p_brand")
+
+    w = Window.partitionBy("ps_partkey")
+    return (
+        ps.join(F.broadcast(parts), ps["ps_partkey"] == parts["p_partkey"])
+        .join(F.broadcast(eligible), ps["ps_suppkey"] == eligible["s_suppkey"])
+        .withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.col("ps_supplycost").alias("supply_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "important_stock_share",
+    f"""
+    WITH {PARTSUPP_CTES},
+    nat_sup AS (
+        SELECT s_suppkey FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name = 'NATION_7'
+    ),
+    agg AS (
+        SELECT ps_partkey,
+               SUM(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4)))
+                   AS value_dec
+        FROM partsupp JOIN nat_sup ON ps_suppkey = s_suppkey
+        GROUP BY ps_partkey
+    ),
+    tot AS (
+        SELECT CAST(SUM(value_dec) AS DOUBLE) AS total,
+               COUNT(*) AS n_groups
+        FROM agg
+    )
+    SELECT ps_partkey, CAST(value_dec AS DOUBLE) AS stock_value
+    FROM agg, tot
+    WHERE CAST(value_dec AS DOUBLE) > 2.0 * total / n_groups
+    """,
+)
+def important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock): parts whose NATION_7 inventory
+    value exceeds 2× the mean per-part value.
+
+    The spec's scalar HAVING subquery re-reads partsupp; here the
+    threshold re-aggregates the ALREADY-GROUPED result (dimension
+    cardinality) into one row and broadcasts it — one bridge scan,
+    one groupBy shuffle, a 1-row broadcast NLJ. The 2×-mean form
+    scales the TPC fraction (0.0001/SF) automatically with group
+    count, so the filter stays selective at every SF.
+    """
+    ps = partsupp_df(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+    nat_sup = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .filter(F.col("n_name") == "NATION_7")
+        .select("s_suppkey")
+    )
+    agg = (
+        ps.join(F.broadcast(nat_sup), ps["ps_suppkey"] == nat_sup["s_suppkey"])
+        .groupBy("ps_partkey")
+        .agg(
+            F.sum(
+                (F.col("ps_supplycost") * F.col("ps_availqty")).cast(DEC4)
+            ).alias("value_dec")
+        )
+        # both the threshold and the filter consume this
+        # dimension-cardinality aggregate; cache it so the bridge is
+        # scanned and shuffled ONCE (Catalyst can't dedupe the two
+        # subtrees, and a global window would single-task at scale)
+        .cache()
+    )
+    tot = agg.agg(
+        F.sum("value_dec").cast("double").alias("total"),
+        F.count(F.lit(1)).alias("n_groups"),
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value_dec").cast("double")
+            > 2.0 * F.col("total") / F.col("n_groups")
+        )
+        .select(
+            "ps_partkey", F.col("value_dec").cast("double").alias("stock_value")
+        )
+    )
+
+
+@register(
+    "excess_parts_suppliers",
+    f"""
+    WITH {PARTSUPP_CTES},
+    red_parts AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+    sold AS (
+        SELECT l_partkey, l_suppkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty_dec
+        FROM lineitem JOIN red_parts ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    ),
+    cand AS (
+        SELECT DISTINCT ps_suppkey
+        FROM partsupp
+        JOIN sold ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+        WHERE CAST(ps_availqty AS DOUBLE) > 0.5 * CAST(qty_dec AS DOUBLE)
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN cand ON s_suppkey = ps_suppkey
+    WHERE n_name = 'NATION_3'
+    ORDER BY s_name
+    """,
+)
+def excess_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (excess inventory): NATION_3 suppliers holding more
+    than half a year's shipped quantity of some red part.
+
+    Decorrelated: the per-(part, supplier) 1998 shipment sum is ONE
+    filtered lineitem aggregate (the only fact shuffle), inner-joined
+    to the bridge — matching the spec's NULL-excluding correlated
+    comparison — then DISTINCT supplier keys drive a broadcast semi
+    join against the nation-filtered supplier dim. The red-part filter
+    broadcasts into the fact scan so lineitem is pruned before the
+    aggregate.
+    """
+    ps = partsupp_df(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    nat = load_table(spark, sf_dir, "nation")
+
+    red = part.filter(F.col("p_name").like("red%")).select("p_partkey")
+    sold = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(red), li["l_partkey"] == red["p_partkey"])
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC2)).alias("qty_dec"))
+    )
+    cand = (
+        ps.join(
+            sold,
+            (ps["ps_partkey"] == sold["l_partkey"])
+            & (ps["ps_suppkey"] == sold["l_suppkey"]),
+        )
+        .filter(
+            F.col("ps_availqty").cast("double")
+            > 0.5 * F.col("qty_dec").cast("double")
+        )
+        .select("ps_suppkey")
+        .distinct()
+    )
+    return (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .filter(F.col("n_name") == "NATION_3")
+        .join(
+            F.broadcast(cand), F.col("s_suppkey") == F.col("ps_suppkey"), "left_semi"
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
 _CHECK_WINDOW = [
     # 1-19: round-1 hash-fails, now canonical
     "pricing_summary",

@@ -530,7 +530,51 @@ def test_winsorized_stats_single_segment_exchange(q):
     assert "ReusedExchange" in I.simple_plan(df)
 
 
+def test_min_cost_supplier_window_min_decorrelation(q):
+    """Q2: correlated MIN subquery must decorrelate into a window MIN
+    — one shuffle of the filtered bridge, dims broadcast, top-100 via
+    the heap-merge not a global sort."""
+    df = q("min_cost_supplier")
+    plan = I.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert I.num_broadcast_joins(df) >= 4  # part, sup, nation, region
+    I.assert_no_fact_shuffle_join(df)
+    # per-part window MIN exchange + the 1-row supplier-count agg
+    # exchange from the partsupp derivation (carries 32 partial counts)
+    I.assert_max_shuffles(df, 2)
+
+
+def test_important_stock_share_single_bridge_scan(q):
+    """Q11: the HAVING threshold re-aggregates the grouped result
+    (1-row broadcast), never re-reads partsupp — one groupBy shuffle
+    total."""
+    df = q("important_stock_share")
+    assert I.num_broadcast_joins(df) >= 2  # nation into supplier, sup-set into bridge
+    I.assert_no_fact_shuffle_join(df)
+    # group agg + 1-row threshold re-agg + 1-row supplier-count agg
+    I.assert_max_shuffles(df, 3)
+
+
+def test_excess_parts_suppliers_one_fact_shuffle(q):
+    """Q20: decorrelated into ONE filtered lineitem aggregate; the
+    red-part filter broadcasts into the fact scan; candidate suppliers
+    drive a broadcast semi join."""
+    df = q("excess_parts_suppliers")
+    plan = I.formatted_plan(df)
+    I.assert_filter_pushed(df, "l_shipdate")
+    assert I.num_broadcast_joins(df) >= 3
+    I.assert_no_fact_shuffle_join(df)
+    # lineitem agg (the one fact shuffle) + distinct + final sort +
+    # the 1-row supplier-count agg exchange
+    I.assert_max_shuffles(df, 4)
+    assert "LeftSemi" in plan
+
+
 NLJ_ALLOWED = {
+    "min_cost_supplier",        # 1-row supplier-count broadcast (partsupp derive)
+    "important_stock_share",    # same + 1-row threshold broadcast
+    "excess_parts_suppliers",   # 1-row supplier-count broadcast (partsupp derive)
     "text_unigram_logprob",          # 1-row corpus-total broadcast
     "nation_supply_value_share",     # 1-row global-total broadcast
     "sim_topk",              # query side broadcast (8 vectors)
