@@ -26,7 +26,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["table_file_stats", "compact"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
+__all__ = ["table_file_stats", "compact", "compact_snapshot"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -107,6 +107,62 @@ def compact(
             staging.rmdir()
         compacted[part] = n_files
     return compacted
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files_to_compact: int = 2,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> dict:
+    """Compaction for snapshot-versioned tables — routed THROUGH the
+    commit protocol, so it is time-travel-safe where :func:`compact`'s
+    in-place swap is not.
+
+    Reads the current snapshot, rewrites it into ``ceil(bytes/target)``
+    files, and commits the result as a new overwrite version (the
+    ``note`` marks it as compaction). Nothing is deleted: prior
+    versions still resolve to their original small files and
+    concurrent readers of any version are undisturbed. Because a
+    compaction is a read-modify-write, it commits with
+    ``expected_parent``: if a concurrent writer lands first, the
+    stale rewrite raises ``SnapshotConflict`` and the whole
+    read-rewrite-commit retries against the new head — a racing
+    append is never silently discarded. The small files are reclaimed
+    later by :func:`snapshots.snapshot_expire` once the
+    pre-compaction versions age out. Returns ``{}`` when the table is
+    already healthy, else ``{files_before, files_after, version}``.
+    """
+    from group5_spark.medallion import snapshots as snap
+
+    while True:
+        manifest = snap.snapshot_manifest(path)
+        files = manifest["files"]
+        nbytes = sum(e.get("bytes", 0) for e in files)
+        needed = max(1, math.ceil(nbytes / target_file_bytes))
+        if len(files) <= max(needed, min_files_to_compact):
+            return {}
+        before = snap.snapshot_read(spark, path, version=manifest["version"])
+        try:
+            version = snap.snapshot_commit(
+                before.coalesce(needed),
+                path,
+                mode="overwrite",
+                stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+                note={"compaction": True, "files_before": len(files)},
+                expected_parent=manifest["version"],
+            )
+        except snap.SnapshotConflict:
+            continue  # head moved mid-rewrite; re-read and retry
+        return {
+            "files_before": len(files),
+            "files_after": needed,
+            "version": version,
+        }
 
 
 def write_sorted(

@@ -49,9 +49,11 @@ __all__ = [
     "snapshot_versions",
     "snapshot_expire",
     "snapshot_changes",
+    "snapshot_manifest",
     "prune_files",
     "latest_note",
     "last_committed_batch",
+    "SnapshotConflict",
 ]
 
 _MANIFEST_DIR = "_manifests"
@@ -62,11 +64,56 @@ def _manifest_path(root: Path, version: int) -> Path:
     return root / _MANIFEST_DIR / f"v{version:05d}.json"
 
 
+def _chain_path(root: Path, parent: int) -> Path:
+    return root / _MANIFEST_DIR / f"c{parent:05d}"
+
+
 def _read_pointer(root: Path) -> int:
     p = root / _MANIFEST_DIR / _POINTER
     if not p.exists():
         return 0
     return int(p.read_text().strip())
+
+
+def _chain_next(root: Path, version: int) -> int | None:
+    p = _chain_path(root, version)
+    if not p.exists():
+        return None
+    try:
+        return int(p.read_text().strip())
+    except ValueError:
+        return None
+
+
+def _current_version(root: Path) -> int:
+    """The published head: follow the commit chain from the pointer
+    hint. The pointer file is a CACHE (it may lag under concurrency);
+    the chain links — each created with an atomic exclusive create —
+    are the source of truth, so a stale hint only costs a few extra
+    link reads, never a wrong answer. Tables written before the chain
+    protocol have no links; for them the pointer itself is the head."""
+    v = _read_pointer(root)
+    while (nxt := _chain_next(root, v)) is not None:
+        v = nxt
+    return v
+
+
+def _lineage(root: Path, head: int) -> list[int]:
+    """Published versions, newest first, by following each manifest's
+    recorded parent from ``head`` down. This — not filename order — is
+    the table's history: a manifest outside the lineage is an orphan
+    from a commit that lost its chain-claim race or crashed."""
+    out: list[int] = []
+    v = head
+    while v > 0 and _manifest_path(root, v).exists():
+        out.append(v)
+        try:
+            v = int(
+                json.loads(_manifest_path(root, v).read_text()).get("parent", 0)
+            )
+        except (ValueError, json.JSONDecodeError):
+            break
+    return out
 
 
 def _file_stats(path: Path, stats_cols: list[str]) -> dict:
@@ -154,6 +201,11 @@ def _bloom_might_contain(hex_bits: str, value) -> bool:
     )
 
 
+class SnapshotConflict(Exception):
+    """Raised when ``expected_parent`` no longer matches the head —
+    another commit landed between the caller's read and this commit."""
+
+
 def snapshot_commit(
     df: DataFrame,
     path: str,
@@ -161,6 +213,7 @@ def snapshot_commit(
     stats_cols: list[str] | None = None,
     note: dict | None = None,
     bloom_cols: list[str] | None = None,
+    expected_parent: int | None = None,
 ) -> int:
     """Write ``df`` as the next version of the table at ``path`` and
     return the new version number.
@@ -170,9 +223,17 @@ def snapshot_commit(
     until :func:`snapshot_expire`). ``mode='append'``: the new
     manifest is parent's files + this commit's files.
 
-    The commit protocol is stage → manifest → atomic pointer swap;
-    a crash before the swap leaves the staged files invisible and the
-    previous version intact (tested).
+    ``expected_parent`` is the optimistic-concurrency guard for
+    read-modify-write commits (compaction, MERGE rewrites): the commit
+    only lands if the head is still that version, else
+    :class:`SnapshotConflict` — an overwrite computed from a stale
+    read must never silently discard a commit that landed in between.
+    Blind appends don't need it; they rebase automatically.
+
+    The commit protocol is stage → claim manifest slot → claim chain
+    link (the atomic commit point); a crash before the chain claim
+    leaves the staged files invisible and the previous version intact
+    (tested).
     """
     if mode not in ("overwrite", "append"):
         raise ValueError(f"mode must be overwrite|append, got {mode!r}")
@@ -199,13 +260,27 @@ def snapshot_commit(
             entry["bloom"] = blooms
         staged.append(entry)
 
-    # optimistic concurrency: the version slot is claimed by EXCLUSIVE
-    # manifest create (O_EXCL here; put-if-absent on an object store).
-    # A concurrent writer that claimed the slot first forces a re-read
-    # of the published parent and a retry on the next slot — no lock
-    # server, and nobody's manifest is ever overwritten.
+    # Optimistic concurrency, two atomic primitives:
+    #   1. the version SLOT is claimed by exclusive manifest create
+    #      (O_EXCL; put-if-absent on an object store) — nobody's
+    #      manifest is ever overwritten;
+    #   2. the COMMIT POINT is an exclusive chain-link create
+    #      ``c{parent} → version``: exactly one commit can extend any
+    #      parent, so concurrent appends serialize into a linear
+    #      history instead of both chaining off the same parent and
+    #      silently dropping each other's files (the classic lost
+    #      update). A loser re-reads the new head, rebuilds its
+    #      manifest on the fresh parent (staged data files are reused
+    #      — they're immutable and version-agnostic), and retries.
+    # A crash after (1) but before (2) leaves a complete but
+    # UNPUBLISHED orphan manifest: invisible to readers (they follow
+    # the chain), reclaimed by snapshot_expire after its grace window.
     while True:
-        parent = _read_pointer(root)
+        parent = _current_version(root)
+        if expected_parent is not None and parent != expected_parent:
+            raise SnapshotConflict(
+                f"head moved {expected_parent} → {parent} at {path}"
+            )
         taken = [
             int(m.stem[1:])
             for m in (root / _MANIFEST_DIR).glob("v*.json")
@@ -231,19 +306,22 @@ def snapshot_commit(
         try:
             with open(_manifest_path(root, version), "x") as f:
                 f.write(json.dumps(manifest, indent=1))
+        except FileExistsError:
+            continue  # slot raced; pick the next one
+        try:
+            # the commit point: at most one child per parent, atomically
+            with open(_chain_path(root, parent), "x") as f:
+                f.write(str(version))
             break
         except FileExistsError:
+            # another commit extended this parent first — our manifest
+            # is now an orphan slot; rebuild on the new head and retry
             continue
-    # atomic publish: readers either see the old pointer or the new
-    # one; guarded so a slow older commit can never move it backwards.
-    # NOTE: the guard is check-then-act, not compare-and-swap — two
-    # concurrent committers can interleave between the read and the
-    # replace, briefly publishing the older of the two versions until
-    # the next commit re-advances it (no data is lost: both manifests
-    # exist, append chains through the manifest slots not the pointer).
-    # Acceptable for the local-FS model; a real object-store port must
-    # publish with a conditional put (S3 If-None-Match / GCS
-    # ifGenerationMatch / HDFS rename) keyed on the expected pointer.
+    # advance the pointer CACHE (never the source of truth): readers
+    # start their chain walk here. Monotonic guard keeps a slow old
+    # commit from regressing the hint; on an object store this replace
+    # would be a conditional put, but even a lost update here only
+    # means a longer chain walk, not a wrong read.
     if version > _read_pointer(root):
         tmp = root / _MANIFEST_DIR / f"_ptr.{uuid.uuid4().hex[:8]}"
         tmp.write_text(str(version))
@@ -255,7 +333,7 @@ def latest_note(path: str) -> dict | None:
     """The ``note`` recorded by the current snapshot, or None if the
     table doesn't exist yet."""
     root = Path(path)
-    v = _read_pointer(root)
+    v = _current_version(root)
     if not v:
         return None
     return json.loads(_manifest_path(root, v).read_text()).get("note", {})
@@ -263,17 +341,20 @@ def latest_note(path: str) -> dict | None:
 
 def last_committed_batch(path: str, app_id: str) -> int | None:
     """Max streaming ``batch_id`` this ``app_id`` has durably committed
-    to the table, scanning all retained manifests' notes (Delta
+    to the table, scanning the PUBLISHED lineage's notes (Delta
     txnAppId/txnVersion pattern). Keying on the pair — not the latest
     note alone — keeps the idempotency check correct when several
     writers (or a restarted query with a new id) interleave commits on
-    one table. Manifests are kilobytes, so the scan is metadata-cost."""
-    mdir = Path(path) / _MANIFEST_DIR
-    if not mdir.exists():
-        return None
+    one table. Only published manifests count: an orphan from a crash
+    between manifest write and chain claim never became visible, so
+    its batch must be retried, not skipped. Manifests are kilobytes,
+    so the walk is metadata-cost."""
+    root = Path(path)
     best: int | None = None
-    for m in mdir.glob("v*.json"):
-        note = json.loads(m.read_text()).get("note") or {}
+    for v in _lineage(root, _current_version(root)):
+        note = (
+            json.loads(_manifest_path(root, v).read_text()).get("note") or {}
+        )
         if note.get("app_id") == app_id and note.get("batch_id") is not None:
             b = int(note["batch_id"])
             if best is None or b > best:
@@ -281,12 +362,26 @@ def last_committed_batch(path: str, app_id: str) -> int | None:
     return best
 
 
+def snapshot_manifest(path: str, version: int | None = None) -> dict:
+    """The raw manifest dict for a version (latest by default) —
+    file entries with byte sizes and stats, schema, parent, note."""
+    root = Path(path)
+    v = version if version is not None else _current_version(root)
+    m = _manifest_path(root, v)
+    if not m.exists():
+        raise FileNotFoundError(f"no snapshot v{v} at {path}")
+    return json.loads(m.read_text())
+
+
 def snapshot_versions(path: str) -> list[dict]:
-    """All retained versions: ``[{version, parent, ts, n_files}]``."""
+    """Retained PUBLISHED versions, oldest first:
+    ``[{version, parent, ts, n_files}]``. Orphan manifests (commits
+    that never reached their chain claim) are not history and are
+    excluded."""
     root = Path(path)
     out = []
-    for m in sorted((root / _MANIFEST_DIR).glob("v*.json")):
-        d = json.loads(m.read_text())
+    for v in sorted(_lineage(root, _current_version(root))):
+        d = json.loads(_manifest_path(root, v).read_text())
         out.append(
             {
                 "version": d["version"],
@@ -353,7 +448,7 @@ def prune_files(
     operators) can assert exactly what gets skipped without running a
     scan."""
     root = Path(path)
-    v = version if version is not None else _read_pointer(root)
+    v = version if version is not None else _current_version(root)
     m = _manifest_path(root, v)
     if not m.exists():
         raise FileNotFoundError(f"no snapshot v{v} at {path}")
@@ -389,7 +484,7 @@ def snapshot_read(
     from pyspark.sql.types import StructType
 
     root = Path(path)
-    v = version if version is not None else _read_pointer(root)
+    v = version if version is not None else _current_version(root)
     manifest = json.loads(_manifest_path(root, v).read_text())
     kept, _ = prune_files(path, predicates or [], v)
     reader = spark.read
@@ -428,43 +523,59 @@ def snapshot_expire(
     retained snapshots can reach — concurrent readers of retained
     versions are safe.
 
-    Retention is anchored on the published pointer, NOT on filename
-    order: a manifest with version > pointer is an *unpublished
-    orphan* (a committer crashed between manifest create and pointer
-    swap — a state the commit protocol explicitly permits), not the
-    newest history. Counting such an orphan toward ``keep_last`` could
-    expire the currently-published manifest and delete live data.
-    Orphans are themselves expendable, but only once older than
-    ``orphan_grace_s`` — an in-flight commit sits in that state for
-    milliseconds, and the grace window keeps expire from racing it."""
+    Retention is anchored on the published LINEAGE (chain head →
+    parent walk), never on filename order: a manifest outside the
+    lineage is an *unpublished orphan* (a committer crashed — or lost
+    its chain-claim race — between manifest create and publish, states
+    the commit protocol explicitly permits), not history. Counting an
+    orphan toward ``keep_last`` could expire the currently-published
+    manifest and delete live data. Orphans are themselves expendable,
+    but only once older than ``orphan_grace_s`` — an in-flight commit
+    sits in that state for milliseconds, and the grace window keeps
+    expire from racing it."""
     root = Path(path)
-    published = _read_pointer(root)
+    head = _current_version(root)
+    lineage = _lineage(root, head)  # newest first
+    keep_versions = set(lineage[: max(keep_last, 1)])
     manifests = sorted((root / _MANIFEST_DIR).glob("v*.json"))
     now = time.time()
     keep, drop = [], []
-    published_kept = 0
-    for m in reversed(manifests):  # newest → oldest
+    for m in manifests:
         version = int(m.stem[1:])
-        if version > published:
-            # unpublished orphan: never retained as history; deleted
-            # only after the grace window (don't race a live commit)
-            age = now - json.loads(m.read_text()).get("ts", 0)
-            (drop if age > orphan_grace_s else keep).append(m)
-        elif version == published or published_kept < keep_last:
+        if version in keep_versions:
             keep.append(m)
-            published_kept += 1
+        elif version in set(lineage):
+            drop.append(m)  # published history beyond the window
         else:
-            drop.append(m)
+            # orphan: deleted only after the grace window so expire
+            # never races a commit between manifest write and publish
+            try:
+                ts = json.loads(m.read_text()).get("ts", 0)
+            except (ValueError, json.JSONDecodeError):
+                ts = m.stat().st_mtime
+            (drop if now - ts > orphan_grace_s else keep).append(m)
     live = set()
     for m in keep:
         live.update(e["path"] for e in json.loads(m.read_text())["files"])
     deleted = 0
     for m in drop:
-        for e in json.loads(m.read_text())["files"]:
+        try:
+            entries = json.loads(m.read_text())["files"]
+        except (ValueError, json.JSONDecodeError, KeyError):
+            entries = []
+        for e in entries:
             if e["path"] not in live and (root / e["path"]).exists():
                 (root / e["path"]).unlink()
                 deleted += 1
         m.unlink()
+        # the dropped version's outgoing chain link is dead history
+        _chain_path(root, int(m.stem[1:])).unlink(missing_ok=True)
+    # re-anchor the pointer cache at the head so chain walks never
+    # start below the retained window
+    if head:
+        tmp = root / _MANIFEST_DIR / f"_ptr.{uuid.uuid4().hex[:8]}"
+        tmp.write_text(str(head))
+        tmp.replace(root / _MANIFEST_DIR / _POINTER)
     # remove emptied data dirs
     for d in root.glob("data-*"):
         if d.is_dir() and not any(d.iterdir()):

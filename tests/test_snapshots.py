@@ -249,6 +249,115 @@ def test_concurrent_writers_never_clobber(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 15  # 10 appended + 5
 
 
+def test_racing_appenders_lose_nothing(spark, tmp_path):
+    """Concurrent-writer stress: 8 writers × 3 appends racing on one
+    table. The chain-claim commit point must serialize them into a
+    linear history — every commit's rows reach the final snapshot (no
+    lost update from two appends sharing a parent), versions are
+    distinct, and the parent chain is a single line."""
+    import threading
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t)  # v1 base
+    n_writers, n_commits = 8, 3
+    versions: list[list[int]] = [[] for _ in range(n_writers)]
+    errors: list[Exception] = []
+
+    def writer(i: int) -> None:
+        try:
+            for c in range(n_commits):
+                lo = 1000 * (i * n_commits + c + 1)
+                v = snapshot_commit(
+                    _df(spark, lo, lo + 5), t, mode="append"
+                )
+                versions[i].append(v)
+        except Exception as exc:  # pragma: no cover - surfaced below
+            errors.append(exc)
+
+    threads = [
+        threading.Thread(target=writer, args=(i,)) for i in range(n_writers)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+
+    all_versions = [v for per in versions for v in per]
+    # every commit landed, all on distinct versions
+    assert len(all_versions) == n_writers * n_commits
+    assert len(set(all_versions)) == len(all_versions)
+    # linearizable: published history is one chain, each parent the
+    # previous published version
+    hist = snapshot_versions(t)
+    assert [h["version"] for h in hist] == sorted(h["version"] for h in hist)
+    for prev, cur in zip(hist, hist[1:]):
+        assert cur["parent"] == prev["version"]
+    assert {h["version"] for h in hist} >= set(all_versions)
+    # no lost update: the head contains the base + every append's rows
+    got = {
+        r["id"] for r in snapshot_read(spark, t).select("id").collect()
+    }
+    want = set(range(0, 10))
+    for i in range(n_writers):
+        for c in range(n_commits):
+            lo = 1000 * (i * n_commits + c + 1)
+            want |= set(range(lo, lo + 5))
+    assert got == want
+
+
+def test_overwrite_with_expected_parent_detects_conflict(spark, tmp_path):
+    """A read-modify-write overwrite from a stale read must refuse to
+    commit once another writer has landed (SnapshotConflict), instead
+    of silently discarding the interleaved commit."""
+    import pytest as _pytest
+
+    from group5_spark.medallion.snapshots import SnapshotConflict
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_commit(_df(spark, 0, 10), t)
+    # reader plans a rewrite of v1... meanwhile an append lands
+    snapshot_commit(_df(spark, 100, 105), t, mode="append")
+    with _pytest.raises(SnapshotConflict):
+        snapshot_commit(
+            _df(spark, 0, 10), t, mode="overwrite", expected_parent=v1
+        )
+    # the interleaved append is intact
+    assert snapshot_read(spark, t).count() == 15
+
+
+def test_compact_snapshot_time_travel_safe(spark, tmp_path):
+    """Compaction routed through the commit protocol: produces a NEW
+    version with fewer files, identical rows; pre-compaction versions
+    still read their original fragmented files; the note marks the
+    version as compaction; expire later reclaims the small files."""
+    from group5_spark.medallion.maintenance import compact_snapshot
+    from group5_spark.medallion.snapshots import latest_note, snapshot_manifest
+
+    t = str(tmp_path / "tbl")
+    # fragment: 2 appends × 8 files of a small table
+    snapshot_commit(_df(spark, 0, 100).repartition(8), t)
+    snapshot_commit(_df(spark, 100, 200).repartition(8), t, mode="append")
+    assert len(snapshot_manifest(t)["files"]) == 16
+    out = compact_snapshot(spark, t, target_file_bytes=64 * 1024 * 1024)
+    assert out["files_before"] == 16 and out["files_after"] == 1
+    assert out["version"] == 3
+    # same rows, one file, marked as compaction
+    assert snapshot_read(spark, t).count() == 200
+    assert len(snapshot_manifest(t)["files"]) == 1
+    assert latest_note(t)["compaction"] is True
+    # time travel: v2 still reads the fragmented layout
+    assert snapshot_read(spark, t, version=2).count() == 200
+    assert len(snapshot_manifest(t, version=2)["files"]) == 16
+    # healthy table → no-op
+    assert compact_snapshot(spark, t, target_file_bytes=64 * 1024 * 1024) == {}
+    # expiry reclaims the pre-compaction files
+    out = snapshot_expire(t, keep_last=1)
+    # 16 distinct small files (v1's 8 are shared into v2's manifest)
+    assert out["files_deleted"] == 16
+    assert snapshot_read(spark, t).count() == 200
+
+
 def test_bloom_prunes_where_minmax_cannot(spark, tmp_path):
     """Interleaved keys: evens in one file, odds in the other — both
     files span [0, 99], so min/max skipping keeps both. The per-file
