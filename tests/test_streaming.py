@@ -243,6 +243,190 @@ def test_stream_upsert_foreachbatch_merge(spark, tmp_path):
     assert os.path.isdir(ckpt)
 
 
+def test_stream_snapshot_sink_crash_after_commit_dedupes_on_resume(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection: the process dies AFTER the snapshot commit is
+    durable but BEFORE the checkpoint records the batch. On resume the
+    batch replays; the (app_id, batch_id) note in the published
+    lineage recognizes it as committed and skips — exactly one copy,
+    one version."""
+    import json
+
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from group5_spark.medallion import snapshots as snap_mod
+    from group5_spark.medallion.snapshots import snapshot_read, snapshot_versions
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    schema = StructType([StructField("id", LongType())])
+    with open(src / "a.json", "w") as f:
+        for i in (1, 2, 3):
+            f.write(json.dumps({"id": i}) + "\n")
+
+    real_commit = snap_mod.snapshot_commit
+
+    def crash_after_commit(*args, **kwargs):
+        version = real_commit(*args, **kwargs)
+        raise RuntimeError(f"injected crash after durable commit v{version}")
+
+    monkeypatch.setattr(snap_mod, "snapshot_commit", crash_after_commit)
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_snapshot_sink(stream, tbl, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination()
+    # the commit IS durable despite the crash
+    assert snapshot_read(spark, tbl).count() == 3
+
+    monkeypatch.setattr(snap_mod, "snapshot_commit", real_commit)
+    # resume with the SAME checkpoint: batch 0 replays, is recognized
+    # as already committed by this app, and is skipped
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_snapshot_sink(stream, tbl, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert snapshot_read(spark, tbl).count() == 3  # no duplicates
+    assert len(snapshot_versions(tbl)) == 1  # no phantom version
+
+
+def test_stream_snapshot_sink_orphan_commit_is_retried_not_lost(
+    spark, tmp_path
+):
+    """Crash injection the other side of the commit point: the writer
+    died after writing its manifest but BEFORE the chain claim — an
+    unpublished orphan carrying the (app_id, batch_id) note. The note
+    must NOT satisfy the idempotency check (the data never became
+    visible); the replayed batch commits for real."""
+    import json as _json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    root = tmp_path / "tbl" / "_manifests"
+    root.mkdir(parents=True)
+    # hand-crafted orphan: manifest v1 with the app's batch-0 note,
+    # no chain link — exactly the state a crash between manifest
+    # write and chain claim leaves behind
+    (root / "v00001.json").write_text(
+        _json.dumps(
+            {
+                "version": 1,
+                "parent": 0,
+                "ts": 0,
+                "schema": {"type": "struct", "fields": []},
+                "note": {"app_id": "myapp", "batch_id": 0},
+                "files": [],
+            }
+        )
+    )
+    with open(src / "a.json", "w") as f:
+        for i in (1, 2, 3):
+            f.write(_json.dumps({"id": i}) + "\n")
+    schema = StructType([StructField("id", LongType())])
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_snapshot_sink(
+            stream, tbl, str(tmp_path / "ckpt"), app_id="myapp"
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the orphan's note did not swallow the batch: rows are visible
+    assert snapshot_read(spark, tbl).count() == 3
+
+
+def test_stream_upsert_crash_replay_is_idempotent(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection for the MERGE sink: the batch is fully applied
+    to the table, then the process dies before the checkpoint commit.
+    The replayed batch re-applies the same MERGE; sequence_col makes
+    it idempotent — no duplicate keys, no double-applied updates."""
+    import json
+
+    import pytest
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from group5_spark.medallion import merge as merge_mod
+
+    schema = StructType([
+        StructField("id", IntegerType()),
+        StructField("d", StringType()),
+        StructField("v", StringType()),
+        StructField("seq", IntegerType()),
+    ])
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    target = str(tmp_path / "table")
+    ckpt = str(tmp_path / "ckpt")
+
+    def emit(name, rows):
+        with open(src_dir / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(dict(zip("id d v seq".split(), r))) + "\n")
+
+    # batch 0 seeds the table (no MERGE on first write)
+    emit("b1.json", [(1, "2024-01-01", "a", 1), (2, "2024-01-01", "b", 1)])
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    jobs.stream_upsert(
+        stream, ckpt, target, ["id"], partition_col="d", sequence_col="seq"
+    )
+
+    # batch 1 MERGEs fully, then the process "dies" pre-checkpoint
+    real_merge = merge_mod.merge_into
+    crashed = {"done": False}
+
+    def crash_after_merge(*args, **kwargs):
+        out = real_merge(*args, **kwargs)
+        if not crashed["done"]:
+            crashed["done"] = True
+            raise RuntimeError("injected crash after merge applied")
+        return out
+
+    monkeypatch.setattr(merge_mod, "merge_into", crash_after_merge)
+    emit("b2.json", [(1, "2024-01-01", "a2", 5), (3, "2024-01-02", "c", 1)])
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    with pytest.raises(Exception, match="injected crash"):
+        jobs.stream_upsert(
+            stream, ckpt, target, ["id"], partition_col="d", sequence_col="seq"
+        )
+    # the merge itself landed before the crash
+    got = {r["id"]: (r["v"], r["seq"]) for r in spark.read.parquet(target).collect()}
+    assert got == {1: ("a2", 5), 2: ("b", 1), 3: ("c", 1)}
+
+    # resume: the unacknowledged batch replays; the re-applied MERGE
+    # is a no-op thanks to sequence_col — state unchanged, no dupes
+    stream = spark.readStream.schema(schema).json(str(src_dir))
+    jobs.stream_upsert(
+        stream, ckpt, target, ["id"], partition_col="d", sequence_col="seq"
+    )
+    rows = spark.read.parquet(target).collect()
+    assert len(rows) == 3  # one row per key — nothing duplicated
+    got = {r["id"]: (r["v"], r["seq"]) for r in rows}
+    assert got == {1: ("a2", 5), 2: ("b", 1), 3: ("c", 1)}
+
+
 def test_stream_stream_interval_join(spark, tmp_path):
     import json
 
