@@ -155,6 +155,117 @@ def test_non_decomposable_measures_rejected_at_registration(tmp_path):
         )
 
 
+def test_filtered_mv_subsumption_serves_tighter_predicate(
+    spark, sf_dir, tmp_path
+):
+    """An MV filtered to o_year >= 1996 serves a query filtered to
+    o_year >= 1997: the residual applies on the summary (grouping
+    column), and the plan reads ONLY the MV parquet."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    cat = MVCatalog()
+    mv = cat.register(
+        name="recent_years",
+        source="orders",
+        group_cols=["o_year", "o_orderstatus"],
+        measures={"s": ("sum", "o_totalprice"), "n": ("count", "*")},
+        path=str(tmp_path / "mv_recent"),
+        predicate=[("o_year", ">=", 1996)],
+    )
+    cat.build(orders, mv)
+    got, used = cat.aggregate(
+        spark, "orders", ["o_orderstatus"],
+        {"rev": ("sum", "o_totalprice"), "n": ("count", "*")},
+        orders, predicate=[("o_year", ">=", 1997)],
+    )
+    assert used == "recent_years"
+    assert got.inputFiles() and all("mv_recent" in f for f in got.inputFiles())
+    want = orders.filter(F.col("o_year") >= 1997).groupBy("o_orderstatus").agg(
+        F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    assert _rows(got, ["o_orderstatus"]) == _rows(want, ["o_orderstatus"])
+
+
+def test_filtered_mv_refuses_looser_or_unanswerable_predicates(
+    spark, sf_dir, tmp_path
+):
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_year", F.year("o_orderdate")
+    )
+    cat = MVCatalog()
+    mv = cat.register(
+        name="recent_years",
+        source="orders",
+        group_cols=["o_year"],
+        measures={"s": ("sum", "o_totalprice")},
+        path=str(tmp_path / "mv_recent2"),
+        predicate=[("o_year", ">=", 1997)],
+    )
+    cat.build(orders, mv)
+    # looser than the MV's filter: MV is missing 1996 rows → refuse,
+    # and the base fallback must still apply the query predicate
+    got, used = cat.aggregate(
+        spark, "orders", ["o_year"], {"rev": ("sum", "o_totalprice")},
+        orders, predicate=[("o_year", ">=", 1996)],
+    )
+    assert used is None
+    want = orders.filter(F.col("o_year") >= 1996).groupBy("o_year").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    assert _rows(got, ["o_year"]) == _rows(want, ["o_year"])
+    # residual on a non-grouped column is unanswerable post-agg → refuse
+    _, used2 = cat.aggregate(
+        spark, "orders", ["o_year"], {"rev": ("sum", "o_totalprice")},
+        orders,
+        predicate=[("o_year", ">=", 1998), ("o_orderstatus", "=", "F")],
+    )
+    assert used2 is None
+
+
+def test_join_mv_serves_same_join_shape(spark, sf_dir, tmp_path):
+    """A pre-joined star MV answers the same join shape (canonical
+    order-insensitive signature) at a coarser grain, reading only the
+    MV parquet — no fact scan, no join."""
+    from group5_spark.plans.mv import join_source
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    cat = MVCatalog()
+    mv = cat.register(
+        name="star",
+        source=join_source(["orders", "customer"], [("o_custkey", "c_custkey")]),
+        group_cols=["c_mktsegment", "o_orderstatus"],
+        measures={"s": ("sum", "o_totalprice"), "n": ("count", "*")},
+        path=str(tmp_path / "mv_star"),
+    )
+    cat.build(joined, mv)
+    # flipped table and key order canonicalizes to the same signature
+    got, used = cat.aggregate(
+        spark,
+        join_source(["customer", "orders"], [("c_custkey", "o_custkey")]),
+        ["c_mktsegment"],
+        {"rev": ("sum", "o_totalprice"), "n": ("count", "*")},
+        joined,
+    )
+    assert used == "star"
+    assert got.inputFiles() and all("mv_star" in f for f in got.inputFiles())
+    want = joined.groupBy("c_mktsegment").agg(
+        F.sum("o_totalprice").alias("rev"), F.count(F.lit(1)).alias("n")
+    )
+    assert _rows(got, ["c_mktsegment"]) == _rows(want, ["c_mktsegment"])
+    # a different join shape (different key pair) does not match
+    _, used2 = cat.aggregate(
+        spark,
+        join_source(["orders", "customer"], [("o_orderkey", "c_custkey")]),
+        ["c_mktsegment"],
+        {"rev": ("sum", "o_totalprice")},
+        joined,
+    )
+    assert used2 is None
+
+
 def test_mv_refreshes_incrementally_and_still_serves(spark, sf_dir, tmp_path):
     """The layers compose: an MV summary maintained by
     changed-partition-only refresh (medallion.incremental) keeps
