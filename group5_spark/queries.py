@@ -4963,44 +4963,105 @@ def native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked
     """,
 )
-def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+def revenue_pareto_share(
+    spark: SparkSession, sf_dir: str, *, two_pass_over: int = 2_000_000
+) -> DataFrame:
     """Revenue concentration (Pareto / Lorenz-curve point): the share
     of total revenue contributed by the top decile of customers —
     the skew diagnostic behind 'do 10% of keys carry 80% of load'.
 
-    The global rank window runs over the per-customer AGGREGATE
-    (customer-cardinality rows, not orders), with a deterministic
-    (rev desc, custkey) tie-break. At extreme customer counts the
-    swap-in is a two-pass quantile-threshold plan (approx threshold →
-    filtered sum) — documented rather than planned here because the
-    single-task window over aggregate rows is exact and bounded by
-    dimension, not fact, cardinality.
+    Two physical plans behind one answer, chosen by customer
+    cardinality (the guard the single-task-window watch item asked
+    for):
+
+    - **n ≤ two_pass_over**: exact global rank window over the
+      per-customer AGGREGATE (dimension-cardinality rows, not
+      orders), deterministic (rev desc, custkey) tie-break.
+    - **n > two_pass_over**: two-pass threshold plan. Pass 1 finds a
+      provable lower bound on the k-th largest revenue via
+      Greenwald-Khanna `percentile_approx` (deterministic ±εn rank
+      error, ε = 1/accuracy); pass 2 ranks ONLY the ≥threshold
+      candidates (≈ k + 2εn rows, ~10% of customers) — the global
+      window never sees the full dimension. If ties make the
+      candidate set short (rank error exceeded), falls back to the
+      exact window; a runtime assert keeps the plan honest.
+
+    Both paths hash-match the oracle; `tests/test_plans.py` forces the
+    two-pass path and checks equality with the window path.
     """
     orders = load_table(spark, sf_dir, "orders")
     cust = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast(DEC2)).alias("rev")
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
-    ranked = cust.select(
-        "rev",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(
-            Window.partitionBy()
-        ).alias("n"),
-    )
-    decile = F.ceil(F.col("n") / 10.0)
-    return ranked.agg(
-        F.max("n").cast("bigint").alias("n_customers"),
-        F.ceil(F.max("n") / 10.0).cast("bigint").alias(
-            "top_decile_customers"
-        ),
-        F.round(
-            F.sum(F.when(F.col("rn") <= decile, F.col("rev")))
-            .cast("double")
-            / F.sum("rev").cast("double"),
-            6,
-        ).alias("top_decile_share"),
-    )
+
+    def exact_window(cust_df: DataFrame) -> DataFrame:
+        w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+        ranked = cust_df.select(
+            "rev",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+        )
+        decile = F.ceil(F.col("n") / 10.0)
+        return ranked.agg(
+            F.max("n").cast("bigint").alias("n_customers"),
+            F.ceil(F.max("n") / 10.0).cast("bigint").alias(
+                "top_decile_customers"
+            ),
+            F.round(
+                F.sum(F.when(F.col("rn") <= decile, F.col("rev")))
+                .cast("double")
+                / F.sum("rev").cast("double"),
+                6,
+            ).alias("top_decile_share"),
+        )
+
+    import math
+
+    # Cheap guard first: customers ≤ order rows, and a bare parquet
+    # count() is metadata-fast — the common path stays fully lazy with
+    # no persist and the identical exact-window plan.
+    if orders.count() <= two_pass_over:
+        return exact_window(cust)
+
+    cust = cust.persist()
+    try:
+        n = cust.count()
+        if n <= two_pass_over:
+            return exact_window(cust)
+        k = math.ceil(n / 10.0)
+        accuracy = 10_000  # GK rank error ≤ n/accuracy, deterministic
+        eps = 1.0 / accuracy
+        p = max(0.0, 1.0 - k / n - 2.0 * eps)
+        row = cust.agg(
+            F.percentile_approx(
+                F.col("rev").cast("double"), F.lit(p), F.lit(accuracy)
+            ).alias("thr"),
+            F.sum("rev").alias("total_rev"),
+        ).first()
+        thr, total_rev = row["thr"], row["total_rev"]
+        cand = cust.filter(F.col("rev").cast("double") >= thr)
+        if cand.count() < k:  # GK bound violated by mass ties: stay exact
+            return exact_window(cust)
+        w = Window.orderBy(F.desc("rev"), F.asc("o_custkey"))
+        top_sum = (
+            cand.select("rev", F.row_number().over(w).alias("rn"))
+            .filter(F.col("rn") <= k)
+            .agg(F.sum("rev").alias("s"))
+            .first()["s"]
+        )
+        return spark.createDataFrame(
+            [
+                (
+                    n,
+                    k,
+                    round(float(top_sum) / float(total_rev), 6),
+                )
+            ],
+            "n_customers bigint, top_decile_customers bigint, "
+            "top_decile_share double",
+        )
+    finally:
+        cust.unpersist()
 
 
 @register(
@@ -5405,17 +5466,20 @@ def brand_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     metric (`part_pair_affinity` is its order-basket sibling at the
     transaction grain; this compares WHOLE customer sets per entity).
 
-    Scale shape: the fact collapses to DISTINCT (brand, customer)
-    membership first — the self-join runs on membership cardinality,
-    never raw lineitems — and joins on the customer key, so pairs
-    generate per customer (bounded by brands² overall). Inclusion-
-    exclusion turns pair-intersection counts plus per-brand totals
+    Scale shape: ONE pass collapses the fact to a per-customer sorted
+    brand set (`collect_set` dedups, so no separate DISTINCT shuffle;
+    set size is bounded by brand cardinality, ~25, not by purchases).
+    The tiny persisted set table then feeds both consumers — per-brand
+    totals by exploding members, pair-intersection counts by exploding
+    JVM-HOF pair combinations — so the fact join and the customer
+    shuffle run exactly once and no membership self-join exists at
+    all. Inclusion-exclusion turns pair counts plus per-brand totals
     into Jaccard without ever materializing set unions.
     """
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
     orders = load_table(spark, sf_dir, "orders")
-    bc = (
+    sets = (
         li.join(
             F.broadcast(part.select("p_partkey", "p_brand")),
             li.l_partkey == F.col("p_partkey"),
@@ -5424,23 +5488,26 @@ def brand_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.select("o_orderkey", "o_custkey"),
             li.l_orderkey == F.col("o_orderkey"),
         )
-        .select(
-            F.col("p_brand").alias("brand"), F.col("o_custkey").alias("cust")
-        )
-        .distinct()
+        .groupBy(F.col("o_custkey").alias("cust"))
+        .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        .persist()
     )
-    per = bc.groupBy("brand").agg(F.count(F.lit(1)).alias("n"))
-    a = bc.alias("a")
-    b = bc.alias("b")
+    per = (
+        sets.select(F.explode("brands").alias("brand"))
+        .groupBy("brand")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # ordered pairs (a < b) straight from each sorted set, JVM-side
+    pair_expr = F.expr(
+        "flatten(transform(brands, (x, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), "
+        "y -> struct(x AS brand_a, y AS brand_b))))"
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.cust") == F.col("b.cust"))
-            & (F.col("a.brand") < F.col("b.brand")),
-        )
+        sets.select(F.explode(pair_expr).alias("p"))
         .groupBy(
-            F.col("a.brand").alias("brand_a"),
-            F.col("b.brand").alias("brand_b"),
+            F.col("p.brand_a").alias("brand_a"),
+            F.col("p.brand_b").alias("brand_b"),
         )
         .agg(F.count(F.lit(1)).alias("n_both"))
         .filter(F.col("n_both") >= 50)

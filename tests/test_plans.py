@@ -412,16 +412,16 @@ def test_trailing_distinct_bounded_expansion(q):
 def test_brand_overlap_joins_on_membership_not_facts(q):
     df = q("brand_customer_overlap")
     plan = I.formatted_plan(df)
-    # the self-join must be a customer-keyed equi-join over the
-    # distinct membership set — no nested loop, no cartesian
+    # no membership self-join exists at all: pairs come from JVM-HOF
+    # combinations over each customer's persisted sorted brand set —
+    # no nested loop, no cartesian, and the fact join runs once under
+    # InMemoryTableScan instead of three times
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
-    # the membership subplan feeds per-brand totals and both pair
-    # sides: three identical copies pre-AQE (9 static exchanges) that
-    # MUST collapse to one scan chain at runtime via exchange reuse
-    I.assert_max_shuffles(df, 9)
-    df.collect()
-    assert "ReusedExchange" in I.simple_plan(df)
+    assert "InMemoryTableScan" in plan
+    # fact join (2) + cust set agg (1) + brand totals (1) + pair agg
+    # (1); down from 9 in the self-join formulation
+    I.assert_max_shuffles(df, 5)
 
 
 def test_fuzzy_pairs_blocked_equi_join(q):
@@ -450,6 +450,22 @@ def test_pareto_share_windows_over_aggregate_only(q):
     # bounded by customer cardinality, never a window over raw orders
     I.assert_max_shuffles(df, 3)
     I.assert_scan_pruned(df, table_cols=9, max_cols=2)
+
+
+def test_pareto_two_pass_threshold_path_matches_exact(spark, sf_dir):
+    """Force the high-cardinality two-pass plan (approx threshold →
+    candidate-only rank → filtered sum) and check it returns the
+    exact window path's answer bit-for-bit: the GK rank-error bound
+    guarantees the candidate set covers the true top decile."""
+    from group5_spark.queries import revenue_pareto_share
+
+    exact = revenue_pareto_share(spark, sf_dir).collect()[0]
+    two_pass = revenue_pareto_share(
+        spark, sf_dir, two_pass_over=0
+    ).collect()[0]
+    assert two_pass["n_customers"] == exact["n_customers"]
+    assert two_pass["top_decile_customers"] == exact["top_decile_customers"]
+    assert two_pass["top_decile_share"] == exact["top_decile_share"]
 
 
 def test_active_coverage_single_user_exchange(q):
