@@ -1,8 +1,8 @@
 """Corpus-preparation operators for LLM training-data pipelines:
 train/test contamination detection, contiguous sequence packing, and
 TF-IDF term scoring (SURVEY §2 B-7 "beyond-reference" family; parity
-target: the reference's documents-table analytics, reference
-`Scripts/etl_landing_to_gold.py` has no equivalent — these are the
+target: the reference pipeline (`Assets/Jobs/etl_job.py`) has no
+equivalent — these are the
 operations a 100 TB pretraining pipeline adds on top).
 
 Scale design:

@@ -2,8 +2,8 @@
 uniqueness, accepted values, numeric ranges, regex shape — the
 validation layer a medallion pipeline runs between silver and gold
 (generalizes the reference's row-count output validation,
-reference `Scripts/etl_landing_to_gold.py` validate step, into named,
-per-constraint verdicts).
+reference `Assets/Jobs/etl_job.py:66-76` count-after-write checks,
+into named, per-constraint verdicts).
 
 Scale design: every row-local check (not_null / accepted_values /
 range / regex) compiles into one conditional-sum column of a SINGLE
