@@ -5775,6 +5775,215 @@ def excess_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "parts_supplier_relationship",
+    f"""
+    WITH {PARTSUPP_CTES},
+    ok_sup AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+    SELECT p_brand, p_type, p_size,
+           COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp
+    JOIN part ON ps_partkey = p_partkey
+    JOIN ok_sup ON ps_suppkey = s_suppkey
+    WHERE p_brand <> 'Brand#2'
+      AND p_type NOT LIKE 'MEDIUM%'
+      AND p_size IN (3, 9, 14, 19, 23, 36, 45, 49)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+)
+def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship): how many suppliers can
+    stock parts of each qualifying brand/type/size, excluding
+    suppliers with complaints (adapted to this schema as negative
+    account balance — the dataset has no comment column).
+
+    With Q2/Q11/Q20 over the same derived bridge, this completes all
+    22 TPC-H query shapes as real queries. The spec's NOT IN
+    (complaints) subquery becomes a broadcast join against the
+    positive-balance supplier keys (the overwhelming majority — an
+    anti join on the 6-row complaint set would also broadcast; either
+    way no fact shuffle). COUNT(DISTINCT) shuffles once on the
+    (brand, type, size, suppkey) expanded key then re-aggregates —
+    Spark's standard two-phase distinct, bounded by group × supplier
+    cardinality, not bridge rows.
+    """
+    ps = partsupp_df(spark, sf_dir)
+    part = load_table(spark, sf_dir, "part")
+    sup = load_table(spark, sf_dir, "supplier")
+
+    qual = part.filter(
+        (F.col("p_brand") != "Brand#2")
+        & (~F.col("p_type").like("MEDIUM%"))
+        & (F.col("p_size").isin(3, 9, 14, 19, 23, 36, 45, 49))
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    ok_sup = sup.filter(F.col("s_acctbal") >= 0).select("s_suppkey")
+    return (
+        ps.join(F.broadcast(qual), ps["ps_partkey"] == qual["p_partkey"])
+        .join(F.broadcast(ok_sup), ps["ps_suppkey"] == ok_sup["s_suppkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+# --------------------------------------------------------------------
+# Gopher-style repetition quality filter (training-data pipeline):
+# per-document repetition metrics computed MAP-ONLY via sorted-array
+# run-length HOFs — no word-level explode/shuffle — then one tiny
+# per-source aggregate. Beyond-reference (no document analytics in
+# Assets/Jobs/etl_job.py); heuristics follow the public Gopher paper
+# (Rae et al. 2021, §A1.1 repetition filters).
+# --------------------------------------------------------------------
+
+
+@register(
+    "doc_repetition_filter",
+    """
+    WITH w AS (
+        SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS word
+        FROM documents
+    ),
+    pw AS (
+        SELECT doc_id, source, word, COUNT(*) AS c
+        FROM w GROUP BY doc_id, source, word
+    ),
+    bg AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(
+                   RANGE(1, LEN(STRING_SPLIT(text, ' '))),
+                   i -> STRING_SPLIT(text, ' ')[i] || ' '
+                        || STRING_SPLIT(text, ' ')[i + 1]
+               )) AS bigram
+        FROM documents
+    ),
+    pb AS (
+        SELECT doc_id, bigram, COUNT(*) AS c
+        FROM bg GROUP BY doc_id, bigram
+    ),
+    bgtop AS (
+        SELECT doc_id,
+               CAST(MAX(c) AS DOUBLE) / SUM(c) AS top_bigram_share
+        FROM pb GROUP BY doc_id
+    ),
+    docm AS (
+        SELECT pw.doc_id, pw.source,
+               CAST(MAX(pw.c) AS DOUBLE) / SUM(pw.c) AS top_word_share,
+               1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(pw.c) AS dup_word_frac,
+               ANY_VALUE(bgtop.top_bigram_share) AS top_bigram_share
+        FROM pw JOIN bgtop ON pw.doc_id = bgtop.doc_id
+        GROUP BY pw.doc_id, pw.source
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN top_word_share <= 0.12
+                          AND dup_word_frac <= 0.6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(CAST(SUM(CAST(top_word_share AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_top_word_share,
+           ROUND(CAST(SUM(CAST(dup_word_frac AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_dup_word_frac,
+           ROUND(CAST(SUM(CAST(top_bigram_share AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_top_bigram_share
+    FROM docm
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per-document top-word share,
+    duplicate-word fraction, and top-bigram share, rolled up per
+    source with a keep-count under the paper's thresholds.
+
+    Scale design — the naive plan explodes every word (a shuffle
+    carrying one row per TOKEN: at 100 TB, quadrillions). Here every
+    per-document metric is computed MAP-ONLY with array HOFs:
+    ``array_sort`` groups equal words adjacently, then one
+    ``aggregate`` lambda finds the longest run (= the mode's count)
+    in a single pass; bigrams come from ``zip_with`` over the array
+    and its shift. Zero shuffles until the final per-source rollup of
+    already-tiny per-doc rows. Per-row ratios are IEEE-double
+    expressions (identical in DuckDB), summed as DECIMAL(18,6) so the
+    source-level means are order-independent.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+
+    def max_run(sorted_arr):
+        """Longest run of equal adjacent elements via one fold."""
+        return F.aggregate(
+            sorted_arr,
+            F.struct(
+                F.lit("").alias("prev"),
+                F.lit(0).cast("long").alias("run"),
+                F.lit(0).cast("long").alias("best"),
+            ),
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    bigrams = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    per_doc = docs.select(
+        "source",
+        (max_run(F.array_sort(ws)).cast("double") / n).alias("top_word_share"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(ws)).cast("double") / n
+        ).alias("dup_word_frac"),
+        (
+            max_run(F.array_sort(bigrams)).cast("double") / (n - 1)
+        ).alias("top_bigram_share"),
+    )
+    kept = (
+        (F.col("top_word_share") <= 0.12) & (F.col("dup_word_frac") <= 0.6)
+    ).cast("long")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.round(
+                F.sum(F.col("top_word_share").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_top_word_share"),
+            F.round(
+                F.sum(F.col("dup_word_frac").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_dup_word_frac"),
+            F.round(
+                F.sum(F.col("top_bigram_share").cast("decimal(18,6)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_top_bigram_share"),
+        )
+        .orderBy("source")
+    )
+
+
 # --------------------------------------------------------------------
 # Materialized-view rewrite shapes (plans/mv.py): filtered-MV
 # subsumption and a pre-joined star MV, each proven equivalent to the

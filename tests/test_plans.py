@@ -587,6 +587,28 @@ def test_excess_parts_suppliers_one_fact_shuffle(q):
     assert "LeftSemi" in plan
 
 
+def test_parts_supplier_relationship_no_fact_shuffle_join(q):
+    """Q16: complaint exclusion joins broadcast into the bridge scan;
+    the only shuffles are the two-phase COUNT(DISTINCT) expand and
+    the final sort."""
+    df = q("parts_supplier_relationship")
+    assert I.num_broadcast_joins(df) >= 2  # qualifying parts, ok suppliers
+    I.assert_no_fact_shuffle_join(df)
+    # distinct expand + final agg + orderBy + 1-row supplier-count agg
+    I.assert_max_shuffles(df, 4)
+
+
+def test_doc_repetition_filter_map_only_metrics(q):
+    """Gopher repetition metrics must compute per-doc WITHOUT a
+    word-level explode: no Expand/Generate feeding a shuffle — the
+    only exchanges are the per-source rollup and its sort."""
+    df = q("doc_repetition_filter")
+    plan = I.formatted_plan(df)
+    assert "Generate" not in plan  # no explode anywhere
+    I.assert_max_shuffles(df, 2)
+    assert I.num_sort_merge_joins(df) == 0
+
+
 NLJ_ALLOWED = {
     "min_cost_supplier",        # 1-row supplier-count broadcast (partsupp derive)
     "important_stock_share",    # same + 1-row threshold broadcast
