@@ -3817,30 +3817,51 @@ def large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def repeat_orders_within_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Banded self-join: per customer, order pairs placed ≤3 days apart.
+    """Pairs of same-customer orders placed ≤3 days apart — counted
+    WITHOUT enumerating the pairs.
 
-    Uses the :func:`operators.joins.band_join` bucketed rewrite — the
-    range predicate becomes an equi-join on (custkey, 3-day bin), so
-    the work is a hash join after one shuffle instead of the
-    O(n²)-per-customer nested loop Spark would otherwise plan. The
-    `a < b` key filter dedups the symmetric pairs, exactly like the
-    SQL's inequality.
+    Scale note (measured, SCALE_CURVE.json): the round-2 banded
+    self-join (:func:`operators.joins.band_join`) plans a hash join,
+    but its OUTPUT is the pair set, which grows with per-customer
+    density² — the 64× scale curve clocked it at 53 s, the worst
+    exponent (0.93) in the bench set. Because the query only needs
+    pair COUNTS, it collapses to per-(customer, timestamp) densities
+    first (dimension-bounded), then one range-window sum:
+
+        pairs(c) = Σ_t [ C(c_t, 2)  +  c_t · Σ_{0 < t-s ≤ 3d} c_s ]
+
+    — ties within a timestamp plus cross-timestamp pairs within the
+    band. Linear in input rows, output bounded by customer × active
+    days; band_join remains the right operator when the pairs
+    themselves are the result.
     """
     orders = load_table(spark, sf_dir, "orders")
-    a = orders.select(
-        F.col("o_custkey").alias("c_custkey"),
-        F.col("o_orderkey").alias("key_a"),
-        F.col("o_orderdate").alias("ts_a"),
+    dens = (
+        orders.select(
+            F.col("o_custkey").alias("c_custkey"),
+            F.unix_timestamp("o_orderdate").alias("epoch"),
+        )
+        .groupBy("c_custkey", "epoch")
+        .agg(F.count(F.lit(1)).alias("c_t"))
     )
-    b = orders.select(
-        F.col("o_custkey").alias("c_custkey"),
-        F.col("o_orderkey").alias("key_b"),
-        F.col("o_orderdate").alias("ts_b"),
+    w = (
+        Window.partitionBy("c_custkey")
+        .orderBy("epoch")
+        .rangeBetween(-259200, -1)
     )
-    pairs = joins.band_join(
-        a, b, "ts_a", "ts_b", band_seconds=259200, keys=["c_custkey"]
-    ).filter(F.col("key_a") < F.col("key_b"))
-    return pairs.groupBy("c_custkey").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return (
+        dens.withColumn("prev", F.coalesce(F.sum("c_t").over(w), F.lit(0)))
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(
+                F.col("c_t") * (F.col("c_t") - 1) / 2
+                + F.col("c_t") * F.col("prev")
+            )
+            .cast("long")
+            .alias("n_pairs")
+        )
+        .filter(F.col("n_pairs") > 0)
+    )
 
 
 @register(

@@ -157,14 +157,15 @@ def test_large_volume_customers_plan(q):
     I.assert_max_shuffles(df, 3)
 
 
-def test_band_join_is_equi_not_nested_loop(q):
-    # the bucketed rewrite must plan a hash join on (key, bin) — a
-    # BroadcastNestedLoopJoin here means the range predicate leaked
-    # into the join condition and the rewrite regressed to O(n·m)
+def test_repeat_orders_counts_pairs_without_enumerating(q):
+    # pair COUNTS must come from the density rewrite (groupBy →
+    # range-window sum), never a self-join whose output grows with
+    # per-customer density² (measured 53 s at 64× in round 3's scale
+    # curve before this rewrite)
     df = q("repeat_orders_within_3d")
     plan = I.formatted_plan(df)
-    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
-    I.assert_max_shuffles(df, 3)
+    assert "Join" not in plan, "pair-count query must not plan a join"
+    I.assert_max_shuffles(df, 2)
 
 
 def test_window_navigation_single_window_op(q):
@@ -613,6 +614,7 @@ NLJ_ALLOWED = {
     "min_cost_supplier",        # 1-row supplier-count broadcast (partsupp derive)
     "important_stock_share",    # same + 1-row threshold broadcast
     "excess_parts_suppliers",   # 1-row supplier-count broadcast (partsupp derive)
+    "parts_supplier_relationship",  # 1-row supplier-count broadcast (partsupp derive)
     "text_unigram_logprob",          # 1-row corpus-total broadcast
     "nation_supply_value_share",     # 1-row global-total broadcast
     "sim_topk",              # query side broadcast (8 vectors)
