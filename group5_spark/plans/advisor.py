@@ -1,0 +1,210 @@
+"""Statistics-driven join planning: collect table/key statistics in
+one pass, then pick the physical join strategy — broadcast, plain
+shuffle (AQE), or static salting — from the numbers instead of
+hard-coding `F.broadcast(...)` at every call site.
+
+This is the engine-side version of what a CBO does with ANALYZE
+output (SURVEY §4: the reference has no optimizer at all — its one
+join is hand-ordered in Snowflake SQL). Spark's own CBO only kicks in
+for catalog tables with ANALYZE stats (`maintenance.analyze_tables`);
+path-based lakehouse tables get file sizes at best. This module closes
+that gap for the path-based medallion/snapshot tables:
+
+- :func:`collect_stats` — one aggregation over the table: row count,
+  estimated in-memory bytes, and per-key NDV + heavy-hitter share
+  (``approx_count_distinct`` HLL++ and a top-key count — both partial-
+  aggregated, so the pass costs one shuffle of key partials).
+- :func:`advise_join` — pure decision function (unit-testable, no
+  Spark): small side under the broadcast budget → broadcast; hot-key
+  share over the skew threshold on a non-broadcastable join →
+  salted shuffle sized from the skew ratio; else plain shuffle and
+  let AQE's runtime skew split handle residual imbalance.
+- :func:`planned_join` — applies the decision: wraps the small side
+  in ``F.broadcast``, routes to :func:`operators.skew.salted_join`,
+  or emits a plain equi-join.
+
+At 100 TB the stats pass is the cheap part (it reads the key column
+only and ships HLL sketches); choosing wrong is the expensive part —
+a 100 GB build side silently falling back to a shuffle join, or one
+20%-hot key serializing a stage. Stats make the choice inspectable:
+``advise_join`` returns the WHY (sizes, shares, thresholds) alongside
+the strategy, so a plan review reads decisions, not folklore.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from group5_spark.operators.skew import salted_join
+
+
+@dataclass(frozen=True)
+class TableStats:
+    """One table's planning statistics (key-specific fields describe
+    the join key passed to :func:`collect_stats`)."""
+
+    rows: int
+    bytes_est: int
+    key_ndv: int
+    top_key: object
+    top_key_rows: int
+
+    @property
+    def top_key_share(self) -> float:
+        return self.top_key_rows / self.rows if self.rows else 0.0
+
+
+@dataclass(frozen=True)
+class JoinAdvice:
+    strategy: str  # 'broadcast_left' | 'broadcast_right' | 'shuffle' | 'salted'
+    n_salts: int = 0
+    reasons: tuple = field(default_factory=tuple)
+
+
+def collect_stats(df: DataFrame, key: str, row_bytes: int = 0) -> TableStats:
+    """One-pass table statistics for planning a join on ``key``.
+
+    Row count, NDV (HLL++, ±5% default rsd), and the heaviest key's
+    row count come from a single two-level aggregation: partials
+    combine map-side, the shuffle carries one row per distinct key
+    (bounded by NDV, not table rows), and the driver receives ONE row.
+    ``bytes_est`` is rows × ``row_bytes`` when given, else Spark's
+    schema-width default — both deliberately crude: broadcast budgets
+    need order-of-magnitude sizes, not perfection.
+    """
+    per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+    row = (
+        per_key.agg(
+            F.sum("c").alias("rows"),
+            F.count(F.lit(1)).alias("ndv"),
+            F.max_by(key, "c").alias("top_key"),
+            F.max("c").alias("top_rows"),
+        )
+        .first()
+    )
+    width = row_bytes or sum(
+        _field_width(f.dataType.simpleString()) for f in df.schema.fields
+    )
+    rows = row["rows"] or 0
+    return TableStats(
+        rows=rows,
+        bytes_est=rows * width,
+        key_ndv=row["ndv"] or 0,
+        top_key=row["top_key"],
+        top_key_rows=row["top_rows"] or 0,
+    )
+
+
+def _field_width(type_name: str) -> int:
+    base = {
+        "tinyint": 1, "smallint": 2, "int": 4, "bigint": 8,
+        "float": 4, "double": 8, "date": 4, "timestamp": 8,
+        "boolean": 1,
+    }
+    if type_name in base:
+        return base[type_name]
+    if type_name.startswith("decimal"):
+        return 16
+    return 32  # strings/arrays/structs: a deliberate guess
+
+
+def advise_join(
+    left: TableStats,
+    right: TableStats,
+    broadcast_bytes: int = 32 << 20,
+    skew_share: float = 0.10,
+    max_salts: int = 64,
+) -> JoinAdvice:
+    """Pick the join strategy from two tables' stats.
+
+    Rules, in order (mirroring what a cluster operator would decide):
+
+    1. Either side under ``broadcast_bytes`` → broadcast it (the
+       smaller one when both qualify). Broadcast beats every other
+       plan when it fits: zero shuffle of the big side, skew
+       irrelevant.
+    2. Neither fits and a side's hottest key exceeds ``skew_share`` of
+       its rows → salted shuffle. ``n_salts`` sized so the hot key's
+       per-task slice drops to roughly the average partition's load
+       (``share × ndv``, clamped to [2, max_salts]) — salting wider
+       than that replicates the other side for no further balance.
+    3. Otherwise plain shuffle; AQE's runtime skew split covers
+       moderate imbalance without replicating anything.
+    """
+    reasons = []
+    l_fits = left.bytes_est <= broadcast_bytes
+    r_fits = right.bytes_est <= broadcast_bytes
+    if l_fits or r_fits:
+        if l_fits and (not r_fits or left.bytes_est <= right.bytes_est):
+            side, st = "left", left
+        else:
+            side, st = "right", right
+        reasons.append(
+            f"{side} ~{st.bytes_est >> 20} MiB <= broadcast budget "
+            f"{broadcast_bytes >> 20} MiB"
+        )
+        return JoinAdvice(strategy=f"broadcast_{side}", reasons=tuple(reasons))
+
+    share = max(left.top_key_share, right.top_key_share)
+    skewed = left if left.top_key_share >= right.top_key_share else right
+    reasons.append(
+        f"no side fits broadcast ({left.bytes_est >> 20}/"
+        f"{right.bytes_est >> 20} MiB)"
+    )
+    if share >= skew_share:
+        n = max(2, min(max_salts, int(share * max(skewed.key_ndv, 1)) + 1))
+        reasons.append(
+            f"hot key {skewed.top_key!r} holds {share:.0%} of rows "
+            f">= skew threshold {skew_share:.0%}; salting {n} ways"
+        )
+        return JoinAdvice(strategy="salted", n_salts=n, reasons=tuple(reasons))
+    reasons.append(
+        f"max hot-key share {share:.1%} under {skew_share:.0%}; "
+        "plain shuffle + AQE skew split"
+    )
+    return JoinAdvice(strategy="shuffle", reasons=tuple(reasons))
+
+
+def planned_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    advice: JoinAdvice,
+    how: str = "inner",
+) -> DataFrame:
+    """Apply a :func:`advise_join` decision to an equi-join."""
+    if advice.strategy == "broadcast_left":
+        return F.broadcast(left).join(right, on=on, how=how)
+    if advice.strategy == "broadcast_right":
+        return left.join(F.broadcast(right), on=on, how=how)
+    if advice.strategy == "salted":
+        if how != "inner":
+            raise ValueError("salted_join supports inner joins only")
+        skewed, other = left, right
+        return salted_join(skewed, other, on, n_salts=advice.n_salts)
+    return left.join(right, on=on, how=how)
+
+
+def stat_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    broadcast_bytes: int = 32 << 20,
+    skew_share: float = 0.10,
+) -> tuple[DataFrame, JoinAdvice]:
+    """Collect stats on both sides, advise, and apply — the one-call
+    form. Returns (joined, advice) so callers can log the decision.
+
+    The stats pass costs one key-partial shuffle per side; amortize it
+    by caching :func:`collect_stats` results for tables joined
+    repeatedly (stats drift slowly — Iceberg/Delta refresh them on
+    write, not on read).
+    """
+    ls = collect_stats(left, on)
+    rs = collect_stats(right, on)
+    advice = advise_join(ls, rs, broadcast_bytes, skew_share)
+    return planned_join(left, right, on, advice, how), advice

@@ -6005,6 +6005,132 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_shard_shuffle",
+    f"""
+    WITH h AS (
+        SELECT doc_id,
+               {_DUCK_H56.format(x="concat('shuf42:', CAST(doc_id AS VARCHAR))")}
+                   AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(hv % 8 AS BIGINT) AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY hv % 8 ORDER BY hv, doc_id
+           ) AS BIGINT) AS rank_in_shard
+    FROM h
+    ORDER BY shard, rank_in_shard
+    """,
+)
+def corpus_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic distributed training-order shuffle: every doc gets
+    a stable pseudorandom (shard, rank) from a seeded portable hash —
+    the global shuffle a pretraining run needs before sequence packing,
+    reproducible across engines, restarts, and cluster sizes.
+
+    Scale design: a true global random sort would be one giant range
+    exchange; sharding first means the only shuffle is a hash exchange
+    on the shard id and each shard orders independently (shard count =
+    output file count, so rank-in-shard IS the within-file write
+    order). The hash is the seeded portable 56-bit md5
+    (`extensions/dedup.py:22`), so re-running with the same seed —
+    or checking against DuckDB — reproduces the exact permutation;
+    changing the seed string gives an independent epoch order.
+    """
+    from group5_spark.extensions.dedup import portable_hash56_sql
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        portable_hash56_sql("concat('shuf42:', CAST(doc_id AS STRING))")
+    )
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("hv"))
+        .withColumn("shard", (F.col("hv") % 8).cast("long"))
+        .withColumn("rank_in_shard", F.row_number().over(w).cast("long"))
+        .select("doc_id", "shard", "rank_in_shard")
+        .orderBy("shard", "rank_in_shard")
+    )
+
+
+@register(
+    "embedding_int8_quantization",
+    """
+    WITH q AS (
+        SELECT label,
+               list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                                       x -> abs(x))) / 127.0 AS scale,
+               CAST(embedding AS DOUBLE[]) AS e
+        FROM embeddings
+    ),
+    err AS (
+        SELECT label,
+               CAST(ROUND(scale, 6) AS DECIMAL(18,9)) AS scale_r,
+               CAST(ROUND(
+                   sqrt(list_sum(list_transform(
+                       e, x -> pow(x - round(x / scale) * scale, 2)
+                   ))) / sqrt(list_sum(list_transform(e, x -> x * x))),
+                   6) AS DECIMAL(18,9)) AS rel_err
+        FROM q
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(scale_r) AS DOUBLE) / COUNT(*), 6) AS avg_scale,
+           ROUND(CAST(SUM(rel_err) AS DOUBLE) / COUNT(*), 6) AS avg_rel_err,
+           CAST(MAX(rel_err) AS DOUBLE) AS max_rel_err
+    FROM err
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column with
+    per-label reconstruction-error stats — the compression step an
+    ANN serving layer applies before indexing (4× smaller vectors,
+    dot products in integer SIMD), reported as relative L2 error so
+    the recall cost is measurable before committing the index.
+
+    Per-vector scale = max|x|/127; codes = round(x/scale); the whole
+    computation is JVM HOF folds over the array column (map-only,
+    codegen — no Python, no shuffle until the 10-group rollup).
+    Per-row scale and error round to 6 then sum as exact decimals so
+    cross-engine means don't ride on float accumulation order.
+    """
+    emb = load_table(spark, sf_dir, "embeddings")
+    e0 = F.col("embedding").cast("array<double>")
+    scale0 = F.array_max(F.transform(e0, lambda x: F.abs(x))) / 127.0
+    sq_err = F.aggregate(
+        F.col("e"),
+        F.lit(0.0),
+        lambda acc, x: acc
+        + F.pow(x - F.round(x / F.col("scale")) * F.col("scale"), 2),
+    )
+    sq_nrm = F.aggregate(F.col("e"), F.lit(0.0), lambda acc, x: acc + x * x)
+    per_vec = (
+        emb.select("label", e0.alias("e"), scale0.alias("scale"))
+        .select(
+            "label",
+            F.round(F.col("scale"), 6).cast("decimal(18,9)").alias("scale_r"),
+            F.round(F.sqrt(sq_err) / F.sqrt(sq_nrm), 6)
+            .cast("decimal(18,9)")
+            .alias("rel_err"),
+        )
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.sum("scale_r").cast("double") / F.count(F.lit(1)), 6)
+            .alias("avg_scale"),
+            F.round(F.sum("rel_err").cast("double") / F.count(F.lit(1)), 6)
+            .alias("avg_rel_err"),
+            F.max("rel_err").cast("double").alias("max_rel_err"),
+        )
+        .orderBy("label")
+    )
+
+
 # --------------------------------------------------------------------
 # Materialized-view rewrite shapes (plans/mv.py): filtered-MV
 # subsumption and a pre-joined star MV, each proven equivalent to the

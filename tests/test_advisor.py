@@ -1,0 +1,142 @@
+"""Stats-driven join planning (plans/advisor.py): the decision rules
+are unit-tested without Spark; the collect/apply halves are verified
+against real frames and physical plans."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from group5_spark.catalog import load_table
+from group5_spark.plans import inspect as I
+from group5_spark.plans.advisor import (
+    JoinAdvice,
+    TableStats,
+    advise_join,
+    collect_stats,
+    planned_join,
+    stat_join,
+)
+
+MB = 1 << 20
+
+
+def st(rows, bytes_est, ndv=1000, top_rows=0, top_key="k"):
+    return TableStats(
+        rows=rows,
+        bytes_est=bytes_est,
+        key_ndv=ndv,
+        top_key=top_key,
+        top_key_rows=top_rows,
+    )
+
+
+# ------------------------- decision rules (pure) --------------------
+
+
+def test_advise_broadcasts_smaller_qualifying_side():
+    a = advise_join(st(10**9, 4000 * MB), st(10**4, 2 * MB))
+    assert a.strategy == "broadcast_right"
+    a = advise_join(st(10**4, 2 * MB), st(10**9, 4000 * MB))
+    assert a.strategy == "broadcast_left"
+    # both fit -> the smaller one ships
+    a = advise_join(st(10**4, 2 * MB), st(10**3, 1 * MB))
+    assert a.strategy == "broadcast_right"
+
+
+def test_advise_salts_on_hot_key_when_broadcast_impossible():
+    big = st(10**9, 4000 * MB, ndv=10**6, top_rows=2 * 10**8)  # 20% hot
+    other = st(10**8, 400 * MB)
+    a = advise_join(big, other)
+    assert a.strategy == "salted"
+    assert 2 <= a.n_salts <= 64
+    assert any("hot key" in r for r in a.reasons)
+
+
+def test_advise_plain_shuffle_when_uniform():
+    big = st(10**9, 4000 * MB, ndv=10**6, top_rows=10**4)
+    other = st(10**8, 400 * MB, ndv=10**6, top_rows=10**3)
+    a = advise_join(big, other)
+    assert a.strategy == "shuffle"
+
+
+def test_salt_count_scales_with_skew_and_clamps():
+    # share * ndv huge -> clamp at 64
+    a = advise_join(
+        st(10**9, 4000 * MB, ndv=10**6, top_rows=5 * 10**8),
+        st(10**8, 400 * MB),
+    )
+    assert a.n_salts == 64
+    # tiny ndv -> lower bound 2
+    a = advise_join(
+        st(10**9, 4000 * MB, ndv=4, top_rows=2 * 10**8),
+        st(10**8, 400 * MB),
+    )
+    assert a.n_salts >= 2
+
+
+# ------------------------- collect + apply (Spark) ------------------
+
+
+def test_collect_stats_counts_ndv_and_top_key(spark):
+    df = spark.createDataFrame(
+        [(1,)] * 6 + [(2,)] * 3 + [(3,)] * 1, "user_id: long"
+    )
+    s = collect_stats(df, "user_id")
+    assert s.rows == 10
+    assert s.key_ndv == 3
+    assert s.top_key == 1 and s.top_key_rows == 6
+    assert abs(s.top_key_share - 0.6) < 1e-9
+    assert s.bytes_est == 10 * 8  # one bigint column
+
+
+def test_planned_join_broadcast_appears_in_plan(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed(
+        "c_custkey", "o_custkey"
+    )
+    joined = planned_join(
+        orders, cust, "o_custkey", JoinAdvice(strategy="broadcast_right")
+    )
+    assert I.num_broadcast_joins(joined) == 1
+    I.assert_max_shuffles(joined, 0)
+
+
+def test_salted_join_matches_plain_join(spark):
+    # 60%-hot key: salted result must equal the plain join exactly
+    rows = [(1, i) for i in range(60)] + [(k, 0) for k in range(2, 42)]
+    skewed = spark.createDataFrame(rows, "user_id: long, v: long")
+    dim = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 42)], "user_id: long, tier: long"
+    )
+    advice = JoinAdvice(strategy="salted", n_salts=8)
+    got = (
+        planned_join(skewed, dim, "user_id", advice)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tier").alias("t"))
+    )
+    want = (
+        skewed.join(dim, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tier").alias("t"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+
+
+def test_planned_join_rejects_salted_outer():
+    with pytest.raises(ValueError):
+        planned_join(None, None, "k", JoinAdvice("salted", 4), how="left")
+
+
+def test_stat_join_end_to_end_broadcasts_the_dim(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    joined, advice = stat_join(orders, cust, "c_custkey")
+    assert advice.strategy in ("broadcast_left", "broadcast_right")
+    assert I.num_broadcast_joins(joined) == 1
+    assert joined.count() == orders.count()  # every order has a customer
+    assert advice.reasons  # the WHY travels with the decision
