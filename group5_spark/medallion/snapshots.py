@@ -53,6 +53,10 @@ __all__ = [
     "prune_files",
     "latest_note",
     "last_committed_batch",
+    "snapshot_tag",
+    "snapshot_tags",
+    "snapshot_drop_tag",
+    "resolve_ref",
     "SnapshotConflict",
 ]
 
@@ -474,16 +478,21 @@ def snapshot_read(
     path: str,
     version: int | None = None,
     predicates: list[tuple] | None = None,
+    ref: str | None = None,
 ) -> DataFrame:
-    """Read a snapshot (latest by default; ``version=`` time-travels),
-    scanning only the files whose manifest stats can match
-    ``predicates``. The predicate is ALSO applied row-level in the
-    plan (manifest pruning is file-granular; the residual filter still
-    pushes down to parquet row groups), so results are exact even when
-    stats are absent."""
+    """Read a snapshot (latest by default; ``version=`` time-travels,
+    ``ref=`` reads a named tag), scanning only the files whose
+    manifest stats can match ``predicates``. The predicate is ALSO
+    applied row-level in the plan (manifest pruning is file-granular;
+    the residual filter still pushes down to parquet row groups), so
+    results are exact even when stats are absent."""
     from pyspark.sql.types import StructType
 
+    if ref is not None and version is not None:
+        raise ValueError("pass version= or ref=, not both")
     root = Path(path)
+    if ref is not None:
+        version = resolve_ref(path, ref)
     v = version if version is not None else _current_version(root)
     manifest = json.loads(_manifest_path(root, v).read_text())
     kept, _ = prune_files(path, predicates or [], v)
@@ -512,6 +521,70 @@ def snapshot_read(
     return df
 
 
+_REFS_DIR = "_refs"
+
+
+def _ref_path(root: Path, name: str) -> Path:
+    if not name or not all(c.isalnum() or c in "-_." for c in name):
+        raise ValueError(f"invalid ref name {name!r}")
+    return root / _MANIFEST_DIR / _REFS_DIR / f"{name}.json"
+
+
+def snapshot_tag(
+    path: str, name: str, version: int | None = None, overwrite: bool = False
+) -> int:
+    """Pin a named ref (Iceberg-style tag) to a snapshot version —
+    ``snapshot_tag(tbl, 'training-2026-08')`` freezes today's corpus
+    so next month's retraining reads the EXACT same files by name,
+    regardless of how many commits or expiries happen in between.
+
+    Tags anchor retention: :func:`snapshot_expire` always keeps a
+    tagged manifest and its file closure, so a tag is a durable
+    reproducibility handle, not just an alias. Creating over an
+    existing name requires ``overwrite=True`` (retagging is an
+    explicit act — silent moves would un-freeze someone's dataset).
+    """
+    root = Path(path)
+    v = int(version) if version is not None else _current_version(root)
+    if not _manifest_path(root, v).exists():
+        raise FileNotFoundError(f"no manifest for version {v} at {path}")
+    ref = _ref_path(root, name)
+    if ref.exists() and not overwrite:
+        raise FileExistsError(f"tag {name!r} exists (overwrite=True to move)")
+    ref.parent.mkdir(parents=True, exist_ok=True)
+    tmp = ref.parent / f"_tag.{uuid.uuid4().hex[:8]}"
+    tmp.write_text(json.dumps({"name": name, "version": v, "ts": time.time()}))
+    tmp.replace(ref)  # atomic: readers see old or new, never half
+    return v
+
+
+def snapshot_tags(path: str) -> dict[str, int]:
+    """All tags as ``{name: version}``."""
+    refs = Path(path) / _MANIFEST_DIR / _REFS_DIR
+    out = {}
+    for p in sorted(refs.glob("*.json")) if refs.is_dir() else []:
+        try:
+            d = json.loads(p.read_text())
+            out[d["name"]] = int(d["version"])
+        except (ValueError, KeyError, json.JSONDecodeError):
+            continue
+    return out
+
+
+def snapshot_drop_tag(path: str, name: str) -> None:
+    ref = _ref_path(Path(path), name)
+    if ref.exists():
+        ref.unlink()
+
+
+def resolve_ref(path: str, ref: str) -> int:
+    """Resolve a tag name to its version (raises KeyError if absent)."""
+    tags = snapshot_tags(path)
+    if ref not in tags:
+        raise KeyError(f"unknown ref {ref!r} at {path}; have {sorted(tags)}")
+    return tags[ref]
+
+
 def snapshot_expire(
     path: str, keep_last: int = 1, orphan_grace_s: float = 300.0
 ) -> dict:
@@ -537,6 +610,9 @@ def snapshot_expire(
     head = _current_version(root)
     lineage = _lineage(root, head)  # newest first
     keep_versions = set(lineage[: max(keep_last, 1)])
+    # tagged versions are pinned: a tag is a reproducibility promise,
+    # so its manifest and file closure survive every expiry window
+    keep_versions.update(snapshot_tags(path).values())
     manifests = sorted((root / _MANIFEST_DIR).glob("v*.json"))
     now = time.time()
     keep, drop = [], []

@@ -346,6 +346,98 @@ def stream_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+HH_OUTPUT_SCHEMA = (
+    "group string, item string, est_count long, processed long"
+)
+HH_STATE_SCHEMA = "items array<string>, counts array<long>, processed long"
+
+
+def _mg_merge(counters: dict, batch: dict, k: int) -> tuple[dict, int]:
+    """Merge batch counts into a Misra-Gries summary of ≤ ``k``
+    counters. Returns (summary, decrement applied to all survivors).
+
+    Standard mergeable-summaries rule (Agarwal et al., PODS'12): sum
+    counters, and if more than ``k`` remain, subtract the (k+1)-th
+    largest count from every counter and drop the non-positive ones.
+    Each kept count under-estimates the true count by at most the sum
+    of decrements ≤ n/(k+1) — any item with true frequency above
+    n/(k+1) is guaranteed to survive.
+    """
+    for item, c in batch.items():
+        counters[item] = counters.get(item, 0) + int(c)
+    if len(counters) <= k:
+        return counters, 0
+    m = sorted(counters.values(), reverse=True)[k]
+    return {i: c - m for i, c in counters.items() if c > m}, m
+
+
+def heavy_hitters_stateful(
+    events: DataFrame,
+    group_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = 8,
+) -> DataFrame:
+    """Streaming approximate top-k (heavy hitters) per group: which
+    items dominate each event type *right now* — the trending-items /
+    hot-key detector a 100 TB event stream needs, in ``k`` counters of
+    state per group instead of one counter per distinct item (an
+    unbounded streaming ``groupBy(item).count()``).
+
+    Misra-Gries summary per group key, merged batch-at-a-time (counts
+    are reduced in pandas before touching state, so state-store work
+    is O(k), not O(batch)). The summary is MERGEABLE — the same
+    property the batch KMV sketches (`extensions/sketches.py`) exploit
+    — which is what makes the operator shard-safe: summaries of
+    stream partitions combine without rescanning. Emitted counts are
+    lower bounds; ``processed`` rides along so consumers can bound the
+    error: true count ∈ [est_count, est_count + processed/(k+1)].
+    Output mode "update": each micro-batch re-emits the groups it
+    touched.
+    """
+    import pandas as pd  # local: only the executors need it
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def fn(key, pdf_iter, state: GroupState):
+        group = key[0]
+        batch: dict = {}
+        n_batch = 0
+        for pdf in pdf_iter:
+            vc = pdf[item_col].astype(str).value_counts()
+            n_batch += int(vc.sum())
+            for item, c in vc.items():
+                batch[item] = batch.get(item, 0) + int(c)
+        if state.exists:
+            items, counts, processed = state.get
+            counters = dict(zip(items, (int(c) for c in counts)))
+        else:
+            counters, processed = {}, 0
+        counters, _ = _mg_merge(counters, batch, k)
+        processed = int(processed) + n_batch
+        top = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        state.update((
+            [i for i, _ in top],
+            [c for _, c in top],
+            processed,
+        ))
+        yield pd.DataFrame(
+            {
+                "group": [group] * len(top),
+                "item": [i for i, _ in top],
+                "est_count": [c for _, c in top],
+                "processed": [processed] * len(top),
+            }
+        )
+
+    return events.groupBy(group_col).applyInPandasWithState(
+        fn,
+        HH_OUTPUT_SCHEMA,
+        HH_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_totals_tws(
     events: DataFrame,
     user_col: str = "user_id",

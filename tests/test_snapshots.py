@@ -422,3 +422,58 @@ def test_zorder_snapshot_prunes_on_both_columns(spark, tmp_path):
     # and pruned reads stay exact
     got = snapshot_read(spark, zt, predicates=[("y", "=", 7)])
     assert got.count() == 64
+
+
+# ---------------------------------------------------------------------------
+# Named refs (tags): reproducibility handles that anchor retention
+# ---------------------------------------------------------------------------
+
+
+def test_tag_pins_version_and_read_by_ref(spark, tmp_path):
+    from group5_spark.medallion.snapshots import (
+        resolve_ref,
+        snapshot_drop_tag,
+        snapshot_tag,
+        snapshot_tags,
+    )
+    import pytest
+
+    tbl = str(tmp_path / "tagged")
+    snapshot_commit(spark.range(3).toDF("id"), tbl)
+    v1 = snapshot_tag(tbl, "training-2026-08")
+    snapshot_commit(spark.range(10).toDF("id"), tbl)
+
+    assert snapshot_tags(tbl) == {"training-2026-08": v1}
+    assert resolve_ref(tbl, "training-2026-08") == v1
+    # ref read returns the frozen corpus, latest read the new one
+    assert snapshot_read(spark, tbl, ref="training-2026-08").count() == 3
+    assert snapshot_read(spark, tbl).count() == 10
+    # retagging is explicit
+    with pytest.raises(FileExistsError):
+        snapshot_tag(tbl, "training-2026-08")
+    snapshot_tag(tbl, "training-2026-08", overwrite=True)
+    assert snapshot_read(spark, tbl, ref="training-2026-08").count() == 10
+    snapshot_drop_tag(tbl, "training-2026-08")
+    with pytest.raises(KeyError):
+        resolve_ref(tbl, "training-2026-08")
+    with pytest.raises(ValueError):
+        snapshot_tag(tbl, "../escape")
+
+
+def test_expire_retains_tagged_version_and_its_files(spark, tmp_path):
+    from group5_spark.medallion.snapshots import (
+        snapshot_expire,
+        snapshot_tag,
+    )
+
+    tbl = str(tmp_path / "tagged_expire")
+    snapshot_commit(spark.range(5).toDF("id"), tbl)
+    snapshot_tag(tbl, "frozen")
+    for n in (7, 9, 11):  # three newer versions, distinct data files
+        snapshot_commit(spark.range(n).toDF("id"), tbl)
+    # keep_last=1 would normally drop everything but the head...
+    report = snapshot_expire(tbl, keep_last=1, orphan_grace_s=0.0)
+    assert report["versions_dropped"] == 2  # v2, v3 — NOT the tagged v1
+    # ...but the tagged version still reads, exactly
+    assert snapshot_read(spark, tbl, ref="frozen").count() == 5
+    assert snapshot_read(spark, tbl).count() == 11

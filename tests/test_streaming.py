@@ -807,3 +807,89 @@ def test_stream_enrichment_sees_dim_updates_between_batches(spark, tmp_path):
     run([1], "b")
     tiers = [got[k] for k in sorted(got)]
     assert tiers == ["bronze", "gold"]
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries streaming heavy hitters
+# ---------------------------------------------------------------------------
+
+
+def test_mg_merge_bound_and_survival():
+    from group5_spark.streaming.jobs import _mg_merge
+
+    # any item with true frequency > n/(k+1) must survive, counts are
+    # lower bounds within n/(k+1)
+    import random
+
+    rng = random.Random(7)
+    true = {}
+    counters = {}
+    k = 8
+    total_dec = 0
+    for _ in range(30):  # 30 simulated batches
+        batch = {}
+        for _ in range(200):
+            item = "hot" if rng.random() < 0.3 else f"u{rng.randrange(100)}"
+            batch[item] = batch.get(item, 0) + 1
+            true[item] = true.get(item, 0) + 1
+        counters, dec = _mg_merge(counters, batch, k)
+        total_dec += dec
+        assert len(counters) <= k
+    n = sum(true.values())
+    assert "hot" in counters  # 30% >> 1/(k+1)
+    for item, est in counters.items():
+        assert est <= true[item]  # never over-counts
+        assert true[item] - est <= n / (k + 1) + 1e-9
+    assert total_dec <= n / (k + 1) + 1e-9
+
+
+def test_heavy_hitters_stateful_across_batches(spark, tmp_path):
+    import json
+
+    got = {}
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    schema = "event_type string, user_id string"
+
+    def run(rows, tag):
+        with open(src / f"{tag}.json", "w") as f:
+            for et, uid in rows:
+                f.write(json.dumps({"event_type": et, "user_id": uid}) + "\n")
+        stream = spark.readStream.schema(schema).json(str(src))
+        hh = jobs.heavy_hitters_stateful(stream, k=3)
+
+        def sink(batch_df, _bid):
+            for r in batch_df.collect():
+                got[(tag, r.group, r.item)] = (r.est_count, r.processed)
+
+        q = (
+            hh.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "hh_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # batch 1: 'hot' dominates clicks; purchases has 2 distinct
+    run(
+        [("click", "hot")] * 6
+        + [("click", "a"), ("click", "b")]
+        + [("purchase", "x"), ("purchase", "y")],
+        "b1",
+    )
+    assert got[("b1", "click", "hot")][0] == 6  # ≤ k distinct → exact
+    assert got[("b1", "purchase", "x")] == (1, 2)
+    # batch 2: state carried: hot keeps accumulating across batches
+    # while 4 fresh users force the k=3 summary to shed light items
+    run(
+        [("click", "hot")] * 5
+        + [("click", "c"), ("click", "d"), ("click", "e"), ("click", "f")],
+        "b2",
+    )
+    est, processed = got[("b2", "click", "hot")]
+    assert processed == 17  # 8 + 9 click rows seen in total
+    assert est <= 11  # lower bound never exceeds the true count
+    assert est >= 11 - (processed / 4)  # within the n/(k+1) MG bound
+    # purchases untouched in batch 2 → update mode re-emits nothing
+    assert ("b2", "purchase", "x") not in got
