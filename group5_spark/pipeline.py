@@ -122,11 +122,23 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
         snapshot_versions,
     )
 
+    from group5_spark.medallion.snapshots import (
+        snapshot_drop_tag,
+        snapshot_tag,
+        snapshot_tags,
+    )
+
     if args.action == "log":
+        tags = snapshot_tags(args.table_path)
+        by_version: dict[int, list[str]] = {}
+        for name, v in tags.items():
+            by_version.setdefault(v, []).append(name)
         for v in snapshot_versions(args.table_path):
+            names = by_version.get(v["version"], [])
+            suffix = f"  tags: {', '.join(sorted(names))}" if names else ""
             print(
                 f"v{v['version']:05d} parent=v{v['parent']:05d} "
-                f"files={v['n_files']} ts={v['ts']:.0f}"
+                f"files={v['n_files']} ts={v['ts']:.0f}{suffix}"
             )
     elif args.action == "expire":
         out = snapshot_expire(args.table_path, keep_last=args.keep_last)
@@ -135,9 +147,20 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
             f"deleted {out['files_deleted']} files"
         )
     elif args.action == "show":
-        df = snapshot_read(spark, args.table_path, version=args.version)
+        df = snapshot_read(
+            spark, args.table_path, version=args.version, ref=args.ref
+        )
         df.show(args.limit, truncate=False)
         print(f"rows: {df.count()}")
+    elif args.action == "tag":
+        v = snapshot_tag(
+            args.table_path, args.name, version=args.version,
+            overwrite=args.overwrite,
+        )
+        print(f"tag {args.name!r} -> v{v:05d}")
+    elif args.action == "drop-tag":
+        snapshot_drop_tag(args.table_path, args.name)
+        print(f"dropped tag {args.name!r}")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -175,12 +198,21 @@ def main(argv: list[str] | None = None) -> int:
                          help="print the file census without rewriting")
 
     p_snap = sub.add_parser(
-        "snapshot", help="snapshot tables: log / show / expire"
+        "snapshot",
+        help="snapshot tables: log / show / expire / tag / drop-tag",
     )
-    p_snap.add_argument("action", choices=["log", "show", "expire"])
+    p_snap.add_argument(
+        "action", choices=["log", "show", "expire", "tag", "drop-tag"]
+    )
     p_snap.add_argument("--table_path", required=True)
     p_snap.add_argument("--version", type=int, default=None,
-                        help="time-travel version for show")
+                        help="time-travel version for show/tag")
+    p_snap.add_argument("--ref", default=None,
+                        help="named tag for show")
+    p_snap.add_argument("--name", default=None,
+                        help="tag name for tag/drop-tag")
+    p_snap.add_argument("--overwrite", action="store_true",
+                        help="allow moving an existing tag")
     p_snap.add_argument("--keep_last", type=int, default=3,
                         help="versions retained by expire")
     p_snap.add_argument("--limit", type=int, default=20)
@@ -195,6 +227,12 @@ def main(argv: list[str] | None = None) -> int:
     args = parser.parse_args(argv)
     if args.command == "generate":
         cmd_generate(args)
+        return 0
+
+    if args.command == "snapshot" and args.action != "show":
+        # metadata-only actions (log / expire / tag / drop-tag) read and
+        # write manifests, never data — no reason to boot a JVM
+        cmd_snapshot(args, spark=None)
         return 0
 
     spark = create_spark_session(args.app_name, args.master, parse_conf(args.conf))

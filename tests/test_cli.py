@@ -107,3 +107,31 @@ def test_cli_snapshot_log_and_expire(spark, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dropped 1 versions" in out.stdout
+
+
+def test_cli_snapshot_tag_roundtrip(spark, tmp_path):
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    path = str(tmp_path / "t2")
+    snapshot_commit(spark.range(3).toDF("id"), path)
+    snapshot_commit(spark.range(7).toDF("id"), path)
+
+    def run(*args):
+        out = subprocess.run(
+            [sys.executable, "-m", "group5_spark.pipeline", *args],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+        assert out.returncode == 0, out.stderr[-2000:]
+        return out.stdout
+
+    # metadata-only: must not boot a JVM (fast path, no spark logs)
+    stdout = run("snapshot", "tag", "--table_path", path,
+                 "--name", "rel", "--version", "1")
+    assert "tag 'rel' -> v00001" in stdout
+    assert "v00001" in run("snapshot", "log", "--table_path", path)
+    assert "tags: rel" in run("snapshot", "log", "--table_path", path)
+    shown = run("--master", "local[2]", "snapshot", "show",
+                "--table_path", path, "--ref", "rel")
+    assert "rows: 3" in shown
+    run("snapshot", "drop-tag", "--table_path", path, "--name", "rel")
+    assert "tags:" not in run("snapshot", "log", "--table_path", path)
