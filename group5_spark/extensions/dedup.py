@@ -184,7 +184,6 @@ def minhash_signatures(
     ``concat(shingle, ':', seed)``) whose signatures a DuckDB oracle
     reproduces exactly — see :func:`portable_hash56_sql`.
     """
-    sh_sql = _shingles_sql(text_col, shingle_n)
     if hash_fn == "md5":
         def seeded(seed: int) -> str:
             return portable_hash56_sql(f"concat(s, ':', {seed})")
@@ -193,13 +192,21 @@ def minhash_signatures(
             return f"xxhash64(s, {seed})"
     else:
         raise ValueError(f"hash_fn must be 'xxhash64' or 'md5', got {hash_fn!r}")
+    # materialize the shingle array ONCE: inlining _shingles_sql into
+    # each signature expression re-runs the split/slice/concat pipeline
+    # num_hashes times per row (Catalyst does not CSE across the
+    # projection) — measured 3.5x slower at 16 hashes
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        F.expr(_shingles_sql(text_col, shingle_n)).alias("_sh"),
+    )
     sig_cols = [
-        F.expr(
-            f"array_min(transform({sh_sql}, s -> {seeded(seed)}))"
-        ).alias(f"mh_{seed}")
+        F.expr(f"array_min(transform(_sh, s -> {seeded(seed)}))").alias(
+            f"mh_{seed}"
+        )
         for seed in range(num_hashes)
     ]
-    return df.select(F.col(id_col).alias("id"), *sig_cols)
+    return shingled.select("id", *sig_cols)
 
 
 def minhash_lsh_pairs(

@@ -214,6 +214,162 @@ def run_skew(n: int) -> dict:
     }
 
 
+# --------------------------------------------------------------------
+# Training-data operator curve: replica-DISTINCT corpus
+# --------------------------------------------------------------------
+# Naive text replication makes every replica an exact duplicate of its
+# source doc, so near-dup pair enumeration (MinHash/SimHash) would
+# measure the output exploding quadratically in copy count — real
+# behavior for a 64x-duplicated corpus, but an artifact of the ladder,
+# not an engine property. materialize_docs() therefore suffixes every
+# word with the replica id (shingle sets become disjoint across
+# replicas: duplicate-GROUP sizes stay at their 1x values while the
+# corpus grows Nx) and nudges each replica's embeddings by a tiny
+# per-replica epsilon so ANN top-k isn't an all-ties degenerate case.
+
+TRAINOPS = [
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "sim_ivf_topk",
+    "contamination_check",
+    "tfidf_top_terms",
+    "doc_repetition_filter",
+    "corpus_shard_shuffle",
+    "text_quality",
+    "packed_sequence_bins",
+    "kmv_users_by_event_type",
+]
+
+
+def materialize_docs(n: int) -> Path:
+    """Replica-distinct documents/embeddings at N× (plus the hot-key
+    events of :func:`materialize` via symlink, for the sketch query)."""
+    base = materialize(n)  # ensures events exist
+    out = SCALE_ROOT / f"xd{n:03d}"
+    if (out / "_DONE").exists():
+        return out
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+
+    shutil.rmtree(out, ignore_errors=True)
+    out.mkdir(parents=True)
+    spark = _spark(f"scale-docs-x{n}")
+    files = max(4, min(32, 2 * n))
+
+    docs = load_table(spark, BASE_SF, "documents")
+    dkey = docs.agg(F.max("doc_id")).first()[0] + 1
+    rep = docs.withColumn(
+        "_r", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+    )
+    rep = (
+        rep.withColumn("doc_id", F.col("doc_id") + F.col("_r") * dkey)
+        # suffix every word with the replica id -> disjoint shingles
+        .withColumn(
+            "text",
+            F.regexp_replace(
+                F.col("text"), r"(\S+)",
+                F.concat(F.lit("$1_"), F.col("_r").cast("string")),
+            ),
+        )
+        .drop("_r")
+        .repartition(files)
+    )
+    rep.write.mode("overwrite").parquet(str(out / "documents.parquet"))
+
+    emb = load_table(spark, BASE_SF, "embeddings")
+    vkey = emb.agg(F.max("vec_id")).first()[0] + 1
+    erep = (
+        emb.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
+        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * vkey)
+        .withColumn(
+            "embedding",
+            F.transform(
+                F.col("embedding"),
+                lambda x, i: (
+                    x + F.when(i == 0, F.col("_r") * 1e-3).otherwise(0.0)
+                ).cast("float"),
+            ),
+        )
+        .drop("_r")
+        .repartition(files)
+    )
+    erep.write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
+    spark.stop()
+    (out / "events.parquet").symlink_to(base / "events.parquet")
+    (out / "_DONE").touch()
+    return out
+
+
+def run_trainops(n: int) -> dict:
+    """Warm-up + timed pass of the TRAINOPS set at N× (distinct docs).
+
+    MinHash/SimHash run in production hash mode (xxhash64 — one JVM
+    intrinsic per shingle) rather than the registry queries'
+    oracle-parity md5 mode: md5 mode spends ~95% of its time in
+    digest+hex+parse, a constant factor that would swamp the scaling
+    signal this curve exists to measure.
+    """
+    from group5_spark.catalog import load_table
+    from group5_spark.extensions.dedup import (
+        minhash_lsh_pairs,
+        simhash_near_pairs,
+    )
+    from group5_spark.queries import QUERIES
+
+    sf_dir = str(SCALE_ROOT / f"xd{n:03d}")
+    spark = _spark(f"scale-trainops-x{n}")
+
+    def build(name):
+        if name == "dedup_minhash_lsh":
+            return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+        if name == "dedup_simhash_pairs":
+            return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+        return QUERIES[name](spark, sf_dir)
+
+    for name in TRAINOPS:
+        build(name).count()
+    timings: dict[str, float] = {}
+    for name in TRAINOPS:
+        start = time.perf_counter()
+        build(name).count()
+        timings[name] = round(time.perf_counter() - start, 3)
+    spark.stop()
+    return {"scale": n, "queries": timings, "total": round(sum(timings.values()), 3)}
+
+
+def orchestrate_trainops(scales: list[int]) -> None:
+    """materialize_docs + run_trainops per scale in fresh subprocesses;
+    write SCALE_TRAINOPS.json with fitted exponents."""
+    results = []
+    for n in scales:
+        print(f"== materialize docs x{n}", file=sys.stderr)
+        subprocess.run(
+            [sys.executable, __file__, "materialize-docs", str(n)], check=True
+        )
+        print(f"== trainops x{n}", file=sys.stderr)
+        out = subprocess.run(
+            [sys.executable, __file__, "trainops", str(n)],
+            check=True, capture_output=True, text=True,
+        )
+        results.append(json.loads(out.stdout.strip().splitlines()[-1]))
+    exponents = {
+        q: round(
+            _fit_exponent([(r["scale"], r["queries"][q]) for r in results]), 3
+        )
+        for q in results[0]["queries"]
+    }
+    summary = {
+        "base_sf_dir": BASE_SF,
+        "scales": scales,
+        "per_scale": results,
+        "exponents": exponents,
+    }
+    out_path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
+    out_path.write_text(json.dumps(summary, indent=1))
+    print(json.dumps({"written": str(out_path), "exponents": exponents}))
+
+
 def _fit_exponent(points: list[tuple[int, float]]) -> float:
     """Least-squares slope of ln(t) on ln(N)."""
     xs = [math.log(n) for n, _ in points]
@@ -272,10 +428,20 @@ def main() -> None:
     args = sys.argv[1:]
     if args and args[0] == "materialize":
         print(str(materialize(int(args[1]))))
+    elif args and args[0] == "materialize-docs":
+        print(str(materialize_docs(int(args[1]))))
     elif args and args[0] == "run":
         print(json.dumps(run_bench(int(args[1]))))
+    elif args and args[0] == "trainops":
+        print(json.dumps(run_trainops(int(args[1]))))
     elif args and args[0] == "skew":
         print(json.dumps(run_skew(int(args[1]))))
+    elif args and args[0] == "trainops-curve":
+        scales = [1, 4, 16, 64]
+        for a in args[1:]:
+            if a.startswith("--scales"):
+                scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        orchestrate_trainops(scales)
     else:
         scales = [1, 4, 16, 64]
         for a in args:
