@@ -57,6 +57,7 @@ __all__ = [
     "snapshot_tags",
     "snapshot_drop_tag",
     "resolve_ref",
+    "kmv_ndv_estimate",
     "SnapshotConflict",
 ]
 
@@ -118,6 +119,50 @@ def _lineage(root: Path, head: int) -> list[int]:
         except (ValueError, json.JSONDecodeError):
             break
     return out
+
+
+def _file_rows(path: Path) -> int:
+    """Row count from the parquet footer — one metadata read, no data
+    I/O. Recorded on every commit so planners (plans/advisor.py) get
+    exact table cardinality from kilobytes of manifest."""
+    import pyarrow.parquet as pq
+
+    return int(pq.ParquetFile(str(path)).metadata.num_rows)
+
+
+def _commit_kmv(df, ndv_cols: list[str], k: int = 256) -> dict:
+    """Per-column KMV sketch of this commit's data: the k smallest
+    distinct portable-hash values, JSON-storable and MERGEABLE —
+    append commits union parent+new and re-take min-k, which equals
+    the sketch of the union exactly (extensions/sketches.py pins the
+    property). Costs one distinct+top-k pass per column at COMMIT
+    time; readers then answer "how many distinct keys" from the
+    manifest alone."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.extensions.sketches import kmv_sketch
+
+    out = {}
+    for col in ndv_cols:
+        rows = kmv_sketch(df, col, k=k).select("hv").collect()
+        out[col] = sorted(int(r["hv"]) for r in rows)
+    return out
+
+
+def _merge_kmv(parent: dict, new: dict, k: int = 256) -> dict:
+    merged = {}
+    for col in set(parent) | set(new):
+        both = sorted(set(parent.get(col, [])) | set(new.get(col, [])))
+        merged[col] = both[:k]
+    return merged
+
+
+def kmv_ndv_estimate(hashes: list[int], k: int = 256) -> float:
+    """Distinct-count estimate from a stored KMV hash list: exact when
+    the sketch isn't full, else ``(k-1)·2⁵⁶/kth``."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    return (k - 1) * float(1 << 56) / float(hashes[k - 1])
 
 
 def _file_stats(path: Path, stats_cols: list[str]) -> dict:
@@ -218,6 +263,7 @@ def snapshot_commit(
     note: dict | None = None,
     bloom_cols: list[str] | None = None,
     expected_parent: int | None = None,
+    ndv_cols: list[str] | None = None,
 ) -> int:
     """Write ``df`` as the next version of the table at ``path`` and
     return the new version number.
@@ -251,10 +297,12 @@ def snapshot_commit(
     stats_cols = stats_cols or []
     bloom_cols = bloom_cols or []
     staged = []
+    kmv = _commit_kmv(df, ndv_cols) if ndv_cols else {}
     for f in sorted(data_dir.glob("*.parquet")):
         entry = {
             "path": str(f.relative_to(root)),
             "bytes": f.stat().st_size,
+            "rows": _file_rows(f),
             "stats": _file_stats(f, stats_cols),
         }
         blooms = {
@@ -291,9 +339,13 @@ def snapshot_commit(
         ]
         version = max([parent, *taken], default=0) + 1
         entries = staged
+        table_kmv = kmv
         if mode == "append" and parent:
             prior = json.loads(_manifest_path(root, parent).read_text())
             entries = prior["files"] + staged
+            # mergeable sketches: table-level NDV without rescanning —
+            # min-k of the union equals the sketch of the union
+            table_kmv = _merge_kmv(prior.get("kmv", {}), kmv)
         manifest = {
             "version": version,
             "parent": parent,
@@ -307,6 +359,8 @@ def snapshot_commit(
             "note": note or {},
             "files": entries,
         }
+        if table_kmv:
+            manifest["kmv"] = table_kmv
         try:
             with open(_manifest_path(root, version), "x") as f:
                 f.write(json.dumps(manifest, indent=1))

@@ -188,6 +188,47 @@ def planned_join(
     return left.join(right, on=on, how=how)
 
 
+def stats_from_snapshot(
+    path: str,
+    key: str | None = None,
+    version: int | None = None,
+    bytes_per_disk_byte: float = 3.0,
+) -> TableStats:
+    """Planning statistics from a snapshot table's MANIFEST — zero
+    data I/O, no SparkSession: row counts come from the per-file
+    footer counts recorded at commit time, NDV from the mergeable KMV
+    sketch stored by ``snapshot_commit(..., ndv_cols=[key])``. This is
+    the Iceberg/Puffin pattern: pay statistics at write time, plan
+    joins at read time from kilobytes of metadata.
+
+    ``bytes_est`` scales on-disk parquet bytes by
+    ``bytes_per_disk_byte`` (~3× is a conservative in-memory
+    decompression factor for broadcast budgeting). Hot-key share is
+    not derivable from a KMV sketch — it stays 0, meaning
+    :func:`advise_join` will choose broadcast or plain shuffle+AQE
+    (never static salting) from manifest stats alone; run
+    :func:`collect_stats` when a skew decision is on the table.
+    """
+    from group5_spark.medallion.snapshots import (
+        kmv_ndv_estimate,
+        snapshot_manifest,
+    )
+
+    m = snapshot_manifest(path, version)
+    rows = sum(int(e.get("rows", 0)) for e in m["files"])
+    disk = sum(int(e["bytes"]) for e in m["files"])
+    ndv = 0
+    if key is not None and key in m.get("kmv", {}):
+        ndv = int(kmv_ndv_estimate(m["kmv"][key]))
+    return TableStats(
+        rows=rows,
+        bytes_est=int(disk * bytes_per_disk_byte),
+        key_ndv=ndv,
+        top_key=None,
+        top_key_rows=0,
+    )
+
+
 def stat_join(
     left: DataFrame,
     right: DataFrame,

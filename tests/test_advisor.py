@@ -140,3 +140,60 @@ def test_stat_join_end_to_end_broadcasts_the_dim(spark, sf_dir):
     assert I.num_broadcast_joins(joined) == 1
     assert joined.count() == orders.count()  # every order has a customer
     assert advice.reasons  # the WHY travels with the decision
+
+
+# ------------------- manifest-backed stats (write-time) -------------
+
+
+def test_stats_from_snapshot_rows_and_ndv(spark, tmp_path):
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import stats_from_snapshot
+
+    tbl = str(tmp_path / "stats_tbl")
+    df = spark.range(500).select(
+        (F.col("id") % 100).alias("user_id"), F.col("id").alias("v")
+    )
+    snapshot_commit(df, tbl, ndv_cols=["user_id"])
+    s = stats_from_snapshot(tbl, key="user_id")
+    assert s.rows == 500  # exact, from footer counts
+    assert s.bytes_est > 0
+    assert s.key_ndv == 100  # 100 < k=256 -> sketch holds all, exact
+    # appends merge sketches: 50 overlapping + 50 new keys -> 150
+    more = spark.range(1000, 1500).select(
+        ((F.col("id") % 100) + 50).alias("user_id"), F.col("id").alias("v")
+    )
+    snapshot_commit(more, tbl, mode="append", ndv_cols=["user_id"])
+    s2 = stats_from_snapshot(tbl, key="user_id")
+    assert s2.rows == 1000
+    assert s2.key_ndv == 150
+    # version time-travel sees the old stats
+    assert stats_from_snapshot(tbl, key="user_id", version=1).rows == 500
+
+
+def test_stats_from_snapshot_kmv_accuracy_when_full(spark, tmp_path):
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import stats_from_snapshot
+
+    tbl = str(tmp_path / "stats_big")
+    df = spark.range(20000).select(F.col("id").alias("k"))
+    snapshot_commit(df, tbl, ndv_cols=["k"])
+    s = stats_from_snapshot(tbl, key="k")
+    # k=256 sketch: standard error ~1/sqrt(k-2) ~ 6%; allow 3 sigma
+    assert abs(s.key_ndv - 20000) / 20000 < 0.20
+
+
+def test_manifest_stats_drive_broadcast_decision(spark, tmp_path):
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import advise_join, stats_from_snapshot
+
+    dim = str(tmp_path / "dim")
+    snapshot_commit(
+        spark.range(100).select(F.col("id").alias("k")), dim, ndv_cols=["k"]
+    )
+    dim_stats = stats_from_snapshot(dim, key="k")
+    fact_stats = TableStats(
+        rows=10**9, bytes_est=4000 * MB, key_ndv=10**6,
+        top_key=None, top_key_rows=0,
+    )
+    a = advise_join(fact_stats, dim_stats)
+    assert a.strategy == "broadcast_right"
