@@ -86,3 +86,146 @@ def test_replace_partitions_only_named(spark, tmp_path):
         ("2024-01-02", 9),
         ("2024-01-03", 4),
     }
+
+
+# ---------------------------------------------------------------------------
+# File-diff IVM: refresh cost proportional to changed files
+# ---------------------------------------------------------------------------
+
+
+def _full_rebuild(spark, base, group_cols, sum_cols):
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    return {
+        tuple(r[c] for c in group_cols): (
+            *[r[f"s_{c}"] for c in sum_cols],
+            r["n"],
+        )
+        for r in snapshot_read(spark, base)
+        .groupBy(*group_cols)
+        .agg(
+            *[F.sum(c).alias(f"s_{c}") for c in sum_cols],
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+
+
+def _mv_rows(spark, mv_path, group_cols, sum_cols):
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    return {
+        tuple(r[c] for c in group_cols): (
+            *[r[f"sum_{c}"] for c in sum_cols],
+            r["n_rows"],
+        )
+        for r in snapshot_read(spark, mv_path).collect()
+    }
+
+
+def test_ivm_append_reads_only_new_files_and_matches_rebuild(spark, tmp_path):
+    from group5_spark.medallion.incremental import ivm_init, ivm_refresh
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    base = str(tmp_path / "base")
+    mv = str(tmp_path / "mv")
+    day1 = spark.createDataFrame(
+        [("a", 10.0), ("a", 5.0), ("b", 1.0)], ["seg", "amount"]
+    )
+    snapshot_commit(day1.coalesce(1), base)
+    ivm_init(spark, base, mv, ["seg"], ["amount"])
+    assert _mv_rows(spark, mv, ["seg"], ["amount"]) == {
+        ("a",): (15.0, 2), ("b",): (1.0, 1),
+    }
+    # append one file: refresh must read exactly that one file
+    day2 = spark.createDataFrame([("b", 4.0), ("c", 7.0)], ["seg", "amount"])
+    snapshot_commit(day2.coalesce(1), base, mode="append")
+    report = ivm_refresh(spark, base, mv, ["seg"], ["amount"])
+    assert report["files_added"] == 1 and report["files_removed"] == 0
+    assert _mv_rows(spark, mv, ["seg"], ["amount"]) == _full_rebuild(
+        spark, base, ["seg"], ["amount"]
+    )
+    # no base change -> no new MV commit
+    again = ivm_refresh(spark, base, mv, ["seg"], ["amount"])
+    assert again["files_added"] == 0
+    assert again["mv_version"] == report["mv_version"]
+
+
+def test_ivm_overwrite_retracts_and_drops_empty_groups(spark, tmp_path):
+    from group5_spark.medallion.incremental import ivm_init, ivm_refresh
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    base = str(tmp_path / "base_ow")
+    mv = str(tmp_path / "mv_ow")
+    snapshot_commit(
+        spark.createDataFrame(
+            [("a", 10.0), ("b", 2.0), ("b", 3.0)], ["seg", "amount"]
+        ).coalesce(1),
+        base,
+    )
+    ivm_init(spark, base, mv, ["seg"], ["amount"])
+    # overwrite: 'b' disappears entirely, 'a' changes, 'c' appears
+    snapshot_commit(
+        spark.createDataFrame(
+            [("a", 1.0), ("c", 9.0)], ["seg", "amount"]
+        ).coalesce(1),
+        base,
+    )
+    report = ivm_refresh(spark, base, mv, ["seg", ], ["amount"])
+    assert report["files_removed"] >= 1
+    got = _mv_rows(spark, mv, ["seg"], ["amount"])
+    assert got == {("a",): (1.0, 1), ("c",): (9.0, 1)}  # 'b' dropped
+
+
+def test_result_cache_hits_until_any_input_commits(spark, tmp_path):
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.result_cache import ResultCache
+
+    base = str(tmp_path / "rc_base")
+    snapshot_commit(
+        spark.createDataFrame([("a", 1.0), ("b", 2.0)], ["seg", "v"]), base
+    )
+    cache = ResultCache(str(tmp_path / "rc"))
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        from group5_spark.medallion.snapshots import snapshot_read
+
+        return (
+            snapshot_read(spark, base)
+            .groupBy("seg")
+            .agg(F.sum("v").alias("total"))
+        )
+
+    df1, hit1 = cache.get_or_compute(spark, "seg_totals", [base], compute)
+    assert not hit1 and calls["n"] == 1
+    df2, hit2 = cache.get_or_compute(spark, "seg_totals", [base], compute)
+    assert hit2 and calls["n"] == 1  # served without recompute
+    assert sorted(map(tuple, df2.collect())) == sorted(map(tuple, df1.collect()))
+    # any commit to an input moves the version -> stale hit impossible
+    snapshot_commit(
+        spark.createDataFrame([("a", 5.0)], ["seg", "v"]), base, mode="append"
+    )
+    df3, hit3 = cache.get_or_compute(spark, "seg_totals", [base], compute)
+    assert not hit3 and calls["n"] == 2
+    assert {tuple(r) for r in df3.collect()} == {("a", 6.0), ("b", 2.0)}
+    # a different query name never collides
+    _, hit4 = cache.get_or_compute(spark, "other_q", [base], compute)
+    assert not hit4
+
+
+def test_result_cache_evicts_lru(spark, tmp_path):
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.result_cache import ResultCache
+
+    base = str(tmp_path / "rc_base2")
+    snapshot_commit(spark.range(3).toDF("id"), base)
+    cache = ResultCache(str(tmp_path / "rc2"), max_entries=2)
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    for name in ("q1", "q2", "q3"):
+        cache.get_or_compute(
+            spark, name, [base], lambda: snapshot_read(spark, base)
+        )
+    assert cache.stats()["entries"] == 2  # oldest evicted
