@@ -96,6 +96,41 @@ def cmd_query(args: argparse.Namespace, spark: SparkSession) -> None:
         result.show(args.limit, truncate=False)
 
 
+def cmd_explain(args: argparse.Namespace, spark: SparkSession) -> None:
+    """Physical-plan inspection for any registered query (or ad-hoc
+    SQL with --sql): the formatted plan plus the plan-quality counters
+    the test gate asserts (shuffles, broadcast joins, codegen)."""
+    from group5_spark.plans import inspect as I
+    from group5_spark.queries import QUERIES
+
+    if args.sql:
+        from group5_spark.catalog import TABLES, load_table
+
+        import os as _os
+
+        for t in TABLES:
+            if _os.path.exists(_os.path.join(args.sf_dir, f"{t}.parquet")):
+                load_table(spark, args.sf_dir, t).createOrReplaceTempView(t)
+        df = spark.sql(args.sql)
+        title = "ad-hoc SQL"
+    else:
+        if args.query not in QUERIES:
+            raise SystemExit(
+                f"unknown query {args.query!r}; see queries() registry "
+                f"({len(QUERIES)} entries)"
+            )
+        df = QUERIES[args.query](spark, args.sf_dir)
+        title = args.query
+    print(f"== {title}")
+    print(I.formatted_plan(df))
+    print(
+        f"shuffles={I.num_shuffles(df)} "
+        f"broadcast_joins={I.num_broadcast_joins(df)} "
+        f"sort_merge_joins={I.num_sort_merge_joins(df)} "
+        f"codegen={I.has_codegen(df)}"
+    )
+
+
 def cmd_maintain(args: argparse.Namespace, spark: SparkSession) -> None:
     from group5_spark.medallion.maintenance import compact, table_file_stats
 
@@ -217,6 +252,15 @@ def main(argv: list[str] | None = None) -> int:
                         help="versions retained by expire")
     p_snap.add_argument("--limit", type=int, default=20)
 
+    p_explain = sub.add_parser(
+        "explain", help="physical plan + quality counters for a query"
+    )
+    p_explain.add_argument("query", nargs="?", default=None,
+                           help="registered query name")
+    p_explain.add_argument("--sql", default=None,
+                           help="explain ad-hoc SQL instead")
+    p_explain.add_argument("--sf_dir", default="/root/testdata/sf0.01")
+
     p_query = sub.add_parser("query", help="ad-hoc SQL over engine tables")
     p_query.add_argument("--sf_dir", default="/root/testdata/sf0.01")
     p_query.add_argument("--sql", required=True)
@@ -241,6 +285,8 @@ def main(argv: list[str] | None = None) -> int:
             cmd_maintain(args, spark)
         elif args.command == "snapshot":
             cmd_snapshot(args, spark)
+        elif args.command == "explain":
+            cmd_explain(args, spark)
         elif args.command == "query":
             cmd_query(args, spark)
         else:

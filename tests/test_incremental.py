@@ -229,3 +229,33 @@ def test_result_cache_evicts_lru(spark, tmp_path):
             spark, name, [base], lambda: snapshot_read(spark, base)
         )
     assert cache.stats()["entries"] == 2  # oldest evicted
+
+
+def test_ivm_random_commit_sequence_matches_rebuild(spark, tmp_path):
+    """Property: after ANY interleaving of append/overwrite commits,
+    ivm_refresh equals a from-scratch rebuild (deterministic seed)."""
+    import random
+
+    from group5_spark.medallion.incremental import ivm_init, ivm_refresh
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    rng = random.Random(11)
+    base = str(tmp_path / "prop_base")
+    mv = str(tmp_path / "prop_mv")
+    segs = ["a", "b", "c", "d"]
+
+    def batch(n):
+        return spark.createDataFrame(
+            [(rng.choice(segs), float(rng.randint(1, 50))) for _ in range(n)],
+            ["seg", "amount"],
+        ).coalesce(rng.randint(1, 3))
+
+    snapshot_commit(batch(20), base)
+    ivm_init(spark, base, mv, ["seg"], ["amount"])
+    for _ in range(6):
+        mode = rng.choice(["append", "append", "overwrite"])
+        snapshot_commit(batch(rng.randint(5, 25)), base, mode=mode)
+        ivm_refresh(spark, base, mv, ["seg"], ["amount"])
+        assert _mv_rows(spark, mv, ["seg"], ["amount"]) == _full_rebuild(
+            spark, base, ["seg"], ["amount"]
+        )
