@@ -610,6 +610,24 @@ def test_doc_repetition_filter_map_only_metrics(q):
     assert I.num_sort_merge_joins(df) == 0
 
 
+def test_corpus_shard_shuffle_no_global_sort_exchange(q):
+    """The training-order shuffle must exchange on the SHARD id (hash
+    partition) plus the display sort — never a single global range
+    sort of the corpus."""
+    df = q("corpus_shard_shuffle")
+    I.assert_max_shuffles(df, 2)
+    assert I.num_sort_merge_joins(df) == 0
+
+
+def test_embedding_int8_quantization_map_only(q):
+    """Quantization + error metrics are HOF folds: no explode, no
+    join; the only exchanges are the 10-group rollup and its sort."""
+    df = q("embedding_int8_quantization")
+    plan = I.formatted_plan(df)
+    assert "Generate" not in plan and "Join" not in plan
+    I.assert_max_shuffles(df, 2)
+
+
 NLJ_ALLOWED = {
     "min_cost_supplier",        # 1-row supplier-count broadcast (partsupp derive)
     "important_stock_share",    # same + 1-row threshold broadcast
