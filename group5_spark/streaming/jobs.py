@@ -114,10 +114,27 @@ def run_available_now(
 # semantics Spark's built-in streaming aggregations can't express).
 # ---------------------------------------------------------------------------
 
-SESSION_OUTPUT_SCHEMA = (
-    "user_id string, session_start timestamp, session_end timestamp, "
-    "n_events long"
-)
+def _session_output_schema(events: DataFrame, user_col: str):
+    """Output schema with the key column typed as the INPUT types it —
+    a long user_id stream yields long session keys (round-3 fix: the
+    former hard-coded string key made Arrow reject integer keys)."""
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    return StructType(
+        [
+            StructField("user_id", events.schema[user_col].dataType),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+
+
 # State kept per user: open session bounds as epoch micros (long — the
 # state store holds only fixed-width scalars, no timestamp marshalling).
 SESSION_STATE_SCHEMA = "start_us long, end_us long, n long"
@@ -211,7 +228,7 @@ def sessionize_stateful(
         .groupBy(user_col)
         .applyInPandasWithState(
             fn,
-            SESSION_OUTPUT_SCHEMA,
+            _session_output_schema(events, user_col),
             SESSION_STATE_SCHEMA,
             "append",
             GroupStateTimeout.EventTimeTimeout,

@@ -893,3 +893,29 @@ def test_heavy_hitters_stateful_across_batches(spark, tmp_path):
     assert est >= 11 - (processed / 4)  # within the n/(k+1) MG bound
     # purchases untouched in batch 2 → update mode re-emits nothing
     assert ("b2", "purchase", "x") not in got
+
+
+def test_sessionize_keeps_integer_key_type(spark, tmp_path):
+    import json
+
+    rows = [
+        {"user_id": 7, "ts": "2026-01-01T00:00:00.000000Z"},
+        {"user_id": 7, "ts": "2026-01-01T00:05:00.000000Z"},
+        {"user_id": 7, "ts": "2026-01-01T04:00:00.000000Z"},
+    ]
+    src = tmp_path / "sess_long"
+    src.mkdir()
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    stream = (
+        spark.readStream.schema("user_id long, ts string")
+        .json(str(src / "*.json"))
+        .withColumn(
+            "event_ts",
+            F.to_timestamp("ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS'Z'"),
+        )
+    )
+    sessions = jobs.sessionize_stateful(stream, gap="30 minutes")
+    assert dict(sessions.dtypes)["user_id"] == "bigint"  # not string
+    jobs.run_available_now(sessions, str(tmp_path / "ck"), "sess_long_out")
+    out = spark.table("sess_long_out").collect()
+    assert [(r.user_id, r.n_events) for r in out] == [(7, 2)]
