@@ -221,3 +221,80 @@ def repetition_stats(
         F.round(F.max("tf") / F.sum("tf"), 6).alias("max_tf_ratio"),
         F.round(F.count(F.lit(1)) / F.sum("tf"), 6).alias("distinct_ratio"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document:
+    ``p(w2|w1) = λ·c(w1 w2)/c(w1) + (1−λ)·c(w2)/N`` with the corpus as
+    its own model — one order of context above
+    :func:`unigram_logprob`, so templated/boilerplate text (fluent
+    unigrams, repetitive transitions) separates from genuinely varied
+    prose. The unigram interpolation term keeps every observed bigram
+    finite (c(w2) > 0 always when the corpus is the model).
+
+    Plan shape: bigram construction is a map-only ``zip_with`` over
+    the split array; the explode feeds two hash aggregations (per-doc
+    bigram TF, global bigram counts) whose shuffled rows are bigram
+    *types*; the global bigram and unigram tables broadcast back onto
+    the per-doc TF rows. At 100 TB the bigram vocabulary is the big
+    broadcast — truncate it by min count exactly as unigram_logprob
+    does and let the interpolation term absorb the tail.
+
+    Both engines evaluate ``ln(λ·(c12/c1) + (1−λ)·(c2/N))`` with
+    identical parenthesization, so the doubles agree bit-for-bit
+    before the final ROUND(…, 6).
+    """
+    ws = F.filter(
+        F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
+    )
+    n = F.size(ws)
+    pairs = F.zip_with(
+        F.slice(ws, 1, n - 1),
+        F.slice(ws, 2, n - 1),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bg = (
+        df.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .select(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    tf = bg.groupBy(id_col, "w1", "w2").agg(F.count(F.lit(1)).alias("tfd"))
+    bvocab = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+
+    toks = df.select(F.explode(ws).alias("term"))
+    uni = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = uni.agg(F.sum("c").alias("n_total"))
+
+    scored = (
+        tf.join(F.broadcast(bvocab), ["w1", "w2"])
+        .join(
+            F.broadcast(
+                uni.select(F.col("term").alias("w1"), F.col("c").alias("c1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("term").alias("w2"), F.col("c").alias("c2"))
+            ),
+            "w2",
+        )
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "logp",
+            F.log(
+                F.lit(lam) * (F.col("c12") / F.col("c1"))
+                + F.lit(1.0 - lam) * (F.col("c2") / F.col("n_total"))
+            ),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.sum("tfd").cast("bigint").alias("n_bigrams"),
+        F.round(F.sum(F.col("tfd") * F.col("logp")) / F.sum("tfd"), 6).alias(
+            "avg_logprob"
+        ),
+    )

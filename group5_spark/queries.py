@@ -6006,6 +6006,134 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_bigram_logprob",
+    """
+    WITH ws AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT(LOWER(text), ' '), x -> x <> '')
+                   AS arr
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(arr)),
+                                     i -> arr[i])) AS w1,
+               UNNEST(LIST_TRANSFORM(RANGE(1, LEN(arr)),
+                                     i -> arr[i + 1])) AS w2
+        FROM ws
+    ),
+    tf AS (
+        SELECT doc_id, w1, w2, COUNT(*) AS tfd
+        FROM bg GROUP BY doc_id, w1, w2
+    ),
+    bvocab AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+    uni AS (
+        SELECT term, COUNT(*) AS c
+        FROM (SELECT UNNEST(arr) AS term FROM ws) GROUP BY term
+    ),
+    tot AS (SELECT SUM(c) AS n_total FROM uni)
+    SELECT tf.doc_id,
+           CAST(SUM(tf.tfd) AS BIGINT) AS n_bigrams,
+           ROUND(SUM(tf.tfd * LN(0.7 * (bvocab.c12 / u1.c)
+                                 + 0.3 * (u2.c / tot.n_total)))
+                 / SUM(tf.tfd), 6) AS avg_logprob
+    FROM tf
+    JOIN bvocab ON tf.w1 = bvocab.w1 AND tf.w2 = bvocab.w2
+    JOIN uni u1 ON tf.w1 = u1.term
+    JOIN uni u2 ON tf.w2 = u2.term
+    CROSS JOIN tot
+    GROUP BY tf.doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated bigram LM score per document — one order of
+    context above `text_unigram_logprob`: boilerplate with fluent
+    word frequencies but repetitive transitions separates from varied
+    prose. See extensions.text.bigram_logprob for the plan shape and
+    the identical-parenthesization determinism contract.
+    """
+    from group5_spark.extensions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return T.bigram_logprob(docs)
+
+
+@register(
+    "advisor_planned_trade_volume",
+    """
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+           SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,4)))::DOUBLE AS revenue
+    FROM lineitem l
+    JOIN orders o    ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+    JOIN customer c  ON o.o_custkey = c.c_custkey
+    JOIN nation ns   ON s.s_nationkey = ns.n_nationkey
+    JOIN nation nc   ON c.c_nationkey = nc.n_nationkey
+    WHERE ns.n_name <> nc.n_name
+    GROUP BY supp_nation, cust_nation, l_year
+    """,
+)
+def advisor_planned_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q7 trade-volume shape with every non-trivial join strategy
+    chosen by the stats advisor (`plans/advisor.stat_join`) instead of
+    hand-placed broadcast hints — same oracle as `nation_trade_volume`,
+    so the driver's value gate proves cost-based planning preserves
+    results.
+
+    Each stat_join runs a one-pass key-stats aggregation per side
+    (rows, NDV, hot-key share) and then broadcasts, shuffles, or salts
+    by rule; the nation joins stay `dim_join` (a 25-row dim needs no
+    statistics to justify a broadcast). At test SF every advised join
+    lands on broadcast; at 100 TB the same code degrades lineitem ⋈
+    orders to a plain shuffle the moment neither side fits the budget
+    — the decision moves with the data, the query text doesn't.
+    """
+    from group5_spark.plans.advisor import stat_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sup = load_table(spark, sf_dir, "supplier")
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+
+    li_slim = li.select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        F.col("l_suppkey").alias("s_suppkey"),
+        "l_shipdate",
+        (
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+        ).alias("_rev"),
+    )
+    ord_slim = orders.select("o_orderkey", "o_custkey")
+    j, _ = stat_join(li_slim, ord_slim, "o_orderkey")
+    j, _ = stat_join(j, sup.select("s_suppkey", "s_nationkey"), "s_suppkey")
+    j, _ = stat_join(
+        j.withColumnRenamed("o_custkey", "c_custkey"),
+        cust.select("c_custkey", "c_nationkey"),
+        "c_custkey",
+    )
+    ns = nat.select(
+        F.col("n_nationkey").alias("s_nationkey"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    nc = nat.select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    j = joins.dim_join(joins.dim_join(j, ns, "s_nationkey"), nc, "c_nationkey")
+    return (
+        j.filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(F.sum("_rev").cast("double").alias("revenue"))
+    )
+
+
+@register(
     "corpus_shard_shuffle",
     f"""
     WITH h AS (

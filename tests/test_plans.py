@@ -634,6 +634,7 @@ NLJ_ALLOWED = {
     "excess_parts_suppliers",   # 1-row supplier-count broadcast (partsupp derive)
     "parts_supplier_relationship",  # 1-row supplier-count broadcast (partsupp derive)
     "text_unigram_logprob",          # 1-row corpus-total broadcast
+    "text_bigram_logprob",           # 1-row corpus-total broadcast
     "nation_supply_value_share",     # 1-row global-total broadcast
     "sim_topk",              # query side broadcast (8 vectors)
     "sim_lsh_topk",          # bucket-local pairs after LSH banding
