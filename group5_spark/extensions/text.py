@@ -253,9 +253,12 @@ def bigram_logprob(
         F.split(F.lower(F.col(text_col)), " "), lambda x: x != ""
     )
     n = F.size(ws)
+    # greatest(..., 0): an empty/1-token doc has no bigrams — slice
+    # with a negative length would throw, the oracle's RANGE() simply
+    # yields nothing, so clamp to the same "no rows" behavior
     pairs = F.zip_with(
-        F.slice(ws, 1, n - 1),
-        F.slice(ws, 2, n - 1),
+        F.slice(ws, 1, F.greatest(n - 1, F.lit(0))),
+        F.slice(ws, 2, F.greatest(n - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
     bg = (

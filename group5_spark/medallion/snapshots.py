@@ -150,9 +150,15 @@ def _commit_kmv(df, ndv_cols: list[str], k: int = 256) -> dict:
 
 
 def _merge_kmv(parent: dict, new: dict, k: int = 256) -> dict:
+    """Append-commit sketch merge. Only columns sketched by BOTH the
+    parent manifest and this commit survive: a column the new batch
+    didn't sketch would carry the parent's sketch forward describing a
+    table the batch just grew — a silently-stale NDV is worse for the
+    join planner than no NDV (stats_from_snapshot degrades to
+    size-only advice when the sketch is absent)."""
     merged = {}
-    for col in set(parent) | set(new):
-        both = sorted(set(parent.get(col, [])) | set(new.get(col, [])))
+    for col in set(parent) & set(new):
+        both = sorted(set(parent[col]) | set(new[col]))
         merged[col] = both[:k]
     return merged
 
@@ -330,6 +336,10 @@ def snapshot_commit(
     while True:
         parent = _current_version(root)
         if expected_parent is not None and parent != expected_parent:
+            # the staged files are referenced by NO manifest, so
+            # expire would never reclaim them — remove them here or
+            # every lost compaction race leaks a table-sized directory
+            shutil.rmtree(data_dir, ignore_errors=True)
             raise SnapshotConflict(
                 f"head moved {expected_parent} → {parent} at {path}"
             )
@@ -405,19 +415,22 @@ def last_committed_batch(path: str, app_id: str) -> int | None:
     writers (or a restarted query with a new id) interleave commits on
     one table. Only published manifests count: an orphan from a crash
     between manifest write and chain claim never became visible, so
-    its batch must be retried, not skipped. Manifests are kilobytes,
-    so the walk is metadata-cost."""
+    its batch must be retried, not skipped.
+
+    The walk is newest-first and RETURNS ON THE FIRST MATCH: within
+    one app_id, batch ids are monotone in commit order (a restarted
+    query gets a fresh id), so the newest note from this app carries
+    its max batch id. Without the early return the check re-parses
+    the whole lineage every micro-batch — O(history²) metadata bytes
+    over a long-running append stream."""
     root = Path(path)
-    best: int | None = None
     for v in _lineage(root, _current_version(root)):
         note = (
             json.loads(_manifest_path(root, v).read_text()).get("note") or {}
         )
         if note.get("app_id") == app_id and note.get("batch_id") is not None:
-            b = int(note["batch_id"])
-            if best is None or b > best:
-                best = b
-    return best
+            return int(note["batch_id"])
+    return None
 
 
 def snapshot_manifest(path: str, version: int | None = None) -> dict:
@@ -698,10 +711,17 @@ def snapshot_expire(
                 (root / e["path"]).unlink()
                 deleted += 1
         m.unlink()
-        # the dropped version's outgoing chain link is dead history
-        _chain_path(root, int(m.stem[1:])).unlink(missing_ok=True)
-    # re-anchor the pointer cache at the head so chain walks never
-    # start below the retained window
+        # NOTE: the dropped version's outgoing chain link (c<v>) is
+        # deliberately KEPT. Links are the linearization history: a
+        # reader holding a stale pointer hint below the retention
+        # window must still walk c<v> → … → head, and a freed link
+        # slot could be re-claimed by a paused committer, silently
+        # forking history. Links are ~5-byte files; retaining all of
+        # them is the cheap price of a race-free protocol.
+    # re-anchor the pointer cache at the head BEFORE returning so new
+    # walks start inside the retained window. Done after deletions is
+    # fine *because* links survive: a reader that grabbed the old hint
+    # mid-expire walks retained links to the head regardless.
     if head:
         tmp = root / _MANIFEST_DIR / f"_ptr.{uuid.uuid4().hex[:8]}"
         tmp.write_text(str(head))

@@ -62,6 +62,10 @@ class JoinAdvice:
     strategy: str  # 'broadcast_left' | 'broadcast_right' | 'shuffle' | 'salted'
     n_salts: int = 0
     reasons: tuple = field(default_factory=tuple)
+    #: which side holds the hot key when strategy == 'salted' — the
+    #: SALTED side; the other side gets replicated n_salts times.
+    #: Salting the wrong side would replicate the hot rows everywhere.
+    skew_side: str = "left"
 
 
 def collect_stats(df: DataFrame, key: str, row_bytes: int = 0) -> TableStats:
@@ -156,11 +160,17 @@ def advise_join(
     )
     if share >= skew_share:
         n = max(2, min(max_salts, int(share * max(skewed.key_ndv, 1)) + 1))
+        side = "left" if skewed is left else "right"
         reasons.append(
-            f"hot key {skewed.top_key!r} holds {share:.0%} of rows "
-            f">= skew threshold {skew_share:.0%}; salting {n} ways"
+            f"{side} side's hot key {skewed.top_key!r} holds {share:.0%} "
+            f"of rows >= skew threshold {skew_share:.0%}; salting {n} ways"
         )
-        return JoinAdvice(strategy="salted", n_salts=n, reasons=tuple(reasons))
+        return JoinAdvice(
+            strategy="salted",
+            n_salts=n,
+            reasons=tuple(reasons),
+            skew_side=side,
+        )
     reasons.append(
         f"max hot-key share {share:.1%} under {skew_share:.0%}; "
         "plain shuffle + AQE skew split"
@@ -183,7 +193,10 @@ def planned_join(
     if advice.strategy == "salted":
         if how != "inner":
             raise ValueError("salted_join supports inner joins only")
-        skewed, other = left, right
+        if advice.skew_side == "left":
+            skewed, other = left, right
+        else:
+            skewed, other = right, left
         return salted_join(skewed, other, on, n_salts=advice.n_salts)
     return left.join(right, on=on, how=how)
 

@@ -5070,14 +5070,17 @@ def revenue_pareto_share(
             .agg(F.sum("rev").alias("s"))
             .first()["s"]
         )
+        # HALF_UP like F.round/DuckDB ROUND — Python's round() is
+        # banker's and would diverge on an exact tie at the 7th digit
+        from decimal import ROUND_HALF_UP, Decimal
+
+        share = float(
+            Decimal(repr(float(top_sum) / float(total_rev))).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
+        )
         return spark.createDataFrame(
-            [
-                (
-                    n,
-                    k,
-                    round(float(top_sum) / float(total_rev), 6),
-                )
-            ],
+            [(n, k, share)],
             "n_customers bigint, top_decile_customers bigint, "
             "top_decile_share double",
         )
@@ -5511,6 +5514,13 @@ def brand_customer_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("o_custkey").alias("cust"))
         .agg(F.sort_array(F.collect_set("p_brand")).alias("brands"))
+        # shared frontier of a two-consumer DAG (totals + pairs):
+        # persisted because Spark plans no ReusedExchange across the
+        # differing downstream subtrees (verified), so unpersisting
+        # would run the fact join twice. Lifecycle: CacheManager keys
+        # entries by canonicalized plan, so repeated invocations reuse
+        # ONE entry per sf_dir rather than accumulating copies; the
+        # entry is customer-cardinality rows of ~25-element arrays.
         .persist()
     )
     per = (
@@ -5698,7 +5708,10 @@ def important_stock_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         # both the threshold and the filter consume this
         # dimension-cardinality aggregate; cache it so the bridge is
         # scanned and shuffled ONCE (Catalyst can't dedupe the two
-        # subtrees, and a global window would single-task at scale)
+        # subtrees, and a global window would single-task at scale).
+        # Lifecycle: CacheManager keys by canonicalized plan — repeat
+        # invocations share ONE entry per sf_dir; size is part-count
+        # rows, so the pinned footprint is dimension-bounded.
         .cache()
     )
     tot = agg.agg(
@@ -5864,6 +5877,7 @@ def parts_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH w AS (
         SELECT doc_id, source, UNNEST(STRING_SPLIT(text, ' ')) AS word
         FROM documents
+        WHERE LEN(STRING_SPLIT(text, ' ')) >= 2
     ),
     pw AS (
         SELECT doc_id, source, word, COUNT(*) AS c
@@ -5960,7 +5974,11 @@ def doc_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.slice(ws, 2, n - 1),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    per_doc = docs.select(
+    # docs under 2 words have no bigram, so top_bigram_share would be
+    # NULL on the Spark side while the oracle's inner join dropped the
+    # doc — exclude them explicitly on BOTH sides (this filter; the
+    # oracle's WHERE LEN >= 2) so the engines agree on any corpus
+    per_doc = docs.filter(F.size(ws) >= 2).select(
         "source",
         (max_run(F.array_sort(ws)).cast("double") / n).alias("top_word_share"),
         (

@@ -363,9 +363,22 @@ def stream_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
-HH_OUTPUT_SCHEMA = (
-    "group string, item string, est_count long, processed long"
-)
+def _hh_output_schema(events: DataFrame, group_col: str):
+    """Output schema with the group key typed as the input types it
+    (same contract as :func:`_session_output_schema` — a hard-coded
+    string key would make Arrow reject integer-keyed streams)."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("group", events.schema[group_col].dataType),
+            StructField("item", StringType()),
+            StructField("est_count", LongType()),
+            StructField("processed", LongType()),
+        ]
+    )
+
+
 HH_STATE_SCHEMA = "items array<string>, counts array<long>, processed long"
 
 
@@ -448,7 +461,7 @@ def heavy_hitters_stateful(
 
     return events.groupBy(group_col).applyInPandasWithState(
         fn,
-        HH_OUTPUT_SCHEMA,
+        _hh_output_schema(events, group_col),
         HH_STATE_SCHEMA,
         "update",
         GroupStateTimeout.NoTimeout,

@@ -197,3 +197,56 @@ def test_manifest_stats_drive_broadcast_decision(spark, tmp_path):
     )
     a = advise_join(fact_stats, dim_stats)
     assert a.strategy == "broadcast_right"
+
+
+def test_advise_salts_the_skewed_side_not_always_left():
+    # skew on the RIGHT: the advice must name the right side, and
+    # planned_join must salt it (replicating the uniform left side),
+    # never the reverse — salting the uniform side would replicate the
+    # hot rows to every salt partition
+    uniform = st(10**9, 4000 * MB, ndv=10**6, top_rows=10**4)
+    skewed = st(10**9, 4000 * MB, ndv=10**6, top_rows=3 * 10**8)
+    a = advise_join(uniform, skewed)
+    assert a.strategy == "salted" and a.skew_side == "right"
+    a2 = advise_join(skewed, uniform)
+    assert a2.strategy == "salted" and a2.skew_side == "left"
+
+
+def test_planned_join_salts_right_side_correctly(spark):
+    rows = [(1, i) for i in range(60)] + [(k, 0) for k in range(2, 42)]
+    skewed = spark.createDataFrame(rows, "user_id: long, v: long")
+    dim = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 42)], "user_id: long, tier: long"
+    )
+    advice = JoinAdvice(strategy="salted", n_salts=8, skew_side="right")
+    got = (
+        planned_join(dim, skewed, "user_id", advice)  # skewed on the RIGHT
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tier").alias("t"))
+    )
+    want = (
+        dim.join(skewed, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("tier").alias("t"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_append_without_ndv_cols_drops_stale_sketch(spark, tmp_path):
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import stats_from_snapshot
+
+    tbl = str(tmp_path / "stale")
+    snapshot_commit(
+        spark.range(100).select(F.col("id").alias("k")), tbl, ndv_cols=["k"]
+    )
+    # an append that doesn't sketch: the parent's NDV no longer
+    # describes the table, so it must NOT be carried forward
+    snapshot_commit(
+        spark.range(100, 5100).select(F.col("id").alias("k")),
+        tbl,
+        mode="append",
+    )
+    s = stats_from_snapshot(tbl, key="k")
+    assert s.rows == 5100  # row counts stay exact (per-file footers)
+    assert s.key_ndv == 0  # stale sketch dropped, not reported as 100

@@ -477,3 +477,24 @@ def test_expire_retains_tagged_version_and_its_files(spark, tmp_path):
     # ...but the tagged version still reads, exactly
     assert snapshot_read(spark, tbl, ref="frozen").count() == 5
     assert snapshot_read(spark, tbl).count() == 11
+
+
+def test_expire_keeps_chain_links_for_stale_pointer_walks(spark, tmp_path):
+    """A reader holding a pointer hint BELOW the retention window must
+    still resolve the true head: expire deletes manifests/data of
+    dropped versions but never their chain links (the linearization
+    history), so the walk v1 → v2 → … → head survives any expiry."""
+    from group5_spark.medallion import snapshots as S
+
+    tbl = str(tmp_path / "chain")
+    root = Path(tbl)
+    for n in (3, 5, 7, 9):
+        snapshot_commit(spark.range(n).toDF("id"), tbl)
+    S.snapshot_expire(tbl, keep_last=1, orphan_grace_s=0.0)
+    # dropped versions' links survive...
+    for v in (1, 2, 3):
+        assert (root / "_manifests" / f"c{v:05d}").exists()
+    # ...so a walk from a FORCED stale hint still lands on the head
+    (root / "_manifests" / "_current").write_text("1")
+    assert S._current_version(root) == 4
+    assert snapshot_read(spark, tbl).count() == 9
