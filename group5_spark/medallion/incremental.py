@@ -159,6 +159,12 @@ def ivm_refresh(
 
     Returns ``{mv_version, base_from, base_to, files_added,
     files_removed}`` (unchanged base → no new MV commit).
+
+    Retention contract (standard for CDF consumers): the base table's
+    ``base_from`` version must not have been expired — removed files
+    are READ to retract their contribution, so ``snapshot_expire``'s
+    ``keep_last`` must cover the MV's refresh lag; if history was
+    expired, rebuild with :func:`ivm_init`.
     """
     from group5_spark.medallion.snapshots import (
         _current_version,
@@ -183,16 +189,47 @@ def ivm_refresh(
             "files_removed": 0,
         }
 
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
     old_files = _manifest_files(base_path, base_from)
     new_files = _manifest_files(base_path, base_to)
     added = sorted(set(new_files) - set(old_files))
     removed = sorted(set(old_files) - set(new_files))
+    head_manifest = snapshot_manifest(base_path, base_to)
+    partitioned = bool(head_manifest.get("partition_by"))
+    schema = None
+    if head_manifest.get("schema") is not None:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(head_manifest["schema"])
 
     def signed_agg(rel_paths: list[str], sign: int) -> DataFrame | None:
         if not rel_paths:
             return None
-        paths = [str(Path(base_path) / p) for p in rel_paths]
-        df = spark.read.parquet(*paths)
+        if partitioned:
+            # Hive layout: the partition column lives in directory
+            # names — read each staging dir with its own basePath so
+            # Spark reconstructs it (same contract as snapshot_read)
+            by_base: dict[str, list[str]] = {}
+            for p in rel_paths:
+                by_base.setdefault(Path(p).parts[0], []).append(
+                    str(Path(base_path) / p)
+                )
+            dfs = []
+            for b, fs in sorted(by_base.items()):
+                r = spark.read
+                if schema is not None:
+                    r = r.schema(schema)
+                dfs.append(
+                    r.option("basePath", str(Path(base_path) / b)).parquet(*fs)
+                )
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d)
+        else:
+            df = spark.read.parquet(
+                *[str(Path(base_path) / p) for p in rel_paths]
+            )
         return df.groupBy(*group_cols).agg(
             *[
                 (F.lit(sign) * F.sum(c)).alias(f"sum_{c}")

@@ -270,6 +270,7 @@ def snapshot_commit(
     bloom_cols: list[str] | None = None,
     expected_parent: int | None = None,
     ndv_cols: list[str] | None = None,
+    partition_by: str | None = None,
 ) -> int:
     """Write ``df`` as the next version of the table at ``path`` and
     return the new version number.
@@ -278,6 +279,19 @@ def snapshot_commit(
     files (logical replace — old files stay on disk for time travel
     until :func:`snapshot_expire`). ``mode='append'``: the new
     manifest is parent's files + this commit's files.
+
+    ``partition_by``: lay the staged files out Hive-style
+    (``col=value/`` subdirs) and record each file's partition value in
+    its manifest entry — manifest-level partition pruning for free
+    (:func:`prune_files` treats the value as an exact min==max stat).
+    With ``mode='replace_partitions'`` (requires ``partition_by``) the
+    commit is a dynamic partition overwrite: parent files in the
+    partitions this ``df`` touches are dropped from the new manifest,
+    files in untouched partitions carry over, and the staged files
+    join them — the daily-warehouse write pattern (rewrite 3 of 3,000
+    days) with snapshot isolation and time travel intact. The old
+    partition contents remain readable at older versions until
+    expiry.
 
     ``expected_parent`` is the optimistic-concurrency guard for
     read-modify-write commits (compaction, MERGE rewrites): the commit
@@ -291,26 +305,44 @@ def snapshot_commit(
     leaves the staged files invisible and the previous version intact
     (tested).
     """
-    if mode not in ("overwrite", "append"):
-        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if mode not in ("overwrite", "append", "replace_partitions"):
+        raise ValueError(
+            f"mode must be overwrite|append|replace_partitions, got {mode!r}"
+        )
+    if mode == "replace_partitions" and not partition_by:
+        raise ValueError("replace_partitions requires partition_by=")
     root = Path(path)
     (root / _MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
 
     # stage data files once — immutable, so a commit retry never
     # rewrites them (dir name is uuid-unique, not version-bound)
     data_dir = root / f"data-{uuid.uuid4().hex[:8]}"
-    df.write.mode("error").parquet(str(data_dir))
+    writer = df.write.mode("error")
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(str(data_dir))
     stats_cols = stats_cols or []
     bloom_cols = bloom_cols or []
     staged = []
     kmv = _commit_kmv(df, ndv_cols) if ndv_cols else {}
-    for f in sorted(data_dir.glob("*.parquet")):
+    for f in sorted(data_dir.rglob("*.parquet")):
         entry = {
             "path": str(f.relative_to(root)),
             "bytes": f.stat().st_size,
             "rows": _file_rows(f),
             "stats": _file_stats(f, stats_cols),
         }
+        if partition_by:
+            # Hive layout: .../<col>=<value>/part-*.parquet — record
+            # the value AND surface it as an exact min==max stat so
+            # manifest pruning on the partition column is free
+            pv = f.parent.name.split("=", 1)[1]
+            entry["partition"] = pv
+            # skip the stat when the dir name is URL-escaped: a raw
+            # predicate value would compare against the escaped form
+            # and could WRONGLY prune a matching file
+            if "%" not in pv:
+                entry["stats"][partition_by] = {"min": pv, "max": pv}
         blooms = {
             c: b for c in bloom_cols if (b := _file_bloom(f, c)) is not None
         }
@@ -352,10 +384,27 @@ def snapshot_commit(
         table_kmv = kmv
         if mode == "append" and parent:
             prior = json.loads(_manifest_path(root, parent).read_text())
+            if prior.get("partition_by") and prior["partition_by"] != partition_by:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ValueError(
+                    f"table is partitioned by {prior['partition_by']!r}; "
+                    f"append must pass the same partition_by"
+                )
             entries = prior["files"] + staged
             # mergeable sketches: table-level NDV without rescanning —
             # min-k of the union equals the sketch of the union
             table_kmv = _merge_kmv(prior.get("kmv", {}), kmv)
+        elif mode == "replace_partitions" and parent:
+            prior = json.loads(_manifest_path(root, parent).read_text())
+            touched = {e["partition"] for e in staged}
+            carried = [
+                e
+                for e in prior["files"]
+                if e.get("partition") not in touched
+            ]
+            entries = carried + staged
+            # replaced rows invalidate any additive sketch merge
+            table_kmv = {}
         manifest = {
             "version": version,
             "parent": parent,
@@ -371,6 +420,10 @@ def snapshot_commit(
         }
         if table_kmv:
             manifest["kmv"] = table_kmv
+        if partition_by:
+            manifest["partition_by"] = partition_by
+        elif mode == "append" and parent and prior.get("partition_by"):
+            manifest["partition_by"] = prior["partition_by"]
         try:
             with open(_manifest_path(root, version), "x") as f:
                 f.write(json.dumps(manifest, indent=1))
@@ -563,16 +616,49 @@ def snapshot_read(
     v = version if version is not None else _current_version(root)
     manifest = json.loads(_manifest_path(root, v).read_text())
     kept, _ = prune_files(path, predicates or [], v)
-    reader = spark.read
     schema_json = manifest.get("schema")
-    if schema_json is not None:
-        # manifest schema, not file-footer inference: zero listing cost,
-        # and appended columns read as NULL from pre-evolution files
-        reader = reader.schema(StructType.fromJson(schema_json))
+    schema = (
+        StructType.fromJson(schema_json) if schema_json is not None else None
+    )
+
+    def make_reader():
+        r = spark.read
+        if schema is not None:
+            # manifest schema, not file-footer inference: zero listing
+            # cost, and appended columns read as NULL from
+            # pre-evolution files
+            r = r.schema(schema)
+        return r
+
+    part_col = manifest.get("partition_by")
     if not kept:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
         all_files = [str(root / e["path"]) for e in manifest["files"]]
-        return reader.parquet(*all_files).limit(0)
-    df = reader.parquet(*kept)
+        return make_reader().parquet(*all_files).limit(0)
+    if part_col:
+        # Hive-partitioned layout: the partition column lives in the
+        # directory names, so each staging dir is read with ITS OWN
+        # basePath (one basePath across several data-* dirs trips
+        # Spark's conflicting-directory check) and the groups union.
+        # Group count = number of commits contributing retained files
+        # — bounded by history depth, and partition-pruned reads
+        # typically touch one or two.
+        by_base: dict[str, list[str]] = {}
+        for f in kept:
+            base = Path(f).relative_to(root).parts[0]
+            by_base.setdefault(base, []).append(f)
+        parts = [
+            make_reader().option("basePath", str(root / b)).parquet(*fs)
+            for b, fs in sorted(by_base.items())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if schema is not None:  # restore declared column order
+            df = df.select(*[f.name for f in schema.fields])
+    else:
+        df = make_reader().parquet(*kept)
     import operator as _op
 
     ops = {

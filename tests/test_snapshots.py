@@ -498,3 +498,91 @@ def test_expire_keeps_chain_links_for_stale_pointer_walks(spark, tmp_path):
     (root / "_manifests" / "_current").write_text("1")
     assert S._current_version(root) == 4
     assert snapshot_read(spark, tbl).count() == 9
+
+
+# ---------------------------------------------------------------------------
+# Partition-aware commits: Hive layout + dynamic partition overwrite
+# ---------------------------------------------------------------------------
+
+
+def test_partitioned_commit_roundtrip_and_manifest_pruning(spark, tmp_path):
+    from group5_spark.medallion.snapshots import prune_files
+
+    tbl = str(tmp_path / "ptbl")
+    df = spark.createDataFrame(
+        [("2026-01-01", 1, 10.0), ("2026-01-01", 2, 20.0),
+         ("2026-01-02", 3, 30.0)],
+        ["d", "id", "v"],
+    )
+    snapshot_commit(df, tbl, partition_by="d")
+    got = snapshot_read(spark, tbl)
+    assert got.columns == ["d", "id", "v"]  # declared order restored
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, df.collect()))
+    # the partition value is an exact manifest stat: equality predicates
+    # prune whole partitions without opening a single footer
+    kept, total = prune_files(tbl, [("d", "=", "2026-01-02")])
+    assert total >= 2 and len(kept) < total
+    pruned = snapshot_read(spark, tbl, predicates=[("d", "=", "2026-01-02")])
+    assert [tuple(r) for r in pruned.collect()] == [("2026-01-02", 3, 30.0)]
+
+
+def test_replace_partitions_swaps_only_touched_days(spark, tmp_path):
+    tbl = str(tmp_path / "rp")
+    snapshot_commit(
+        spark.createDataFrame(
+            [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0)],
+            ["d", "id", "v"],
+        ),
+        tbl,
+        partition_by="d",
+    )
+    # restatement of d1 only; d2 must carry over untouched
+    v2 = snapshot_commit(
+        spark.createDataFrame([("d1", 9, 99.0)], ["d", "id", "v"]),
+        tbl,
+        mode="replace_partitions",
+        partition_by="d",
+    )
+    assert v2 == 2
+    now = sorted(map(tuple, snapshot_read(spark, tbl).collect()))
+    assert now == [("d1", 9, 99.0), ("d2", 3, 30.0)]
+    # time travel still sees the pre-restatement table
+    before = sorted(map(tuple, snapshot_read(spark, tbl, version=1).collect()))
+    assert before == [("d1", 1, 10.0), ("d1", 2, 20.0), ("d2", 3, 30.0)]
+    # mode guard
+    import pytest
+
+    with pytest.raises(ValueError, match="requires partition_by"):
+        snapshot_commit(
+            spark.range(1).toDF("id"), tbl, mode="replace_partitions"
+        )
+
+
+def test_ivm_tracks_replace_partitions_via_file_diff(spark, tmp_path):
+    """The manifest file diff makes partition restatements just
+    another delta: removed files retract, added files accumulate."""
+    from group5_spark.medallion.incremental import ivm_init, ivm_refresh
+
+    base = str(tmp_path / "rp_base")
+    mv = str(tmp_path / "rp_mv")
+    snapshot_commit(
+        spark.createDataFrame(
+            [("d1", 10.0), ("d1", 20.0), ("d2", 30.0)], ["d", "amount"]
+        ),
+        base,
+        partition_by="d",
+    )
+    ivm_init(spark, base, mv, ["d"], ["amount"])
+    snapshot_commit(
+        spark.createDataFrame([("d1", 5.0)], ["d", "amount"]),
+        base,
+        mode="replace_partitions",
+        partition_by="d",
+    )
+    report = ivm_refresh(spark, base, mv, ["d"], ["amount"])
+    assert report["files_removed"] >= 1 and report["files_added"] >= 1
+    got = {
+        r["d"]: (r["sum_amount"], r["n_rows"])
+        for r in snapshot_read(spark, mv).collect()
+    }
+    assert got == {"d1": (5.0, 1), "d2": (30.0, 1)}
