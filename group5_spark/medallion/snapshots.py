@@ -396,6 +396,20 @@ def snapshot_commit(
             table_kmv = _merge_kmv(prior.get("kmv", {}), kmv)
         elif mode == "replace_partitions" and parent:
             prior = json.loads(_manifest_path(root, parent).read_text())
+            # Same layout guard as append: if the parent is
+            # unpartitioned (file entries carry no 'partition' key) or
+            # partitioned by a different column, the carry-over filter
+            # below would keep EVERY prior file (None / other-column
+            # values never match the touched set) — stale rows would
+            # silently survive in the "replaced" partitions. Error out
+            # instead of corrupting.
+            if prior.get("partition_by") != partition_by:
+                shutil.rmtree(data_dir, ignore_errors=True)
+                raise ValueError(
+                    f"table is partitioned by {prior.get('partition_by')!r}; "
+                    f"replace_partitions must pass the same partition_by "
+                    f"(got {partition_by!r})"
+                )
             touched = {e["partition"] for e in staged}
             carried = [
                 e

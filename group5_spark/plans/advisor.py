@@ -121,6 +121,7 @@ def advise_join(
     broadcast_bytes: int = 32 << 20,
     skew_share: float = 0.10,
     max_salts: int = 64,
+    how: str = "inner",
 ) -> JoinAdvice:
     """Pick the join strategy from two tables' stats.
 
@@ -137,6 +138,13 @@ def advise_join(
        than that replicates the other side for no further balance.
     3. Otherwise plain shuffle; AQE's runtime skew split covers
        moderate imbalance without replicating anything.
+
+    ``how`` matters for rule 2: static salting replicates the other
+    side, which is only semantics-preserving for INNER joins (an
+    outer join would emit one null-extended row per salt replica).
+    A skewed non-inner join therefore degrades to plain shuffle —
+    with the reason recorded — and leans on AQE's skew split, which
+    IS outer-join-safe.
     """
     reasons = []
     l_fits = left.bytes_est <= broadcast_bytes
@@ -159,6 +167,13 @@ def advise_join(
         f"{right.bytes_est >> 20} MiB)"
     )
     if share >= skew_share:
+        if how != "inner":
+            reasons.append(
+                f"hot-key share {share:.0%} >= {skew_share:.0%} but "
+                f"how={how!r}: salting replicates the other side and is "
+                "inner-only — plain shuffle, AQE skew split handles it"
+            )
+            return JoinAdvice(strategy="shuffle", reasons=tuple(reasons))
         n = max(2, min(max_salts, int(share * max(skewed.key_ndv, 1)) + 1))
         side = "left" if skewed is left else "right"
         reasons.append(
@@ -192,7 +207,12 @@ def planned_join(
         return left.join(F.broadcast(right), on=on, how=how)
     if advice.strategy == "salted":
         if how != "inner":
-            raise ValueError("salted_join supports inner joins only")
+            # belt-and-suspenders for advice produced without `how`:
+            # salting replicates the non-salted side, which duplicates
+            # null-extended rows under outer semantics — degrade to a
+            # plain shuffle (AQE skew split is outer-safe) rather than
+            # fail at runtime
+            return left.join(right, on=on, how=how)
         if advice.skew_side == "left":
             skewed, other = left, right
         else:
@@ -260,5 +280,5 @@ def stat_join(
     """
     ls = collect_stats(left, on)
     rs = collect_stats(right, on)
-    advice = advise_join(ls, rs, broadcast_bytes, skew_share)
+    advice = advise_join(ls, rs, broadcast_bytes, skew_share, how=how)
     return planned_join(left, right, on, advice, how), advice

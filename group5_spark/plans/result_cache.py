@@ -66,33 +66,58 @@ class ResultCache:
         name: str,
         inputs: list[str],
         compute: Callable[[], DataFrame],
+        max_retries: int = 3,
     ) -> tuple[DataFrame, bool]:
         """Serve ``name`` from cache when every input table is at the
         version the entry was built against; else run ``compute()``,
         materialize, and serve. Returns ``(df, was_hit)``.
-        """
-        versions = self.versions_of(inputs)
-        key = self._key(name, versions)
-        entry = self._entry(key)
-        if (entry / "_META.json").exists():
-            (entry / "_META.json").touch()  # LRU: record the hit
-            return spark.read.parquet(str(entry / "data")), True
 
-        df = compute()
-        staging = self.root / f"_stage.{key}.{time.time_ns()}"
-        df.write.mode("overwrite").parquet(str(staging / "data"))
-        meta = {
-            "query": name,
-            "versions": versions,
-            "built_ts": time.time(),
-        }
-        (staging / "_META.json").write_text(json.dumps(meta, indent=1))
-        try:
-            staging.rename(entry)  # atomic publish
-        except OSError:
-            shutil.rmtree(staging, ignore_errors=True)  # lost the race
-        self._evict()
-        return spark.read.parquet(str(entry / "data")), False
+        Concurrency: versions are captured BEFORE compute() runs, but
+        compute() reads whatever the inputs' heads are at
+        materialization time. If a commit lands in between, the
+        materialized bytes may reflect the NEWER data — publishing
+        them under the older-version key would let a later caller be
+        served data that does not match its key. So versions are
+        re-read after materialization; on mismatch the staged result
+        is discarded and the compute retried against the new head
+        (the key moves with it). After ``max_retries`` under sustained
+        commit pressure the last result is served UNPUBLISHED — still
+        correct for this caller, never poisoning the cache.
+        """
+        for _ in range(max_retries + 1):
+            versions = self.versions_of(inputs)
+            key = self._key(name, versions)
+            entry = self._entry(key)
+            if (entry / "_META.json").exists():
+                (entry / "_META.json").touch()  # LRU: record the hit
+                return spark.read.parquet(str(entry / "data")), True
+
+            df = compute()
+            staging = self.root / f"_stage.{key}.{time.time_ns()}"
+            df.write.mode("overwrite").parquet(str(staging / "data"))
+            if self.versions_of(inputs) != versions:
+                # a commit raced the compute: the bytes in staging may
+                # belong to the new version — never publish them under
+                # the key captured for the old one
+                shutil.rmtree(staging, ignore_errors=True)
+                continue
+            meta = {
+                "query": name,
+                "versions": versions,
+                "built_ts": time.time(),
+            }
+            (staging / "_META.json").write_text(json.dumps(meta, indent=1))
+            try:
+                staging.rename(entry)  # atomic publish
+            except OSError:
+                shutil.rmtree(staging, ignore_errors=True)  # lost the race
+            self._evict()
+            return spark.read.parquet(str(entry / "data")), False
+
+        # sustained commit pressure: serve the freshest compute without
+        # caching (an ephemeral staging dir would vanish under the
+        # reader, so materialize nothing and return the live plan)
+        return compute(), False
 
     def _evict(self) -> None:
         entries = [

@@ -16,6 +16,24 @@ Determinism rules (Spark vs DuckDB must agree bit-for-bit):
 - Dates as DATE; years/months cast to INT (DuckDB EXTRACT yields
   BIGINT, Spark year() yields INT).
 - Rank filters order by a unique tie-break key.
+
+Driver-canonicalization contract (learned the hard way in round 3):
+the driver's oracle gate converts both results to pandas and
+``sort_values`` across ALL output columns before hashing. List cells
+are unhashable there (`TypeError: unhashable type: 'list'`), and
+Decimal cells hash differently from DuckDB's float fetch path. So
+every oracle-backed query's FINAL schema must contain only scalar
+DOUBLE / BIGINT / INT / STRING / DATE / TIMESTAMP / BOOLEAN columns:
+- never ArrayType/MapType/StructType — serialize in the final select
+  (`F.array_join(F.sort_array(...).cast("array<string>"), "|")` on
+  Spark; `array_to_string(list_sort(...), '|')` or
+  `string_agg(... , '|' ORDER BY ...)` in DuckDB);
+- never DecimalType — aggregate in DECIMAL for exactness, then cast
+  the result to DOUBLE on both sides.
+Enforced by tests/test_plans.py::
+test_no_query_outputs_driver_unhashable_columns (registry-wide) and
+by tools/check_oracle.py --strict, which now fails on array cells
+exactly like the driver instead of normalizing them.
 """
 
 from __future__ import annotations
@@ -3118,24 +3136,31 @@ def doc_pipeline_filtered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "order_part_baskets",
     """
-    SELECT l_orderkey, list_sort(list(l_partkey)) AS parts,
+    SELECT l_orderkey,
+           array_to_string(list_sort(list(l_partkey)), '|') AS parts,
            COUNT(*) AS n_items
     FROM lineitem
     GROUP BY l_orderkey
     """,
 )
 def order_part_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: per-order sorted basket of part keys.
+    """Array aggregation: per-order sorted basket of part keys,
+    serialized '|'-joined (the driver's pandas canonicalizer cannot
+    sort/hash list cells — final output columns must be scalar).
 
-    `collect_list` + `sort_array` makes the array deterministic for
+    `collect_list` + `sort_array` makes the basket deterministic for
     the oracle compare (bare collect_list order is partition-
-    dependent). The basket form feeds market-basket / co-occurrence
-    analyses; the shuffle carries one array per order, built from
-    map-side partial lists.
+    dependent); sorting happens on the numeric keys BEFORE the string
+    join so both engines agree on element order. The basket form feeds
+    market-basket / co-occurrence analyses; the shuffle carries one
+    array per order, built from map-side partial lists.
     """
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("parts"),
+        F.array_join(
+            F.sort_array(F.collect_list("l_partkey")).cast("array<string>"),
+            "|",
+        ).alias("parts"),
         F.count(F.lit(1)).alias("n_items"),
     )
 
@@ -3178,7 +3203,7 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rich_inactive_customers",
     """
     SELECT c_nationkey, COUNT(*) AS n_cust,
-           SUM(CAST(c_acctbal AS DECIMAL(18,2)))::DECIMAL(18,2) AS total_bal
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
     FROM customer c
     WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
       AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
@@ -3206,7 +3231,7 @@ def rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return inactive.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("n_cust"),
-        F.sum(F.col("c_acctbal").cast(DEC2)).cast(DEC2).alias("total_bal"),
+        F.sum(F.col("c_acctbal").cast(DEC2)).cast("double").alias("total_bal"),
     )
 
 
@@ -4524,7 +4549,9 @@ def nation_supply_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rnk
         FROM tf
     ), postings AS (
-        SELECT term, list(CAST(doc AS BIGINT) ORDER BY rnk) AS top_docs
+        SELECT term,
+               string_agg(CAST(doc AS VARCHAR), '|' ORDER BY rnk)
+                   AS top_docs
         FROM ranked WHERE rnk <= 10 GROUP BY term
     )
     SELECT s.term, s.df, s.total_tf, p.top_docs
@@ -4536,11 +4563,16 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency + bounded top-10 posting list (see
     extensions/corpus.py:inverted_index for the WindowGroupLimit-bounded
     scale story; a stopword term never materializes an unbounded
-    posting array)."""
+    posting array). The rank-ordered posting list is serialized
+    '|'-joined in the final select: the driver's canonicalizer cannot
+    hash list cells, so final columns must be scalar."""
     from group5_spark.extensions.corpus import inverted_index
 
     docs = load_table(spark, sf_dir, "documents")
-    return inverted_index(docs, "doc_id", "text", k=10)
+    idx = inverted_index(docs, "doc_id", "text", k=10)
+    return idx.withColumn(
+        "top_docs", F.array_join(F.col("top_docs").cast("array<string>"), "|")
+    )
 
 
 @register(

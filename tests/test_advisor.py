@@ -125,9 +125,32 @@ def test_salted_join_matches_plain_join(spark):
     )
 
 
-def test_planned_join_rejects_salted_outer():
-    with pytest.raises(ValueError):
-        planned_join(None, None, "k", JoinAdvice("salted", 4), how="left")
+def test_advise_never_salts_non_inner_joins():
+    """Salting replicates the non-salted side — only inner-safe. A
+    skewed LEFT join must degrade to plain shuffle (AQE skew split is
+    outer-safe), with the reason recorded."""
+    big = st(10**9, 4000 * MB, ndv=10**6, top_rows=2 * 10**8)  # 20% hot
+    other = st(10**8, 400 * MB)
+    assert advise_join(big, other, how="inner").strategy == "salted"
+    for how in ("left", "right", "full", "left_outer"):
+        a = advise_join(big, other, how=how)
+        assert a.strategy == "shuffle", how
+        assert any("inner-only" in r for r in a.reasons)
+
+
+def test_planned_join_degrades_salted_outer_to_plain_join(spark):
+    """Stale advice (produced without `how`) saying 'salted' must not
+    crash a LEFT join at runtime — planned_join falls back to a plain
+    shuffle join with identical results."""
+    left = spark.createDataFrame(
+        [(1, "a")] * 5 + [(2, "b"), (9, "z")], "k: long, v: string"
+    )
+    right = spark.createDataFrame([(1, 10), (2, 20)], "k: long, t: long")
+    got = planned_join(left, right, "k", JoinAdvice("salted", 4), how="left")
+    want = left.join(right, "k", "left")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
 
 
 def test_stat_join_end_to_end_broadcasts_the_dim(spark, sf_dir):

@@ -668,3 +668,40 @@ def test_no_query_plans_a_cartesian_product(spark):
         elif "BroadcastNestedLoopJoin" in plan and name not in NLJ_ALLOWED:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_no_query_outputs_driver_unhashable_columns(spark):
+    """Registry-wide driver-canonicalization guard (round-3 lesson:
+    `order_part_baskets` / `inverted_index_postings` went driver-red
+    with `TypeError: unhashable type: 'list'`).
+
+    The driver's oracle gate pandas-`sort_values` every final column,
+    which throws on list/dict cells and hashes Decimal differently
+    from DuckDB's float path. So EVERY oracle-backed query's final
+    schema must be scalar: no ArrayType/MapType/StructType anywhere,
+    and no DecimalType either. Arrays must be serialized in the final
+    select — `F.array_join(...)` on Spark, `array_to_string`/
+    `string_agg(... ORDER BY ...)` in the DuckDB oracle."""
+    from pyspark.sql import types as ST
+
+    from group5_spark.queries import ORACLES, QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    offenders = {}
+    for name, fn in QUERIES.items():
+        if name not in ORACLES:
+            continue  # rows-only queries never reach the hash compare
+        bad = [
+            f"{f.name}:{f.dataType.simpleString()}"
+            for f in fn(spark, sf).schema.fields
+            if isinstance(
+                f.dataType,
+                (ST.ArrayType, ST.MapType, ST.StructType, ST.DecimalType),
+            )
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "driver-unhashable final columns (serialize arrays, cast "
+        f"decimals): {offenders}"
+    )

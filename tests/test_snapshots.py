@@ -558,6 +558,48 @@ def test_replace_partitions_swaps_only_touched_days(spark, tmp_path):
         )
 
 
+def test_replace_partitions_rejects_layout_mismatch(spark, tmp_path):
+    """An unpartitioned or differently-partitioned parent would make
+    the carry-over filter keep EVERY prior file (None / other-column
+    partition values never match the touched set) — stale rows would
+    silently survive the 'replace'. Must error, not corrupt."""
+    import pytest
+
+    # case 1: parent partitioned by a different column
+    tbl = str(tmp_path / "rp_mismatch")
+    snapshot_commit(
+        spark.createDataFrame([("d1", "r1", 1.0)], ["d", "rgn", "v"]),
+        tbl,
+        partition_by="d",
+    )
+    with pytest.raises(ValueError, match="partitioned by 'd'"):
+        snapshot_commit(
+            spark.createDataFrame([("d1", "r1", 9.0)], ["d", "rgn", "v"]),
+            tbl,
+            mode="replace_partitions",
+            partition_by="rgn",
+        )
+    # case 2: unpartitioned parent
+    tbl2 = str(tmp_path / "rp_unpart")
+    snapshot_commit(
+        spark.createDataFrame([("d1", 1.0)], ["d", "v"]), tbl2
+    )
+    with pytest.raises(ValueError, match="partitioned by None"):
+        snapshot_commit(
+            spark.createDataFrame([("d1", 9.0)], ["d", "v"]),
+            tbl2,
+            mode="replace_partitions",
+            partition_by="d",
+        )
+    # neither failed commit corrupted the tables
+    assert [tuple(r) for r in snapshot_read(spark, tbl).collect()] == [
+        ("d1", "r1", 1.0)
+    ]
+    assert [tuple(r) for r in snapshot_read(spark, tbl2).collect()] == [
+        ("d1", 1.0)
+    ]
+
+
 def test_ivm_tracks_replace_partitions_via_file_diff(spark, tmp_path):
     """The manifest file diff makes partition restatements just
     another delta: removed files retract, added files accumulate."""

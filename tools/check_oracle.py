@@ -77,7 +77,15 @@ def strict_normalize(v):
         # pandas Timestamp at midnight vs datetime.date: same instant
         return ("t", iso[:10] if iso.endswith("T00:00:00") else iso)
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-        return ("arr", tuple(strict_normalize(x) for x in v))
+        # The driver's canonicalizer pandas-sorts every output column;
+        # list cells throw `TypeError: unhashable type: 'list'` there.
+        # Replicate the intolerance instead of normalizing (round-3
+        # lesson: the replica must be at least as strict as the driver).
+        raise TypeError(
+            "unhashable type: 'list' (driver-faithful: array-typed "
+            "final columns cannot be canonicalized — serialize with "
+            "concat_ws/array_to_string on both sides)"
+        )
     if isinstance(v, (bytes, bytearray)):
         return ("bin", bytes(v).hex())
     return ("s", str(v))
@@ -110,6 +118,19 @@ def _df_rows(pdf):
 
 def compare(name, spark_df, duck_rows, duck_cols, strict=False):
     norm = strict_normalize if strict else normalize
+    if strict:
+        from pyspark.sql import types as ST
+
+        bad = [
+            f.name
+            for f in spark_df.schema.fields
+            if isinstance(f.dataType, (ST.ArrayType, ST.MapType, ST.StructType))
+        ]
+        if bad:
+            return (
+                f"COMPLEX-TYPED FINAL COLUMNS {bad} — the driver's pandas "
+                "canonicalizer throws on list cells; serialize them"
+            )
     s_cols = sorted(spark_df.columns)
     d_cols = sorted(duck_cols)
     if s_cols != d_cols:
