@@ -43,6 +43,7 @@ def replace_partitions(
     target_path: str,
     fresh: DataFrame,
     partition_col: str,
+    snapshot: bool | None = None,
 ) -> list[str]:
     """Overwrite only the partitions present in ``fresh``; leave every
     other partition physically untouched. Returns the replaced
@@ -53,8 +54,51 @@ def replace_partitions(
     the new content is empty for one of them (an empty partition in
     ``fresh`` cannot be represented in a DataFrame; delete that
     directory explicitly if a partition must vanish).
+
+    ``snapshot`` routes the swap through the snapshot commit protocol
+    (:func:`..snapshots.snapshot_commit` with
+    ``mode='replace_partitions'``): the replace becomes ONE atomic
+    manifest flip — readers see the entire old or the entire new
+    partition set, never a half-replaced table — plus time travel to
+    the pre-restatement version. Default ``None`` auto-detects: a
+    target that already is a snapshot table stays one. The legacy
+    directory-rename path remains for plain Hive-layout tables, but
+    note its caveat: per-partition renames are atomic only on a real
+    filesystem (local/HDFS), NOT on object stores, and a crash midway
+    leaves some partitions new and some old. On S3/GCS, use the
+    snapshot route — its commit point is a single put-if-absent
+    chain-link object (see ``snapshots.py`` commit protocol notes).
     """
     root = Path(target_path)
+    if snapshot is None:
+        snapshot = (root / "_manifests").exists()
+    if snapshot:
+        from group5_spark.medallion.snapshots import (
+            snapshot_commit,
+            snapshot_manifest,
+        )
+
+        v = snapshot_commit(
+            fresh,
+            target_path,
+            mode="replace_partitions",
+            partition_by=partition_col,
+        )
+        head = snapshot_manifest(target_path, v)
+        parent_paths: set[str] = set()
+        if head.get("parent"):
+            parent_paths = {
+                e["path"]
+                for e in snapshot_manifest(target_path, head["parent"])["files"]
+            }
+        return sorted(
+            {
+                f"{partition_col}={e['partition']}"
+                for e in head["files"]
+                if e["path"] not in parent_paths and "partition" in e
+            }
+        )
+
     staging = root.parent / f".{root.name}_ipr_{uuid.uuid4().hex[:8]}"
     fresh.write.mode("overwrite").partitionBy(partition_col).parquet(str(staging))
 
@@ -79,6 +123,7 @@ def refresh_aggregate(
     partition_col: str,
     build: "callable",
     changed_values: list,
+    snapshot: bool | None = None,
 ) -> list[str]:
     """Recompute an aggregate table for the given partition values.
 
@@ -86,10 +131,13 @@ def refresh_aggregate(
     full build (it must output ``partition_col``); it runs over the
     fact rows filtered to ``changed_values`` — with a partitioned (or
     range-sorted) fact table that filter prunes the scan to the
-    touched partitions.
+    touched partitions. ``snapshot`` is forwarded to
+    :func:`replace_partitions` (None = auto-detect snapshot targets).
     """
     pruned = fact.filter(F.col(partition_col).isin(changed_values))
-    return replace_partitions(spark, agg_path, build(pruned), partition_col)
+    return replace_partitions(
+        spark, agg_path, build(pruned), partition_col, snapshot=snapshot
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -177,6 +177,61 @@ def test_ivm_overwrite_retracts_and_drops_empty_groups(spark, tmp_path):
     assert got == {("a",): (1.0, 1), ("c",): (9.0, 1)}  # 'b' dropped
 
 
+def test_refresh_aggregate_routes_through_snapshot_commits(spark, tmp_path):
+    """A snapshot-table aggregate target auto-routes the partition
+    swap through snapshot_commit(mode='replace_partitions'): the
+    replace is ONE atomic manifest flip with time travel, not a
+    sequence of directory renames. Readers can never observe a
+    half-replaced partition set — mid-'replace' state (staged files +
+    manifest, chain link not yet claimed) still reads as the complete
+    old version."""
+    import json
+    from pathlib import Path
+
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    agg = str(tmp_path / "agg_snap")
+    snapshot_commit(
+        spark.createDataFrame(
+            [("d1", 10.0, 1), ("d2", 20.0, 1)], ["d", "sum_v", "n"]
+        ),
+        agg,
+        partition_by="d",
+    )
+    fact = spark.createDataFrame(
+        [("d1", 4.0), ("d1", 5.0), ("d2", 99.0)], ["d", "v"]
+    )
+
+    def build(df):
+        return df.groupBy("d").agg(
+            F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("n")
+        )
+
+    replaced = refresh_aggregate(spark, fact, agg, "d", build, ["d1"])
+    assert replaced == ["d=d1"]
+    head = sorted(map(tuple, snapshot_read(spark, agg).collect()))
+    assert head == [("d1", 9.0, 2), ("d2", 20.0, 1)]
+    # snapshot isolation: the pre-restatement version is intact
+    v1 = sorted(map(tuple, snapshot_read(spark, agg, version=1).collect()))
+    assert v1 == [("d1", 10.0, 1), ("d2", 20.0, 1)]
+
+    # crash injection: a replace that staged data + manifest but died
+    # before claiming the chain link is INVISIBLE — readers still see
+    # the complete version-2 table, not a mix
+    root = Path(agg)
+    head_m = snapshot_manifest(agg)
+    orphan = dict(head_m, version=head_m["version"] + 1, files=[])
+    (root / "_manifests" / f"v{head_m['version'] + 1:05d}.json").write_text(
+        json.dumps(orphan)
+    )
+    still = sorted(map(tuple, snapshot_read(spark, agg).collect()))
+    assert still == head
+
+
 def test_result_cache_hits_until_any_input_commits(spark, tmp_path):
     from group5_spark.medallion.snapshots import snapshot_commit
     from group5_spark.plans.result_cache import ResultCache
