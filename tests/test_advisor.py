@@ -273,3 +273,63 @@ def test_append_without_ndv_cols_drops_stale_sketch(spark, tmp_path):
     s = stats_from_snapshot(tbl, key="k")
     assert s.rows == 5100  # row counts stay exact (per-file footers)
     assert s.key_ndv == 0  # stale sketch dropped, not reported as 100
+
+
+# --------------- advisor flag in registry queries (plan gates) ------
+
+
+def test_advisor_flag_routes_nation_trade_volume(spark, sf_dir):
+    """With spark.group5.advisor.enabled=true, nation_trade_volume
+    plans its joins from collected stats — and the advice MATERIALIZES
+    as physical broadcast joins (at test SF every advised side fits
+    the budget). Results must be identical to the hand-hinted plan."""
+    from group5_spark.queries import ADVISOR_CONF, QUERIES
+
+    want = sorted(
+        map(tuple, QUERIES["nation_trade_volume"](spark, sf_dir).collect())
+    )
+    spark.conf.set(ADVISOR_CONF, "true")
+    try:
+        df = QUERIES["nation_trade_volume"](spark, sf_dir)
+        # all five joins land on broadcast at this SF (3 advised + 2 dims)
+        assert I.num_broadcast_joins(df) >= 4
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        spark.conf.set(ADVISOR_CONF, "false")
+
+
+def test_advisor_flag_routes_min_cost_supplier(spark, sf_dir):
+    """Q2's bridge⋈dim joins planned post-filter by the advisor: the
+    broadcast decision reflects the FILTERED dim sizes, materializes
+    in the plan, and preserves the exact top-100 result."""
+    from group5_spark.queries import ADVISOR_CONF, QUERIES
+
+    want = [
+        tuple(r) for r in QUERIES["min_cost_supplier"](spark, sf_dir).collect()
+    ]
+    spark.conf.set(ADVISOR_CONF, "true")
+    try:
+        df = QUERIES["min_cost_supplier"](spark, sf_dir)
+        assert I.num_broadcast_joins(df) >= 2  # both advised joins broadcast
+        assert [tuple(r) for r in df.collect()] == want  # ordered compare
+    finally:
+        spark.conf.set(ADVISOR_CONF, "false")
+
+
+def test_stat_join_salt_column_materializes_in_plan(spark):
+    """When stats force the salted strategy, the physical plan must
+    actually contain the salt machinery (the _salt join key and the
+    explode-replication), not merely return 'salted' advice."""
+    from group5_spark.operators.skew import SALT_COL
+
+    rows = [(1, i) for i in range(400)] + [
+        (k, 0) for k in range(2, 30)
+    ]  # ~93% hot key, too wide to broadcast under a 1-byte budget
+    skewed = spark.createDataFrame(rows, "user_id: long, v: long")
+    dim = spark.createDataFrame(
+        [(k, k * 10) for k in range(1, 30)], "user_id: long, tier: long"
+    )
+    joined, advice = stat_join(skewed, dim, "user_id", broadcast_bytes=1)
+    assert advice.strategy == "salted"
+    plan = I.formatted_plan(joined)
+    assert SALT_COL in plan
