@@ -34,6 +34,7 @@ __all__ = [
     "tfidf_top_terms",
     "bigram_counts",
     "inverted_index",
+    "chunk_documents",
 ]
 
 
@@ -310,6 +311,58 @@ def bigram_counts(
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= min_count)
         .select("bigram", F.col("n").cast("bigint").alias("n"))
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Context-window chunking for training-sequence prep: split each
+    document into windows of ``chunk_tokens`` whitespace tokens,
+    starting every ``stride`` tokens (``chunk_tokens - stride`` tokens
+    of overlap carry context across boundaries — the standard
+    fixed-window + stride scheme for LLM pretraining and embedding
+    indexing).
+
+    Output: one row per (doc, chunk) with 0-based ``chunk_id``, the
+    chunk's exact token count, and the chunk text. A document shorter
+    than one window yields exactly one (possibly short) chunk; an
+    empty document yields one empty chunk, so no document silently
+    disappears from the training set.
+
+    Scale design: pure JVM higher-order functions (split / sequence /
+    transform / slice / array_join) under whole-stage codegen plus one
+    explode — map-only, ZERO shuffles at any scale, and chunk count is
+    bounded by ceil(doc_tokens / stride), never materializing the
+    token array more than once per row. No reference analog
+    (the reference pipeline has no text-prep layer).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    n = F.size(toks)
+    # ceil(max(n - chunk, 0) / stride) + 1 starts, in exact int math
+    n_chunks = (
+        (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+        / F.lit(stride)
+    ).cast("bigint") + F.lit(1)
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * stride + 1, chunk_tokens
+    )
+    return base.select(
+        id_col,
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
     )
 
 

@@ -4597,6 +4597,118 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_chunk_windows",
+    """
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), t -> t <> '') AS tokens
+        FROM documents
+    ), meta AS (
+        SELECT doc_id, tokens,
+               1 + (greatest(len(tokens) - 64, 0) + 47) // 48 AS n_chunks
+        FROM toks
+    ), chunks AS (
+        SELECT doc_id, tokens,
+               unnest(range(0, n_chunks)) AS chunk_id
+        FROM meta
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(len(tokens[chunk_id*48 + 1 : chunk_id*48 + 64])
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(tokens[chunk_id*48 + 1 : chunk_id*48 + 64],
+                           ' ') AS chunk_text
+    FROM chunks
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking of the corpus: 64-token windows every
+    48 tokens (16 tokens of overlap) — the training-sequence /
+    embedding-index prep step. See extensions/corpus.py:
+    chunk_documents for the map-only HOF plan (zero shuffles at any
+    scale; plan-gated)."""
+    from group5_spark.extensions.corpus import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, "doc_id", "text", chunk_tokens=64, stride=48)
+
+
+@register(
+    "monthly_open_order_lines",
+    """
+    WITH lines AS (
+        SELECT o_orderdate, l_shipdate, l_extendedprice
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ), cal AS (
+        SELECT unnest(generate_series(
+            date_trunc('month', (SELECT MIN(o_orderdate) FROM orders)),
+            date_trunc('month', (SELECT MAX(l_shipdate) FROM lineitem)),
+            INTERVAL 1 MONTH))::DATE AS d
+    )
+    SELECT d, COUNT(*) AS n_open_lines,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS open_value
+    FROM lines JOIN cal ON o_orderdate < d AND d <= l_shipdate
+    GROUP BY d
+    """,
+)
+def monthly_open_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval/range join: order lines ordered before and shipped
+    on/after each month-start snapshot date (the open-backlog curve) —
+    the classic point-in-interval join Spark has no native operator
+    for.
+
+    Scale design — bucketed range-join decomposition: a naive
+    calendar×fact range join is a BroadcastNestedLoopJoin comparing
+    EVERY line against EVERY snapshot date. Instead each line explodes
+    to only the month buckets its own [o_orderdate, l_shipdate]
+    interval spans (order-to-ship lag is days-to-months, so a bounded
+    handful per row), the exact range predicate filters within the
+    bucket, and one hash aggregation per month finishes — the fact
+    shuffles once for the equi-join and once for the agg, no nested
+    loop, same plan at 100 TB. The oracle states the same semantics as
+    the naive non-equi join, so the value gate proves the
+    decomposition exact.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    lines = joins.inner_join(
+        li.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            "l_shipdate",
+            F.col("l_extendedprice").cast(DEC2).alias("_price"),
+        ),
+        orders.select("o_orderkey", "o_orderdate"),
+        "o_orderkey",
+    )
+    return (
+        # a line shipped on/before its order date can never be open at
+        # any month start (the synthetic data contains such rows); the
+        # oracle's range predicate drops them, and the guard also keeps
+        # the month sequence's bounds ordered
+        lines.filter(F.col("l_shipdate") > F.col("o_orderdate"))
+        .withColumn(
+            "d",
+            F.explode(
+                F.sequence(
+                    F.trunc("o_orderdate", "mm"),
+                    F.trunc("l_shipdate", "mm"),
+                    F.expr("interval 1 month"),
+                )
+            ),
+        )
+        .filter(
+            (F.col("o_orderdate") < F.col("d"))
+            & (F.col("d") <= F.col("l_shipdate"))
+        )
+        .groupBy("d")
+        .agg(
+            F.count(F.lit(1)).alias("n_open_lines"),
+            F.sum("_price").cast("double").alias("open_value"),
+        )
+    )
+
+
+@register(
     "ohlc_hourly_value",
     """
     WITH ranked AS (

@@ -157,3 +157,43 @@ def test_inverted_index_posting_list_is_bounded(spark, sf_dir):
     capped = out.filter(F.col("df") > 5)
     assert capped.count() > 0
     assert capped.filter(F.size("top_docs") != 5).count() == 0
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    from group5_spark.extensions.corpus import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(1, 114))  # 113 tokens
+    df = spark.createDataFrame([(1, words)], ["doc_id", "text"])
+    got = {
+        r["chunk_id"]: r
+        for r in chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    }
+    # ceil((113-64)/48)+1 = 3 chunks; the last covers tokens 97..113
+    assert sorted(got) == [0, 1, 2]
+    assert [got[i]["n_chunk_tokens"] for i in (0, 1, 2)] == [64, 64, 17]
+    c0, c1 = got[0]["chunk_text"].split(" "), got[1]["chunk_text"].split(" ")
+    assert c0[0] == "w1" and c0[-1] == "w64"
+    assert c1[0] == "w49"  # stride 48: 16 tokens of overlap
+    assert c0[48:] == c1[:16]
+    assert got[2]["chunk_text"].split(" ")[-1] == "w113"
+    # every token appears in at least one chunk
+    covered = set(c0) | set(c1) | set(got[2]["chunk_text"].split(" "))
+    assert covered == {f"w{i}" for i in range(1, 114)}
+
+
+def test_chunk_documents_short_and_empty_docs(spark):
+    from group5_spark.extensions.corpus import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, ""), (3, " ".join(["x"] * 64))],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(df, chunk_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # short doc: one short chunk; empty doc: one empty chunk (no doc
+    # silently disappears); exactly-one-window doc: one full chunk
+    assert [ (r["n_chunk_tokens"], r["chunk_text"]) for r in by_doc[1] ] == [(3, "a b c")]
+    assert [ (r["n_chunk_tokens"], r["chunk_text"]) for r in by_doc[2] ] == [(0, "")]
+    assert len(by_doc[3]) == 1 and by_doc[3][0]["n_chunk_tokens"] == 64

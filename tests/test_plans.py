@@ -628,6 +628,28 @@ def test_embedding_int8_quantization_map_only(q):
     I.assert_max_shuffles(df, 2)
 
 
+def test_doc_chunk_windows_is_map_only(q):
+    """Chunking must stay a zero-shuffle HOF pipeline: split/sequence/
+    slice under codegen plus one Generate (the chunk explode) — no
+    join, no exchange, at any scale."""
+    df = q("doc_chunk_windows")
+    plan = I.formatted_plan(df)
+    assert "Join" not in plan
+    I.assert_max_shuffles(df, 0)
+
+
+def test_monthly_open_order_lines_bucketed_range_join(q):
+    """The point-in-interval join must use the bucketed decomposition:
+    an equi-join + month-bucket explode + hash agg — never a nested-
+    loop range join against the calendar."""
+    df = q("monthly_open_order_lines")
+    plan = I.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate" in plan  # the bounded month-bucket explode
+    I.assert_max_shuffles(df, 3)
+
+
 NLJ_ALLOWED = {
     "min_cost_supplier",        # 1-row supplier-count broadcast (partsupp derive)
     "important_stock_share",    # same + 1-row threshold broadcast
