@@ -209,25 +209,25 @@ def minhash_signatures(
     return shingled.select("id", *sig_cols)
 
 
-def minhash_lsh_pairs(
+def lsh_band_buckets(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
-    threshold: float = 0.5,
     hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """MinHash+LSH near-duplicate pairs (shingle → minhash → band →
-    bucket-join → verify).
+    """The LSH *index rows* for a corpus: one ``(id, band, bucket)``
+    row per document per band (documents sharing any (band, bucket)
+    are near-dup candidates).
 
-    Signatures are split into ``bands``; documents sharing any band
-    hash become candidates (one explode + one equi-self-join on the
-    band bucket — the classic scalable plan). Candidates are verified
-    with true word-set Jaccard. Deterministic: fixed hash seeds; with
-    ``hash_fn="md5"`` the whole pipeline (signatures, band buckets,
-    verified pairs) is reproducible in DuckDB SQL for oracle gating.
+    This is the persistable half of MinHash-LSH: write these rows to
+    a snapshot table partitioned/bucketed by ``(band, bucket)`` and
+    every future batch can probe the corpus WITHOUT recomputing its
+    signatures — see :func:`incremental_near_dups`. At 100 TB the
+    index is ~bands × 16 bytes per doc, and a probe is an equi-join
+    on the bucket key, never a corpus text scan.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
@@ -249,9 +249,33 @@ def minhash_lsh_pairs(
             for b in range(bands)
         ]
     )
-    buckets = sigs.select(
-        "id", F.explode(band_structs).alias("bb")
-    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    return sigs.select("id", F.explode(band_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs (shingle → minhash → band →
+    bucket-join → verify).
+
+    Signatures are split into ``bands``; documents sharing any band
+    hash become candidates (one explode + one equi-self-join on the
+    band bucket — the classic scalable plan). Candidates are verified
+    with true word-set Jaccard. Deterministic: fixed hash seeds; with
+    ``hash_fn="md5"`` the whole pipeline (signatures, band buckets,
+    verified pairs) is reproducible in DuckDB SQL for oracle gating.
+    """
+    buckets = lsh_band_buckets(
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -286,6 +310,80 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b", F.round("_raw", 6).alias("jaccard"))
     )
     return verified
+
+
+def incremental_near_dups(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    corpus_index: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Near-duplicates of a NEW batch against an EXISTING corpus using
+    the corpus's persisted LSH band-bucket index — the every-crawl
+    near-dup operation, priced by the batch, not the corpus.
+
+    ``corpus_index`` is the :func:`lsh_band_buckets` output for the
+    corpus (typically ``snapshot_read`` of an index table maintained
+    by appending each ingested batch's buckets). When None it is
+    derived from ``corpus_df`` — correct, but that recomputes corpus
+    signatures, which is exactly what the persisted index avoids at
+    scale.
+
+    Plan shape at 100 TB: the batch's buckets (bands × |batch| rows)
+    equi-join the index on (band, bucket) — Spark broadcasts the
+    batch side; the corpus TEXT is read only for candidate ids (the
+    verify join prunes the scan). Nothing ever enumerates
+    batch × corpus.
+
+    Returns ``(id_new, id_corpus, jaccard)`` pairs at/above
+    ``threshold``.
+    """
+    if corpus_index is None:
+        corpus_index = lsh_band_buckets(
+            corpus_df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
+    new_buckets = lsh_band_buckets(
+        new_df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
+
+    n, c = new_buckets.alias("n"), corpus_index.alias("c")
+    candidates = (
+        n.join(
+            c,
+            on=[
+                F.col("n.band") == F.col("c.band"),
+                F.col("n.bucket") == F.col("c.bucket"),
+            ],
+        )
+        .select(
+            F.col("n.id").alias("id_new"), F.col("c.id").alias("id_corpus")
+        )
+        .distinct()
+    )
+
+    new_sh = new_df.select(
+        F.col(id_col).alias("id_new"),
+        shingles(text_col, shingle_n).alias("sh_new"),
+    )
+    corp_sh = corpus_df.select(
+        F.col(id_col).alias("id_corpus"),
+        shingles(text_col, shingle_n).alias("sh_corpus"),
+    )
+    raw = (
+        F.size(F.array_intersect("sh_new", "sh_corpus")).cast("double")
+        / F.size(F.array_union("sh_new", "sh_corpus"))
+    )
+    return (
+        candidates.join(new_sh, "id_new")
+        .join(corp_sh, "id_corpus")
+        .withColumn("_raw", raw)
+        .filter(F.col("_raw") >= threshold)
+        .select("id_new", "id_corpus", F.round("_raw", 6).alias("jaccard"))
+    )
 
 
 def connected_components(

@@ -4435,6 +4435,65 @@ def dedup_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_neardup",
+    f"""
+    WITH sh AS (
+      SELECT doc_id AS id, list_distinct(string_split(text, ' ')) AS sh
+      FROM documents
+    ),
+    sigs AS (
+      SELECT id,
+             list_transform(range(0, 16), k ->
+               list_aggregate(
+                 list_transform(sh, s -> {_DUCK_H56.format(x="concat(s, ':', k)")}),
+                 'min')) AS sig
+      FROM sh
+    ),
+    buckets AS (
+      SELECT id, b.band,
+             {_DUCK_H56.format(x=("concat_ws('|', sig[b.band*4+1], sig[b.band*4+2],"
+                                  " sig[b.band*4+3], sig[b.band*4+4])"))} AS bucket
+      FROM sigs, generate_series(0, 3) b(band)
+    ),
+    cand AS (
+      SELECT DISTINCT n.id AS id_new, c.id AS id_corpus
+      FROM buckets n JOIN buckets c
+        ON n.band = c.band AND n.bucket = c.bucket
+       AND n.id % 10 >= 8 AND c.id % 10 < 8
+    )
+    SELECT p.id_new, p.id_corpus,
+           ROUND(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(x.sh, y.sh))), 6) AS jaccard
+    FROM cand p JOIN sh x ON p.id_new = x.id JOIN sh y ON p.id_corpus = y.id
+    WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+          / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.9
+    """,
+)
+def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup dedup: today's batch (doc_id % 10 ≥ 8)
+    probed against the existing corpus's LSH band-bucket index
+    (doc_id % 10 < 8) — corpus signatures come from the persistable
+    index (extensions/dedup.py:lsh_band_buckets), never recomputed,
+    and verification reads only candidate corpus docs. Runs in
+    portable-hash mode so the DuckDB oracle replays the identical
+    signature → band → probe → Jaccard-verify pipeline."""
+    from group5_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    new_batch = docs.filter(F.col("doc_id") % 10 >= 8)
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    index = D.lsh_band_buckets(corpus, shingle_n=1, hash_fn="md5")
+    return D.incremental_near_dups(
+        new_batch,
+        corpus,
+        corpus_index=index,
+        shingle_n=1,
+        threshold=0.9,
+        hash_fn="md5",
+    )
+
+
+@register(
     "salted_segment_revenue",
     """
     SELECT c_mktsegment,
@@ -6591,75 +6650,74 @@ def mv_star_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The driver oracle-checks the FIRST 50 registered queries each round.
-# Rounds 1+2 together put driver-green rows on 80 distinct queries
-# (r01: registration order; r02: the curated §2-canonical window — see
-# CORRECTNESS_r0{1,2}.json). Round 3 rotates the window to the 50
-# oracle-backed queries NEVER driver-checked before, so cumulative
-# driver evidence covers 130/131 registered queries (the only
-# exception, sketch_scale_stats, has no exact oracle by design —
-# approx sketches — and gets the weaker rows-only check). Every name
-# below is green in tools/check_oracle.py --strict (the driver-replica
-# comparator) before this window ships.
+# Rounds 1-3 cumulatively put driver-green rows on 128 distinct
+# queries (see CORRECTNESS_r0{1,2,3}.json). The round-4 window closes
+# the evidence ceiling: every oracle-backed query never driver-checked
+# before (8, incl. the two new round-4 operators), the two round-3
+# driver-`err` rows re-submitted with serialized scalar outputs, the
+# two queries whose output surface changed this round, the 30 queries
+# whose only driver evidence is round 1 (oldest — refresh it), and 8
+# §2 canonicals. sketch_scale_stats stays out by design (rows-only
+# approx sketch — a window slot would never yield a hash row). Every
+# name below is green in tools/check_oracle.py --strict (the
+# driver-replica comparator, now array-intolerant exactly like the
+# driver) before this window ships.
 _CHECK_WINDOW = [
-    # dedup / similarity / clustering family
-    "dedup_clusters",
-    "dedup_cluster_representatives",
-    "dedup_incremental_new",
-    "crossmodal_dup_agreement",
-    "sim_ivf_topk",
-    "kmeans_embedding_clusters",
-    "fuzzy_part_name_pairs",
-    # corpus / text training-data operators
-    "contamination_check",
-    "packed_sequence_bins",
-    "tfidf_top_terms",
-    "bigram_top_counts",
-    "word_position_stats",
-    "pii_redaction_report",
-    "boilerplate_ngram_fraction",
-    "lang_temperature_resample",
-    "text_unigram_logprob",
-    "per_source_doc_cap",
-    "corpus_quality_gate",
-    "inverted_index_postings",
-    # multimodal
-    "multimodal_audio_features",
-    "multimodal_video_features",
-    # sketches / approx at scale
-    "kmv_distinct_estimate",
-    "kmv_users_by_event_type",
-    "kmv_weekly_rollup",
-    "embedding_norm_stats",
-    # windows / sessions / time series
-    "latest_event_per_user",
-    "moving_avg_7d_range",
-    "window_navigation_showcase",
-    "gap_filled_daily_revenue",
-    "native_session_windows",
-    "trailing_7d_active_users",
-    "ohlc_hourly_value",
-    "user_active_coverage",
-    "ordered_funnel_users",
-    # robust stats / distribution shapes
-    "stats_price_quantity",
-    "winsorized_order_stats",
-    "mad_order_value_by_segment",
-    "revenue_pareto_share",
-    "grouping_sets_revenue",
-    "salted_segment_revenue",
-    "global_top_orders",
-    # quality / governance
-    "dq_orders_checks",
+    # never driver-checked before (oracle-backed)
+    "doc_chunk_windows",
+    "monthly_open_order_lines",
+    "dedup_incremental_neardup",
+    "parts_supplier_relationship",
+    "doc_repetition_filter",
+    "text_bigram_logprob",
+    "advisor_planned_trade_volume",
+    "corpus_shard_shuffle",
+    "embedding_int8_quantization",
+    # round-3 driver-err rows, now with scalar (serialized) outputs
     "order_part_baskets",
-    "brand_customer_overlap",
-    # TPC-H Q2/Q11/Q20 over the derived partsupp bridge
+    "inverted_index_postings",
+    # output surface changed in round 4 (decimal->double; advisor flag)
+    "rich_inactive_customers",
     "min_cost_supplier",
-    "important_stock_share",
-    "excess_parts_suppliers",
-    "nation_supply_value_share",
-    # MV-rewrite-served queries (routing asserted in test_mv.py)
-    "mv_filtered_status_revenue",
-    "mv_star_segment_revenue",
+    # round-1-only driver evidence — refresh
+    "customers_without_orders",
+    "customers_with_orders",
+    "late_shipment_priority",
+    "top_customers",
+    "union_active_ids",
+    "intersect_active_ids",
+    "except_active_ids",
+    "conversion_rate",
+    "events_by_type_daily",
+    "pct_revenue_by_segment",
+    "avg_order_value",
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "text_quality",
+    "text_langid",
+    "text_fingerprint",
+    "sim_topk",
+    "knn_label_vote",
+    "sim_lsh_topk",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "cube_event_counts",
+    "pivot_event_matrix",
+    "string_functions_showcase",
+    "date_functions_showcase",
+    "ntile_customer_quartiles",
+    "exists_returned_orders",
+    "scalar_subquery_pricey_parts",
+    # §2 canonicals (re-confirmation)
+    "pricing_summary",
+    "revenue_by_nation",
+    "daily_revenue",
+    "top3_parts_per_brand",
+    "waiting_suppliers",
+    "part_pair_affinity",
+    "nation_trade_volume",
 ]
 
 

@@ -363,6 +363,43 @@ def stream_dedup(
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
+def stream_dedup_vs_corpus(
+    df: DataFrame,
+    corpus_fingerprints: DataFrame,
+    text_col: str = "text",
+    ts_col: str | None = None,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the batch incremental corpus dedup
+    (extensions/dedup.py:incremental_new_docs): drop any streamed
+    document whose normalized-content fingerprint already exists in
+    the ingested corpus, then dedup within the stream itself.
+
+    Two-layer state story at scale:
+    - the CORPUS side is a static (or snapshot_read) fingerprint
+      table — the stream-static left-anti join re-plans it per
+      micro-batch, so a corpus refreshed by the batch pipeline is
+      picked up without restarting the query (same mechanism as
+      :func:`stream_enrich_refreshing_dim`);
+    - the WITHIN-STREAM layer is dropDuplicatesWithinWatermark when a
+      ``ts_col`` is given — state bounded by the watermark, never by
+      stream length.
+    Only 32-char fingerprints ever join; document text stays in the
+    micro-batch.
+    """
+    normalized = F.lower(
+        F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
+    )
+    fp = df.withColumn("fingerprint", F.md5(normalized))
+    corpus = corpus_fingerprints.select("fingerprint").distinct()
+    fresh = fp.join(corpus, "fingerprint", "left_anti")
+    if ts_col is not None:
+        fresh = fresh.withWatermark(
+            ts_col, watermark
+        ).dropDuplicatesWithinWatermark(["fingerprint"])
+    return fresh
+
+
 def _hh_output_schema(events: DataFrame, group_col: str):
     """Output schema with the group key typed as the input types it
     (same contract as :func:`_session_output_schema` — a hard-coded

@@ -606,3 +606,47 @@ def test_kmv_regroup_equals_direct_coarse_sketch(spark, sf_dir):
     r = {(str(x["week"]), x["rnk"]): x["hv"] for x in rolled.collect()}
     d = {(str(x["week"]), x["rnk"]): x["hv"] for x in direct.collect()}
     assert r == d and len(d) > 0
+
+
+def test_incremental_near_dups_equals_full_lsh_cross_pairs(spark, sf_dir):
+    """Probing the persisted corpus index with a new batch must find
+    exactly the full-corpus LSH pairs that cross the batch/corpus
+    boundary — the incremental path loses nothing and invents
+    nothing."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    newb = docs.filter(F.col("doc_id") % 10 >= 8)
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    index = dedup.lsh_band_buckets(corpus, shingle_n=1)
+
+    inc = {
+        (r.id_new, r.id_corpus, r.jaccard)
+        for r in dedup.incremental_near_dups(
+            newb, corpus, corpus_index=index, shingle_n=1, threshold=0.9
+        ).collect()
+    }
+    full = dedup.minhash_lsh_pairs(docs, shingle_n=1, threshold=0.9)
+    cross = set()
+    for r in full.collect():
+        a_new, b_new = r.id_a % 10 >= 8, r.id_b % 10 >= 8
+        if a_new and not b_new:
+            cross.add((r.id_a, r.id_b, r.jaccard))
+        elif b_new and not a_new:
+            cross.add((r.id_b, r.id_a, r.jaccard))
+    assert inc == cross
+    assert inc, "testdata should contain cross-boundary near-dups"
+
+
+def test_incremental_near_dups_derives_index_when_absent(spark):
+    """corpus_index=None falls back to deriving buckets from the
+    corpus frame — same pairs, documented as the non-scale path."""
+    newb = spark.createDataFrame(
+        [(11, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame(
+        [(1, "jumps fox brown quick the"), (2, "nothing alike at all here")],
+        ["doc_id", "text"],
+    )
+    got = dedup.incremental_near_dups(
+        newb, corpus, shingle_n=1, threshold=0.9
+    ).collect()
+    assert [(r.id_new, r.id_corpus, r.jaccard) for r in got] == [(11, 1, 1.0)]

@@ -919,3 +919,57 @@ def test_sessionize_keeps_integer_key_type(spark, tmp_path):
     jobs.run_available_now(sessions, str(tmp_path / "ck"), "sess_long_out")
     out = spark.table("sess_long_out").collect()
     assert [(r.user_id, r.n_events) for r in out] == [(7, 2)]
+
+
+def test_stream_dedup_vs_corpus_drops_known_and_in_stream_dups(spark, tmp_path):
+    """A streamed doc already in the corpus (by normalized-content
+    fingerprint) never reaches the sink; an in-stream redelivery is
+    dropped by the watermark layer; genuinely new docs pass."""
+    import json
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    src = tmp_path / "cd_src"
+    src.mkdir()
+    rows = [
+        (1, "already   In  the corpus ", "2024-01-01 10:00:00"),  # known
+        (2, "brand new document", "2024-01-01 10:01:00"),
+        (2, "brand new document", "2024-01-01 10:02:00"),  # redelivery
+        (3, "another fresh one", "2024-01-01 10:03:00"),
+    ]
+    with open(src / "b.json", "w") as f:
+        for did, text, ts in rows:
+            f.write(json.dumps({"doc_id": did, "text": text, "ts": ts}) + "\n")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+        StructField("ts", StringType()),
+    ])
+    stream = (
+        spark.readStream.schema(schema).json(str(src))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    # corpus fingerprints use the SAME normalization as the operator
+    corpus = spark.createDataFrame(
+        [("already in the corpus",)], ["text"]
+    ).select(
+        F.md5(F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))).alias(
+            "fingerprint"
+        )
+    )
+    fresh = jobs.stream_dedup_vs_corpus(
+        stream, corpus, text_col="text", ts_col="ts", watermark="2 hours"
+    )
+    q = (
+        fresh.writeStream.format("memory")
+        .queryName("cdedup")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cd_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"] for r in spark.sql("SELECT doc_id FROM cdedup").collect()
+    )
+    assert got == [2, 3]

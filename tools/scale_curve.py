@@ -230,14 +230,17 @@ def run_skew(n: int) -> dict:
 TRAINOPS = [
     "dedup_minhash_lsh",
     "dedup_simhash_pairs",
+    "dedup_incremental_neardup",
     "sim_ivf_topk",
     "contamination_check",
     "tfidf_top_terms",
     "doc_repetition_filter",
+    "doc_chunk_windows",
     "corpus_shard_shuffle",
     "text_quality",
     "packed_sequence_bins",
     "kmv_users_by_event_type",
+    "monthly_open_order_lines",
 ]
 
 
@@ -310,14 +313,21 @@ def run_trainops(n: int) -> dict:
     digest+hex+parse, a constant factor that would swamp the scaling
     signal this curve exists to measure.
     """
+    from pyspark.sql import functions as F
+
     from group5_spark.catalog import load_table
     from group5_spark.extensions.dedup import (
+        incremental_near_dups,
+        lsh_band_buckets,
         minhash_lsh_pairs,
         simhash_near_pairs,
     )
     from group5_spark.queries import QUERIES
 
     sf_dir = str(SCALE_ROOT / f"xd{n:03d}")
+    # the interval-join query reads lineitem/orders — those live in the
+    # hot-key ladder dir (xd replicates only the doc-family tables)
+    fact_dir = str(SCALE_ROOT / f"x{n:03d}")
     spark = _spark(f"scale-trainops-x{n}")
 
     def build(name):
@@ -325,6 +335,19 @@ def run_trainops(n: int) -> dict:
             return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
         if name == "dedup_simhash_pairs":
             return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+        if name == "dedup_incremental_neardup":
+            docs = load_table(spark, sf_dir, "documents").select(
+                "doc_id", "text"
+            )
+            newb = docs.filter(F.col("doc_id") % 10 >= 8)
+            corpus = docs.filter(F.col("doc_id") % 10 < 8)
+            return incremental_near_dups(
+                newb, corpus,
+                corpus_index=lsh_band_buckets(corpus, shingle_n=1),
+                shingle_n=1, threshold=0.9,
+            )
+        if name == "monthly_open_order_lines":
+            return QUERIES[name](spark, fact_dir)
         return QUERIES[name](spark, sf_dir)
 
     for name in TRAINOPS:
