@@ -168,6 +168,75 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_against(
+    new_df: DataFrame,
+    base_df: DataFrame,
+    block_col: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Blocked Jaccard pairs with AT LEAST ONE endpoint in ``new_df``:
+    the new×base cross pairs plus the new-batch-internal pairs — the
+    incremental complement of :func:`jaccard_pairs`, which the base
+    corpus never re-enters (its internal pairs are already known).
+
+    ``base_df`` is the existing corpus (ids disjoint from the batch).
+    Returns (id_a, id_b, jaccard) with id_a < id_b, same contract as
+    :func:`jaccard_pairs`.
+    """
+    def toks(df):
+        return df.select(
+            F.col(block_col).alias("block"),
+            F.col(id_col).alias("id"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("words"),
+        )
+
+    a, b = toks(new_df).alias("a"), toks(base_df).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.words"), F.col("b.words")))
+    union = F.size(F.array_union(F.col("a.words"), F.col("b.words")))
+    raw = inter.cast("double") / union
+    cross = (
+        a.join(b, on=[F.col("a.block") == F.col("b.block")])
+        .select(
+            F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
+            F.greatest(F.col("a.id"), F.col("b.id")).alias("id_b"),
+            raw.alias("_raw"),
+        )
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("jaccard"))
+    )
+    internal = jaccard_pairs(new_df, block_col, id_col, text_col, threshold)
+    return cross.unionByName(internal)
+
+
+def incremental_components(
+    prior_labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Merge NEW near-dup pairs into an EXISTING ``(id, comp)``
+    component assignment without re-reading the historical pair graph.
+
+    Correctness: a prior component's labels form a star contraction
+    (every member points at the component's min id), and contracting
+    a connected subgraph preserves connectivity — so running min-label
+    propagation over (contraction edges ∪ new pairs) yields exactly
+    the components of (historical ∪ new) edges. Work per refresh is
+    proportional to |prior vertices| + |new pairs| per round, and the
+    contracted graph's diameter is ≤ 2 + the new-pair path length —
+    NOT the historical graph's, so old deep clusters never slow a
+    refresh. Returns ``(id, comp)`` covering every id in either input.
+    """
+    contraction = prior_labels.select(
+        F.col("id").alias(id_a), F.col("comp").alias(id_b)
+    )
+    edges = contraction.unionByName(new_pairs.select(id_a, id_b))
+    return connected_components(edges, id_a, id_b, max_iter)
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",

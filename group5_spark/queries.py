@@ -4494,6 +4494,99 @@ def dedup_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_clusters_incremental",
+    """
+    WITH RECURSIVE t AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS words
+        FROM documents
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.words, b.words))) >= 0.9
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b, id_a FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+        UNION
+        SELECT reach.id, e.dst FROM reach JOIN edges e ON reach.r = e.src
+    ),
+    comps AS (
+        SELECT id, MIN(r) AS comp FROM reach GROUP BY id
+    )
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS is_canonical
+    FROM (
+        SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN comps c ON d.doc_id = c.id
+    )
+    """,
+)
+def dedup_clusters_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental duplicate-CLUSTER maintenance: merge a new batch
+    (doc_id % 10 ≥ 8) into the corpus's existing cluster assignment
+    WITHOUT re-reading the corpus-internal pair graph — only pairs
+    touching the batch are computed (extensions/dedup.py:
+    jaccard_pairs_against), and the prior labels enter min-label
+    propagation as star-contraction supernode edges
+    (incremental_components). The oracle is the FULL recomputation
+    over all documents (identical SQL to `dedup_clusters`), so the
+    value gate proves incremental ≡ full, cluster for cluster.
+
+    Scale story: a nightly refresh joins |corpus| contraction edges +
+    |batch|-proportional new pairs for diameter-of-the-contraction
+    rounds (≤ 2 + new-path length) — historical cluster depth never
+    slows a refresh, and corpus text is read only where the batch's
+    blocks touch it.
+    """
+    from group5_spark.extensions import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") % 10 < 8)
+    batch = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    # yesterday's state: labels over the corpus-internal pair graph
+    # (in production this is a snapshot table, not recomputed here)
+    prior = D.connected_components(
+        D.jaccard_pairs(corpus, block_col="source", threshold=0.9).select(
+            "id_a", "id_b"
+        )
+    )
+    new_pairs = D.jaccard_pairs_against(
+        batch, corpus, block_col="source", threshold=0.9
+    ).select("id_a", "id_b")
+    labels = D.incremental_components(prior, new_pairs)
+
+    base = (
+        docs.select("doc_id")
+        .join(
+            labels.select(F.col("id").alias("doc_id"), "comp"),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id", F.coalesce("comp", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    w = Window.partitionBy("cluster_id")
+    return base.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+    )
+
+
+@register(
     "salted_segment_revenue",
     """
     SELECT c_mktsegment,
@@ -6667,6 +6760,7 @@ _CHECK_WINDOW = [
     "doc_chunk_windows",
     "monthly_open_order_lines",
     "dedup_incremental_neardup",
+    "dedup_clusters_incremental",
     "parts_supplier_relationship",
     "doc_repetition_filter",
     "text_bigram_logprob",
@@ -6713,7 +6807,6 @@ _CHECK_WINDOW = [
     # §2 canonicals (re-confirmation)
     "pricing_summary",
     "revenue_by_nation",
-    "daily_revenue",
     "top3_parts_per_brand",
     "waiting_suppliers",
     "part_pair_affinity",

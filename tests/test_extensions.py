@@ -650,3 +650,39 @@ def test_incremental_near_dups_derives_index_when_absent(spark):
         newb, corpus, shingle_n=1, threshold=0.9
     ).collect()
     assert [(r.id_new, r.id_corpus, r.jaccard) for r in got] == [(11, 1, 1.0)]
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Property (seeded): for ANY split of an edge set into
+    historical/new, contracting the historical components to stars
+    and propagating with the new edges yields the same components as
+    a full recompute over all edges."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(4):
+        n_vertices = 40
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(n_vertices), 2)))
+                for _ in range(35)
+            }
+        )
+        cut = rng.randint(0, len(edges))
+        old, new = edges[:cut], edges[cut:]
+        if not old or not new:
+            continue
+        old_df = spark.createDataFrame(old, "id_a: long, id_b: long")
+        new_df = spark.createDataFrame(new, "id_a: long, id_b: long")
+        all_df = old_df.unionByName(new_df)
+
+        prior = dedup.connected_components(old_df)
+        inc = {
+            (r.id, r.comp)
+            for r in dedup.incremental_components(prior, new_df).collect()
+        }
+        full = {
+            (r.id, r.comp)
+            for r in dedup.connected_components(all_df).collect()
+        }
+        assert inc == full, f"trial {trial}: incremental != full"
