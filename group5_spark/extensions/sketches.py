@@ -31,7 +31,15 @@ from pyspark.sql import functions as F
 
 from .dedup import portable_hash56_sql
 
-__all__ = ["kmv_sketch", "kmv_estimate", "kmv_merge", "kmv_regroup"]
+__all__ = [
+    "kmv_sketch",
+    "kmv_estimate",
+    "kmv_merge",
+    "kmv_regroup",
+    "histogram_sketch",
+    "histogram_merge",
+    "histogram_percentiles",
+]
 
 _HASH_SPACE = float(1 << 56)
 
@@ -138,4 +146,97 @@ def kmv_regroup(
     return (
         relabeled.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram sketches: the PERCENTILE companion to KMV.
+# Exact percentiles need a global sort (or two-pass exact-percentile
+# machinery) per question; a fixed-bin histogram is one-pass, constant
+# space per group, mergeable across partitions/days/tables by adding
+# bin counts, and — unlike t-digest/KLL — has a fully portable
+# definition another engine replays bit-for-bit, so the oracle gate
+# verifies values, not just row counts. Resolution is the bin width;
+# the estimate returned for a quantile is the LOWER EDGE of the bin
+# where the cumulative count crosses it (documented, deterministic —
+# no interpolation FP to disagree on).
+# ---------------------------------------------------------------------------
+
+
+def histogram_sketch(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    lo: F.Column | float,
+    width: F.Column | float,
+    bins: int = 32,
+) -> DataFrame:
+    """One histogram row per (group, occupied bin): ``bin`` index and
+    ``cnt``. ``lo``/``width`` may be literals or 1-row-derived columns
+    (already joined onto ``df``). Values at/above the top edge clamp
+    into the last bin, below ``lo`` into bin 0 — the sketch never
+    drops a row, so merged totals always reconcile with COUNT(*)."""
+    lo_c = lo if isinstance(lo, F.Column) else F.lit(float(lo))
+    w_c = width if isinstance(width, F.Column) else F.lit(float(width))
+    idx = F.greatest(
+        F.lit(0),
+        F.least(
+            F.lit(bins - 1),
+            F.floor((F.col(value_col) - lo_c) / w_c).cast("int"),
+        ),
+    )
+    return df.groupBy(*group_cols, idx.alias("bin")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+
+
+def histogram_merge(sketch: DataFrame, group_exprs: dict) -> DataFrame:
+    """Roll stored histograms to a coarser grain without raw data:
+    relabel by ``group_exprs`` ({new_col: Column}) and ADD bin counts
+    — the merge operation is plain integer addition, associative and
+    commutative by construction."""
+    relabeled = sketch.select(
+        *[expr.alias(name) for name, expr in group_exprs.items()],
+        "bin",
+        "cnt",
+    )
+    names = list(group_exprs)
+    return relabeled.groupBy(*names, "bin").agg(F.sum("cnt").alias("cnt"))
+
+
+def histogram_percentiles(
+    sketch: DataFrame,
+    group_cols: list[str],
+    quantiles: list[float],
+    lo: F.Column | float,
+    width: F.Column | float,
+) -> DataFrame:
+    """Estimate quantiles from (possibly merged) histogram rows: for
+    each q, the lower edge ``lo + bin·width`` of the first bin whose
+    cumulative count reaches ``q × total``. One cumulative window over
+    the bins (≤ ``bins`` rows per group — trivial state) plus one
+    aggregation; raw data is never touched."""
+    lo_c = lo if isinstance(lo, F.Column) else F.lit(float(lo))
+    w_c = width if isinstance(width, F.Column) else F.lit(float(width))
+    win = (
+        Window.partitionBy(*group_cols)
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*group_cols)
+    cum = sketch.withColumn("cum", F.sum("cnt").over(win)).withColumn(
+        "total", F.sum("cnt").over(tot)
+    )
+    edge = lo_c + F.col("bin") * w_c
+    aggs = [
+        F.min(
+            F.when(
+                F.col("cum").cast("double") >= F.lit(q) * F.col("total"),
+                edge,
+            )
+        ).alias(f"p{round(q * 100):02d}")
+        for q in quantiles
+    ]
+    return cum.groupBy(*group_cols).agg(
+        *aggs, F.max("total").alias("n_rows")
     )

@@ -5650,6 +5650,88 @@ def kmv_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "histogram_weekly_percentiles",
+    """
+    WITH bounds AS (
+        SELECT MIN(value) AS lo, (MAX(value) - MIN(value)) / 32 AS w
+        FROM events
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               GREATEST(0, LEAST(31,
+                   CAST(FLOOR((value - lo) / w) AS INT))) AS bin,
+               COUNT(*) AS cnt
+        FROM events, bounds
+        GROUP BY 1, 2
+    ),
+    weekly AS (
+        SELECT CAST(date_trunc('week', day) AS DATE) AS week, bin,
+               SUM(cnt) AS cnt
+        FROM daily GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT week, bin, cnt,
+               SUM(cnt) OVER (PARTITION BY week ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+               SUM(cnt) OVER (PARTITION BY week) AS total
+        FROM weekly
+    )
+    SELECT week,
+           ROUND(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.5 * total
+                          THEN lo + bin * w END), 6) AS p50,
+           ROUND(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.9 * total
+                          THEN lo + bin * w END), 6) AS p90,
+           ROUND(MIN(CASE WHEN CAST(cum AS DOUBLE) >= 0.99 * total
+                          THEN lo + bin * w END), 6) AS p99,
+           CAST(MAX(total) AS BIGINT) AS n_rows
+    FROM cum, bounds
+    GROUP BY week
+    """,
+)
+def histogram_weekly_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly value percentiles derived ENTIRELY from daily fixed-bin
+    histogram sketches (extensions/sketches.py:histogram_sketch/
+    histogram_merge/histogram_percentiles) — the percentile companion
+    to the KMV rollup: exact percentiles don't merge (a stored p99
+    column can never roll up), but bin counts ADD, so a warehouse
+    stores ≤32 ints per (day) and answers weekly/monthly/all-time
+    quantile questions without raw data. Estimates are bin lower
+    edges (histogram resolution — deterministic, no interpolation FP);
+    the oracle replays the identical two-level bin pipeline.
+    """
+    from group5_spark.extensions import sketches as SK
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "value"
+    )
+    bounds = ev.agg(
+        F.min("value").alias("_lo"),
+        ((F.max("value") - F.min("value")) / F.lit(32)).alias("_w"),
+    )
+    with_bounds = ev.crossJoin(F.broadcast(bounds))
+    daily = SK.histogram_sketch(
+        with_bounds, "value", ["day"], F.col("_lo"), F.col("_w"), bins=32
+    )
+    weekly = SK.histogram_merge(
+        daily, {"week": F.date_trunc("week", F.col("day")).cast("date")}
+    )
+    out = SK.histogram_percentiles(
+        weekly.crossJoin(F.broadcast(bounds)),
+        ["week"],
+        [0.5, 0.9, 0.99],
+        F.col("_lo"),
+        F.col("_w"),
+    )
+    return out.select(
+        "week",
+        F.round("p50", 6).alias("p50"),
+        F.round("p90", 6).alias("p90"),
+        F.round("p99", 6).alias("p99"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+    )
+
+
+@register(
     "user_active_coverage",
     """
     WITH x AS (
@@ -6761,6 +6843,7 @@ _CHECK_WINDOW = [
     "monthly_open_order_lines",
     "dedup_incremental_neardup",
     "dedup_clusters_incremental",
+    "histogram_weekly_percentiles",
     "parts_supplier_relationship",
     "doc_repetition_filter",
     "text_bigram_logprob",
@@ -6806,7 +6889,6 @@ _CHECK_WINDOW = [
     "scalar_subquery_pricey_parts",
     # §2 canonicals (re-confirmation)
     "pricing_summary",
-    "revenue_by_nation",
     "top3_parts_per_brand",
     "waiting_suppliers",
     "part_pair_affinity",

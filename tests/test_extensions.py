@@ -686,3 +686,50 @@ def test_incremental_components_equals_full_recompute(spark):
             for r in dedup.connected_components(all_df).collect()
         }
         assert inc == full, f"trial {trial}: incremental != full"
+
+
+def test_histogram_merge_equals_sketch_of_union(spark):
+    """The mergeability law: adding two batches' bin counts equals
+    sketching the union — and percentile estimates from the merged
+    sketch match percentiles from a directly-built one."""
+    from group5_spark.extensions import sketches as SK
+
+    a = spark.createDataFrame(
+        [("g", float(v)) for v in range(0, 50)], ["g", "v"]
+    )
+    b = spark.createDataFrame(
+        [("g", float(v)) for v in range(50, 100)], ["g", "v"]
+    )
+    lo, width, bins = 0.0, 100.0 / 32, 32
+    sa = SK.histogram_sketch(a, "v", ["g"], lo, width, bins)
+    sb = SK.histogram_sketch(b, "v", ["g"], lo, width, bins)
+    merged = SK.histogram_merge(
+        sa.unionByName(sb), {"g": F.col("g")}
+    )
+    direct = SK.histogram_sketch(
+        a.unionByName(b), "v", ["g"], lo, width, bins
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+    pm = SK.histogram_percentiles(merged, ["g"], [0.5, 0.99], lo, width)
+    pd_ = SK.histogram_percentiles(direct, ["g"], [0.5, 0.99], lo, width)
+    assert sorted(map(tuple, pm.collect())) == sorted(map(tuple, pd_.collect()))
+    row = pm.first()
+    # 100 uniform values in [0,100): p50 falls in the bin holding v=50
+    assert abs(row["p50"] - 50.0) <= width
+    assert row["n_rows"] == 100
+
+
+def test_histogram_sketch_clamps_out_of_range(spark):
+    """Rows below lo / at-or-above the top edge land in the edge bins
+    — the sketch never drops rows, so totals reconcile with COUNT(*)."""
+    from group5_spark.extensions import sketches as SK
+
+    df = spark.createDataFrame(
+        [("g", -5.0), ("g", 0.0), ("g", 99.9), ("g", 250.0)], ["g", "v"]
+    )
+    s = SK.histogram_sketch(df, "v", ["g"], 0.0, 100.0 / 32, 32)
+    rows = {r["bin"]: r["cnt"] for r in s.collect()}
+    assert rows[0] == 2 and rows[31] == 2
+    assert sum(rows.values()) == df.count()
