@@ -26,7 +26,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["table_file_stats", "compact", "compact_snapshot"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
+__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -305,3 +305,127 @@ def analyze_tables(
                         counts[t] = int(part.split()[0])
         counts.setdefault(t, -1)
     return counts
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+) -> dict:
+    """DELETE FROM a snapshot table WHERE all ``predicates`` hold
+    (``[(col, op, value), ...]``, conjunctive) — Delta-style, with
+    FILE-LEVEL pruning: only files whose manifest min/max (and bloom,
+    for equalities) can contain matching rows are read and rewritten
+    without the matching rows; every other file carries into the new
+    version by reference, byte-untouched. A delete of one user from a
+    3-year table rewrites the handful of files that user appears in,
+    not the table — the right-to-be-forgotten operation priced by the
+    key's footprint, not the corpus.
+
+    Commit semantics: read-modify-write under ``expected_parent``
+    optimistic concurrency (a racing append/overwrite raises a
+    conflict and the delete retries against the new head), with time
+    travel intact — pre-delete versions still resolve to the original
+    files until ``snapshot_expire`` ages them out, which is also the
+    compliance clock for physical erasure: expire the pre-delete
+    history and the rows' bytes are gone.
+
+    Returns ``{version, files_rewritten, files_carried, rows_deleted}``
+    (no-op dict with ``version`` = current head when no file can
+    match).
+    """
+    import operator as _op
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion import snapshots as snap
+
+    ops = {
+        "=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+    }
+    root = Path(path)
+    while True:
+        head = snap.snapshot_manifest(path)
+        version = head["version"]
+        touched_abs, total = snap.prune_files(path, predicates, version)
+        if not touched_abs:
+            return {
+                "version": version,
+                "files_rewritten": 0,
+                "files_carried": total,
+                "rows_deleted": 0,
+            }
+        touched_rel = {
+            Path(p).relative_to(root).as_posix() for p in touched_abs
+        }
+        carried = [
+            e for e in head["files"] if e["path"] not in touched_rel
+        ]
+        touched_rows = sum(
+            int(e.get("rows", 0))
+            for e in head["files"]
+            if e["path"] in touched_rel
+        )
+
+        # read ONLY the touched files (same basePath-per-staging-dir
+        # contract as snapshot_read for Hive-partitioned layouts)
+        from pyspark.sql.types import StructType
+
+        schema = (
+            StructType.fromJson(head["schema"])
+            if head.get("schema") is not None
+            else None
+        )
+
+        def reader():
+            r = spark.read
+            return r.schema(schema) if schema is not None else r
+
+        if head.get("partition_by"):
+            by_base: dict[str, list[str]] = {}
+            for p in sorted(touched_abs):
+                by_base.setdefault(
+                    Path(p).relative_to(root).parts[0], []
+                ).append(p)
+            parts = [
+                reader().option("basePath", str(root / b)).parquet(*fs)
+                for b, fs in sorted(by_base.items())
+            ]
+            df = parts[0]
+            for q in parts[1:]:
+                df = df.unionByName(q)
+            if schema is not None:
+                df = df.select(*[f.name for f in schema.fields])
+        else:
+            df = reader().parquet(*sorted(touched_abs))
+
+        matches = F.lit(True)
+        for col, op, val in predicates:
+            matches = matches & ops[op](F.col(col), F.lit(val))
+        survivors = df.filter(~matches)
+
+        try:
+            new_v = snap.snapshot_commit(
+                survivors,
+                path,
+                mode="overwrite",
+                carry_files=carried,
+                expected_parent=version,
+                partition_by=head.get("partition_by"),
+                note={"delete_where": [list(p) for p in predicates]},
+            )
+        except snap.SnapshotConflict:
+            continue  # a commit raced the read; re-derive on the new head
+        new_files = snap.snapshot_manifest(path, new_v)["files"]
+        carried_paths = {e["path"] for e in carried}
+        staged_rows = sum(
+            int(e.get("rows", 0))
+            for e in new_files
+            if e["path"] not in carried_paths
+        )
+        return {
+            "version": new_v,
+            "files_rewritten": len(touched_rel),
+            "files_carried": len(carried),
+            "rows_deleted": touched_rows - staged_rows,
+        }

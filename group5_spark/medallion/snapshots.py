@@ -271,6 +271,7 @@ def snapshot_commit(
     expected_parent: int | None = None,
     ndv_cols: list[str] | None = None,
     partition_by: str | None = None,
+    carry_files: list[dict] | None = None,
 ) -> int:
     """Write ``df`` as the next version of the table at ``path`` and
     return the new version number.
@@ -300,6 +301,16 @@ def snapshot_commit(
     read must never silently discard a commit that landed in between.
     Blind appends don't need it; they rebase automatically.
 
+    ``carry_files`` (mode='overwrite' only): parent-manifest file
+    entries to carry into the new version UNCHANGED alongside this
+    commit's staged files — the file-level rewrite primitive behind
+    :func:`maintenance.snapshot_delete` (rewrite only the files a
+    predicate may touch, keep the rest by reference). Entries are
+    trusted verbatim (they come from a manifest read under
+    ``expected_parent``, which this parameter therefore requires);
+    any additive NDV sketch is dropped, since carried+staged no longer
+    describes a pure append.
+
     The commit protocol is stage → claim manifest slot → claim chain
     link (the atomic commit point); a crash before the chain claim
     leaves the staged files invisible and the previous version intact
@@ -311,6 +322,14 @@ def snapshot_commit(
         )
     if mode == "replace_partitions" and not partition_by:
         raise ValueError("replace_partitions requires partition_by=")
+    if carry_files is not None and mode != "overwrite":
+        raise ValueError("carry_files is an overwrite-mode primitive")
+    if carry_files is not None and expected_parent is None:
+        raise ValueError(
+            "carry_files requires expected_parent= (the entries were read "
+            "from a specific parent manifest; a racing commit could have "
+            "replaced them)"
+        )
     root = Path(path)
     (root / _MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
 
@@ -382,6 +401,11 @@ def snapshot_commit(
         version = max([parent, *taken], default=0) + 1
         entries = staged
         table_kmv = kmv
+        if carry_files is not None:
+            entries = list(carry_files) + staged
+            # a carried+staged mix is not a pure append: any additive
+            # sketch no longer describes the table
+            table_kmv = {}
         if mode == "append" and parent:
             prior = json.loads(_manifest_path(root, parent).read_text())
             if prior.get("partition_by") and prior["partition_by"] != partition_by:

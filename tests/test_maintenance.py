@@ -171,3 +171,120 @@ def test_write_zorder_validates_args(spark, tmp_path):
         write_zorder(df, str(tmp_path / "z1"), ["a"])
     with _pytest.raises(ValueError, match="<= 63"):
         write_zorder(df, str(tmp_path / "z2"), ["a", "b"], bits=32)
+
+
+def test_snapshot_delete_rewrites_only_matching_files(spark, tmp_path):
+    """DELETE WHERE prunes at file level: files whose min/max can't
+    contain the key carry over by reference (identical manifest
+    paths), only the touched file is rewritten; time travel still
+    shows the pre-delete rows."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    tbl = str(tmp_path / "del_tbl")
+    # three appends with disjoint id ranges -> three file sets with
+    # disjoint min/max stats
+    for lo in (0, 100, 200):
+        snapshot_commit(
+            spark.range(lo, lo + 100).select(
+                F.col("id"), (F.col("id") % 7).alias("user_id")
+            ).coalesce(1),
+            tbl,
+            mode="append" if lo else "overwrite",
+            stats_cols=["id"],
+        )
+    before = snapshot_manifest(tbl)
+    report = snapshot_delete(spark, tbl, [("id", ">=", 120), ("id", "<=", 130)])
+    assert report["files_rewritten"] == 1
+    assert report["files_carried"] == 2
+    assert report["rows_deleted"] == 11
+    after = snapshot_manifest(tbl, report["version"])
+    # the two untouched files carry over with IDENTICAL manifest paths
+    carried_paths = {e["path"] for e in before["files"]} & {
+        e["path"] for e in after["files"]
+    }
+    assert len(carried_paths) == 2
+    got = snapshot_read(spark, tbl)
+    assert got.count() == 289
+    assert got.filter((F.col("id") >= 120) & (F.col("id") <= 130)).count() == 0
+    # time travel: the pre-delete version still has all 300 rows
+    assert snapshot_read(spark, tbl, version=before["version"]).count() == 300
+
+
+def test_snapshot_delete_no_match_is_noop(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    tbl = str(tmp_path / "del_noop")
+    snapshot_commit(
+        spark.range(50).select(F.col("id")), tbl, stats_cols=["id"]
+    )
+    report = snapshot_delete(spark, tbl, [("id", ">=", 1000)])
+    assert report == {
+        "version": 1,
+        "files_rewritten": 0,
+        "files_carried": report["files_carried"],
+        "rows_deleted": 0,
+    }
+
+
+def test_snapshot_delete_partitioned_touches_one_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    tbl = str(tmp_path / "del_part")
+    snapshot_commit(
+        spark.createDataFrame(
+            [("d1", 1, "alice"), ("d1", 2, "bob"), ("d2", 3, "alice")],
+            ["d", "uid", "name"],
+        ),
+        tbl,
+        partition_by="d",
+    )
+    report = snapshot_delete(
+        spark, tbl, [("d", "=", "d1"), ("name", "=", "alice")]
+    )
+    assert report["rows_deleted"] == 1
+    got = sorted(map(tuple, snapshot_read(spark, tbl).collect()))
+    assert got == [("d1", 2, "bob"), ("d2", 3, "alice")]
+
+
+def test_snapshot_delete_entire_file_contents(spark, tmp_path):
+    """Deleting every row of the touched files leaves a version with
+    only the carried files — no empty-file debris requirement, counts
+    still reconcile."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    tbl = str(tmp_path / "del_all")
+    snapshot_commit(
+        spark.range(0, 10).select(F.col("id")).coalesce(1),
+        tbl, stats_cols=["id"],
+    )
+    snapshot_commit(
+        spark.range(100, 110).select(F.col("id")).coalesce(1),
+        tbl, mode="append", stats_cols=["id"],
+    )
+    report = snapshot_delete(spark, tbl, [("id", "<", 50)])
+    assert report["rows_deleted"] == 10
+    got = snapshot_read(spark, tbl)
+    assert got.count() == 10
+    assert got.agg(F.min("id")).first()[0] == 100
