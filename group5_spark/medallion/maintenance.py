@@ -26,7 +26,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
+__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "table_health"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -429,3 +429,82 @@ def snapshot_delete(
             "files_carried": len(carried),
             "rows_deleted": touched_rows - staged_rows,
         }
+
+
+def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> dict:
+    """Metadata-only health report + maintenance recommendations for a
+    snapshot table — the nightly-ops decision input, priced at a few
+    manifest reads (no SparkSession, no data I/O; the same economics
+    as :func:`plans.advisor.stats_from_snapshot`).
+
+    Checks, each with the WHY in its recommendation string:
+    - **fragmentation**: file count vs ``ceil(bytes/target)`` — small
+      files mean scan tasks + footer reads dominating at scale →
+      ``compact_snapshot``;
+    - **history depth**: versions retained — each is a full file-set
+      reference that blocks physical reclaim → ``snapshot_expire``;
+    - **orphan manifests**: version slots claimed but never chained
+      (crashed writers) — harmless to readers but they hold staged
+      files on disk until expire;
+    - **stats coverage**: files committed without min/max stats can
+      never be pruned → re-commit or compact with ``stats_cols``;
+    - **NDV sketch**: absent KMV means the join advisor falls back to
+      a stats scan → commit with ``ndv_cols`` on the join keys.
+
+    Returns ``{version, files, bytes, avg_file_bytes, versions_retained,
+    orphan_manifests, stats_coverage, recommendations: [...]}``.
+    """
+    import json as _json
+
+    from group5_spark.medallion import snapshots as snap
+
+    root = Path(path)
+    head = snap.snapshot_manifest(path)
+    files = head["files"]
+    nbytes = sum(int(e.get("bytes", 0)) for e in files)
+    needed = max(1, math.ceil(nbytes / target_file_bytes))
+    versions = snap.snapshot_versions(path)
+    chained = {v["version"] for v in versions}
+    all_slots = [
+        int(m.stem[1:]) for m in (root / "_manifests").glob("v*.json")
+    ]
+    orphans = sorted(set(all_slots) - chained)
+    with_stats = sum(1 for e in files if e.get("stats"))
+    recs: list[str] = []
+    if len(files) > max(needed * 2, 4):
+        recs.append(
+            f"compact: {len(files)} files for ~{needed} target-size "
+            f"file(s) — scan tasks and footer reads grow with file "
+            f"count (compact_snapshot)"
+        )
+    if len(versions) > 10:
+        recs.append(
+            f"expire: {len(versions)} versions retained — every "
+            f"version pins its file set on disk (snapshot_expire)"
+        )
+    if orphans:
+        recs.append(
+            f"expire: {len(orphans)} orphan manifest slot(s) from "
+            f"crashed writers hold staged files until reclaimed"
+        )
+    if files and with_stats < len(files):
+        recs.append(
+            f"stats: {len(files) - with_stats}/{len(files)} files "
+            f"lack min/max stats — they can never be manifest-pruned "
+            f"(re-commit with stats_cols)"
+        )
+    if not head.get("kmv"):
+        recs.append(
+            "ndv: no KMV sketch in the head manifest — the join "
+            "advisor cannot plan from metadata (commit with ndv_cols)"
+        )
+    return {
+        "version": head["version"],
+        "files": len(files),
+        "bytes": nbytes,
+        "avg_file_bytes": nbytes // len(files) if files else 0,
+        "versions_retained": len(versions),
+        "orphan_manifests": len(orphans),
+        "stats_coverage": round(with_stats / len(files), 3) if files else 1.0,
+        "recommendations": recs,
+    }

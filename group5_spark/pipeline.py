@@ -196,6 +196,19 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
     elif args.action == "drop-tag":
         snapshot_drop_tag(args.table_path, args.name)
         print(f"dropped tag {args.name!r}")
+    elif args.action == "health":
+        from group5_spark.medallion.maintenance import table_health
+
+        h = table_health(args.table_path)
+        print(
+            f"v{h['version']:05d}: {h['files']} files / "
+            f"{h['bytes'] >> 20} MiB (avg {h['avg_file_bytes'] >> 10} KiB), "
+            f"{h['versions_retained']} versions, "
+            f"{h['orphan_manifests']} orphan manifests, "
+            f"stats coverage {h['stats_coverage']:.0%}"
+        )
+        for rec in h["recommendations"] or ["healthy: nothing to do"]:
+            print(f"  - {rec}")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -234,10 +247,11 @@ def main(argv: list[str] | None = None) -> int:
 
     p_snap = sub.add_parser(
         "snapshot",
-        help="snapshot tables: log / show / expire / tag / drop-tag",
+        help="snapshot tables: log / show / expire / tag / drop-tag / health",
     )
     p_snap.add_argument(
-        "action", choices=["log", "show", "expire", "tag", "drop-tag"]
+        "action",
+        choices=["log", "show", "expire", "tag", "drop-tag", "health"],
     )
     p_snap.add_argument("--table_path", required=True)
     p_snap.add_argument("--version", type=int, default=None,

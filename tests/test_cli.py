@@ -135,3 +135,23 @@ def test_cli_snapshot_tag_roundtrip(spark, tmp_path):
     assert "rows: 3" in shown
     run("snapshot", "drop-tag", "--table_path", path, "--name", "rel")
     assert "tags:" not in run("snapshot", "log", "--table_path", path)
+
+
+def test_cli_snapshot_health_is_metadata_only(spark, tmp_path, capsys):
+    """`snapshot health` prints the census + recommendations without
+    booting a JVM (it goes through the metadata-only fast path)."""
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.pipeline import main as cli_main
+
+    path = str(tmp_path / "health_tbl")
+    for i in range(6):
+        snapshot_commit(
+            spark.range(i * 10, (i + 1) * 10).toDF("id").coalesce(1),
+            path,
+            mode="append" if i else "overwrite",
+        )
+    rc = cli_main(["snapshot", "health", "--table_path", path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "files" in out and "stats coverage" in out
+    assert "compact" in out or "expire" in out or "stats" in out

@@ -288,3 +288,57 @@ def test_snapshot_delete_entire_file_contents(spark, tmp_path):
     got = snapshot_read(spark, tbl)
     assert got.count() == 10
     assert got.agg(F.min("id")).first()[0] == 100
+
+
+def test_table_health_flags_fragmentation_and_heals(spark, tmp_path):
+    """The health report recommends compaction for a fragmented table
+    and goes quiet after compact_snapshot + expire run — the nightly
+    ops loop in miniature, all decisions from metadata only."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot,
+        table_health,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_expire,
+    )
+
+    tbl = str(tmp_path / "health")
+    for i in range(12):  # 12 tiny appends -> 12 versions, 12+ files
+        snapshot_commit(
+            spark.range(i * 10, (i + 1) * 10).select(F.col("id")).coalesce(1),
+            tbl,
+            mode="append" if i else "overwrite",
+        )
+    h = table_health(tbl)
+    assert h["files"] >= 12 and h["versions_retained"] == 12
+    recs = " | ".join(h["recommendations"])
+    assert "compact" in recs and "expire" in recs and "stats" in recs
+    # heal: compact, expire history, re-commit carries stats
+    assert compact_snapshot(spark, tbl, min_files_to_compact=2)
+    snapshot_expire(tbl, keep_last=1, orphan_grace_s=0.0)
+    h2 = table_health(tbl)
+    assert h2["files"] <= 2
+    assert h2["versions_retained"] == 1
+    joined = " | ".join(h2["recommendations"])
+    assert "compact:" not in joined and "expire:" not in joined
+
+
+def test_table_health_stats_and_ndv_coverage(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import table_health
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    tbl = str(tmp_path / "health2")
+    snapshot_commit(
+        spark.range(100).select(F.col("id")),
+        tbl,
+        stats_cols=["id"],
+        ndv_cols=["id"],
+    )
+    h = table_health(tbl)
+    assert h["stats_coverage"] == 1.0
+    assert not any("stats:" in r or "ndv:" in r for r in h["recommendations"])
