@@ -26,7 +26,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "table_health"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
+__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "snapshot_update", "table_health"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -508,3 +508,107 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
         "stats_coverage": round(with_stats / len(files), 3) if files else 1.0,
         "recommendations": recs,
     }
+
+
+def snapshot_update(
+    spark: SparkSession,
+    path: str,
+    predicates: list[tuple],
+    set_exprs: dict,
+) -> dict:
+    """UPDATE ... SET ``set_exprs`` ({col: Column}) WHERE all
+    ``predicates`` hold — the DML sibling of :func:`snapshot_delete`,
+    same file-level economics: only files whose manifest stats can
+    contain matching rows are rewritten (matching rows transformed,
+    non-matching rows copied through unchanged); everything else
+    carries into the new version by reference. Commits under
+    ``expected_parent``; retries on a racing commit.
+
+    Returns ``{version, files_rewritten, files_carried}`` (rows
+    changed is not knowable from footers — an update preserves
+    counts).
+    """
+    import operator as _op
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion import snapshots as snap
+
+    ops = {
+        "=": _op.eq, "<": _op.lt, "<=": _op.le, ">": _op.gt, ">=": _op.ge,
+    }
+    root = Path(path)
+    while True:
+        head = snap.snapshot_manifest(path)
+        version = head["version"]
+        touched_abs, total = snap.prune_files(path, predicates, version)
+        if not touched_abs:
+            return {
+                "version": version,
+                "files_rewritten": 0,
+                "files_carried": total,
+            }
+        touched_rel = {
+            Path(p).relative_to(root).as_posix() for p in touched_abs
+        }
+        carried = [e for e in head["files"] if e["path"] not in touched_rel]
+
+        from pyspark.sql.types import StructType
+
+        schema = (
+            StructType.fromJson(head["schema"])
+            if head.get("schema") is not None
+            else None
+        )
+
+        def reader():
+            r = spark.read
+            return r.schema(schema) if schema is not None else r
+
+        if head.get("partition_by"):
+            by_base: dict[str, list[str]] = {}
+            for p in sorted(touched_abs):
+                by_base.setdefault(
+                    Path(p).relative_to(root).parts[0], []
+                ).append(p)
+            parts = [
+                reader().option("basePath", str(root / b)).parquet(*fs)
+                for b, fs in sorted(by_base.items())
+            ]
+            df = parts[0]
+            for q in parts[1:]:
+                df = df.unionByName(q)
+            if schema is not None:
+                df = df.select(*[f.name for f in schema.fields])
+        else:
+            df = reader().parquet(*sorted(touched_abs))
+
+        matches = F.lit(True)
+        for col, op, val in predicates:
+            matches = matches & ops[op](F.col(col), F.lit(val))
+        updated = df.select(
+            *[
+                F.when(matches, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                if c in set_exprs
+                else F.col(c)
+                for c in df.columns
+            ]
+        )
+        try:
+            new_v = snap.snapshot_commit(
+                updated,
+                path,
+                mode="overwrite",
+                carry_files=carried,
+                expected_parent=version,
+                partition_by=head.get("partition_by"),
+                note={"update_where": [list(p) for p in predicates],
+                      "set_cols": sorted(set_exprs)},
+            )
+        except snap.SnapshotConflict:
+            continue
+        return {
+            "version": new_v,
+            "files_rewritten": len(touched_rel),
+            "files_carried": len(carried),
+        }

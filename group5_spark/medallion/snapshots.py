@@ -57,6 +57,7 @@ __all__ = [
     "snapshot_tags",
     "snapshot_drop_tag",
     "resolve_ref",
+    "resolve_asof",
     "kmv_ndv_estimate",
     "SnapshotConflict",
 ]
@@ -637,20 +638,25 @@ def snapshot_read(
     version: int | None = None,
     predicates: list[tuple] | None = None,
     ref: str | None = None,
+    asof: float | None = None,
 ) -> DataFrame:
     """Read a snapshot (latest by default; ``version=`` time-travels,
-    ``ref=`` reads a named tag), scanning only the files whose
-    manifest stats can match ``predicates``. The predicate is ALSO
-    applied row-level in the plan (manifest pruning is file-granular;
-    the residual filter still pushes down to parquet row groups), so
-    results are exact even when stats are absent."""
+    ``ref=`` reads a named tag, ``asof=`` epoch seconds reads the
+    newest version committed at or before that instant), scanning
+    only the files whose manifest stats can match ``predicates``. The
+    predicate is ALSO applied row-level in the plan (manifest pruning
+    is file-granular; the residual filter still pushes down to
+    parquet row groups), so results are exact even when stats are
+    absent."""
     from pyspark.sql.types import StructType
 
-    if ref is not None and version is not None:
-        raise ValueError("pass version= or ref=, not both")
+    if sum(x is not None for x in (version, ref, asof)) > 1:
+        raise ValueError("pass at most one of version= / ref= / asof=")
     root = Path(path)
     if ref is not None:
         version = resolve_ref(path, ref)
+    if asof is not None:
+        version = resolve_asof(path, asof)
     v = version if version is not None else _current_version(root)
     manifest = json.loads(_manifest_path(root, v).read_text())
     kept, _ = prune_files(path, predicates or [], v)
@@ -774,6 +780,28 @@ def resolve_ref(path: str, ref: str) -> int:
     if ref not in tags:
         raise KeyError(f"unknown ref {ref!r} at {path}; have {sorted(tags)}")
     return tags[ref]
+
+
+def resolve_asof(path: str, ts: float) -> int:
+    """TIMESTAMP AS OF: the newest PUBLISHED version committed at or
+    before ``ts`` (epoch seconds) — "the table as the 02:00 batch saw
+    it" without anyone having tagged that moment. Walks the published
+    lineage (commit timestamps are recorded in each manifest at the
+    atomic chain-link claim), so orphaned manifests from crashed
+    writers never resolve. Raises ValueError when ``ts`` predates the
+    table's first commit."""
+    root = Path(path)
+    best = None
+    for v in _lineage(root, _current_version(root)):
+        m = json.loads(_manifest_path(root, v).read_text())
+        if m.get("ts", 0) <= ts and (best is None or v > best):
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no version at or before ts={ts} at {path} (first commit "
+            "is newer)"
+        )
+    return best
 
 
 def snapshot_expire(

@@ -342,3 +342,76 @@ def test_table_health_stats_and_ndv_coverage(spark, tmp_path):
     h = table_health(tbl)
     assert h["stats_coverage"] == 1.0
     assert not any("stats:" in r or "ndv:" in r for r in h["recommendations"])
+
+
+def test_snapshot_update_rewrites_only_matching_files(spark, tmp_path):
+    """UPDATE WHERE shares the delete's file economics: untouched
+    files carry by reference; matching rows transform, non-matching
+    rows in the same file copy through unchanged."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import snapshot_update
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    tbl = str(tmp_path / "upd_tbl")
+    for lo in (0, 100):
+        snapshot_commit(
+            spark.range(lo, lo + 100).select(
+                F.col("id"), F.lit("active").alias("status")
+            ).coalesce(1),
+            tbl,
+            mode="append" if lo else "overwrite",
+            stats_cols=["id"],
+        )
+    before = snapshot_manifest(tbl)
+    report = snapshot_update(
+        spark, tbl,
+        [("id", ">=", 150)],
+        {"status": F.lit("archived")},
+    )
+    assert report["files_rewritten"] == 1 and report["files_carried"] == 1
+    after = snapshot_manifest(tbl, report["version"])
+    assert len(
+        {e["path"] for e in before["files"]} & {e["path"] for e in after["files"]}
+    ) == 1
+    got = snapshot_read(spark, tbl)
+    assert got.count() == 200  # updates preserve row counts
+    assert got.filter(F.col("status") == "archived").count() == 50
+    # rows in the rewritten file BELOW the predicate copied through
+    assert got.filter(
+        (F.col("id") >= 100) & (F.col("id") < 150)
+        & (F.col("status") == "active")
+    ).count() == 50
+    # time travel still sees the pre-update state
+    old = snapshot_read(spark, tbl, version=before["version"])
+    assert old.filter(F.col("status") == "archived").count() == 0
+
+
+def test_resolve_asof_reads_table_as_of_timestamp(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.snapshots import (
+        resolve_asof,
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    tbl = str(tmp_path / "asof_tbl")
+    snapshot_commit(spark.range(10).toDF("id"), tbl)
+    t1 = snapshot_manifest(tbl)["ts"]
+    snapshot_commit(spark.range(99).toDF("id"), tbl)
+    # an instant between the commits resolves to v1
+    assert resolve_asof(tbl, t1) == 1
+    assert snapshot_read(spark, tbl, asof=t1).count() == 10
+    assert snapshot_read(spark, tbl, asof=t1 + 10**9).count() == 99
+    import pytest
+
+    with pytest.raises(ValueError, match="first commit is newer"):
+        resolve_asof(tbl, 0.0)
+    with pytest.raises(ValueError, match="at most one"):
+        snapshot_read(spark, tbl, version=1, asof=t1)
