@@ -39,6 +39,8 @@ __all__ = [
     "histogram_sketch",
     "histogram_merge",
     "histogram_percentiles",
+    "kmv_set_estimates",
+    "kmv_ndv_estimate_list",
 ]
 
 _HASH_SPACE = float(1 << 56)
@@ -240,3 +242,40 @@ def histogram_percentiles(
     return cum.groupBy(*group_cols).agg(
         *aggs, F.max("total").alias("n_rows")
     )
+
+
+def kmv_set_estimates(
+    h_a: list[int], h_b: list[int], k: int = 256
+) -> dict:
+    """Union / intersection / Jaccard estimates from two stored KMV
+    hash lists (the manifest `kmv` entries) — pure arithmetic on ≤2k
+    ints, no data access.
+
+    Standard KMV set algebra: pool both sketches and keep the k
+    smallest — that IS the sketch of A∪B (pinned for the DataFrame
+    form in tests) — then the fraction of the pooled sketch present
+    in BOTH inputs estimates Jaccard, and intersection ≈ ρ·|A∪B|.
+    When both sketches are non-full they hold their entire distinct
+    hash sets and every figure is exact.
+    """
+    sa, sb = set(h_a), set(h_b)
+    pooled = sorted(sa | sb)[:k]
+    union_est = kmv_ndv_estimate_list(pooled, k)
+    if not pooled:
+        return {"union": 0.0, "intersection": 0.0, "jaccard": 0.0}
+    in_both = sum(1 for h in pooled if h in sa and h in sb)
+    jaccard = in_both / len(pooled)
+    return {
+        "union": union_est,
+        "intersection": jaccard * union_est,
+        "jaccard": jaccard,
+    }
+
+
+def kmv_ndv_estimate_list(hashes: list[int], k: int = 256) -> float:
+    """NDV estimate from a sorted hash list: exact when not full,
+    else ``(k-1)·2⁵⁶/kth`` (mirror of snapshots.kmv_ndv_estimate,
+    importable without the medallion layer)."""
+    if len(hashes) < k:
+        return float(len(hashes))
+    return (k - 1) * _HASH_SPACE / float(hashes[k - 1])

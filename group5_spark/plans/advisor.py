@@ -44,13 +44,19 @@ from group5_spark.operators.skew import salted_join
 @dataclass(frozen=True)
 class TableStats:
     """One table's planning statistics (key-specific fields describe
-    the join key passed to :func:`collect_stats`)."""
+    the join key passed to :func:`collect_stats`).
+
+    ``key_hashes`` optionally carries the key's stored KMV sketch
+    (from a snapshot manifest) — two sketches let the planner
+    estimate join OUTPUT size before running anything, see
+    :func:`estimate_join_rows`."""
 
     rows: int
     bytes_est: int
     key_ndv: int
     top_key: object
     top_key_rows: int
+    key_hashes: tuple = ()
 
     @property
     def top_key_share(self) -> float:
@@ -115,6 +121,37 @@ def _field_width(type_name: str) -> int:
     return 32  # strings/arrays/structs: a deliberate guess
 
 
+def estimate_join_rows(
+    left: TableStats, right: TableStats, k: int = 256
+) -> dict | None:
+    """Pre-execution join OUTPUT-size estimate from the two sides'
+    stored KMV key sketches — pure arithmetic on ≤2k ints, no data
+    access, no Spark.
+
+    KMV set algebra gives |keys_L ∩ keys_R| (exact when the sketches
+    aren't full); under the uniform-multiplicity assumption every CBO
+    makes, expected output rows ≈ |∩| · (rows_L/ndv_L) · (rows_R/ndv_R).
+    The estimate catches the two cases table-size heuristics miss:
+    two huge tables with near-zero key overlap (output tiny — a
+    shuffle join is overkill the moment one side can pre-filter), and
+    modest tables whose keys fully overlap with high multiplicity
+    (output explodes — the real cost is downstream of the join).
+    Returns None when either side lacks a sketch.
+    """
+    if not left.key_hashes or not right.key_hashes:
+        return None
+    from group5_spark.extensions.sketches import kmv_set_estimates
+
+    est = kmv_set_estimates(list(left.key_hashes), list(right.key_hashes), k)
+    mult_l = left.rows / left.key_ndv if left.key_ndv else 0.0
+    mult_r = right.rows / right.key_ndv if right.key_ndv else 0.0
+    return {
+        "key_overlap": est["intersection"],
+        "key_jaccard": est["jaccard"],
+        "rows_est": est["intersection"] * mult_l * mult_r,
+    }
+
+
 def advise_join(
     left: TableStats,
     right: TableStats,
@@ -147,6 +184,13 @@ def advise_join(
     IS outer-join-safe.
     """
     reasons = []
+    card = estimate_join_rows(left, right)
+    if card is not None:
+        reasons.append(
+            f"sketch cardinality: ~{card['key_overlap']:.0f} shared keys "
+            f"(Jaccard {card['key_jaccard']:.0%}) -> "
+            f"~{card['rows_est']:.0f} output rows expected"
+        )
     l_fits = left.bytes_est <= broadcast_bytes
     r_fits = right.bytes_est <= broadcast_bytes
     if l_fits or r_fits:
@@ -251,14 +295,19 @@ def stats_from_snapshot(
     rows = sum(int(e.get("rows", 0)) for e in m["files"])
     disk = sum(int(e["bytes"]) for e in m["files"])
     ndv = 0
+    hashes: tuple = ()
     if key is not None and key in m.get("kmv", {}):
         ndv = int(kmv_ndv_estimate(m["kmv"][key]))
+        # carry the sketch itself: two tables' sketches estimate the
+        # JOIN's key overlap and output size (estimate_join_rows)
+        hashes = tuple(m["kmv"][key])
     return TableStats(
         rows=rows,
         bytes_est=int(disk * bytes_per_disk_byte),
         key_ndv=ndv,
         top_key=None,
         top_key_rows=0,
+        key_hashes=hashes,
     )
 
 

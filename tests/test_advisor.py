@@ -333,3 +333,60 @@ def test_stat_join_salt_column_materializes_in_plan(spark):
     assert advice.strategy == "salted"
     plan = I.formatted_plan(joined)
     assert SALT_COL in plan
+
+
+# ----------------- sketch-based join cardinality ---------------------
+
+
+def test_kmv_set_estimates_exact_when_not_full():
+    """Non-full sketches hold their whole hash sets — union,
+    intersection, and Jaccard are exact."""
+    from group5_spark.extensions.sketches import kmv_set_estimates
+
+    a = list(range(1, 101))          # 100 "hashes"
+    b = list(range(61, 161))         # overlap = 40
+    est = kmv_set_estimates(a, b, k=256)
+    assert est["union"] == 160.0
+    assert est["intersection"] == 40.0
+    assert abs(est["jaccard"] - 40 / 160) < 1e-12
+    # disjoint and identical edges
+    assert kmv_set_estimates(a, [1000, 1001], k=256)["intersection"] == 0.0
+    same = kmv_set_estimates(a, a, k=256)
+    assert same["intersection"] == 100.0 and same["jaccard"] == 1.0
+
+
+def test_estimate_join_rows_from_snapshot_sketches(spark, tmp_path):
+    """Two snapshot tables' manifest sketches predict the join output
+    within sketch error — no data read at planning time."""
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import (
+        estimate_join_rows,
+        stats_from_snapshot,
+    )
+
+    left = str(tmp_path / "je_left")
+    right = str(tmp_path / "je_right")
+    # left: keys 0..199, 3 rows per key; right: keys 100..299, 2 rows/key
+    ldf = spark.range(600).select((F.col("id") % 200).alias("k"))
+    rdf = spark.range(400).select(((F.col("id") % 200) + 100).alias("k"))
+    snapshot_commit(ldf, left, ndv_cols=["k"])
+    snapshot_commit(rdf, right, ndv_cols=["k"])
+    ls = stats_from_snapshot(left, key="k")
+    rs = stats_from_snapshot(right, key="k")
+    assert ls.key_hashes and rs.key_hashes
+    card = estimate_join_rows(ls, rs)
+    actual = ldf.join(rdf, "k").count()  # 100 shared keys * 3 * 2 = 600
+    assert actual == 600
+    # k=256 sketches over 200/300 keys are full -> estimates, not exact;
+    # allow generous sketch error (3 sigma ~ 20%) plus multiplicity
+    assert abs(card["rows_est"] - actual) / actual < 0.35
+    assert abs(card["key_overlap"] - 100) / 100 < 0.35
+    # the estimate reaches advise_join's reasons
+    a = advise_join(ls, rs)
+    assert any("sketch cardinality" in r for r in a.reasons)
+
+
+def test_estimate_join_rows_none_without_sketches():
+    from group5_spark.plans.advisor import estimate_join_rows
+
+    assert estimate_join_rows(st(10, 10), st(10, 10)) is None
