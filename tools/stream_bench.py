@@ -63,11 +63,16 @@ def drain(df, name: str, mode: str = "append") -> int:
     return seen["rows"]
 
 
+def _doc_stream(spark, docs_dir: str):
+    schema = "doc_id long, text string, lang string, source string, n_chars long"
+    return spark.readStream.schema(schema).parquet(f"{docs_dir}/documents.parquet")
+
+
 def shapes(spark, sf_dir: str) -> dict:
     from group5_spark.streaming import jobs
 
     ev = lambda: _stream(spark, sf_dir)  # noqa: E731
-    return {
+    out = {
         "windowed_counts": lambda: jobs.windowed_event_counts(
             ev(), ts_col="event_ts", window="1 hour", watermark="2 hours"
         ),
@@ -79,6 +84,27 @@ def shapes(spark, sf_dir: str) -> dict:
         ),
         "heavy_hitters": lambda: jobs.heavy_hitters_stateful(ev(), k=8),
     }
+    # corpus-dedup drain over the replica-distinct documents ladder
+    # (xd dirs): the streamed batch anti-joins the 1x corpus's
+    # fingerprints per micro-batch — only 32-char hashes join
+    docs_dir = sf_dir.replace("/x", "/xd")
+    if os.path.exists(f"{docs_dir}/documents.parquet") and os.path.exists(
+        f"{SCALE_ROOT}/xd001/documents.parquet"
+    ):
+        from pyspark.sql import functions as F
+
+        corpus = (
+            spark.read.parquet(f"{SCALE_ROOT}/xd001/documents.parquet")
+            .select(
+                F.md5(
+                    F.lower(F.trim(F.regexp_replace("text", "\\s+", " ")))
+                ).alias("fingerprint")
+            )
+        )
+        out["dedup_vs_corpus"] = lambda: jobs.stream_dedup_vs_corpus(
+            _doc_stream(spark, docs_dir), corpus, text_col="text"
+        )
+    return out
 
 
 MODES = {"heavy_hitters": "update"}
@@ -98,8 +124,14 @@ def main() -> None:
 
     for n in scales:
         sf_dir = f"{SCALE_ROOT}/x{n:03d}"
-        rows_in = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+        rows_in_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
         for name, build in shapes(spark, sf_dir).items():
+            if name == "dedup_vs_corpus":
+                rows_in = spark.read.parquet(
+                    f"{SCALE_ROOT}/xd{n:03d}/documents.parquet"
+                ).count()
+            else:
+                rows_in = rows_in_events
             start = time.perf_counter()
             rows_out = drain(build(), name, MODES.get(name, "append"))
             sec = time.perf_counter() - start
