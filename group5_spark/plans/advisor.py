@@ -72,6 +72,13 @@ class JoinAdvice:
     #: SALTED side; the other side gets replicated n_salts times.
     #: Salting the wrong side would replicate the hot rows everywhere.
     skew_side: str = "left"
+    #: dynamic-filtering: 'left'/'right' names the side to PRE-FILTER
+    #: with a broadcast semi-join on the other side's distinct keys
+    #: before the shuffle join — chosen when neither side's ROWS fit
+    #: the broadcast budget but the smaller side's KEY SET does, and
+    #: the key sketches show most of the big side's keys won't
+    #: survive the join anyway. None = no prefilter.
+    prefilter_side: str | None = None
 
 
 def collect_stats(df: DataFrame, key: str, row_bytes: int = 0) -> TableStats:
@@ -210,6 +217,35 @@ def advise_join(
         f"no side fits broadcast ({left.bytes_est >> 20}/"
         f"{right.bytes_est >> 20} MiB)"
     )
+
+    # Dynamic filtering (Trino's term): rows don't fit the budget, but
+    # the smaller side's DISTINCT KEY SET (ndv × 8 bytes) might — and
+    # when the sketches say most of the big side's keys have no match,
+    # a broadcast semi-join on those keys prunes the big side BEFORE
+    # its shuffle. Inner-only (a pre-filter drops exactly the rows an
+    # inner join would drop; an outer join must keep them).
+    prefilter_side = None
+    if how == "inner" and card is not None:
+        small, big, big_name = (
+            (left, right, "right")
+            if left.key_ndv and (left.key_ndv <= (right.key_ndv or 2**63))
+            else (right, left, "left")
+        )
+        keyset_bytes = small.key_ndv * 8
+        surviving = card["key_overlap"] / big.key_ndv if big.key_ndv else 1.0
+        if (
+            small.key_ndv
+            and keyset_bytes <= broadcast_bytes
+            and surviving <= 0.5
+        ):
+            prefilter_side = big_name
+            reasons.append(
+                f"dynamic filter: {big_name} side keeps only "
+                f"~{surviving:.0%} of its keys after the join; the other "
+                f"side's {small.key_ndv} distinct keys "
+                f"(~{keyset_bytes >> 20} MiB) fit the broadcast budget — "
+                f"semi-filter {big_name} before its shuffle"
+            )
     if share >= skew_share:
         if how != "inner":
             reasons.append(
@@ -234,7 +270,11 @@ def advise_join(
         f"max hot-key share {share:.1%} under {skew_share:.0%}; "
         "plain shuffle + AQE skew split"
     )
-    return JoinAdvice(strategy="shuffle", reasons=tuple(reasons))
+    return JoinAdvice(
+        strategy="shuffle",
+        reasons=tuple(reasons),
+        prefilter_side=prefilter_side,
+    )
 
 
 def planned_join(
@@ -245,6 +285,16 @@ def planned_join(
     how: str = "inner",
 ) -> DataFrame:
     """Apply a :func:`advise_join` decision to an equi-join."""
+    if advice.prefilter_side and how == "inner":
+        # dynamic filter: broadcast the other side's distinct keys and
+        # semi-join the big side before it shuffles — inner-join-
+        # preserving by definition of the semi-join
+        if advice.prefilter_side == "left":
+            keys = F.broadcast(right.select(on).distinct())
+            left = left.join(keys, on=on, how="left_semi")
+        else:
+            keys = F.broadcast(left.select(on).distinct())
+            right = right.join(keys, on=on, how="left_semi")
     if advice.strategy == "broadcast_left":
         return F.broadcast(left).join(right, on=on, how=how)
     if advice.strategy == "broadcast_right":

@@ -390,3 +390,65 @@ def test_estimate_join_rows_none_without_sketches():
     from group5_spark.plans.advisor import estimate_join_rows
 
     assert estimate_join_rows(st(10, 10), st(10, 10)) is None
+
+
+# --------------------- dynamic filtering (prefilter) -----------------
+
+
+def _sketch_of(vals):
+    """Fake 'hash list' for tests: non-full sketches are exact, so any
+    distinct ints work as KMV hashes."""
+    return tuple(sorted(vals))
+
+
+def test_advise_prefilters_low_overlap_shuffle_join():
+    """Neither side broadcasts, the small side's key set does, and
+    sketches show <50% of the big side's keys survive -> dynamic
+    filter on the big side; full-overlap pairs must NOT prefilter."""
+    # non-full sketches (<256 hashes) make every KMV figure exact:
+    # small holds keys {0..99}, big {0,2,...,398} -> overlap 50 keys,
+    # i.e. 25% of big's 200 keys survive the join
+    small = TableStats(
+        rows=10**8, bytes_est=400 * MB, key_ndv=100,
+        top_key=None, top_key_rows=0,
+        key_hashes=_sketch_of(range(100)),
+    )
+    big = TableStats(
+        rows=10**9, bytes_est=4000 * MB, key_ndv=200,
+        top_key=None, top_key_rows=0,
+        key_hashes=_sketch_of(range(0, 400, 2)),
+    )
+    a = advise_join(small, big)
+    assert a.strategy == "shuffle" and a.prefilter_side == "right"
+    assert any("dynamic filter" in r for r in a.reasons)
+    # symmetric: big on the left -> filter the left
+    assert advise_join(big, small).prefilter_side == "left"
+    # full overlap -> nothing to prune -> no prefilter
+    twin = TableStats(
+        rows=10**9, bytes_est=4000 * MB, key_ndv=100,
+        top_key=None, top_key_rows=0,
+        key_hashes=_sketch_of(range(100)),
+    )
+    assert advise_join(small, twin).prefilter_side is None
+    # outer joins never prefilter (would drop preserved-side rows)
+    assert advise_join(small, big, how="left").prefilter_side is None
+
+
+def test_planned_join_prefilter_matches_plain_join(spark):
+    """The dynamic filter is a pure plan optimization: results equal
+    the plain inner join, and the plan contains the broadcast
+    semi-join ahead of the main join."""
+    left = spark.createDataFrame(
+        [(k, k * 10) for k in range(5)], "k: long, v: long"
+    )
+    right = spark.createDataFrame(
+        [(k, k * 100) for k in range(3, 1000)], "k: long, w: long"
+    )
+    advice = JoinAdvice(strategy="shuffle", prefilter_side="right")
+    got = planned_join(left, right, "k", advice)
+    want = left.join(right, "k")
+    assert sorted(map(tuple, got.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    plan = I.formatted_plan(got)
+    assert "LeftSemi" in plan
