@@ -81,7 +81,9 @@ class JoinAdvice:
     prefilter_side: str | None = None
 
 
-def collect_stats(df: DataFrame, key: str, row_bytes: int = 0) -> TableStats:
+def collect_stats(
+    df: DataFrame, key: str, row_bytes: int = 0, with_sketch: bool = False
+) -> TableStats:
     """One-pass table statistics for planning a join on ``key``.
 
     Row count, NDV (HLL++, ±5% default rsd), and the heaviest key's
@@ -91,6 +93,12 @@ def collect_stats(df: DataFrame, key: str, row_bytes: int = 0) -> TableStats:
     ``bytes_est`` is rows × ``row_bytes`` when given, else Spark's
     schema-width default — both deliberately crude: broadcast budgets
     need order-of-magnitude sizes, not perfection.
+
+    ``with_sketch`` additionally collects the key's KMV sketch (one
+    WindowGroupLimit pass, ≤256 driver-side ints) so
+    :func:`estimate_join_rows` and the dynamic-filter rule work even
+    without a snapshot manifest — skip it when the table already
+    carries write-time sketches (``stats_from_snapshot`` is free).
     """
     per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
     row = (
@@ -106,12 +114,23 @@ def collect_stats(df: DataFrame, key: str, row_bytes: int = 0) -> TableStats:
         _field_width(f.dataType.simpleString()) for f in df.schema.fields
     )
     rows = row["rows"] or 0
+    hashes: tuple = ()
+    if with_sketch:
+        from group5_spark.extensions.sketches import kmv_sketch
+
+        hashes = tuple(
+            sorted(
+                int(r["hv"])
+                for r in kmv_sketch(df, key, k=256).select("hv").collect()
+            )
+        )
     return TableStats(
         rows=rows,
         bytes_est=rows * width,
         key_ndv=row["ndv"] or 0,
         top_key=row["top_key"],
         top_key_rows=row["top_rows"] or 0,
+        key_hashes=hashes,
     )
 
 

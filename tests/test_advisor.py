@@ -452,3 +452,21 @@ def test_planned_join_prefilter_matches_plain_join(spark):
     )
     plan = I.formatted_plan(got)
     assert "LeftSemi" in plan
+
+
+def test_collect_stats_with_sketch_enables_cardinality(spark):
+    """with_sketch=True lets live frames (no manifest) use the same
+    join-cardinality machinery as snapshot tables."""
+    from group5_spark.plans.advisor import estimate_join_rows
+
+    a = spark.range(300).select((F.col("id") % 100).alias("k"))
+    b = spark.range(200).select(((F.col("id") % 100) + 50).alias("k"))
+    sa = collect_stats(a, "k", with_sketch=True)
+    sb = collect_stats(b, "k", with_sketch=True)
+    assert len(sa.key_hashes) == 100 and len(sb.key_hashes) == 100
+    card = estimate_join_rows(sa, sb)
+    # 50 shared keys x 3 rows/key x 2 rows/key = 300, exact (sketches
+    # not full)
+    assert card["key_overlap"] == 50.0
+    assert card["rows_est"] == 300.0
+    assert a.join(b, "k").count() == 300
