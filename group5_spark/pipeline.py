@@ -150,6 +150,24 @@ def cmd_maintain(args: argparse.Namespace, spark: SparkSession) -> None:
         print("nothing to compact")
 
 
+def _parse_predicate(spec: str) -> tuple:
+    """``col<=value`` → (col, op, typed value). Ops: = < <= > >=.
+    Values parse as int, then float, else stay strings — matching the
+    manifest stats' native types so pruning compares like with like."""
+    import re
+
+    m = re.match(r"^\s*(\w+)\s*(<=|>=|=|<|>)\s*(.+?)\s*$", spec)
+    if not m:
+        raise SystemExit(f"cannot parse --where {spec!r} (want col<op>value)")
+    col, op, raw = m.groups()
+    for cast in (int, float):
+        try:
+            return (col, op, cast(raw))
+        except ValueError:
+            continue
+    return (col, op, raw.strip("'\""))
+
+
 def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
     from group5_spark.medallion.snapshots import (
         snapshot_expire,
@@ -196,6 +214,18 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
     elif args.action == "drop-tag":
         snapshot_drop_tag(args.table_path, args.name)
         print(f"dropped tag {args.name!r}")
+    elif args.action == "delete":
+        from group5_spark.medallion.maintenance import snapshot_delete
+
+        preds = [_parse_predicate(w) for w in args.where]
+        if not preds:
+            raise SystemExit("snapshot delete requires at least one --where")
+        out = snapshot_delete(spark, args.table_path, preds)
+        print(
+            f"v{out['version']:05d}: deleted {out['rows_deleted']} rows, "
+            f"rewrote {out['files_rewritten']} file(s), carried "
+            f"{out['files_carried']} untouched"
+        )
     elif args.action == "health":
         from group5_spark.medallion.maintenance import table_health
 
@@ -247,11 +277,23 @@ def main(argv: list[str] | None = None) -> int:
 
     p_snap = sub.add_parser(
         "snapshot",
-        help="snapshot tables: log / show / expire / tag / drop-tag / health",
+        help=(
+            "snapshot tables: log / show / expire / tag / drop-tag / "
+            "health / delete"
+        ),
     )
     p_snap.add_argument(
         "action",
-        choices=["log", "show", "expire", "tag", "drop-tag", "health"],
+        choices=[
+            "log", "show", "expire", "tag", "drop-tag", "health", "delete",
+        ],
+    )
+    p_snap.add_argument(
+        "--where",
+        action="append",
+        default=[],
+        help="delete predicate col<op>value (repeatable, ANDed); "
+        "ops: = < <= > >=",
     )
     p_snap.add_argument("--table_path", required=True)
     p_snap.add_argument("--version", type=int, default=None,
@@ -287,9 +329,11 @@ def main(argv: list[str] | None = None) -> int:
         cmd_generate(args)
         return 0
 
-    if args.command == "snapshot" and args.action != "show":
-        # metadata-only actions (log / expire / tag / drop-tag) read and
-        # write manifests, never data — no reason to boot a JVM
+    if args.command == "snapshot" and args.action not in ("show", "delete"):
+        # metadata-only actions (log / expire / tag / drop-tag / health)
+        # read and write manifests, never data — no reason to boot a
+        # JVM; show reads data and delete rewrites files, so they fall
+        # through to the Spark path
         cmd_snapshot(args, spark=None)
         return 0
 

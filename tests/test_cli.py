@@ -155,3 +155,33 @@ def test_cli_snapshot_health_is_metadata_only(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "files" in out and "stats coverage" in out
     assert "compact" in out or "expire" in out or "stats" in out
+
+
+def test_cli_snapshot_delete_where(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.snapshots import snapshot_commit, snapshot_read
+
+    path = str(tmp_path / "cli_del")
+    snapshot_commit(
+        spark.range(100).select(F.col("id")), path, stats_cols=["id"]
+    )
+    # subprocess, NOT in-process main(): the delete path boots a Spark
+    # session and stops it on exit (shared-JVM caveat, see
+    # test_cli_maintain_compacts)
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline",
+         "--master", "local[4]",
+         "snapshot", "delete", "--table_path", path,
+         "--where", "id>=90"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "deleted 10 rows" in out.stdout
+    assert snapshot_read(spark, path).count() == 90
+    # predicate parser: typed values and op variants
+    from group5_spark.pipeline import _parse_predicate
+
+    assert _parse_predicate("id>=90") == ("id", ">=", 90)
+    assert _parse_predicate("price<1.5") == ("price", "<", 1.5)
+    assert _parse_predicate("name='alice'") == ("name", "=", "alice")
