@@ -26,7 +26,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "snapshot_update", "table_health"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
+__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "snapshot_update", "table_health", "compact_snapshot_partitions"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -611,4 +611,118 @@ def snapshot_update(
             "version": new_v,
             "files_rewritten": len(touched_rel),
             "files_carried": len(carried),
+        }
+
+
+def compact_snapshot_partitions(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    min_files_to_compact: int = 2,
+) -> dict:
+    """Partition-scoped compaction for snapshot tables: rewrite ONLY
+    the partitions whose file count exceeds their target-size need;
+    every healthy partition's files carry into the new version by
+    reference. The 100 TB correction to :func:`compact_snapshot`'s
+    whole-table rewrite — a streaming sink that fragments today's
+    partition triggers a rewrite priced at today's volume, not the
+    table's. Unpartitioned tables fall back to
+    :func:`compact_snapshot`.
+
+    Same commit discipline as the DML ops: OCC under
+    ``expected_parent`` (a racing append retries the whole
+    read-rewrite-commit), time travel intact, old files reclaimed by
+    ``snapshot_expire``. Returns ``{}`` when healthy, else
+    ``{version, partitions_compacted, files_before, files_after}``.
+    """
+    from group5_spark.medallion import snapshots as snap
+
+    root = Path(path)
+    while True:
+        head = snap.snapshot_manifest(path)
+        part_col = head.get("partition_by")
+        if not part_col:
+            out = compact_snapshot(
+                spark, path,
+                target_file_bytes=target_file_bytes,
+                min_files_to_compact=min_files_to_compact,
+            )
+            if out:
+                out.setdefault("partitions_compacted", 1)
+            return out
+        by_part: dict = {}
+        for e in head["files"]:
+            by_part.setdefault(e.get("partition"), []).append(e)
+        fragmented = {}
+        for part, entries in by_part.items():
+            nbytes = sum(int(e.get("bytes", 0)) for e in entries)
+            needed = max(1, math.ceil(nbytes / target_file_bytes))
+            if len(entries) > max(needed, min_files_to_compact):
+                fragmented[part] = (entries, needed)
+        if not fragmented:
+            return {}
+        carried = [
+            e
+            for part, entries in by_part.items()
+            if part not in fragmented
+            for e in entries
+        ]
+        from pyspark.sql.types import StructType
+
+        schema = (
+            StructType.fromJson(head["schema"])
+            if head.get("schema") is not None
+            else None
+        )
+        pieces = []
+        for part, (entries, needed) in sorted(fragmented.items()):
+            by_base: dict[str, list[str]] = {}
+            for e in entries:
+                by_base.setdefault(Path(e["path"]).parts[0], []).append(
+                    str(root / e["path"])
+                )
+            dfs = []
+            for b, fs in sorted(by_base.items()):
+                r = spark.read
+                if schema is not None:
+                    r = r.schema(schema)
+                dfs.append(
+                    r.option("basePath", str(root / b)).parquet(*fs)
+                )
+            df = dfs[0]
+            for d in dfs[1:]:
+                df = df.unionByName(d)
+            pieces.append(df.coalesce(needed))
+        rewritten = pieces[0]
+        for p in pieces[1:]:
+            rewritten = rewritten.unionByName(p)
+        if schema is not None:
+            rewritten = rewritten.select(*[f.name for f in schema.fields])
+        try:
+            v = snap.snapshot_commit(
+                rewritten,
+                path,
+                mode="overwrite",
+                carry_files=carried,
+                expected_parent=head["version"],
+                partition_by=part_col,
+                note={
+                    "compaction": "partitions",
+                    "partitions": sorted(map(str, fragmented)),
+                },
+            )
+        except snap.SnapshotConflict:
+            continue
+        files_before = sum(len(e) for e, _ in fragmented.values())
+        new_files = snap.snapshot_manifest(path, v)["files"]
+        carried_paths = {e["path"] for e in carried}
+        files_after = sum(
+            1 for e in new_files if e["path"] not in carried_paths
+        )
+        return {
+            "version": v,
+            "partitions_compacted": len(fragmented),
+            "files_before": files_before,
+            "files_after": files_after,
         }

@@ -415,3 +415,48 @@ def test_resolve_asof_reads_table_as_of_timestamp(spark, tmp_path):
         resolve_asof(tbl, 0.0)
     with pytest.raises(ValueError, match="at most one"):
         snapshot_read(spark, tbl, version=1, asof=t1)
+
+
+def test_compact_snapshot_partitions_rewrites_only_fragmented(spark, tmp_path):
+    """Ten tiny commits into day d1 fragment it; day d2 stays healthy.
+    Partition-scoped compaction rewrites d1 into few files while d2's
+    file entries carry into the new version with identical paths —
+    and time travel still reads the pre-compaction layout."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_partitions,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    tbl = str(tmp_path / "cpart")
+    snapshot_commit(
+        spark.createDataFrame([("d2", 0, 0.0)], ["d", "id", "v"]),
+        tbl,
+        partition_by="d",
+    )
+    for i in range(10):
+        snapshot_commit(
+            spark.createDataFrame([("d1", i, float(i))], ["d", "id", "v"]),
+            tbl,
+            mode="append",
+            partition_by="d",
+        )
+    before = snapshot_manifest(tbl)
+    d2_paths = {e["path"] for e in before["files"] if e["partition"] == "d2"}
+    out = compact_snapshot_partitions(spark, tbl, min_files_to_compact=2)
+    assert out["partitions_compacted"] == 1
+    assert out["files_before"] >= 10 and out["files_after"] < out["files_before"]
+    after = snapshot_manifest(tbl, out["version"])
+    # d2 carried by reference
+    assert d2_paths <= {e["path"] for e in after["files"]}
+    got = sorted(map(tuple, snapshot_read(spark, tbl).collect()))
+    assert len(got) == 11 and ("d2", 0, 0.0) in got
+    # pre-compaction version intact
+    assert snapshot_read(spark, tbl, version=before["version"]).count() == 11
+    # second run: healthy -> no-op
+    assert compact_snapshot_partitions(spark, tbl, min_files_to_compact=2) == {}
