@@ -475,7 +475,8 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
         recs.append(
             f"compact: {len(files)} files for ~{needed} target-size "
             f"file(s) — scan tasks and footer reads grow with file "
-            f"count (compact_snapshot)"
+            f"count (compact_snapshot_partitions for partitioned "
+            f"tables, compact_snapshot otherwise)"
         )
     if len(versions) > 10:
         recs.append(
