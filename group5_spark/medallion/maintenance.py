@@ -355,16 +355,18 @@ def snapshot_delete(
                 "files_carried": total,
                 "rows_deleted": 0,
             }
-        touched_rel = {
-            Path(p).relative_to(root).as_posix() for p in touched_abs
-        }
-        carried = [
-            e for e in head["files"] if e["path"] not in touched_rel
-        ]
+        # match by absolute path: a CLONED table's entries are already
+        # absolute (into the source table), so relative_to would throw
+        touched_set = {str(Path(p)) for p in touched_abs}
+
+        def _abs(e: dict) -> str:
+            return str(root / e["path"])
+
+        carried = [e for e in head["files"] if _abs(e) not in touched_set]
         touched_rows = sum(
             int(e.get("rows", 0))
             for e in head["files"]
-            if e["path"] in touched_rel
+            if _abs(e) in touched_set
         )
 
         # read ONLY the touched files (same basePath-per-staging-dir
@@ -384,11 +386,18 @@ def snapshot_delete(
         if head.get("partition_by"):
             by_base: dict[str, list[str]] = {}
             for p in sorted(touched_abs):
-                by_base.setdefault(
-                    Path(p).relative_to(root).parts[0], []
-                ).append(p)
+                fp = Path(p)
+                try:
+                    b = str(root / fp.relative_to(root).parts[0])
+                except ValueError:  # cloned (absolute) entry
+                    b = str(
+                        fp.parent.parent
+                        if "=" in fp.parent.name
+                        else fp.parent
+                    )
+                by_base.setdefault(b, []).append(p)
             parts = [
-                reader().option("basePath", str(root / b)).parquet(*fs)
+                reader().option("basePath", b).parquet(*fs)
                 for b, fs in sorted(by_base.items())
             ]
             df = parts[0]
@@ -425,7 +434,7 @@ def snapshot_delete(
         )
         return {
             "version": new_v,
-            "files_rewritten": len(touched_rel),
+            "files_rewritten": len(touched_set),
             "files_carried": len(carried),
             "rows_deleted": touched_rows - staged_rows,
         }
@@ -549,10 +558,12 @@ def snapshot_update(
                 "files_rewritten": 0,
                 "files_carried": total,
             }
-        touched_rel = {
-            Path(p).relative_to(root).as_posix() for p in touched_abs
-        }
-        carried = [e for e in head["files"] if e["path"] not in touched_rel]
+        touched_set = {str(Path(p)) for p in touched_abs}
+
+        def _abs(e: dict) -> str:
+            return str(root / e["path"])
+
+        carried = [e for e in head["files"] if _abs(e) not in touched_set]
 
         from pyspark.sql.types import StructType
 
@@ -569,11 +580,18 @@ def snapshot_update(
         if head.get("partition_by"):
             by_base: dict[str, list[str]] = {}
             for p in sorted(touched_abs):
-                by_base.setdefault(
-                    Path(p).relative_to(root).parts[0], []
-                ).append(p)
+                fp = Path(p)
+                try:
+                    b = str(root / fp.relative_to(root).parts[0])
+                except ValueError:  # cloned (absolute) entry
+                    b = str(
+                        fp.parent.parent
+                        if "=" in fp.parent.name
+                        else fp.parent
+                    )
+                by_base.setdefault(b, []).append(p)
             parts = [
-                reader().option("basePath", str(root / b)).parquet(*fs)
+                reader().option("basePath", b).parquet(*fs)
                 for b, fs in sorted(by_base.items())
             ]
             df = parts[0]
@@ -610,7 +628,7 @@ def snapshot_update(
             continue
         return {
             "version": new_v,
-            "files_rewritten": len(touched_rel),
+            "files_rewritten": len(touched_set),
             "files_carried": len(carried),
         }
 

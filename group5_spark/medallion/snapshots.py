@@ -54,6 +54,7 @@ __all__ = [
     "latest_note",
     "last_committed_batch",
     "snapshot_tag",
+    "snapshot_clone",
     "snapshot_tags",
     "snapshot_drop_tag",
     "resolve_ref",
@@ -690,10 +691,19 @@ def snapshot_read(
         # typically touch one or two.
         by_base: dict[str, list[str]] = {}
         for f in kept:
-            base = Path(f).relative_to(root).parts[0]
+            fp = Path(f)
+            try:
+                base = str(root / fp.relative_to(root).parts[0])
+            except ValueError:
+                # cloned entry: an absolute path into the SOURCE table —
+                # its own staging dir (above the col=value dir) is the
+                # basePath that lets Spark reconstruct the partition col
+                base = str(
+                    fp.parent.parent if "=" in fp.parent.name else fp.parent
+                )
             by_base.setdefault(base, []).append(f)
         parts = [
-            make_reader().option("basePath", str(root / b)).parquet(*fs)
+            make_reader().option("basePath", b).parquet(*fs)
             for b, fs in sorted(by_base.items())
         ]
         df = parts[0]
@@ -804,6 +814,68 @@ def resolve_asof(path: str, ts: float) -> int:
     return best
 
 
+def snapshot_clone(
+    src_path: str,
+    dst_path: str,
+    version: int | None = None,
+    ref: str | None = None,
+) -> int:
+    """Zero-copy clone (Delta SHALLOW CLONE / Iceberg snapshot ref):
+    create a NEW snapshot table whose v1 manifest references the
+    source's data files by absolute path — no bytes move, so cloning
+    a 100 TB table costs one manifest write. The clone then lives its
+    own life: appends/DML/compaction land in the clone's root (the
+    file-pruned DML carries foreign files by reference and rewrites
+    locally), its history is independent, and its ``snapshot_expire``
+    never reaches the source's files (containment-guarded) — the
+    source's own expire remains the single owner of those bytes.
+
+    The operational pattern this enables: branch production data for
+    an experiment, mutate freely, drop the clone — all without
+    copying or endangering the source. Clones of clones work (paths
+    are already absolute). Caveat, documented not hidden: expiring
+    the SOURCE below the cloned version deletes files the clone still
+    references — pin the cloned version with :func:`snapshot_tag` on
+    the source for the clone's lifetime.
+
+    Returns the clone's version (always 1).
+    """
+    src_root = Path(src_path)
+    if ref is not None and version is not None:
+        raise ValueError("pass version= or ref=, not both")
+    if ref is not None:
+        version = resolve_ref(src_path, ref)
+    m = snapshot_manifest(src_path, version)
+    entries = [
+        dict(e, path=str((src_root / e["path"]).resolve()))
+        for e in m["files"]
+    ]
+    root = Path(dst_path)
+    (root / _MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
+    if _current_version(root):
+        raise ValueError(f"clone target {dst_path} is already a table")
+    manifest = {
+        "version": 1,
+        "parent": 0,
+        "ts": time.time(),
+        "schema": m.get("schema"),
+        "note": {
+            "cloned_from": str(src_root.resolve()),
+            "src_version": m["version"],
+        },
+        "files": entries,
+    }
+    if m.get("partition_by"):
+        manifest["partition_by"] = m["partition_by"]
+    if m.get("kmv"):
+        manifest["kmv"] = m["kmv"]
+    with open(_manifest_path(root, 1), "x") as f:
+        f.write(json.dumps(manifest, indent=1))
+    with open(_chain_path(root, 0), "x") as f:
+        f.write("1")
+    return 1
+
+
 def snapshot_expire(
     path: str, keep_last: int = 1, orphan_grace_s: float = 300.0
 ) -> dict:
@@ -859,8 +931,15 @@ def snapshot_expire(
         except (ValueError, json.JSONDecodeError, KeyError):
             entries = []
         for e in entries:
-            if e["path"] not in live and (root / e["path"]).exists():
-                (root / e["path"]).unlink()
+            p = root / e["path"]
+            # containment guard: a CLONED table's entries reference the
+            # SOURCE table's files by absolute path — expire on the
+            # clone must never reach outside its own root (the source
+            # owns those bytes; its own expire reclaims them)
+            if not p.resolve().is_relative_to(root.resolve()):
+                continue
+            if e["path"] not in live and p.exists():
+                p.unlink()
                 deleted += 1
         m.unlink()
         # NOTE: the dropped version's outgoing chain link (c<v>) is

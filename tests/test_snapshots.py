@@ -628,3 +628,70 @@ def test_ivm_tracks_replace_partitions_via_file_diff(spark, tmp_path):
         for r in snapshot_read(spark, mv).collect()
     }
     assert got == {"d1": (5.0, 1), "d2": (30.0, 1)}
+
+
+def test_snapshot_clone_zero_copy_and_independent(spark, tmp_path):
+    """A clone reads identically to its source version without
+    copying bytes; appends/deletes on the clone never touch the
+    source, and expire on the clone never deletes source files."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.snapshots import (
+        snapshot_clone,
+        snapshot_expire,
+        snapshot_manifest,
+    )
+
+    src = str(tmp_path / "clone_src")
+    dst = str(tmp_path / "clone_dst")
+    snapshot_commit(
+        spark.range(100).select(F.col("id")).coalesce(2),
+        src, stats_cols=["id"],
+    )
+    src_files_before = sorted(
+        p for p in Path(src).rglob("*.parquet")
+    )
+    v = snapshot_clone(src, dst)
+    assert v == 1
+    # zero copy: no parquet landed under the clone's root
+    assert not list(Path(dst).rglob("*.parquet"))
+    assert snapshot_read(spark, dst).count() == 100
+    # clone evolves independently: append + file-pruned delete
+    snapshot_commit(
+        spark.range(100, 110).select(F.col("id")), dst,
+        mode="append", stats_cols=["id"],
+    )
+    report = snapshot_delete(spark, dst, [("id", "<", 10)])
+    assert report["rows_deleted"] == 10
+    assert snapshot_read(spark, dst).count() == 100  # 110 - 10
+    assert snapshot_read(spark, src).count() == 100  # source untouched
+    # provenance travels in the manifest note (checked before expire
+    # drops the v1 manifest from the clone's history)
+    assert snapshot_manifest(dst, 1)["note"]["cloned_from"] == str(
+        Path(src).resolve()
+    )
+    # expire the clone's whole history: source files must survive
+    snapshot_expire(dst, keep_last=1, orphan_grace_s=0.0)
+    assert sorted(p for p in Path(src).rglob("*.parquet")) == src_files_before
+    assert snapshot_read(spark, src).count() == 100
+
+
+def test_snapshot_clone_partitioned_reads_partition_column(spark, tmp_path):
+    from group5_spark.medallion.snapshots import snapshot_clone
+
+    src = str(tmp_path / "pclone_src")
+    dst = str(tmp_path / "pclone_dst")
+    snapshot_commit(
+        spark.createDataFrame(
+            [("d1", 1, 10.0), ("d2", 2, 20.0)], ["d", "id", "v"]
+        ),
+        src,
+        partition_by="d",
+    )
+    snapshot_clone(src, dst)
+    got = sorted(map(tuple, snapshot_read(spark, dst).collect()))
+    assert got == [("d1", 1, 10.0), ("d2", 2, 20.0)]
+    # predicate pruning still works through the cloned manifest stats
+    one = snapshot_read(spark, dst, predicates=[("d", "=", "d2")])
+    assert [tuple(r) for r in one.collect()] == [("d2", 2, 20.0)]
