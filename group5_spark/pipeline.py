@@ -214,6 +214,15 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
     elif args.action == "drop-tag":
         snapshot_drop_tag(args.table_path, args.name)
         print(f"dropped tag {args.name!r}")
+    elif args.action == "clone":
+        from group5_spark.medallion.snapshots import snapshot_clone
+
+        if not args.to:
+            raise SystemExit("snapshot clone requires --to <dst_path>")
+        snapshot_clone(
+            args.table_path, args.to, version=args.version, ref=args.ref
+        )
+        print(f"cloned {args.table_path} -> {args.to} (zero-copy, v1)")
     elif args.action == "delete":
         from group5_spark.medallion.maintenance import snapshot_delete
 
@@ -286,8 +295,11 @@ def main(argv: list[str] | None = None) -> int:
         "action",
         choices=[
             "log", "show", "expire", "tag", "drop-tag", "health", "delete",
+            "clone",
         ],
     )
+    p_snap.add_argument("--to", default=None,
+                        help="clone destination table path")
     p_snap.add_argument(
         "--where",
         action="append",

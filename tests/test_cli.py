@@ -185,3 +185,19 @@ def test_cli_snapshot_delete_where(spark, tmp_path):
     assert _parse_predicate("id>=90") == ("id", ">=", 90)
     assert _parse_predicate("price<1.5") == ("price", "<", 1.5)
     assert _parse_predicate("name='alice'") == ("name", "=", "alice")
+
+
+def test_cli_snapshot_clone_is_metadata_only(spark, tmp_path, capsys):
+    """`snapshot clone` runs on the JVM-free fast path (one manifest
+    write, no data copy) and the clone reads identically."""
+    from group5_spark.medallion.snapshots import snapshot_commit, snapshot_read
+    from group5_spark.pipeline import main as cli_main
+
+    src = str(tmp_path / "cli_clone_src")
+    dst = str(tmp_path / "cli_clone_dst")
+    snapshot_commit(spark.range(25).toDF("id"), src)
+    rc = cli_main(["snapshot", "clone", "--table_path", src, "--to", dst])
+    assert rc == 0
+    assert "zero-copy" in capsys.readouterr().out
+    assert not list((tmp_path / "cli_clone_dst").rglob("*.parquet"))
+    assert snapshot_read(spark, dst).count() == 25
