@@ -695,3 +695,42 @@ def test_snapshot_clone_partitioned_reads_partition_column(spark, tmp_path):
     # predicate pruning still works through the cloned manifest stats
     one = snapshot_read(spark, dst, predicates=[("d", "=", "d2")])
     assert [tuple(r) for r in one.collect()] == [("d2", 2, 20.0)]
+
+
+def test_change_feed_composes_with_dml(spark, tmp_path):
+    """A CDC consumer sees file-pruned DELETE/UPDATE as clean
+    key-level delete/update events — rows that merely live in a
+    rewritten file but didn't change produce NO event."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import (
+        snapshot_delete,
+        snapshot_update,
+    )
+    from group5_spark.medallion.snapshots import snapshot_changes
+
+    tbl = str(tmp_path / "cdf_dml")
+    snapshot_commit(
+        spark.range(20).select(
+            F.col("id"), F.lit("active").alias("status")
+        ).coalesce(1),
+        tbl,
+        stats_cols=["id"],
+    )
+    snapshot_delete(spark, tbl, [("id", ">=", 18)])          # v2
+    snapshot_update(                                          # v3
+        spark, tbl, [("id", "<", 3)], {"status": F.lit("vip")}
+    )
+    feed = snapshot_changes(spark, tbl, ["id"], v_from=1, v_to=3)
+    got = {(r["id"], r["_change"]) for r in feed.collect()}
+    assert got == {
+        (18, "delete"), (19, "delete"),
+        (0, "update"), (1, "update"), (2, "update"),
+    }
+    # the updated rows carry their new values in the feed
+    vips = {
+        r["id"]
+        for r in feed.filter(F.col("_change") == "update").collect()
+        if r["status"] == "vip"
+    }
+    assert vips == {0, 1, 2}
