@@ -366,3 +366,34 @@ def test_ivm_random_commit_sequence_matches_rebuild(spark, tmp_path):
         assert _mv_rows(spark, mv, ["seg"], ["amount"]) == _full_rebuild(
             spark, base, ["seg"], ["amount"]
         )
+
+
+def test_ivm_composes_with_file_pruned_delete(spark, tmp_path):
+    """snapshot_delete rewrites only touched files; the manifest file
+    diff turns that into exact retractions for an incrementally
+    maintained aggregate — the MV after refresh equals a from-scratch
+    rebuild, including a group dropping to zero."""
+    from group5_spark.medallion.incremental import ivm_init, ivm_refresh
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.snapshots import snapshot_commit, snapshot_read
+
+    base = str(tmp_path / "dml_base")
+    mv = str(tmp_path / "dml_mv")
+    snapshot_commit(
+        spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 9.0)],
+            ["seg", "amount"],
+        ).coalesce(1),
+        base,
+        stats_cols=["seg"],
+    )
+    ivm_init(spark, base, mv, ["seg"], ["amount"])
+    report = snapshot_delete(spark, base, [("seg", "=", "c")])
+    assert report["rows_deleted"] == 1
+    out = ivm_refresh(spark, base, mv, ["seg"], ["amount"])
+    assert out["files_removed"] >= 1
+    got = {
+        r["seg"]: (r["sum_amount"], r["n_rows"])
+        for r in snapshot_read(spark, mv).collect()
+    }
+    assert got == {"a": (3.0, 2), "b": (5.0, 1)}  # 'c' retracted away
