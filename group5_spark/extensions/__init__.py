@@ -3,7 +3,10 @@
 Beyond reference parity: the operations a 100 TB LLM-data pipeline
 needs, built Spark-first on the documents/embeddings tables:
 
-- ``dedup``       exact, word-set Jaccard, MinHash+LSH, SimHash
+- ``dedup``       exact, word-set Jaccard, MinHash+LSH, SimHash;
+                  persisted LSH index with snapshot append
+                  maintenance (``lsh_index_init/append`` +
+                  ``near_dups_against_index``)
 - ``similarity``  brute-force cosine top-k; hyperplane-LSH ANN
 - ``text``        token counts, quality scoring, language ID,
                   document fingerprinting

@@ -637,3 +637,165 @@ def simhash_near_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# --------------------------------------------------------------------
+# Persisted LSH index maintenance (snapshot append job)
+# --------------------------------------------------------------------
+# The every-crawl production loop for near-dup detection at 100 TB:
+#
+#   v1 = lsh_index_init(corpus, idx_path, ...)        # once
+#   for each ingested batch:
+#       pairs = near_dups_against_index(batch, corpus, idx_path)
+#       lsh_index_append(batch, idx_path)             # O(batch) work
+#
+# The index is an ordinary snapshot table of (id, band, bucket) rows,
+# so it inherits the whole lakehouse contract for free: atomic commits
+# (a crashed append is invisible), time travel (probe the index as of
+# any corpus version), optimistic concurrency, and expire/compact
+# maintenance. Each append computes signatures for the NEW batch only —
+# the corpus is never re-shingled — which is the difference between
+# O(batch) and O(corpus) per crawl.
+#
+# LSH parameters ARE the index semantics: probing a 4-band index with
+# 8-band query signatures silently returns garbage candidates. The
+# parameters are therefore pinned in the init commit's note and every
+# append/probe validates against them instead of trusting call sites.
+
+#: note key under which the index's LSH parameters are pinned
+_LSH_NOTE_KEY = "lsh_params"
+
+
+def _lsh_params(
+    id_col: str, text_col: str, num_hashes: int, bands: int,
+    shingle_n: int, hash_fn: str,
+) -> dict:
+    return {
+        "id_col": id_col, "text_col": text_col, "num_hashes": num_hashes,
+        "bands": bands, "shingle_n": shingle_n, "hash_fn": hash_fn,
+    }
+
+
+def lsh_index_params(index_path: str) -> dict:
+    """The LSH parameters pinned at :func:`lsh_index_init` time —
+    metadata-only (one manifest read, no Spark)."""
+    from group5_spark.medallion.snapshots import latest_note
+
+    note = latest_note(index_path) or {}
+    params = note.get(_LSH_NOTE_KEY)
+    if not params:
+        raise ValueError(
+            f"{index_path} is not an LSH index table (no {_LSH_NOTE_KEY!r} "
+            "note; was it created by lsh_index_init?)"
+        )
+    return params
+
+
+def lsh_index_init(
+    corpus_df: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "xxhash64",
+) -> int:
+    """Bootstrap the persisted LSH index for ``corpus_df`` as a
+    snapshot table: one (id, band, bucket) row per document per band.
+    Returns the committed version.
+
+    One full-corpus signature pass — the only one the index's
+    lifetime ever needs; every subsequent crawl pays
+    :func:`lsh_index_append` (batch-sized) instead.
+    """
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    params = _lsh_params(
+        id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
+    buckets = lsh_band_buckets(
+        corpus_df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
+    return snapshot_commit(
+        buckets,
+        index_path,
+        mode="overwrite",
+        stats_cols=["band", "bucket"],
+        note={_LSH_NOTE_KEY: params, "op": "lsh_index_init"},
+    )
+
+
+def lsh_index_append(
+    new_df: DataFrame,
+    index_path: str,
+    extra_note: dict | None = None,
+) -> int:
+    """Append one ingested batch's LSH rows to the persisted index —
+    the incremental maintenance job. Returns the committed version.
+
+    Cost is O(batch): signatures are computed for ``new_df`` only and
+    the commit is a blind snapshot append (no read-modify-write, no
+    ``expected_parent`` — concurrent batch appends serialize through
+    the chain claim and never conflict). Parameters come from the
+    index's own pinned note, so a drifted call site cannot poison the
+    index with incompatible signatures.
+
+    Re-appending an id adds duplicate index rows, not wrong results:
+    probes deduplicate candidates before verification
+    (:func:`incremental_near_dups` ``.distinct()``); reclaim the space
+    with ordinary snapshot compaction if batches can overlap.
+    """
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    params = lsh_index_params(index_path)
+    buckets = lsh_band_buckets(
+        new_df,
+        params["id_col"], params["text_col"], params["num_hashes"],
+        params["bands"], params["shingle_n"], params["hash_fn"],
+    )
+    return snapshot_commit(
+        buckets,
+        index_path,
+        mode="append",
+        stats_cols=["band", "bucket"],
+        note={
+            _LSH_NOTE_KEY: params,
+            "op": "lsh_index_append",
+            **(extra_note or {}),
+        },
+    )
+
+
+def near_dups_against_index(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    index_path: str,
+    version: int | None = None,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicates of ``new_df`` against the corpus, probing the
+    PERSISTED index at ``index_path`` (latest version by default;
+    ``version=`` probes the index as of an earlier corpus state — the
+    reproducible-backfill path).
+
+    All LSH parameters come from the index's pinned note, so the
+    batch's probe signatures are bucket-compatible by construction.
+    ``corpus_df`` must be the corpus the index (version) describes —
+    it is only read to verify candidate pairs' true Jaccard, and the
+    candidate semi-set prunes that scan.
+    """
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    params = lsh_index_params(index_path)
+    index = snapshot_read(new_df.sparkSession, index_path, version=version)
+    return incremental_near_dups(
+        new_df,
+        corpus_df,
+        corpus_index=index,
+        id_col=params["id_col"],
+        text_col=params["text_col"],
+        num_hashes=params["num_hashes"],
+        bands=params["bands"],
+        shingle_n=params["shingle_n"],
+        threshold=threshold,
+        hash_fn=params["hash_fn"],
+    )

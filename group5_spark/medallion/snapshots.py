@@ -876,6 +876,92 @@ def snapshot_clone(
     return 1
 
 
+def snapshot_rollback(
+    path: str,
+    version: int | None = None,
+    ref: str | None = None,
+    asof: float | None = None,
+    expected_parent: int | None = None,
+) -> int:
+    """Delta RESTORE / Iceberg rollback: make an earlier version's
+    content the NEW head by committing a metadata-only snapshot whose
+    manifest references that version's files verbatim. No data moves
+    — restoring a 100 TB table costs one manifest write — and history
+    stays LINEAR: the rolled-back commits remain time-travelable
+    until :func:`snapshot_expire`, and readers walking the chain never
+    see a fork (a raw pointer reset would re-use claimed chain slots
+    and silently fork a paused committer; a restore COMMIT goes
+    through the same slot/chain claim as every other write, so it
+    serializes cleanly with concurrent appends).
+
+    Address the restore point by ``version=``, ``ref=`` (named tag) or
+    ``asof=`` (epoch seconds — the newest version committed at or
+    before that instant): "roll back to before the bad backfill" is
+    usually a timestamp, not a number. Restoring the current head is a
+    no-op (returns the head, commits nothing). ``expected_parent``
+    guards operator-driven restores the usual optimistic way: the
+    restore lands only if nothing committed since you inspected the
+    table, else :class:`SnapshotConflict`.
+
+    The restored manifest carries the target's schema, partition
+    layout, and KMV sketches — they describe exactly the bytes being
+    re-referenced — and pins ``{"op": "rollback", "restored_version":
+    N}`` in the note, so ``snapshot log`` reads as an audit trail.
+    Returns the new head version.
+    """
+    root = Path(path)
+    if sum(x is not None for x in (version, ref, asof)) != 1:
+        raise ValueError("pass exactly one of version= / ref= / asof=")
+    if ref is not None:
+        version = resolve_ref(path, ref)
+    if asof is not None:
+        version = resolve_asof(path, asof)
+    target = snapshot_manifest(path, version)  # raises if absent
+    while True:
+        parent = _current_version(root)
+        if not parent:
+            raise ValueError(f"{path} is not a snapshot table")
+        if expected_parent is not None and parent != expected_parent:
+            raise SnapshotConflict(
+                f"head moved {expected_parent} → {parent} at {path}"
+            )
+        if parent == version:
+            return parent  # restoring the head restores nothing
+        taken = [
+            int(m.stem[1:])
+            for m in (root / _MANIFEST_DIR).glob("v*.json")
+        ]
+        new_version = max([parent, *taken], default=0) + 1
+        manifest = {
+            "version": new_version,
+            "parent": parent,
+            "ts": time.time(),
+            "schema": target.get("schema"),
+            "note": {"op": "rollback", "restored_version": version},
+            "files": target["files"],
+        }
+        if target.get("partition_by"):
+            manifest["partition_by"] = target["partition_by"]
+        if target.get("kmv"):
+            manifest["kmv"] = target["kmv"]
+        try:
+            with open(_manifest_path(root, new_version), "x") as f:
+                f.write(json.dumps(manifest, indent=1))
+        except FileExistsError:
+            continue  # slot raced; pick the next one
+        try:
+            with open(_chain_path(root, parent), "x") as f:
+                f.write(str(new_version))
+            break
+        except FileExistsError:
+            continue  # lost the chain claim; rebase on the new head
+    if new_version > _read_pointer(root):
+        tmp = root / _MANIFEST_DIR / f"_ptr.{uuid.uuid4().hex[:8]}"
+        tmp.write_text(str(new_version))
+        tmp.replace(root / _MANIFEST_DIR / _POINTER)
+    return new_version
+
+
 def snapshot_expire(
     path: str, keep_last: int = 1, orphan_grace_s: float = 300.0
 ) -> dict:

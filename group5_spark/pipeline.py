@@ -235,6 +235,21 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
             f"rewrote {out['files_rewritten']} file(s), carried "
             f"{out['files_carried']} untouched"
         )
+    elif args.action == "rollback":
+        from group5_spark.medallion.snapshots import snapshot_rollback
+
+        if args.version is None and args.ref is None:
+            raise SystemExit(
+                "snapshot rollback requires --version or --ref"
+            )
+        v = snapshot_rollback(
+            args.table_path, version=args.version, ref=args.ref
+        )
+        print(
+            f"restored "
+            f"{'v%05d' % args.version if args.version is not None else args.ref}"
+            f" as new head v{v:05d} (metadata-only)"
+        )
     elif args.action == "health":
         from group5_spark.medallion.maintenance import table_health
 
@@ -288,14 +303,14 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot",
         help=(
             "snapshot tables: log / show / expire / tag / drop-tag / "
-            "health / delete"
+            "health / delete / clone / rollback"
         ),
     )
     p_snap.add_argument(
         "action",
         choices=[
             "log", "show", "expire", "tag", "drop-tag", "health", "delete",
-            "clone",
+            "clone", "rollback",
         ],
     )
     p_snap.add_argument("--to", default=None,
@@ -309,7 +324,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     p_snap.add_argument("--table_path", required=True)
     p_snap.add_argument("--version", type=int, default=None,
-                        help="time-travel version for show/tag")
+                        help="time-travel version for show/tag/rollback")
     p_snap.add_argument("--ref", default=None,
                         help="named tag for show")
     p_snap.add_argument("--name", default=None,
@@ -342,7 +357,8 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "snapshot" and args.action not in ("show", "delete"):
-        # metadata-only actions (log / expire / tag / drop-tag / health)
+        # metadata-only actions (log / expire / tag / drop-tag / health
+        # / clone / rollback)
         # read and write manifests, never data — no reason to boot a
         # JVM; show reads data and delete rewrites files, so they fall
         # through to the Spark path

@@ -670,3 +670,45 @@ def stream_enrich_refreshing_dim(
         sink(batch_df.join(F.broadcast(dim), on, how), batch_id)
 
     return df.writeStream.foreachBatch(fn)
+
+
+def stream_lsh_index_maintenance(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    app_id: str | None = None,
+):
+    """Keep a persisted MinHash-LSH index (extensions.dedup
+    ``lsh_index_init``/``lsh_index_append``) fresh from a live
+    document stream: every micro-batch's (id, band, bucket) rows land
+    as one atomic snapshot append, so a concurrent near-dup probe
+    (``near_dups_against_index``) always sees a complete index at
+    some batch boundary — never a half-indexed crawl.
+
+    Work per batch is O(batch) — signatures for the new documents
+    only; LSH parameters come from the index's own pinned note, so a
+    restarted stream can never drift from the index it maintains.
+    Exactly-once via the same (app_id, batch_id) manifest-note dedup
+    as :func:`stream_snapshot_sink`; a retried micro-batch is skipped
+    instead of double-indexing its documents.
+
+    Returns an un-started DataStreamWriter (caller picks the trigger).
+    """
+    from group5_spark.extensions.dedup import lsh_index_append
+    from group5_spark.medallion import snapshots as snap
+
+    def index_batch(batch_df, batch_id: int) -> None:
+        app = app_id or _checkpoint_query_id(checkpoint)
+        if app is not None:
+            done = snap.last_committed_batch(index_path, app)
+            if done is not None and done >= batch_id:
+                return  # already durably indexed by this query
+        lsh_index_append(
+            batch_df,
+            index_path,
+            extra_note={"app_id": app, "batch_id": batch_id},
+        )
+
+    return docs.writeStream.foreachBatch(index_batch).option(
+        "checkpointLocation", checkpoint
+    )

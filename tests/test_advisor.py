@@ -470,3 +470,48 @@ def test_collect_stats_with_sketch_enables_cardinality(spark):
     assert card["key_overlap"] == 50.0
     assert card["rows_est"] == 300.0
     assert a.join(b, "k").count() == 300
+
+
+def test_registry_dynfilter_query_materializes_the_semi_filter(spark, sf_dir):
+    """The registry query `dynfilter_urgent_order_revenue` must let
+    the advisor CHOOSE dynamic filtering from real sketches (not a
+    hard-coded hint) and the choice must MATERIALIZE: a LeftSemi join
+    prunes lineitem ahead of the main join, and results equal the
+    plain hinted join."""
+    from group5_spark.queries import QUERIES
+
+    q = QUERIES["dynfilter_urgent_order_revenue"]
+    out = q(spark, sf_dir)
+    plan = I.formatted_plan(out)
+    assert "LeftSemi" in plan, plan
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = (
+        li.join(
+            F.broadcast(urgent),
+            li["l_orderkey"] == urgent["o_orderkey"],
+        )
+        .groupBy(F.trunc("o_orderdate", "mm").alias("order_month"))
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(
+                    "decimal(18,4)"
+                )
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("line_count"),
+        )
+    )
+    got = {
+        (str(r.order_month), round(r.revenue, 4), r.line_count)
+        for r in out.collect()
+    }
+    want = {
+        (str(r.order_month), round(r.revenue, 4), r.line_count)
+        for r in plain.collect()
+    }
+    assert got == want and got

@@ -201,3 +201,28 @@ def test_cli_snapshot_clone_is_metadata_only(spark, tmp_path, capsys):
     assert "zero-copy" in capsys.readouterr().out
     assert not list((tmp_path / "cli_clone_dst").rglob("*.parquet"))
     assert snapshot_read(spark, dst).count() == 25
+
+
+def test_cli_snapshot_rollback_is_metadata_only(spark, tmp_path, capsys):
+    """`snapshot rollback` restores an old version as the new head on
+    the JVM-free fast path — one manifest write, no data copied or
+    deleted."""
+    from group5_spark.medallion.snapshots import snapshot_commit, snapshot_read
+    from group5_spark.pipeline import main as cli_main
+
+    t = str(tmp_path / "cli_rb_tbl")
+    snapshot_commit(spark.range(40).toDF("id"), t)
+    snapshot_commit(spark.range(3).toDF("id"), t)
+    n_files = len(list((tmp_path / "cli_rb_tbl").rglob("*.parquet")))
+
+    rc = cli_main(["snapshot", "rollback", "--table_path", t, "--version", "1"])
+    assert rc == 0
+    assert "new head v00003" in capsys.readouterr().out
+    # no data files created or destroyed — pure manifest work
+    assert len(list((tmp_path / "cli_rb_tbl").rglob("*.parquet"))) == n_files
+    assert snapshot_read(spark, t).count() == 40
+
+    import pytest
+
+    with pytest.raises(SystemExit, match="--version or --ref"):
+        cli_main(["snapshot", "rollback", "--table_path", t])

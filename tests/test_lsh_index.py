@@ -1,0 +1,196 @@
+"""Persisted LSH index lifecycle: bootstrap → batch append → probe,
+as a snapshot-table maintenance job (extensions.dedup lsh_index_*).
+
+The production claim under test: every crawl pays O(batch) index
+maintenance + an index-probe near-dup check, and the result is
+IDENTICAL to recomputing the corpus index from scratch — plus the
+snapshot contract (atomicity, time travel, idempotent streaming
+appends) on the index itself.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from group5_spark.catalog import load_table
+from group5_spark.extensions import dedup
+from group5_spark.medallion.snapshots import (
+    snapshot_manifest,
+    snapshot_versions,
+)
+from group5_spark.streaming import jobs
+
+
+def test_index_probe_matches_derived_index_after_appends(spark, sf_dir, tmp_path):
+    """init(corpus0) + append(batch1) must probe identically to an
+    index derived fresh from corpus0 ∪ batch1 — appends lose nothing
+    relative to a full rebuild."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus0 = docs.filter(F.col("doc_id") % 10 < 6)
+    batch1 = docs.filter((F.col("doc_id") % 10 >= 6) & (F.col("doc_id") % 10 < 8))
+    batch2 = docs.filter(F.col("doc_id") % 10 >= 8)
+    corpus01 = corpus0.unionByName(batch1)
+    idx = str(tmp_path / "lshidx")
+
+    v1 = dedup.lsh_index_init(corpus0, idx, shingle_n=1)
+    v2 = dedup.lsh_index_append(batch1, idx)
+    assert (v1, v2) == (1, 2)
+
+    probed = {
+        (r.id_new, r.id_corpus, r.jaccard)
+        for r in dedup.near_dups_against_index(
+            batch2, corpus01, idx, threshold=0.9
+        ).collect()
+    }
+    derived = {
+        (r.id_new, r.id_corpus, r.jaccard)
+        for r in dedup.incremental_near_dups(
+            batch2, corpus01, shingle_n=1, threshold=0.9
+        ).collect()
+    }
+    assert probed == derived
+    assert probed, "testdata should contain cross-boundary near-dups"
+
+
+def test_append_commit_is_priced_by_the_batch(spark, sf_dir, tmp_path):
+    """The append version's NEW files hold exactly bands × |batch|
+    rows — corpus signatures are never recomputed (manifest row
+    counts are the evidence, not timing)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus0 = docs.filter(F.col("doc_id") % 10 < 6)
+    batch1 = docs.filter((F.col("doc_id") % 10 >= 6) & (F.col("doc_id") % 10 < 8))
+    idx = str(tmp_path / "lshidx")
+
+    dedup.lsh_index_init(corpus0, idx, shingle_n=1, bands=4)
+    dedup.lsh_index_append(batch1, idx)
+
+    rows_v1 = sum(e["rows"] for e in snapshot_manifest(idx, 1)["files"])
+    rows_v2 = sum(e["rows"] for e in snapshot_manifest(idx, 2)["files"])
+    assert rows_v1 == 4 * corpus0.count()
+    assert rows_v2 - rows_v1 == 4 * batch1.count()
+    # v2 carries v1's files by reference — a blind append, not a rewrite
+    v1_files = {e["path"] for e in snapshot_manifest(idx, 1)["files"]}
+    v2_files = {e["path"] for e in snapshot_manifest(idx, 2)["files"]}
+    assert v1_files <= v2_files
+
+
+def test_params_are_pinned_and_non_index_tables_rejected(spark, tmp_path):
+    """LSH parameters live in the index's own manifest note; probes
+    and appends read them from there, and a snapshot table that was
+    not created by lsh_index_init is refused outright."""
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "f g h i j")], ["doc_id", "text"]
+    )
+    idx = str(tmp_path / "lshidx")
+    dedup.lsh_index_init(
+        corpus, idx, num_hashes=8, bands=2, shingle_n=1, hash_fn="xxhash64"
+    )
+    assert dedup.lsh_index_params(idx) == {
+        "id_col": "doc_id", "text_col": "text", "num_hashes": 8,
+        "bands": 2, "shingle_n": 1, "hash_fn": "xxhash64",
+    }
+
+    plain = str(tmp_path / "not_an_index")
+    snapshot_commit(corpus, plain, mode="overwrite")
+    with pytest.raises(ValueError, match="not an LSH index"):
+        dedup.lsh_index_append(corpus, plain)
+    with pytest.raises(ValueError, match="not an LSH index"):
+        dedup.lsh_index_params(plain)
+
+
+def test_index_time_travel_probes_an_earlier_corpus_state(spark, sf_dir, tmp_path):
+    """version= probes the index as of an earlier corpus state: pairs
+    into documents indexed AFTER that version cannot appear — the
+    reproducible-backfill contract."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus0 = docs.filter(F.col("doc_id") % 10 < 6)
+    batch1 = docs.filter((F.col("doc_id") % 10 >= 6) & (F.col("doc_id") % 10 < 8))
+    batch2 = docs.filter(F.col("doc_id") % 10 >= 8)
+    idx = str(tmp_path / "lshidx")
+    dedup.lsh_index_init(corpus0, idx, shingle_n=1)
+    dedup.lsh_index_append(batch1, idx)
+
+    at_v1 = {
+        (r.id_new, r.id_corpus)
+        for r in dedup.near_dups_against_index(
+            batch2, corpus0.unionByName(batch1), idx, version=1, threshold=0.9
+        ).collect()
+    }
+    batch1_ids = {r.doc_id for r in batch1.select("doc_id").collect()}
+    assert not {c for _, c in at_v1} & batch1_ids
+    # and v1 probing equals probing corpus0 alone with a derived index
+    derived_v1 = {
+        (r.id_new, r.id_corpus)
+        for r in dedup.incremental_near_dups(
+            batch2, corpus0, shingle_n=1, threshold=0.9
+        ).collect()
+    }
+    assert at_v1 == derived_v1
+
+
+def test_stream_lsh_index_maintenance_exactly_once(spark, tmp_path):
+    """A document stream maintains the index: one snapshot append per
+    micro-batch, and a checkpoint-replayed batch is skipped (the
+    (app_id, batch_id) note dedup) — re-running the drained stream
+    adds no versions and no duplicate index rows."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "lshidx")
+    dedup.lsh_index_init(corpus, idx, shingle_n=1)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i, t in ((11, "delta gamma beta alpha"), (12, "nothing alike here")):
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_lsh_index_maintenance(stream, idx, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions_after = len(snapshot_versions(idx))
+    assert versions_after == 2  # init + one micro-batch append
+
+    # the streamed docs are probe-visible
+    all_docs = corpus.unionByName(
+        spark.createDataFrame(
+            [(11, "delta gamma beta alpha"), (12, "nothing alike here")],
+            ["doc_id", "text"],
+        )
+    )
+    probe = spark.createDataFrame(
+        [(21, "beta alpha delta gamma")], ["doc_id", "text"]
+    )
+    pairs = {
+        (r.id_new, r.id_corpus)
+        for r in dedup.near_dups_against_index(
+            probe, all_docs, idx, threshold=0.9
+        ).collect()
+    }
+    assert pairs == {(21, 1), (21, 11)}
+
+    # replay with the same checkpoint: drained source → no new batch,
+    # and even a forced re-run of batch 0 would be note-deduped
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_lsh_index_maintenance(stream, idx, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(snapshot_versions(idx)) == versions_after

@@ -734,3 +734,109 @@ def test_change_feed_composes_with_dml(spark, tmp_path):
         if r["status"] == "vip"
     }
     assert vips == {0, 1, 2}
+
+
+# ------------------------- rollback / RESTORE ------------------------
+
+
+def test_rollback_restores_old_content_as_new_head(spark, tmp_path):
+    """RESTORE semantics: the old version's rows become the head under
+    a NEW version number, the bad commit stays time-travelable, and
+    no data files move (the restored manifest references the old
+    bytes verbatim)."""
+    from group5_spark.medallion.snapshots import (
+        snapshot_manifest,
+        snapshot_rollback,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t, stats_cols=["id"])
+    snapshot_commit(_df(spark, 500, 510), t, stats_cols=["id"])  # "bad"
+    v3 = snapshot_rollback(t, version=1)
+    assert v3 == 3
+    head = snapshot_read(spark, t)
+    assert head.count() == 100 and head.agg(F.min("id")).first()[0] == 0
+    # history is linear and audited, nothing erased
+    assert [v["version"] for v in snapshot_versions(t)] == [1, 2, 3]
+    assert snapshot_read(spark, t, version=2).count() == 10
+    m3 = snapshot_manifest(t, 3)
+    assert m3["note"] == {"op": "rollback", "restored_version": 1}
+    assert {e["path"] for e in m3["files"]} == {
+        e["path"] for e in snapshot_manifest(t, 1)["files"]
+    }
+
+
+def test_rollback_survives_expiry_of_the_restored_version(spark, tmp_path):
+    """Expire after a rollback must keep the head's file closure even
+    when the RESTORED version's manifest falls outside the retention
+    window — reachability is from retained manifests, not commit
+    age."""
+    from group5_spark.medallion.snapshots import snapshot_rollback
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 100), t, stats_cols=["id"])
+    snapshot_commit(_df(spark, 500, 510), t, stats_cols=["id"])
+    snapshot_rollback(t, version=1)
+    out = snapshot_expire(t, keep_last=1)
+    assert out["versions_dropped"] == 2
+    head = snapshot_read(spark, t)
+    assert head.count() == 100 and head.agg(F.min("id")).first()[0] == 0
+
+
+def test_rollback_guards_and_addressing(spark, tmp_path):
+    """Head restore is a no-op; exactly one addressing mode is
+    required; expected_parent races raise SnapshotConflict; ref= and
+    asof= resolve like snapshot_read."""
+    import time as _time
+
+    import pytest
+
+    from group5_spark.medallion.snapshots import (
+        SnapshotConflict,
+        snapshot_manifest,
+        snapshot_rollback,
+        snapshot_tag,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t)
+    between = _time.time()
+    snapshot_commit(_df(spark, 10, 30), t)
+
+    assert snapshot_rollback(t, version=2) == 2  # head: no-op
+    assert [v["version"] for v in snapshot_versions(t)] == [1, 2]
+
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshot_rollback(t)
+    with pytest.raises(ValueError, match="exactly one"):
+        snapshot_rollback(t, version=1, ref="x")
+    with pytest.raises(SnapshotConflict):
+        snapshot_rollback(t, version=1, expected_parent=1)
+
+    snapshot_tag(t, "good", version=1)
+    v3 = snapshot_rollback(t, ref="good")
+    assert snapshot_manifest(t, v3)["note"]["restored_version"] == 1
+    # asof resolves to the newest version at/before the instant —
+    # between the two original commits, that's v1
+    v4 = snapshot_rollback(t, asof=between)
+    assert snapshot_manifest(t, v4)["note"]["restored_version"] == 1
+
+
+def test_rollback_preserves_partition_layout_and_pruning(spark, tmp_path):
+    """A restored head of a partitioned table keeps partition_by and
+    manifest pruning: predicates still skip files after rollback."""
+    from group5_spark.medallion.snapshots import snapshot_rollback
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 0, 100), t, partition_by="k", stats_cols=["id"]
+    )
+    snapshot_commit(
+        _df(spark, 0, 10), t, partition_by="k", stats_cols=["id"]
+    )
+    snapshot_rollback(t, version=1)
+    # partition values are directory strings in the manifest stats
+    kept, total = prune_files(t, [("k", "=", "3")])
+    assert len(kept) < total
+    got = snapshot_read(spark, t, predicates=[("k", "=", "3")])
+    assert got.count() == 20 and got.select("k").distinct().first()[0] == 3
