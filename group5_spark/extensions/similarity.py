@@ -180,43 +180,22 @@ def lsh_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
-def ivf_topk(
-    corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_cells: int = 16,
-    n_probe: int = 4,
-    hash_fn: str = "xxhash64",
-) -> DataFrame:
-    """IVF-flat approximate top-k: partition the corpus into Voronoi
-    cells around sampled centroids, search only the ``n_probe``
-    nearest cells per query.
-
-    Centroid selection is a deterministic pseudo-random sample: the
-    ``n_cells`` corpus vectors with the smallest ``xxhash64(id)`` —
-    id-distribution-independent (sparse/offset id spaces work), no
-    iterative k-means, no training loop, one small collect job.
-    Centroids are L2-normalized driver-side, so the map-side dot
-    product against them IS cosine assignment (row norm is constant
-    across cells). Cell assignment is a map-only argmax over an
-    array of (cosine, cell) structs built from the broadcast centroid
-    literals: struct comparison orders by the first field, so
-    ``array_max`` *is* the argmax — zero shuffle to assign. The
-    probe join is an equi-join on cell_id: at 100 TB each query
-    touches ~``n_probe/n_cells`` of the corpus instead of all of it;
-    persist/bucket the assigned layout (and ``.cache()`` ``corpus``
-    when assignment and search run in one job) so repeated query
-    batches skip re-assignment.
-    """
-    c_vec = corpus.withColumn("v", _as_double(corpus, vec_col)).select(
+def _ivf_c_vec(corpus: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    return corpus.withColumn("v", _as_double(corpus, vec_col)).select(
         F.col(id_col).alias("cand_id"), "v"
     )
-    q_vec = queries.withColumn("v", _as_double(queries, vec_col)).select(
-        F.col(id_col).alias("query_id"), "v"
-    )
 
+
+def ivf_sample_centroids(
+    c_vec: DataFrame, n_cells: int, hash_fn: str = "xxhash64"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic pseudo-random centroid sample over a
+    ``(cand_id, v)`` frame: the ``n_cells`` vectors with the smallest
+    ``hash(id)`` — id-distribution-independent (sparse/offset id
+    spaces work), no iterative k-means, no training loop, one small
+    collect job. Centroids are L2-normalized driver-side so the
+    map-side dot product against them IS cosine assignment (row norm
+    is constant across cells)."""
     if hash_fn == "md5":
         from group5_spark.extensions.dedup import portable_hash56_sql
 
@@ -229,7 +208,7 @@ def ivf_topk(
         .collect()
     )
     if not sampled:
-        raise ValueError("ivf_topk: corpus is empty, cannot sample centroids")
+        raise ValueError("ivf: corpus is empty, cannot sample centroids")
 
     def _l2_normalize(vec: list[float]) -> list[float]:
         # math.sqrt (correctly-rounded IEEE) rather than ** 0.5: a SQL
@@ -239,34 +218,62 @@ def ivf_topk(
         norm = math.sqrt(sum(x * x for x in vec))
         return [x / norm for x in vec] if norm > 0 else vec
 
-    centroids = [
+    return [
         (int(r.cand_id), _l2_normalize([float(x) for x in r.v]))
         for r in sampled
     ]
 
-    def cell_scores(v_col: str) -> F.Column:
-        entries = []
-        for cid, cvec in centroids:
-            cos = F.expr(
-                DOT.format(a=v_col, b=f"array({', '.join(repr(x) for x in cvec)})")
-            )
-            entries.append(
-                F.struct(cos.alias("score"), F.lit(cid).alias("cell"))
-            )
-        return F.array(*entries)
 
-    assigned = c_vec.withColumn(
-        "cell_id", F.array_max(cell_scores("v")).getField("cell")
+def _cell_scores(
+    centroids: list[tuple[int, list[float]]], v_col: str
+) -> F.Column:
+    """Array of (cosine-to-centroid, cell) structs from broadcast
+    centroid literals; struct comparison orders by the first field, so
+    ``array_max`` *is* the argmax — zero shuffle to assign."""
+    entries = []
+    for cid, cvec in centroids:
+        cos = F.expr(
+            DOT.format(a=v_col, b=f"array({', '.join(repr(x) for x in cvec)})")
+        )
+        entries.append(
+            F.struct(cos.alias("score"), F.lit(cid).alias("cell"))
+        )
+    return F.array(*entries)
+
+
+def ivf_assign_cells(
+    c_vec: DataFrame, centroids: list[tuple[int, list[float]]]
+) -> DataFrame:
+    """Map-only Voronoi assignment: ``(cand_id, v)`` → + ``cell_id``."""
+    return c_vec.withColumn(
+        "cell_id", F.array_max(_cell_scores(centroids, "v")).getField("cell")
     )
-    probes = (
+
+
+def ivf_probe_cells(
+    q_vec: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    n_probe: int,
+) -> DataFrame:
+    """Per-query probe list: the ``n_probe`` nearest cells, exploded
+    to ``(query_id, qv, cell_id)`` rows."""
+    return (
         q_vec.withColumn(
             "probe",
-            F.slice(F.reverse(F.array_sort(cell_scores("v"))), 1, n_probe),
+            F.slice(
+                F.reverse(F.array_sort(_cell_scores(centroids, "v"))),
+                1,
+                n_probe,
+            ),
         )
         .withColumn("cell_id", F.explode(F.col("probe.cell")))
         .select("query_id", F.col("v").alias("qv"), "cell_id")
     )
 
+
+def ivf_rank(probes: DataFrame, assigned: DataFrame, k: int) -> DataFrame:
+    """Probe ⋈ assigned on cell_id, exact cosine within cells, per-
+    query top-k (rank-filter → WindowGroupLimit)."""
     cand = probes.join(assigned, on="cell_id").filter(
         F.col("query_id") != F.col("cand_id")
     )
@@ -282,3 +289,200 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(
         F.col("rank") <= k
     )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 4,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """IVF-flat approximate top-k: partition the corpus into Voronoi
+    cells around sampled centroids, search only the ``n_probe``
+    nearest cells per query.
+
+    Composition of :func:`ivf_sample_centroids` (deterministic hash
+    sample, driver-side L2 normalize) → :func:`ivf_assign_cells`
+    (map-only argmax over broadcast centroid literals) →
+    :func:`ivf_probe_cells` → :func:`ivf_rank` (cell equi-join +
+    top-k rank filter). At 100 TB each query touches
+    ~``n_probe/n_cells`` of the corpus instead of all of it; persist
+    the assigned layout (:func:`ivf_index_init`) so repeated query
+    batches skip re-assignment entirely and file-prune their probes.
+    """
+    c_vec = _ivf_c_vec(corpus, id_col, vec_col)
+    q_vec = queries.withColumn("v", _as_double(queries, vec_col)).select(
+        F.col(id_col).alias("query_id"), "v"
+    )
+    centroids = ivf_sample_centroids(c_vec, n_cells, hash_fn)
+    assigned = ivf_assign_cells(c_vec, centroids)
+    probes = ivf_probe_cells(q_vec, centroids, n_probe)
+    return ivf_rank(probes, assigned, k)
+
+
+# --------------------------------------------------------------------
+# Persisted IVF index maintenance (snapshot append job)
+# --------------------------------------------------------------------
+# The embedding twin of the persisted LSH index (extensions.dedup
+# lsh_index_*): assignment is the expensive corpus-wide half of IVF,
+# so persist it once and maintain it per-batch.
+#
+#   v1 = ivf_index_init(corpus, idx_path, n_cells=...)   # once
+#   for each embedding batch:
+#       hits = ivf_index_search(batch_queries, idx_path)
+#       ivf_index_append(new_vectors, idx_path)          # O(batch)
+#
+# The index is a snapshot table of (cand_id, v, cell_id) PARTITIONED
+# BY cell_id, so a probe is not just an equi-join — it is a
+# manifest-level FILE PRUNE: searching n_probe of n_cells cells reads
+# ~n_probe/n_cells of the index files and skips the rest without
+# opening them. Centroids (the model) are pinned in the manifest note
+# at init time; appends and searches read them from there, so a batch
+# can never be assigned against drifted centroids. Centroids are
+# deliberately FROZEN across appends — the FAISS/IVF convention:
+# re-training cells is a new index (re-run init), not an append.
+
+#: note key under which the index's parameters + centroids are pinned
+_IVF_NOTE_KEY = "ivf_params"
+
+
+def ivf_index_params(
+    index_path: str,
+) -> tuple[dict, list[tuple[int, list[float]]]]:
+    """The parameters and frozen centroids pinned at
+    :func:`ivf_index_init` time — metadata-only (one manifest read,
+    no Spark). JSON round-trips floats exactly (shortest-repr), so
+    the centroid literals rebuilt from the note are bit-identical to
+    the ones the index was assigned with."""
+    from group5_spark.medallion.snapshots import latest_note
+
+    note = latest_note(index_path) or {}
+    params = note.get(_IVF_NOTE_KEY)
+    if not params:
+        raise ValueError(
+            f"{index_path} is not an IVF index table (no {_IVF_NOTE_KEY!r} "
+            "note; was it created by ivf_index_init?)"
+        )
+    centroids = [
+        (int(cid), [float(x) for x in vec])
+        for cid, vec in note["centroids"]
+    ]
+    return params, centroids
+
+
+def ivf_index_init(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    hash_fn: str = "xxhash64",
+) -> int:
+    """Bootstrap the persisted IVF index: sample + freeze centroids,
+    assign every corpus vector, and commit the assigned layout
+    partitioned by ``cell_id``. Returns the committed version.
+
+    The one full-corpus assignment pass of the index's lifetime;
+    every later batch pays :func:`ivf_index_append` instead.
+    """
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    c_vec = _ivf_c_vec(corpus, id_col, vec_col)
+    centroids = ivf_sample_centroids(c_vec, n_cells, hash_fn)
+    assigned = ivf_assign_cells(c_vec, centroids)
+    return snapshot_commit(
+        assigned,
+        index_path,
+        mode="overwrite",
+        partition_by="cell_id",
+        note={
+            _IVF_NOTE_KEY: {
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "n_cells": n_cells,
+                "hash_fn": hash_fn,
+            },
+            "centroids": centroids,
+            "op": "ivf_index_init",
+        },
+    )
+
+
+def ivf_index_append(
+    new_df: DataFrame,
+    index_path: str,
+    extra_note: dict | None = None,
+) -> int:
+    """Assign one new embedding batch against the index's FROZEN
+    centroids and append it — O(batch) incremental maintenance with
+    snapshot atomicity. Returns the committed version.
+
+    Re-appending an id adds duplicate candidate rows (they would each
+    rank), mirroring the LSH index contract: dedupe upstream, use the
+    exactly-once streaming wrapper, or compact. A blind append —
+    concurrent batches serialize through the chain claim.
+    """
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    params, centroids = ivf_index_params(index_path)
+    c_vec = _ivf_c_vec(new_df, params["id_col"], params["vec_col"])
+    assigned = ivf_assign_cells(c_vec, centroids)
+    return snapshot_commit(
+        assigned,
+        index_path,
+        mode="append",
+        partition_by="cell_id",
+        note={
+            _IVF_NOTE_KEY: params,
+            "centroids": centroids,
+            "op": "ivf_index_append",
+            **(extra_note or {}),
+        },
+    )
+
+
+def ivf_index_search(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    version: int | None = None,
+) -> DataFrame:
+    """Top-k search against the PERSISTED index: probe cells are
+    chosen against the pinned centroids, and only the probed cells'
+    FILES are read — ``snapshot_read`` prunes on the ``cell_id``
+    partition stat, so ``n_probe/n_cells`` of the index bytes are
+    touched per query batch (union of per-cell pruned reads; the
+    probed-cell set is collected driver-side, bounded by
+    ``n_cells``). ``version=`` searches the index as of an earlier
+    corpus state. Same output contract as :func:`ivf_topk`.
+    """
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    params, centroids = ivf_index_params(index_path)
+    spark = queries.sparkSession
+    q_vec = queries.withColumn(
+        "v", _as_double(queries, params["vec_col"])
+    ).select(F.col(params["id_col"]).alias("query_id"), "v")
+    probes = ivf_probe_cells(q_vec, centroids, n_probe)
+    probed = sorted(
+        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
+    )
+    parts = [
+        snapshot_read(
+            spark,
+            index_path,
+            version=version,
+            # partition values are directory strings in manifest stats
+            predicates=[("cell_id", "=", str(c))],
+        )
+        for c in probed
+    ]
+    assigned = parts[0]
+    for p in parts[1:]:
+        assigned = assigned.unionByName(p)
+    return ivf_rank(probes, assigned, k)

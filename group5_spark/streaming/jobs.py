@@ -672,29 +672,21 @@ def stream_enrich_refreshing_dim(
     return df.writeStream.foreachBatch(fn)
 
 
-def stream_lsh_index_maintenance(
-    docs: DataFrame,
+def _stream_index_maintenance(
+    rows: DataFrame,
     index_path: str,
     checkpoint: str,
-    app_id: str | None = None,
+    append_fn,
+    app_id: str | None,
 ):
-    """Keep a persisted MinHash-LSH index (extensions.dedup
-    ``lsh_index_init``/``lsh_index_append``) fresh from a live
-    document stream: every micro-batch's (id, band, bucket) rows land
-    as one atomic snapshot append, so a concurrent near-dup probe
-    (``near_dups_against_index``) always sees a complete index at
-    some batch boundary — never a half-indexed crawl.
-
-    Work per batch is O(batch) — signatures for the new documents
-    only; LSH parameters come from the index's own pinned note, so a
-    restarted stream can never drift from the index it maintains.
-    Exactly-once via the same (app_id, batch_id) manifest-note dedup
-    as :func:`stream_snapshot_sink`; a retried micro-batch is skipped
-    instead of double-indexing its documents.
-
-    Returns an un-started DataStreamWriter (caller picks the trigger).
-    """
-    from group5_spark.extensions.dedup import lsh_index_append
+    """Shared shape for stream-maintained persisted indexes: each
+    micro-batch goes through ``append_fn(batch_df, index_path,
+    extra_note=...)`` — an O(batch) snapshot append whose parameters
+    come from the index's own pinned note — with the same
+    (app_id, batch_id) manifest-note dedup as
+    :func:`stream_snapshot_sink`, so a retried micro-batch is skipped
+    instead of double-indexing. Concurrent probes always see a
+    complete index at some batch boundary (snapshot atomicity)."""
     from group5_spark.medallion import snapshots as snap
 
     def index_batch(batch_df, batch_id: int) -> None:
@@ -703,12 +695,56 @@ def stream_lsh_index_maintenance(
             done = snap.last_committed_batch(index_path, app)
             if done is not None and done >= batch_id:
                 return  # already durably indexed by this query
-        lsh_index_append(
+        append_fn(
             batch_df,
             index_path,
             extra_note={"app_id": app, "batch_id": batch_id},
         )
 
-    return docs.writeStream.foreachBatch(index_batch).option(
+    return rows.writeStream.foreachBatch(index_batch).option(
         "checkpointLocation", checkpoint
+    )
+
+
+def stream_lsh_index_maintenance(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    app_id: str | None = None,
+):
+    """Keep a persisted MinHash-LSH index (extensions.dedup
+    ``lsh_index_init``/``lsh_index_append``) fresh from a live
+    document stream — signatures for the new documents only, a
+    restarted stream can never drift from the index's pinned
+    parameters, and a near-dup probe (``near_dups_against_index``)
+    never sees a half-indexed crawl.
+
+    Returns an un-started DataStreamWriter (caller picks the trigger).
+    """
+    from group5_spark.extensions.dedup import lsh_index_append
+
+    return _stream_index_maintenance(
+        docs, index_path, checkpoint, lsh_index_append, app_id
+    )
+
+
+def stream_ivf_index_maintenance(
+    embeddings: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    app_id: str | None = None,
+):
+    """Keep a persisted IVF ANN index (extensions.similarity
+    ``ivf_index_init``/``ivf_index_append``) fresh from a live
+    embedding stream: each micro-batch is assigned against the
+    index's FROZEN centroids and lands as one atomic cell-partitioned
+    append, so ``ivf_index_search`` keeps file-pruning correctly as
+    the corpus grows.
+
+    Returns an un-started DataStreamWriter (caller picks the trigger).
+    """
+    from group5_spark.extensions.similarity import ivf_index_append
+
+    return _stream_index_maintenance(
+        embeddings, index_path, checkpoint, ivf_index_append, app_id
     )

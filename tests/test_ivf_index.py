@@ -1,0 +1,163 @@
+"""Persisted IVF ANN index lifecycle (extensions.similarity
+ivf_index_*): bootstrap → frozen-centroid batch append → file-pruned
+probe, as a snapshot-table maintenance job — the embedding twin of the
+persisted LSH index.
+
+Claims under test: a probe against the persisted index returns
+EXACTLY what the in-memory IVF computes with the same centroids;
+appends assign against the frozen centroids (never resample); and a
+probe physically reads only the probed cells' files.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from group5_spark.catalog import load_table
+from group5_spark.extensions import similarity as S
+from group5_spark.medallion.snapshots import snapshot_commit, snapshot_manifest
+
+
+def _rows(df):
+    return {
+        (r.query_id, r.cand_id, r.cosine, r.rank) for r in df.collect()
+    }
+
+
+def test_index_search_equals_in_memory_ivf(spark, sf_dir, tmp_path):
+    """init + search must reproduce ivf_topk bit-for-bit: the same
+    deterministic centroid sample, assignment, probes, and ranking —
+    persistence changes where the assignment lives, not the answer."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.limit(8)
+    idx = str(tmp_path / "ivfidx")
+    S.ivf_index_init(emb, idx, n_cells=16)
+
+    via_index = _rows(S.ivf_index_search(q, idx, k=10, n_probe=6))
+    in_memory = _rows(S.ivf_topk(emb, q, k=10, n_cells=16, n_probe=6))
+    assert via_index == in_memory and via_index
+
+
+def test_append_assigns_against_frozen_centroids(spark, sf_dir, tmp_path):
+    """Appending a batch must use the centroids pinned at init (the
+    FAISS convention: cells are frozen, retraining is a new index) —
+    searching the grown index equals assigning the full corpus with
+    the INDEX's centroids, not with centroids resampled from the
+    union."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.filter(F.col("vec_id") % 5 < 4)
+    batch1 = emb.filter(F.col("vec_id") % 5 == 4)
+    q = emb.limit(6)
+    idx = str(tmp_path / "ivfidx")
+    v1 = S.ivf_index_init(corpus0, idx, n_cells=8)
+    v2 = S.ivf_index_append(batch1, idx)
+    assert (v1, v2) == (1, 2)
+
+    _, centroids = S.ivf_index_params(idx)
+    q_vec = q.withColumn(
+        "v", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ).select(F.col("vec_id").alias("query_id"), "v")
+    full_vec = emb.withColumn(
+        "v", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    ).select(F.col("vec_id").alias("cand_id"), "v")
+    manual = S.ivf_rank(
+        S.ivf_probe_cells(q_vec, centroids, 4),
+        S.ivf_assign_cells(full_vec, centroids),
+        10,
+    )
+    assert _rows(S.ivf_index_search(q, idx, k=10, n_probe=4)) == _rows(manual)
+
+
+def test_probe_reads_only_probed_cells_files(spark, sf_dir, tmp_path):
+    """The scale claim made physical: a 2-of-8-cell probe's scan
+    touches a strict subset of the index's data files — manifest
+    partition pruning, not a full read followed by a filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfidx")
+    S.ivf_index_init(emb, idx, n_cells=8)
+    out = S.ivf_index_search(emb.limit(1), idx, k=5, n_probe=2)
+    total = len(snapshot_manifest(idx)["files"])
+    touched = {f for f in out.inputFiles() if "ivfidx" in f}
+    assert 0 < len(touched) < total
+
+
+def test_params_pinned_and_non_index_rejected(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfidx")
+    S.ivf_index_init(emb, idx, n_cells=8, hash_fn="xxhash64")
+    params, centroids = S.ivf_index_params(idx)
+    assert params == {
+        "id_col": "vec_id", "vec_col": "embedding",
+        "n_cells": 8, "hash_fn": "xxhash64",
+    }
+    assert len(centroids) == 8 and all(len(v) > 0 for _, v in centroids)
+
+    plain = str(tmp_path / "not_an_index")
+    snapshot_commit(emb.limit(3), plain, mode="overwrite")
+    with pytest.raises(ValueError, match="not an IVF index"):
+        S.ivf_index_search(emb.limit(1), plain)
+    with pytest.raises(ValueError, match="not an IVF index"):
+        S.ivf_index_append(emb.limit(1), plain)
+
+
+def test_stream_ivf_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
+    """An embedding stream maintains the index: one cell-partitioned
+    snapshot append per micro-batch against the frozen centroids, and
+    a checkpoint-replayed batch is note-deduped — re-running the
+    drained stream adds no versions."""
+    import json
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from group5_spark.medallion.snapshots import snapshot_versions
+    from group5_spark.streaming import jobs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.filter(F.col("vec_id") % 5 < 4)
+    streamed = emb.filter(F.col("vec_id") % 5 == 4).limit(5)
+    idx = str(tmp_path / "ivfidx")
+    S.ivf_index_init(corpus0, idx, n_cells=8)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    streamed_rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in streamed.collect()
+    ]
+    with open(src / "a.json", "w") as f:
+        for vid, vec in streamed_rows:
+            f.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_ivf_index_maintenance(stream, idx, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions_after = len(snapshot_versions(idx))
+    assert versions_after == 2  # init + one micro-batch append
+
+    # the streamed vectors are now probe candidates: searching for a
+    # streamed vector's own nearest neighbors must include it among
+    # the index rows (self-match excluded, so probe a DIFFERENT query)
+    streamed_ids = {vid for vid, _ in streamed_rows}
+    out = S.ivf_index_search(emb.limit(10), idx, k=50, n_probe=8)
+    assert {r.cand_id for r in out.collect()} & streamed_ids
+
+    # replay with the same checkpoint: nothing new, no phantom version
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_ivf_index_maintenance(stream, idx, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(snapshot_versions(idx)) == versions_after
