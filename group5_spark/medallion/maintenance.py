@@ -117,6 +117,8 @@ def compact_snapshot(
     min_files_to_compact: int = 2,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    sort_cols: list[str] | None = None,
+    zorder_cols: list[str] | None = None,
 ) -> dict:
     """Compaction for snapshot-versioned tables — routed THROUGH the
     commit protocol, so it is time-travel-safe where :func:`compact`'s
@@ -135,25 +137,60 @@ def compact_snapshot(
     later by :func:`snapshots.snapshot_expire` once the
     pre-compaction versions age out. Returns ``{}`` when the table is
     already healthy, else ``{files_before, files_after, version}``.
+
+    ``sort_cols`` / ``zorder_cols`` (mutually exclusive) turn the
+    rewrite into a CLUSTERING compaction — Delta's OPTIMIZE ZORDER:
+    range-partition + in-file sort on one dominant key, or
+    Morton-interleave several independently-filtered keys
+    (:func:`zorder_arranged`), so the recorded manifest min/max
+    become tight and selective reads skip files they previously had
+    to open. Because clustering is about LAYOUT, not file count, a
+    clustering compaction rewrites even a table whose file count is
+    already healthy; the clustered columns are added to
+    ``stats_cols`` automatically (tight stats nobody records are
+    worthless).
     """
     from group5_spark.medallion import snapshots as snap
 
+    if sort_cols and zorder_cols:
+        raise ValueError("pass sort_cols or zorder_cols, not both")
+    cluster_cols = list(sort_cols or zorder_cols or [])
+    if cluster_cols:
+        stats_cols = sorted(set(stats_cols or []) | set(cluster_cols))
     while True:
         manifest = snap.snapshot_manifest(path)
         files = manifest["files"]
         nbytes = sum(e.get("bytes", 0) for e in files)
         needed = max(1, math.ceil(nbytes / target_file_bytes))
-        if len(files) <= max(needed, min_files_to_compact):
+        if not cluster_cols and len(files) <= max(
+            needed, min_files_to_compact
+        ):
             return {}
         before = snap.snapshot_read(spark, path, version=manifest["version"])
+        if sort_cols:
+            arranged = before.repartitionByRange(
+                needed, *sort_cols
+            ).sortWithinPartitions(*sort_cols)
+        elif zorder_cols:
+            arranged = zorder_arranged(before, zorder_cols, n_files=needed)
+        else:
+            arranged = before.coalesce(needed)
         try:
             version = snap.snapshot_commit(
-                before.coalesce(needed),
+                arranged,
                 path,
                 mode="overwrite",
                 stats_cols=stats_cols,
                 bloom_cols=bloom_cols,
-                note={"compaction": True, "files_before": len(files)},
+                note={
+                    "compaction": True,
+                    "files_before": len(files),
+                    **(
+                        {"clustered_by": cluster_cols}
+                        if cluster_cols
+                        else {}
+                    ),
+                },
                 expected_parent=manifest["version"],
             )
         except snap.SnapshotConflict:
@@ -440,6 +477,34 @@ def snapshot_delete(
         }
 
 
+def _stats_overlap_fraction(files: list[dict], col: str) -> float | None:
+    """Sorted-sweep overlap of per-file [min, max] ranges on ``col``:
+    the fraction of files (beyond the first) whose min lies at or
+    under the running max of the files before them. 0 = perfectly
+    ranged (every selective filter can skip), →1 = round-robin layout
+    (no filter ever skips). None when fewer than 4 files carry
+    comparable stats — too few ranges to call a layout bad."""
+    ranges = []
+    for e in files:
+        st = (e.get("stats") or {}).get(col)
+        if not st or st.get("min") is None or st.get("max") is None:
+            continue
+        ranges.append((st["min"], st["max"]))
+    if len(ranges) < 4:
+        return None
+    try:
+        ranges.sort()
+        overlapping = 0
+        prev_max = ranges[0][1]
+        for lo, hi in ranges[1:]:
+            if lo <= prev_max:
+                overlapping += 1
+            prev_max = max(prev_max, hi)
+    except TypeError:
+        return None  # mixed-type stats (schema evolution): no verdict
+    return overlapping / (len(ranges) - 1)
+
+
 def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> dict:
     """Metadata-only health report + maintenance recommendations for a
     snapshot table — the nightly-ops decision input, priced at a few
@@ -458,10 +523,18 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
     - **stats coverage**: files committed without min/max stats can
       never be pruned → re-commit or compact with ``stats_cols``;
     - **NDV sketch**: absent KMV means the join advisor falls back to
-      a stats scan → commit with ``ndv_cols`` on the join keys.
+      a stats scan → commit with ``ndv_cols`` on the join keys;
+    - **clustering**: a stats column whose file ranges mostly overlap
+      can never skip files no matter how tight the stats are (every
+      file straddles every value) → clustering compaction
+      (``compact_snapshot(sort_cols=/zorder_cols=)``). Overlap is the
+      sorted-sweep fraction of files whose min falls inside the
+      running max of their predecessors — 0 for perfectly ranged
+      layout, →1 for round-robin writes.
 
     Returns ``{version, files, bytes, avg_file_bytes, versions_retained,
-    orphan_manifests, stats_coverage, recommendations: [...]}``.
+    orphan_manifests, stats_coverage, clustering_overlap,
+    recommendations: [...]}``.
     """
     import json as _json
 
@@ -508,6 +581,23 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
             "ndv: no KMV sketch in the head manifest — the join "
             "advisor cannot plan from metadata (commit with ndv_cols)"
         )
+    overlap: dict[str, float] = {}
+    stat_cols = {
+        c for e in files for c in (e.get("stats") or {})
+    } - {head.get("partition_by")}
+    for col in sorted(c for c in stat_cols if c):
+        frac = _stats_overlap_fraction(files, col)
+        if frac is not None:
+            overlap[col] = round(frac, 3)
+    for col, frac in overlap.items():
+        if frac > 0.5 and len(files) >= 4:
+            recs.append(
+                f"cluster: {frac:.0%} of files overlap on {col!r} — "
+                f"min/max stats cannot skip them however selective the "
+                f"filter (compact_snapshot(sort_cols=[{col!r}]), or "
+                f"zorder_cols= when several keys are filtered "
+                f"independently)"
+            )
     return {
         "version": head["version"],
         "files": len(files),
@@ -516,6 +606,7 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
         "versions_retained": len(versions),
         "orphan_manifests": len(orphans),
         "stats_coverage": round(with_stats / len(files), 3) if files else 1.0,
+        "clustering_overlap": overlap,
         "recommendations": recs,
     }
 

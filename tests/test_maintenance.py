@@ -460,3 +460,135 @@ def test_compact_snapshot_partitions_rewrites_only_fragmented(spark, tmp_path):
     assert snapshot_read(spark, tbl, version=before["version"]).count() == 11
     # second run: healthy -> no-op
     assert compact_snapshot_partitions(spark, tbl, min_files_to_compact=2) == {}
+
+
+# ------------------- clustering compaction (OPTIMIZE ZORDER) ---------
+
+
+def test_sort_clustering_compaction_tightens_pruning(spark, tmp_path):
+    """Round-robin-written files each span the full key range, so a
+    selective predicate prunes nothing; a sort-clustered compaction
+    must rewrite into non-overlapping ranges the manifest stats can
+    actually skip — same rows, fewer files opened."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import compact_snapshot
+    from group5_spark.medallion.snapshots import (
+        prune_files,
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(4000).repartition(8), t, stats_cols=["id"]
+    )
+    kept, total = prune_files(t, [("id", ">=", 3900)])
+    assert len(kept) == total  # every file overlaps: nothing skips
+
+    nbytes = sum(e["bytes"] for e in snapshot_manifest(t)["files"])
+    out = compact_snapshot(
+        spark,
+        t,
+        sort_cols=["id"],
+        target_file_bytes=math.ceil(nbytes / 4),
+    )
+    assert out["version"] == 2
+    kept, total = prune_files(t, [("id", ">=", 3900)])
+    assert 0 < len(kept) < total
+    assert snapshot_manifest(t)["note"]["clustered_by"] == ["id"]
+    got = snapshot_read(spark, t, predicates=[("id", ">=", 3900)])
+    assert got.count() == 100
+
+
+def test_zorder_clustering_compaction_skips_on_both_keys(spark, tmp_path):
+    """Morton clustering must let BOTH independently-filtered keys
+    skip files — a lexicographic sort would only serve the leading
+    one. Layout-only rewrite: runs even when the file count is
+    healthy."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import compact_snapshot
+    from group5_spark.medallion.snapshots import (
+        prune_files,
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+    snapshot_commit(grid.repartition(8), t, stats_cols=["x", "y"])
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    nbytes = sum(e["bytes"] for e in snapshot_manifest(t)["files"])
+    out = compact_snapshot(
+        spark,
+        t,
+        zorder_cols=["x", "y"],
+        target_file_bytes=math.ceil(nbytes / 8),
+    )
+    assert out["version"] == 2
+    kx, total = prune_files(t, [("x", "=", 5)])
+    ky, _ = prune_files(t, [("y", "=", 5)])
+    assert len(kx) < total and len(ky) < total
+    # values intact under the rewrite
+    assert snapshot_read(spark, t).count() == 64 * 64
+    assert (
+        snapshot_read(spark, t, predicates=[("x", "=", 5), ("y", "=", 5)])
+        .count()
+        == 1
+    )
+
+
+def test_clustering_compaction_rejects_both_modes(spark, tmp_path):
+    import pytest
+
+    from group5_spark.medallion.maintenance import compact_snapshot
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(spark.range(10).toDF("id"), t)
+    with pytest.raises(ValueError, match="not both"):
+        compact_snapshot(spark, t, sort_cols=["id"], zorder_cols=["id"])
+
+
+def test_health_flags_overlapping_layout_and_clears_after_clustering(
+    spark, tmp_path
+):
+    """table_health must read the layout problem out of the manifest
+    alone: round-robin files overlap ~100% on id → a cluster
+    recommendation; after the sort-clustered compaction the overlap
+    collapses and the recommendation disappears."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot,
+        table_health,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(spark.range(4000).repartition(8), t, stats_cols=["id"])
+    h = table_health(t)
+    assert h["clustering_overlap"]["id"] > 0.5
+    assert any("cluster:" in r for r in h["recommendations"])
+
+    nbytes = sum(e["bytes"] for e in snapshot_manifest(t)["files"])
+    compact_snapshot(
+        spark, t, sort_cols=["id"], target_file_bytes=math.ceil(nbytes / 4)
+    )
+    h2 = table_health(t)
+    assert h2["clustering_overlap"]["id"] <= 0.5
+    assert not any("cluster:" in r for r in h2["recommendations"])
