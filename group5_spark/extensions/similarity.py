@@ -393,7 +393,11 @@ def ivf_index_init(
 
     c_vec = _ivf_c_vec(corpus, id_col, vec_col)
     centroids = ivf_sample_centroids(c_vec, n_cells, hash_fn)
-    assigned = ivf_assign_cells(c_vec, centroids)
+    # hash-cluster rows by cell before the partitioned write: without
+    # it every input split writes a sliver into every cell directory,
+    # and the file count (and probe-time manifest) grows as
+    # splits × cells instead of ~cells
+    assigned = ivf_assign_cells(c_vec, centroids).repartition("cell_id")
     return snapshot_commit(
         assigned,
         index_path,
@@ -430,7 +434,7 @@ def ivf_index_append(
 
     params, centroids = ivf_index_params(index_path)
     c_vec = _ivf_c_vec(new_df, params["id_col"], params["vec_col"])
-    assigned = ivf_assign_cells(c_vec, centroids)
+    assigned = ivf_assign_cells(c_vec, centroids).repartition("cell_id")
     return snapshot_commit(
         assigned,
         index_path,

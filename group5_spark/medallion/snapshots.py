@@ -859,7 +859,13 @@ def snapshot_clone(
         "parent": 0,
         "ts": time.time(),
         "schema": m.get("schema"),
+        # the source's note travels with the clone — notes are table
+        # properties (e.g. a persisted index's pinned parameters and
+        # centroids), and a clone that loses them is not usable as
+        # what it was cloned from. Clone bookkeeping keys win on
+        # collision.
         "note": {
+            **(m.get("note") or {}),
             "cloned_from": str(src_root.resolve()),
             "src_version": m["version"],
         },
