@@ -235,6 +235,37 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
             f"rewrote {out['files_rewritten']} file(s), carried "
             f"{out['files_carried']} untouched"
         )
+    elif args.action == "compact":
+        from group5_spark.medallion.maintenance import (
+            compact_snapshot,
+            compact_snapshot_partitions,
+        )
+
+        target = args.target_file_mb * 1024 * 1024
+        if args.sort_col or args.zorder_col:
+            out = compact_snapshot(
+                spark,
+                args.table_path,
+                target_file_bytes=target,
+                sort_cols=args.sort_col or None,
+                zorder_cols=args.zorder_col or None,
+            )
+        else:
+            out = compact_snapshot_partitions(
+                spark, args.table_path, target_file_bytes=target
+            )
+        if out:
+            extra = (
+                f", clustered by {args.sort_col or args.zorder_col}"
+                if (args.sort_col or args.zorder_col)
+                else ""
+            )
+            print(
+                f"v{out['version']:05d}: {out['files_before']} → "
+                f"{out['files_after']} file(s){extra}"
+            )
+        else:
+            print("nothing to compact")
     elif args.action == "rollback":
         from group5_spark.medallion.snapshots import snapshot_rollback
 
@@ -303,18 +334,26 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot",
         help=(
             "snapshot tables: log / show / expire / tag / drop-tag / "
-            "health / delete / clone / rollback"
+            "health / delete / clone / rollback / compact"
         ),
     )
     p_snap.add_argument(
         "action",
         choices=[
             "log", "show", "expire", "tag", "drop-tag", "health", "delete",
-            "clone", "rollback",
+            "clone", "rollback", "compact",
         ],
     )
     p_snap.add_argument("--to", default=None,
                         help="clone destination table path")
+    p_snap.add_argument("--sort_col", action="append", default=[],
+                        help="compact: range-sort clustering column "
+                        "(repeatable)")
+    p_snap.add_argument("--zorder_col", action="append", default=[],
+                        help="compact: Z-order clustering column "
+                        "(repeatable, >= 2)")
+    p_snap.add_argument("--target_file_mb", type=int, default=128,
+                        help="compact: target file size")
     p_snap.add_argument(
         "--where",
         action="append",
@@ -356,7 +395,9 @@ def main(argv: list[str] | None = None) -> int:
         cmd_generate(args)
         return 0
 
-    if args.command == "snapshot" and args.action not in ("show", "delete"):
+    if args.command == "snapshot" and args.action not in (
+        "show", "delete", "compact"
+    ):
         # metadata-only actions (log / expire / tag / drop-tag / health
         # / clone / rollback)
         # read and write manifests, never data — no reason to boot a

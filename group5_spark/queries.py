@@ -6885,14 +6885,68 @@ def dynfilter_urgent_order_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+_TRADE_REACH_SQL = """
+WITH RECURSIVE
+pair_counts AS (
+  SELECT ns.n_name AS src, nc.n_name AS dst, COUNT(*) AS cnt
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+  WHERE ns.n_name <> nc.n_name
+  GROUP BY ns.n_name, nc.n_name
+),
+edges AS (
+  SELECT src, dst FROM pair_counts
+  WHERE cnt > (SELECT CAST(SUM(cnt) AS DOUBLE) / COUNT(*) FROM pair_counts)
+),
+reach(nation, hops) AS (
+  SELECT (SELECT MIN(src) FROM edges) AS nation, 0 AS hops
+  UNION ALL
+  SELECT e.dst, r.hops + 1
+  FROM reach r JOIN edges e ON e.src = r.nation
+  WHERE r.hops < 3
+)
+SELECT nation, CAST(MIN(hops) AS BIGINT) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM reach GROUP BY nation
+"""
+
+
+@register("recursive_trade_reach", _TRADE_REACH_SQL)
+def recursive_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph traversal through the SQL surface: WITH
+    RECURSIVE (Spark 4's recursive CTE) walks the above-average
+    trade-edge graph from its lexicographically-first source nation,
+    reporting each nation's minimum hop distance and ≤3-hop path
+    count. The oracle is the IDENTICAL SQL on DuckDB — cross-engine
+    recursion parity, anchor/step semantics and all.
+
+    Scale shape: the one heavy operation is the pair-count fact
+    aggregation (dims broadcast, one shuffle of nation-pair
+    partials); the recursion then iterates over a ≤|nations|² DERIVED
+    edge list — metadata-sized, as a sane 100 TB recursive query must
+    be (the hop guard bounds depth; the engine's recursion limit
+    backstops runaway anchors). The edge threshold is RELATIVE
+    (above-average pair count), so the graph stays scale-stable
+    instead of emptying at small SF or saturating at large.
+    """
+    from group5_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TRADE_REACH_SQL)
+
+
 # The driver oracle-checks the FIRST 50 registered queries each round.
 # Rounds 1-3 cumulatively put driver-green rows on 128 distinct
 # queries (see CORRECTNESS_r0{1,2,3}.json). The round-4 window closes
 # the evidence ceiling: every oracle-backed query never driver-checked
-# before (9, incl. the round-4 operators and the dynamic-filter
-# query), the two round-3 driver-`err` rows re-submitted with
-# serialized scalar outputs, the two queries whose output surface
-# changed this round, the 29 queries
+# before (10, incl. the round-4 operators, the dynamic-filter query,
+# and the recursive CTE), the two round-3 driver-`err` rows
+# re-submitted with serialized scalar outputs, the two queries whose
+# output surface changed this round, the 28 queries
 # whose only driver evidence is round 1 (oldest — refresh it), and 8
 # §2 canonicals. sketch_scale_stats stays out by design (rows-only
 # approx sketch — a window slot would never yield a hash row). Every
@@ -6913,6 +6967,7 @@ _CHECK_WINDOW = [
     "corpus_shard_shuffle",
     "embedding_int8_quantization",
     "dynfilter_urgent_order_revenue",
+    "recursive_trade_reach",
     # round-3 driver-err rows, now with scalar (serialized) outputs
     "order_part_baskets",
     "inverted_index_postings",
@@ -6929,7 +6984,6 @@ _CHECK_WINDOW = [
     "except_active_ids",
     "conversion_rate",
     "events_by_type_daily",
-    "pct_revenue_by_segment",
     "dedup_exact",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",

@@ -226,3 +226,36 @@ def test_cli_snapshot_rollback_is_metadata_only(spark, tmp_path, capsys):
 
     with pytest.raises(SystemExit, match="--version or --ref"):
         cli_main(["snapshot", "rollback", "--table_path", t])
+
+
+def test_cli_snapshot_compact_clustering(spark, tmp_path):
+    """`snapshot compact --sort_col` runs the clustering compaction
+    through the CLI (subprocess — the compact path boots a Spark
+    session, shared-JVM caveat) and the rewritten layout prunes."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.snapshots import (
+        prune_files,
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "cli_compact")
+    snapshot_commit(
+        spark.range(4000).repartition(8), path, stats_cols=["id"]
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline",
+         "--master", "local[4]",
+         "snapshot", "compact", "--table_path", path,
+         "--sort_col", "id", "--target_file_mb", "1"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "clustered by ['id']" in out.stdout
+    assert snapshot_read(spark, path).count() == 4000
+    # the whole point: the clustered layout now skips files... unless
+    # 1 MiB targets collapsed it to a single file, in which case the
+    # only file IS the match — either way fewer than the original 8
+    kept, total = prune_files(path, [("id", ">=", 3900)])
+    assert len(kept) < 8
