@@ -6885,6 +6885,139 @@ def dynfilter_urgent_order_revenue(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "corpus_curation_funnel",
+    """
+    WITH tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY doc_id, term
+    ),
+    per_doc AS (
+        SELECT doc_id, SUM(tf) AS n_tokens,
+               ROUND(CAST(MAX(tf) AS DOUBLE) / SUM(tf), 6) AS max_tf_ratio
+        FROM tf GROUP BY doc_id
+    ),
+    quality AS (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN per_doc p USING (doc_id)
+        WHERE p.max_tf_ratio <= 0.15 AND p.n_tokens >= 20
+    ),
+    exact AS (
+        SELECT * FROM quality
+        QUALIFY doc_id = MIN(doc_id) OVER (PARTITION BY md5(text))
+    ),
+    words AS (
+        SELECT doc_id, source,
+               list_distinct(string_split(text, ' ')) AS words
+        FROM exact
+    ),
+    dropped AS (
+        SELECT DISTINCT b.doc_id
+        FROM words a JOIN words b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.words, b.words))) >= 0.9
+    ),
+    final AS (
+        SELECT * FROM exact
+        WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+    ),
+    assigned AS (
+        SELECT CASE
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= 'cccccccb'
+                THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) <= 'e6666665'
+                THEN 'val'
+            ELSE 'test' END AS split
+        FROM final
+    )
+    SELECT 'raw' AS stage, (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs
+    UNION ALL SELECT 'quality', (SELECT COUNT(*) FROM quality)::BIGINT
+    UNION ALL SELECT 'exact', (SELECT COUNT(*) FROM exact)::BIGINT
+    UNION ALL SELECT 'neardup', (SELECT COUNT(*) FROM final)::BIGINT
+    UNION ALL SELECT 'train',
+        (SELECT COUNT(*) FROM assigned WHERE split = 'train')::BIGINT
+    UNION ALL SELECT 'val',
+        (SELECT COUNT(*) FROM assigned WHERE split = 'val')::BIGINT
+    UNION ALL SELECT 'test',
+        (SELECT COUNT(*) FROM assigned WHERE split = 'test')::BIGINT
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end curation pipeline as ONE query — the composed
+    flagship of the training-data operator family: Gopher quality
+    gate → exact dedup (min-id per content hash) → near-dup drop
+    (source-blocked word-set Jaccard ≥ 0.9, pair-greedy: a doc is
+    dropped when any smaller exact-dedup survivor matches it) →
+    deterministic 80/10/10 hash split; reported as per-stage survivor
+    counts plus final split sizes.
+
+    Scale shape: every doc carries ONE set of boolean stage flags
+    through the lineage and the report is a single conditional
+    aggregate unpivoted to (stage, n_docs) — no per-stage recount
+    passes (a union of stage COUNT(*)s would re-run the whole lineage
+    once per stage). The near-dup stage is the only pairwise step and
+    stays source-blocked; at 100 TB swap it for the banded LSH index
+    probe (`near_dups_against_index`) — same drop-set contract.
+    Pair-greedy ≠ transitive-closure dedup (see `dedup_clusters` for
+    the component semantics); greedy is order-deterministic and what
+    curation pipelines typically ship.
+    """
+    from group5_spark.extensions.dedup import jaccard_pairs
+    from group5_spark.extensions.splits import hash_split
+    from group5_spark.extensions.text import repetition_stats
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    stats = repetition_stats(docs).select(
+        "doc_id", "n_tokens", "max_tf_ratio"
+    )
+    flagged = docs.join(stats, "doc_id").withColumn(
+        "q", (F.col("max_tf_ratio") <= 0.15) & (F.col("n_tokens") >= 20)
+    )
+    # exact-dedup keeper: the smallest QUALITY doc per content hash
+    wmd5 = Window.partitionBy(F.md5("text"))
+    flagged = flagged.withColumn(
+        "_minq", F.min(F.when(F.col("q"), F.col("doc_id"))).over(wmd5)
+    ).withColumn("e", F.col("q") & (F.col("doc_id") == F.col("_minq")))
+
+    exact = flagged.filter(F.col("e")).select("doc_id", "source", "text")
+    drop = (
+        jaccard_pairs(exact, block_col="source", threshold=0.9)
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    flagged = (
+        flagged.join(drop, "doc_id", "left")
+        .withColumn("f", F.col("e") & F.col("_dropped").isNull())
+    )
+    assigned = hash_split(
+        flagged, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+
+    def n(cond):
+        return F.sum(cond.cast("int")).cast("bigint")
+
+    wide = assigned.agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw"),
+        n(F.col("q")).alias("quality"),
+        n(F.col("e")).alias("exact"),
+        n(F.col("f")).alias("neardup"),
+        n(F.col("f") & (F.col("split") == "train")).alias("train"),
+        n(F.col("f") & (F.col("split") == "val")).alias("val"),
+        n(F.col("f") & (F.col("split") == "test")).alias("test"),
+    )
+    return wide.selectExpr(
+        "stack(7, 'raw', raw, 'quality', quality, 'exact', exact, "
+        "'neardup', neardup, 'train', train, 'val', val, 'test', test) "
+        "AS (stage, n_docs)"
+    )
+
+
 _TRADE_REACH_SQL = """
 WITH RECURSIVE
 pair_counts AS (
@@ -6943,10 +7076,11 @@ def recursive_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Rounds 1-3 cumulatively put driver-green rows on 128 distinct
 # queries (see CORRECTNESS_r0{1,2,3}.json). The round-4 window closes
 # the evidence ceiling: every oracle-backed query never driver-checked
-# before (10, incl. the round-4 operators, the dynamic-filter query,
-# and the recursive CTE), the two round-3 driver-`err` rows
-# re-submitted with serialized scalar outputs, the two queries whose
-# output surface changed this round, the 28 queries
+# before (11, incl. the round-4 operators, the dynamic-filter query,
+# the recursive CTE, and the composed curation funnel), the two
+# round-3 driver-`err` rows re-submitted with serialized scalar
+# outputs, the two queries whose output surface changed this round,
+# the 27 queries
 # whose only driver evidence is round 1 (oldest — refresh it), and 8
 # §2 canonicals. sketch_scale_stats stays out by design (rows-only
 # approx sketch — a window slot would never yield a hash row). Every
@@ -6968,6 +7102,7 @@ _CHECK_WINDOW = [
     "embedding_int8_quantization",
     "dynfilter_urgent_order_revenue",
     "recursive_trade_reach",
+    "corpus_curation_funnel",
     # round-3 driver-err rows, now with scalar (serialized) outputs
     "order_part_baskets",
     "inverted_index_postings",
@@ -6978,7 +7113,6 @@ _CHECK_WINDOW = [
     "customers_without_orders",
     "customers_with_orders",
     "late_shipment_priority",
-    "top_customers",
     "union_active_ids",
     "intersect_active_ids",
     "except_active_ids",
