@@ -676,12 +676,17 @@ def _lsh_params(
     }
 
 
-def lsh_index_params(index_path: str) -> dict:
+def lsh_index_params(index_path: str, version: int | None = None) -> dict:
     """The LSH parameters pinned at :func:`lsh_index_init` time —
-    metadata-only (one manifest read, no Spark)."""
-    from group5_spark.medallion.snapshots import latest_note
+    metadata-only (one manifest read, no Spark). ``version=`` reads
+    that version's note, keeping time-travel probes self-consistent
+    if the index is ever re-initialized with different parameters."""
+    from group5_spark.medallion.snapshots import snapshot_manifest
 
-    note = latest_note(index_path) or {}
+    try:
+        note = snapshot_manifest(index_path, version).get("note") or {}
+    except FileNotFoundError:
+        note = {}
     params = note.get(_LSH_NOTE_KEY)
     if not params:
         raise ValueError(
@@ -785,7 +790,7 @@ def near_dups_against_index(
     """
     from group5_spark.medallion.snapshots import snapshot_read
 
-    params = lsh_index_params(index_path)
+    params = lsh_index_params(index_path, version=version)
     index = snapshot_read(new_df.sparkSession, index_path, version=version)
     return incremental_near_dups(
         new_df,

@@ -352,15 +352,25 @@ _IVF_NOTE_KEY = "ivf_params"
 
 def ivf_index_params(
     index_path: str,
+    version: int | None = None,
 ) -> tuple[dict, list[tuple[int, list[float]]]]:
-    """The parameters and frozen centroids pinned at
-    :func:`ivf_index_init` time — metadata-only (one manifest read,
-    no Spark). JSON round-trips floats exactly (shortest-repr), so
-    the centroid literals rebuilt from the note are bit-identical to
-    the ones the index was assigned with."""
-    from group5_spark.medallion.snapshots import latest_note
+    """The parameters and frozen centroids pinned in the index's
+    manifest note — metadata-only (one manifest read, no Spark). JSON
+    round-trips floats exactly (shortest-repr), so the centroid
+    literals rebuilt from the note are bit-identical to the ones the
+    index was assigned with.
 
-    note = latest_note(index_path) or {}
+    ``version=`` reads THAT version's note: the centroids are part of
+    the versioned index state, so a time-travel probe must use the
+    centroids its files were assigned with — after a
+    :func:`ivf_index_retrain`, the head's centroids describe only the
+    head's assignment."""
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    try:
+        note = snapshot_manifest(index_path, version).get("note") or {}
+    except FileNotFoundError:
+        note = {}
     params = note.get(_IVF_NOTE_KEY)
     if not params:
         raise ValueError(
@@ -449,6 +459,49 @@ def ivf_index_append(
     )
 
 
+def ivf_index_retrain(
+    corpus: DataFrame,
+    index_path: str,
+    n_cells: int | None = None,
+    expected_parent: int | None = None,
+) -> int:
+    """Re-train the index: sample FRESH centroids from the current
+    corpus and commit a full re-assignment as a new overwrite version
+    — the FAISS "train a new index" operation, expressed as one
+    snapshot commit so readers never see a half-retrained index and
+    the pre-retrain index stays probe-able by version (each version's
+    note carries ITS centroids — :func:`ivf_index_params` is
+    version-aware for exactly this reason).
+
+    Run it when appended batches have drifted the data distribution
+    away from the init-time sample, or to re-dial ``n_cells`` after
+    corpus growth (the √N heuristic). ``n_cells=None`` keeps the
+    current cell count; id/vec columns and hash mode always carry
+    over. ``expected_parent`` guards against racing a concurrent
+    append (SnapshotConflict → re-read, retrain against the fresh
+    corpus). Returns the new version.
+    """
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    params, _ = ivf_index_params(index_path)
+    cells = n_cells if n_cells is not None else params["n_cells"]
+    c_vec = _ivf_c_vec(corpus, params["id_col"], params["vec_col"])
+    centroids = ivf_sample_centroids(c_vec, cells, params["hash_fn"])
+    assigned = ivf_assign_cells(c_vec, centroids).repartition("cell_id")
+    return snapshot_commit(
+        assigned,
+        index_path,
+        mode="overwrite",
+        partition_by="cell_id",
+        expected_parent=expected_parent,
+        note={
+            _IVF_NOTE_KEY: {**params, "n_cells": cells},
+            "centroids": centroids,
+            "op": "ivf_index_retrain",
+        },
+    )
+
+
 def ivf_index_search(
     queries: DataFrame,
     index_path: str,
@@ -467,7 +520,7 @@ def ivf_index_search(
     """
     from group5_spark.medallion.snapshots import snapshot_read
 
-    params, centroids = ivf_index_params(index_path)
+    params, centroids = ivf_index_params(index_path, version=version)
     spark = queries.sparkSession
     q_vec = queries.withColumn(
         "v", _as_double(queries, params["vec_col"])

@@ -161,3 +161,48 @@ def test_stream_ivf_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
     )
     q.awaitTermination()
     assert len(snapshot_versions(idx)) == versions_after
+
+
+def test_retrain_resamples_and_old_version_stays_probeable(
+    spark, sf_dir, tmp_path
+):
+    """Retraining commits fresh centroids + a full re-assignment as
+    one overwrite version; the pre-retrain index stays probe-able by
+    version with ITS OWN centroids (version-aware params) — the
+    reproducible-backfill contract survives a retrain."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.filter(F.col("vec_id") % 3 == 0)
+    idx = str(tmp_path / "ivfidx")
+    v1 = S.ivf_index_init(corpus0, idx, n_cells=4)
+    v2 = S.ivf_index_retrain(emb, idx, n_cells=8)
+    assert (v1, v2) == (1, 2)
+
+    p_head, c_head = S.ivf_index_params(idx)
+    p_v1, c_v1 = S.ivf_index_params(idx, version=1)
+    assert p_head["n_cells"] == 8 and p_v1["n_cells"] == 4
+    assert c_head != c_v1
+
+    q = emb.limit(5)
+
+    def manual(centroids, corpus):
+        q_vec = q.withColumn(
+            "v", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).select(F.col("vec_id").alias("query_id"), "v")
+        c_vec = corpus.withColumn(
+            "v", F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        ).select(F.col("vec_id").alias("cand_id"), "v")
+        return S.ivf_rank(
+            S.ivf_probe_cells(q_vec, centroids, 2),
+            S.ivf_assign_cells(c_vec, centroids),
+            5,
+        )
+
+    def rows(df):
+        return {(r.query_id, r.cand_id, r.cosine, r.rank) for r in df.collect()}
+
+    assert rows(S.ivf_index_search(q, idx, k=5, n_probe=2)) == rows(
+        manual(c_head, emb)
+    )
+    assert rows(S.ivf_index_search(q, idx, k=5, n_probe=2, version=1)) == rows(
+        manual(c_v1, corpus0)
+    )
