@@ -26,7 +26,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "snapshot_update", "table_health", "compact_snapshot_partitions"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
+__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "snapshot_update", "table_health", "compact_snapshot_partitions", "apply_health"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -836,3 +836,96 @@ def compact_snapshot_partitions(
             "files_before": files_before,
             "files_after": files_after,
         }
+
+
+def apply_health(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    expire: bool = False,
+    keep_last: int = 3,
+    dry_run: bool = False,
+) -> list[dict]:
+    """The nightly ops loop closed: read :func:`table_health`'s
+    recommendations and EXECUTE them, in dependency order, returning
+    one action record per step. ``dry_run=True`` reports what would
+    run without touching the table.
+
+    Mapping (each action is the one the recommendation names):
+    - ``cluster:`` → :func:`compact_snapshot` with ``sort_cols`` on
+      the WORST-overlapping column (one clustering rewrite also fixes
+      fragmentation and refreshes stats, so it subsumes a plain
+      compact in the same pass);
+    - ``compact:`` / ``stats:`` → :func:`compact_snapshot_partitions`
+      (partition-scoped; the rewrite records stats on the previously
+      stats-less files);
+    - ``expire:`` → :func:`snapshot_expire`, but ONLY when the caller
+      passes ``expire=True``: expiry deletes bytes and ends time
+      travel below the window — a destructive step an automated loop
+      must not take by default. Skipped-but-recommended expiry is
+      still reported, with ``executed: False``.
+
+    Compaction/clustering run BEFORE expiry so the files they orphan
+    fall into the same night's window once aged. Each executed action
+    re-reads health, so the returned records show the table
+    converging; a second ``apply_health`` on a healthy table returns
+    [].
+    """
+    actions: list[dict] = []
+    h = table_health(path, target_file_bytes=target_file_bytes)
+    recs = h["recommendations"]
+
+    cluster_recs = [r for r in recs if r.startswith("cluster:")]
+    if cluster_recs:
+        worst = max(
+            h["clustering_overlap"], key=lambda c: h["clustering_overlap"][c]
+        )
+        act = {
+            "action": "cluster_compact",
+            "column": worst,
+            "reason": cluster_recs[0],
+            "executed": not dry_run,
+        }
+        if not dry_run:
+            act["result"] = compact_snapshot(
+                spark, path,
+                target_file_bytes=target_file_bytes,
+                sort_cols=[worst],
+            )
+        actions.append(act)
+    elif any(r.startswith(("compact:", "stats:")) for r in recs):
+        reason = next(
+            r for r in recs if r.startswith(("compact:", "stats:"))
+        )
+        act = {
+            "action": "compact",
+            "reason": reason,
+            "executed": not dry_run,
+        }
+        if not dry_run:
+            act["result"] = compact_snapshot_partitions(
+                spark, path, target_file_bytes=target_file_bytes
+            )
+        actions.append(act)
+
+    expire_recs = [r for r in recs if r.startswith("expire:")]
+    # a rewrite above just added a version; expiry recommended before
+    # OR made newly useful by the rewrite is handled in one pass
+    if expire_recs or (actions and not dry_run):
+        h2 = table_health(path, target_file_bytes=target_file_bytes)
+        expire_now = [
+            r for r in h2["recommendations"] if r.startswith("expire:")
+        ] or expire_recs
+        if expire_now:
+            act = {
+                "action": "expire",
+                "reason": expire_now[0],
+                "executed": expire and not dry_run,
+            }
+            if expire and not dry_run:
+                from group5_spark.medallion.snapshots import snapshot_expire
+
+                act["result"] = snapshot_expire(path, keep_last=keep_last)
+            actions.append(act)
+    return actions

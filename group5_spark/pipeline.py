@@ -266,6 +266,24 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
             )
         else:
             print("nothing to compact")
+    elif args.action == "heal":
+        from group5_spark.medallion.maintenance import apply_health
+
+        done = apply_health(
+            spark,
+            args.table_path,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+            expire=args.expire,
+            keep_last=args.keep_last,
+            dry_run=args.dry_run,
+        )
+        if not done:
+            print("healthy: nothing to do")
+        for a in done:
+            verb = "did" if a["executed"] else (
+                "would" if args.dry_run else "skipped (pass --expire)"
+            )
+            print(f"{verb} {a['action']}: {a['reason']}")
     elif args.action == "rollback":
         from group5_spark.medallion.snapshots import snapshot_rollback
 
@@ -334,14 +352,14 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot",
         help=(
             "snapshot tables: log / show / expire / tag / drop-tag / "
-            "health / delete / clone / rollback / compact"
+            "health / delete / clone / rollback / compact / heal"
         ),
     )
     p_snap.add_argument(
         "action",
         choices=[
             "log", "show", "expire", "tag", "drop-tag", "health", "delete",
-            "clone", "rollback", "compact",
+            "clone", "rollback", "compact", "heal",
         ],
     )
     p_snap.add_argument("--to", default=None,
@@ -353,7 +371,11 @@ def main(argv: list[str] | None = None) -> int:
                         help="compact: Z-order clustering column "
                         "(repeatable, >= 2)")
     p_snap.add_argument("--target_file_mb", type=int, default=128,
-                        help="compact: target file size")
+                        help="compact/heal: target file size")
+    p_snap.add_argument("--expire", action="store_true",
+                        help="heal: allow the destructive expiry step")
+    p_snap.add_argument("--dry-run", action="store_true",
+                        help="heal: report actions without running them")
     p_snap.add_argument(
         "--where",
         action="append",
@@ -396,7 +418,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.command == "snapshot" and args.action not in (
-        "show", "delete", "compact"
+        "show", "delete", "compact", "heal"
     ):
         # metadata-only actions (log / expire / tag / drop-tag / health
         # / clone / rollback)

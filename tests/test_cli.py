@@ -259,3 +259,27 @@ def test_cli_snapshot_compact_clustering(spark, tmp_path):
     # only file IS the match — either way fewer than the original 8
     kept, total = prune_files(path, [("id", ">=", 3900)])
     assert len(kept) < 8
+
+
+def test_cli_snapshot_heal(spark, tmp_path):
+    """`snapshot heal` runs the health-recommendation loop through
+    the CLI (subprocess — boots Spark); expiry stays gated behind
+    --expire."""
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    path = str(tmp_path / "cli_heal")
+    for i in range(6):
+        snapshot_commit(
+            spark.range(i * 400, (i + 1) * 400).repartition(2),
+            path,
+            mode="append" if i else "overwrite",
+            stats_cols=["id"],
+        )
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline",
+         "--master", "local[4]",
+         "snapshot", "heal", "--table_path", path, "--target_file_mb", "1"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "did cluster_compact" in out.stdout or "did compact" in out.stdout

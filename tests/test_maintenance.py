@@ -592,3 +592,47 @@ def test_health_flags_overlapping_layout_and_clears_after_clustering(
     h2 = table_health(t)
     assert h2["clustering_overlap"]["id"] <= 0.5
     assert not any("cluster:" in r for r in h2["recommendations"])
+
+
+def test_apply_health_converges_the_table(spark, tmp_path):
+    """The ops loop end-to-end: a fragmented, badly-clustered,
+    history-heavy table → apply_health clusters (subsuming the
+    compact), reports the expiry it is NOT allowed to run, runs it
+    when allowed — and a second pass finds nothing to do."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import apply_health, table_health
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    for i in range(12):
+        snapshot_commit(
+            spark.range(i * 400, (i + 1) * 400).repartition(2),
+            t,
+            mode="append" if i else "overwrite",
+            stats_cols=["id"],
+        )
+    # dry run: names the work, touches nothing
+    planned = apply_health(spark, t, dry_run=True)
+    assert planned and all(not a["executed"] for a in planned)
+    assert len(snapshot_versions(t)) == 12
+
+    done = apply_health(spark, t)  # expire not allowed by default
+    kinds = {a["action"]: a for a in done}
+    assert "cluster_compact" in kinds and kinds["cluster_compact"]["executed"]
+    assert kinds["cluster_compact"]["column"] == "id"
+    assert "expire" in kinds and not kinds["expire"]["executed"]
+
+    h = table_health(t)
+    assert not any(r.startswith(("cluster:", "compact:")) for r in h["recommendations"])
+
+    done2 = apply_health(spark, t, expire=True, keep_last=1)
+    assert any(a["action"] == "expire" and a["executed"] for a in done2)
+    assert len(snapshot_versions(t)) == 1
+
+    assert apply_health(spark, t, expire=True, keep_last=1) == []
