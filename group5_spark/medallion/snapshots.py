@@ -263,6 +263,23 @@ class SnapshotConflict(Exception):
     another commit landed between the caller's read and this commit."""
 
 
+class ConstraintViolation(Exception):
+    """Raised when a commit's staged rows violate the table's CHECK
+    constraints — the commit never becomes visible (staged files are
+    removed, no manifest is written). Carries ``violations``:
+    ``{constraint_name: violating_row_count}``."""
+
+    def __init__(self, path: str, violations: dict):
+        self.violations = violations
+        super().__init__(
+            f"commit to {path} rejected: "
+            + ", ".join(
+                f"{name!r} violated by {n} row(s)"
+                for name, n in sorted(violations.items())
+            )
+        )
+
+
 def snapshot_commit(
     df: DataFrame,
     path: str,
@@ -274,6 +291,7 @@ def snapshot_commit(
     ndv_cols: list[str] | None = None,
     partition_by: str | None = None,
     carry_files: list[dict] | None = None,
+    constraints: dict[str, str | None] | None = None,
 ) -> int:
     """Write ``df`` as the next version of the table at ``path`` and
     return the new version number.
@@ -312,6 +330,13 @@ def snapshot_commit(
     ``expected_parent``, which this parameter therefore requires);
     any additive NDV sketch is dropped, since carried+staged no longer
     describes a pure append.
+
+    ``constraints``: named CHECK expressions (``{"pos_qty":
+    "quantity > 0"}``) enforced on this commit's staged rows and
+    PERSISTED in the manifest — every later commit to the table
+    enforces the inherited set without restating it (a None value
+    drops a rule). A violating commit raises
+    :class:`ConstraintViolation` and never becomes visible.
 
     The commit protocol is stage → claim manifest slot → claim chain
     link (the atomic commit point); a crash before the chain claim
@@ -370,6 +395,56 @@ def snapshot_commit(
         if blooms:
             entry["bloom"] = blooms
         staged.append(entry)
+
+    # Table CHECK constraints (Delta-style): inherited from the head
+    # manifest, updated by this commit's ``constraints`` dict (a None
+    # value DROPS a rule), persisted in the new manifest so every
+    # future writer enforces them without restating them. Validated
+    # against the STAGED rows only — carried/parent files passed their
+    # own commit-time check — via one column-pruned read of the staged
+    # parquet (the write already happened; re-reading just the
+    # constraint columns is cheaper than a second pass over the input
+    # plan). SQL CHECK semantics: a NULL predicate passes; only rows
+    # where the expression is FALSE violate. A violating commit never
+    # becomes visible: staged files are removed, no manifest slot is
+    # claimed. (Constraint inheritance reads the head at validation
+    # time; a concurrent commit that CHANGES the rule set in the
+    # claim-race window is not re-validated — guard operator-driven
+    # constraint changes with expected_parent.)
+    head_now = _current_version(root)
+    inherited = (
+        json.loads(_manifest_path(root, head_now).read_text()).get(
+            "constraints", {}
+        )
+        if head_now
+        else {}
+    )
+    effective_constraints = dict(inherited)
+    for cname, cexpr in (constraints or {}).items():
+        if cexpr is None:
+            effective_constraints.pop(cname, None)
+        else:
+            effective_constraints[cname] = cexpr
+    if effective_constraints and staged:
+        from pyspark.sql import functions as F
+
+        staged_df = df.sparkSession.read.parquet(str(data_dir))
+        counts = staged_df.agg(
+            *[
+                F.sum(
+                    (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
+                ).alias(cname)
+                for cname, e in sorted(effective_constraints.items())
+            ]
+        ).first()
+        violations = {
+            cname: int(counts[cname] or 0)
+            for cname in effective_constraints
+            if (counts[cname] or 0) > 0
+        }
+        if violations:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise ConstraintViolation(path, violations)
 
     # Optimistic concurrency, two atomic primitives:
     #   1. the version SLOT is claimed by exclusive manifest create
@@ -460,6 +535,8 @@ def snapshot_commit(
         }
         if table_kmv:
             manifest["kmv"] = table_kmv
+        if effective_constraints:
+            manifest["constraints"] = effective_constraints
         if partition_by:
             manifest["partition_by"] = partition_by
         elif mode == "append" and parent and prior.get("partition_by"):
@@ -875,6 +952,8 @@ def snapshot_clone(
         manifest["partition_by"] = m["partition_by"]
     if m.get("kmv"):
         manifest["kmv"] = m["kmv"]
+    if m.get("constraints"):
+        manifest["constraints"] = m["constraints"]
     with open(_manifest_path(root, 1), "x") as f:
         f.write(json.dumps(manifest, indent=1))
     with open(_chain_path(root, 0), "x") as f:
@@ -950,6 +1029,8 @@ def snapshot_rollback(
             manifest["partition_by"] = target["partition_by"]
         if target.get("kmv"):
             manifest["kmv"] = target["kmv"]
+        if target.get("constraints"):
+            manifest["constraints"] = target["constraints"]
         try:
             with open(_manifest_path(root, new_version), "x") as f:
                 f.write(json.dumps(manifest, indent=1))

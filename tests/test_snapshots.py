@@ -840,3 +840,106 @@ def test_rollback_preserves_partition_layout_and_pruning(spark, tmp_path):
     assert len(kept) < total
     got = snapshot_read(spark, t, predicates=[("k", "=", "3")])
     assert got.count() == 20 and got.select("k").distinct().first()[0] == 3
+
+
+# ----------------------- CHECK constraints --------------------------
+
+
+def test_constraints_enforced_and_inherited(spark, tmp_path):
+    """Delta-style table constraints: declared once at commit time,
+    persisted in the manifest, enforced on EVERY later commit without
+    restating — a violating append raises, becomes invisible, and
+    leaves no staged garbage."""
+    import pytest
+
+    from group5_spark.medallion.snapshots import (
+        ConstraintViolation,
+        snapshot_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 1, 100), t,
+        constraints={"pos_id": "id > 0", "k_range": "k BETWEEN 0 AND 4"},
+    )
+    assert snapshot_manifest(t)["constraints"] == {
+        "pos_id": "id > 0", "k_range": "k BETWEEN 0 AND 4",
+    }
+
+    # inherited enforcement: the append does NOT restate the rules
+    with pytest.raises(ConstraintViolation, match="pos_id.*3 row"):
+        snapshot_commit(_df(spark, -2, 5), t, mode="append")
+    assert snapshot_manifest(t)["version"] == 1  # nothing landed
+    assert snapshot_read(spark, t).count() == 99
+    # staged files of the rejected commit were removed
+    leftover = [
+        d for d in Path(t).glob("data-*")
+        if not any(
+            e["path"].startswith(d.name)
+            for e in snapshot_manifest(t)["files"]
+        )
+    ]
+    assert leftover == []
+
+    # a clean append lands and re-persists the inherited set
+    snapshot_commit(_df(spark, 100, 110), t, mode="append")
+    assert snapshot_manifest(t)["constraints"]["pos_id"] == "id > 0"
+
+
+def test_constraint_null_passes_and_drop_rule(spark, tmp_path):
+    """SQL CHECK semantics: NULL predicates pass; and a rule dropped
+    with None stops gating commits from then on."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(5).select(F.col("id"), F.lit("a").alias("s")),
+        t,
+        constraints={"s_ok": "length(s) < 10"},
+    )
+    # NULL s -> predicate NULL -> passes (not a violation)
+    nulls = spark.range(2).select(
+        F.col("id"), F.lit(None).cast("string").alias("s")
+    )
+    snapshot_commit(nulls, t, mode="append")
+
+    import pytest
+
+    from group5_spark.medallion.snapshots import ConstraintViolation
+
+    bad = spark.range(1).select(
+        F.col("id"), F.lit("x" * 20).alias("s")
+    )
+    with pytest.raises(ConstraintViolation):
+        snapshot_commit(bad, t, mode="append")
+    # drop the rule; the same rows now land
+    snapshot_commit(bad, t, mode="append", constraints={"s_ok": None})
+    assert "constraints" not in snapshot_manifest(t)
+    assert snapshot_read(spark, t).count() == 8
+
+
+def test_constraints_survive_rollback_and_clone(spark, tmp_path):
+    import pytest
+
+    from group5_spark.medallion.snapshots import (
+        ConstraintViolation,
+        snapshot_clone,
+        snapshot_manifest,
+        snapshot_rollback,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 1, 50), t, constraints={"pos_id": "id > 0"})
+    snapshot_commit(_df(spark, 1, 10), t, mode="append")
+    snapshot_rollback(t, version=1)
+    assert snapshot_manifest(t)["constraints"] == {"pos_id": "id > 0"}
+    with pytest.raises(ConstraintViolation):
+        snapshot_commit(_df(spark, -5, 0), t, mode="append")
+
+    c = str(tmp_path / "clone")
+    snapshot_clone(t, c)
+    assert snapshot_manifest(c)["constraints"] == {"pos_id": "id > 0"}
+    with pytest.raises(ConstraintViolation):
+        snapshot_commit(_df(spark, -5, 0), c, mode="append")
