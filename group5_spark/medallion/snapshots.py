@@ -369,6 +369,28 @@ def snapshot_commit(
     writer.parquet(str(data_dir))
     stats_cols = stats_cols or []
     bloom_cols = bloom_cols or []
+    if not stats_cols and (
+        mode in ("append", "replace_partitions") or carry_files is not None
+    ):
+        # inherit the parent's stats coverage: an append (or a
+        # file-pruned DML/compaction rewrite — overwrite+carry_files)
+        # that forgets stats_cols would otherwise add stats-less files
+        # that quietly disable manifest pruning on the whole table
+        # (the prune must keep any file it has no stats for).
+        # Harvested from the parent manifest's file entries; the
+        # partition column's synthetic min==max stat is re-derived
+        # from the layout, not inherited.
+        pv_now = _current_version(root)
+        if pv_now:
+            pfiles = json.loads(
+                _manifest_path(root, pv_now).read_text()
+            )["files"]
+            inherited_cols = {
+                c for e in pfiles for c in (e.get("stats") or {})
+            } - {partition_by}
+            stats_cols = sorted(
+                c for c in inherited_cols if c in df.columns
+            )
     staged = []
     kmv = _commit_kmv(df, ndv_cols) if ndv_cols else {}
     for f in sorted(data_dir.rglob("*.parquet")):

@@ -943,3 +943,33 @@ def test_constraints_survive_rollback_and_clone(spark, tmp_path):
     assert snapshot_manifest(c)["constraints"] == {"pos_id": "id > 0"}
     with pytest.raises(ConstraintViolation):
         snapshot_commit(_df(spark, -5, 0), c, mode="append")
+
+
+def test_append_and_dml_inherit_stats_coverage(spark, tmp_path):
+    """Forgetting stats_cols on an append or a file-pruned rewrite
+    must not poison pruning: new files inherit the parent manifest's
+    stats columns, so a selective predicate keeps skipping."""
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(0, 1000).repartitionByRange(4, "id"), t,
+        stats_cols=["id"],
+    )
+    # append WITHOUT stats_cols
+    snapshot_commit(
+        spark.range(1000, 2000).repartitionByRange(4, "id"), t,
+        mode="append",
+    )
+    files = snapshot_manifest(t)["files"]
+    assert all("id" in (e.get("stats") or {}) for e in files)
+    kept, total = prune_files(t, [("id", ">=", 1900)])
+    assert total == 8 and len(kept) < total
+
+    # file-pruned DML rewrite (overwrite+carry) also inherits
+    snapshot_delete(spark, t, [("id", ">=", 1990)])
+    files = snapshot_manifest(t)["files"]
+    assert files and all("id" in (e.get("stats") or {}) for e in files)
+    kept, total = prune_files(t, [("id", "<", 100)])
+    assert len(kept) < total
