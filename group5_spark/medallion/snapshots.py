@@ -1024,21 +1024,14 @@ def snapshot_rollback(
     if asof is not None:
         version = resolve_asof(path, asof)
     target = snapshot_manifest(path, version)  # raises if absent
-    while True:
-        parent = _current_version(root)
-        if not parent:
-            raise ValueError(f"{path} is not a snapshot table")
+
+    def build(parent: int, new_version: int) -> dict | None:
         if expected_parent is not None and parent != expected_parent:
             raise SnapshotConflict(
                 f"head moved {expected_parent} → {parent} at {path}"
             )
         if parent == version:
-            return parent  # restoring the head restores nothing
-        taken = [
-            int(m.stem[1:])
-            for m in (root / _MANIFEST_DIR).glob("v*.json")
-        ]
-        new_version = max([parent, *taken], default=0) + 1
+            return None  # restoring the head restores nothing
         manifest = {
             "version": new_version,
             "parent": parent,
@@ -1053,22 +1046,128 @@ def snapshot_rollback(
             manifest["kmv"] = target["kmv"]
         if target.get("constraints"):
             manifest["constraints"] = target["constraints"]
+        return manifest
+
+    return _metadata_commit(root, build)
+
+
+def _metadata_commit(root: Path, build_manifest) -> int:
+    """Shared slot/chain-claim loop for METADATA-ONLY commits
+    (rollback, constraint changes): ``build_manifest(parent,
+    new_version)`` returns the manifest dict, or None to abort
+    (caller's no-op case returns the current head)."""
+    while True:
+        parent = _current_version(root)
+        if not parent:
+            raise ValueError(f"{root} is not a snapshot table")
+        taken = [
+            int(m.stem[1:])
+            for m in (root / _MANIFEST_DIR).glob("v*.json")
+        ]
+        new_version = max([parent, *taken], default=0) + 1
+        manifest = build_manifest(parent, new_version)
+        if manifest is None:
+            return parent
         try:
             with open(_manifest_path(root, new_version), "x") as f:
                 f.write(json.dumps(manifest, indent=1))
         except FileExistsError:
-            continue  # slot raced; pick the next one
+            continue
         try:
             with open(_chain_path(root, parent), "x") as f:
                 f.write(str(new_version))
             break
         except FileExistsError:
-            continue  # lost the chain claim; rebase on the new head
+            continue
     if new_version > _read_pointer(root):
         tmp = root / _MANIFEST_DIR / f"_ptr.{uuid.uuid4().hex[:8]}"
         tmp.write_text(str(new_version))
         tmp.replace(root / _MANIFEST_DIR / _POINTER)
     return new_version
+
+
+def snapshot_add_constraint(
+    spark: SparkSession, path: str, name: str, expr: str
+) -> int:
+    """ALTER TABLE ADD CONSTRAINT: validate the rule against the
+    table's CURRENT rows (Delta semantics — a constraint the existing
+    data already violates must be rejected, or the table would be
+    born non-compliant), then commit a metadata-only version whose
+    manifest carries the grown rule set. Every subsequent
+    ``snapshot_commit`` enforces it automatically. Returns the new
+    version; raises :class:`ConstraintViolation` when existing rows
+    fail the rule."""
+    from pyspark.sql import functions as F
+
+    root = Path(path)
+    head = _current_version(root)
+    if not head:
+        raise ValueError(f"{path} is not a snapshot table")
+    current = snapshot_read(spark, path, version=head)
+    bad = int(
+        current.agg(
+            F.sum(
+                (~F.coalesce(F.expr(expr), F.lit(True))).cast("long")
+            ).alias("n")
+        ).first()["n"]
+        or 0
+    )
+    if bad:
+        raise ConstraintViolation(path, {name: bad})
+
+    def build(parent: int, new_version: int) -> dict | None:
+        prior = json.loads(_manifest_path(root, parent).read_text())
+        rules = dict(prior.get("constraints", {}))
+        if rules.get(name) == expr:
+            return None  # idempotent re-add
+        # validation ran against `head`; if the table moved since, the
+        # new rows were NOT checked — refuse rather than certify them
+        if parent != head:
+            raise SnapshotConflict(
+                f"head moved {head} → {parent} at {path} during "
+                "constraint validation; re-run snapshot_add_constraint"
+            )
+        rules[name] = expr
+        manifest = dict(prior)
+        manifest.update(
+            version=new_version,
+            parent=parent,
+            ts=time.time(),
+            note={"op": "add_constraint", "constraint": name},
+            constraints=rules,
+        )
+        return manifest
+
+    return _metadata_commit(root, build)
+
+
+def snapshot_drop_constraint(path: str, name: str) -> int:
+    """ALTER TABLE DROP CONSTRAINT: metadata-only commit removing the
+    rule; future commits stop enforcing it. Dropping an absent rule
+    is a no-op (returns the head). No data validation — dropping a
+    gate never invalidates stored rows."""
+    root = Path(path)
+
+    def build(parent: int, new_version: int) -> dict | None:
+        prior = json.loads(_manifest_path(root, parent).read_text())
+        rules = dict(prior.get("constraints", {}))
+        if name not in rules:
+            return None
+        rules.pop(name)
+        manifest = dict(prior)
+        manifest.update(
+            version=new_version,
+            parent=parent,
+            ts=time.time(),
+            note={"op": "drop_constraint", "constraint": name},
+        )
+        if rules:
+            manifest["constraints"] = rules
+        else:
+            manifest.pop("constraints", None)
+        return manifest
+
+    return _metadata_commit(root, build)
 
 
 def snapshot_expire(

@@ -266,6 +266,25 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
             )
         else:
             print("nothing to compact")
+    elif args.action == "constrain":
+        from group5_spark.medallion.snapshots import (
+            snapshot_add_constraint,
+            snapshot_drop_constraint,
+        )
+
+        if args.add:
+            if "=" not in args.add:
+                raise SystemExit("--add wants name=expression")
+            cname, cexpr = args.add.split("=", 1)
+            v = snapshot_add_constraint(
+                spark, args.table_path, cname.strip(), cexpr.strip()
+            )
+            print(f"v{v:05d}: added constraint {cname.strip()!r}")
+        elif args.drop:
+            v = snapshot_drop_constraint(args.table_path, args.drop)
+            print(f"v{v:05d}: dropped constraint {args.drop!r}")
+        else:
+            raise SystemExit("snapshot constrain requires --add or --drop")
     elif args.action == "heal":
         from group5_spark.medallion.maintenance import apply_health
 
@@ -352,14 +371,15 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot",
         help=(
             "snapshot tables: log / show / expire / tag / drop-tag / "
-            "health / delete / clone / rollback / compact / heal"
+            "health / delete / clone / rollback / compact / heal / "
+            "constrain"
         ),
     )
     p_snap.add_argument(
         "action",
         choices=[
             "log", "show", "expire", "tag", "drop-tag", "health", "delete",
-            "clone", "rollback", "compact", "heal",
+            "clone", "rollback", "compact", "heal", "constrain",
         ],
     )
     p_snap.add_argument("--to", default=None,
@@ -374,6 +394,12 @@ def main(argv: list[str] | None = None) -> int:
                         help="compact/heal: target file size")
     p_snap.add_argument("--expire", action="store_true",
                         help="heal: allow the destructive expiry step")
+    p_snap.add_argument("--add", default=None, metavar="NAME=EXPR",
+                        help="constrain: add a CHECK rule (validates "
+                        "existing rows first)")
+    p_snap.add_argument("--drop", default=None, metavar="NAME",
+                        help="constrain: drop a CHECK rule "
+                        "(metadata-only)")
     p_snap.add_argument("--dry-run", action="store_true",
                         help="heal: report actions without running them")
     p_snap.add_argument(
@@ -417,9 +443,13 @@ def main(argv: list[str] | None = None) -> int:
         cmd_generate(args)
         return 0
 
-    if args.command == "snapshot" and args.action not in (
-        "show", "delete", "compact", "heal"
-    ):
+    snapshot_needs_spark = args.command == "snapshot" and (
+        args.action in ("show", "delete", "compact", "heal")
+        # adding a constraint validates existing rows (a scan); a
+        # drop is pure manifest surgery and stays on the fast path
+        or (args.action == "constrain" and args.add is not None)
+    )
+    if args.command == "snapshot" and not snapshot_needs_spark:
         # metadata-only actions (log / expire / tag / drop-tag / health
         # / clone / rollback)
         # read and write manifests, never data — no reason to boot a

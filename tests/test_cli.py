@@ -283,3 +283,32 @@ def test_cli_snapshot_heal(spark, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "did cluster_compact" in out.stdout or "did compact" in out.stdout
+
+
+def test_cli_snapshot_constrain(spark, tmp_path):
+    """`snapshot constrain --add` validates + commits (Spark path,
+    subprocess); `--drop` runs JVM-free in-process."""
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+    )
+    from group5_spark.pipeline import main as cli_main
+
+    path = str(tmp_path / "cli_constrain")
+    snapshot_commit(spark.range(1, 30).toDF("id"), path)
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline",
+         "--master", "local[4]",
+         "snapshot", "constrain", "--table_path", path,
+         "--add", "pos_id=id > 0"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "added constraint 'pos_id'" in out.stdout
+    assert snapshot_manifest(path)["constraints"] == {"pos_id": "id > 0"}
+
+    rc = cli_main(
+        ["snapshot", "constrain", "--table_path", path, "--drop", "pos_id"]
+    )
+    assert rc == 0
+    assert "constraints" not in snapshot_manifest(path)

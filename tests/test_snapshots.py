@@ -973,3 +973,45 @@ def test_append_and_dml_inherit_stats_coverage(spark, tmp_path):
     assert files and all("id" in (e.get("stats") or {}) for e in files)
     kept, total = prune_files(t, [("id", "<", 100)])
     assert len(kept) < total
+
+
+def test_alter_constraint_lifecycle(spark, tmp_path):
+    """ADD CONSTRAINT validates existing rows before committing (a
+    rule the table already violates is refused); the added rule gates
+    future commits; DROP stops enforcement; both are audited
+    metadata-only versions."""
+    import pytest
+
+    from group5_spark.medallion.snapshots import (
+        ConstraintViolation,
+        snapshot_add_constraint,
+        snapshot_drop_constraint,
+        snapshot_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 1, 50), t)
+
+    with pytest.raises(ConstraintViolation, match="id_cap"):
+        snapshot_add_constraint(spark, t, "id_cap", "id < 10")
+
+    v2 = snapshot_add_constraint(spark, t, "pos_id", "id > 0")
+    assert v2 == 2
+    m = snapshot_manifest(t)
+    assert m["constraints"] == {"pos_id": "id > 0"}
+    assert m["note"] == {"op": "add_constraint", "constraint": "pos_id"}
+    # metadata-only: same file set as v1
+    assert {e["path"] for e in m["files"]} == {
+        e["path"] for e in snapshot_manifest(t, 1)["files"]
+    }
+    # idempotent re-add is a no-op
+    assert snapshot_add_constraint(spark, t, "pos_id", "id > 0") == 2
+
+    with pytest.raises(ConstraintViolation):
+        snapshot_commit(_df(spark, -3, 2), t, mode="append")
+
+    v3 = snapshot_drop_constraint(t, "pos_id")
+    assert v3 == 3 and "constraints" not in snapshot_manifest(t)
+    assert snapshot_drop_constraint(t, "pos_id") == 3  # absent: no-op
+    snapshot_commit(_df(spark, -3, 2), t, mode="append")  # now lands
+    assert snapshot_read(spark, t).count() == 54
