@@ -973,3 +973,42 @@ def test_stream_dedup_vs_corpus_drops_known_and_in_stream_dups(spark, tmp_path):
         r["doc_id"] for r in spark.sql("SELECT doc_id FROM cdedup").collect()
     )
     assert got == [2, 3]
+
+
+def test_stream_snapshot_sink_enforces_table_constraints(spark, tmp_path):
+    """A constrained table stays constrained under streaming writes:
+    the sink's appends inherit the manifest rule set, so a poisoned
+    micro-batch fails the query instead of landing — at-least-once
+    retry semantics then surface the bad batch to the operator rather
+    than silently corrupting the table."""
+    import json
+
+    import pytest
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(1, 5).toDF("id"), tbl,
+        constraints={"pos_id": "id > 0"},
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in (7, -3, 9):
+            f.write(json.dumps({"id": i}) + "\n")
+    stream = spark.readStream.schema(
+        StructType([StructField("id", LongType())])
+    ).json(str(src))
+    q = (
+        jobs.stream_snapshot_sink(stream, tbl, str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="pos_id"):
+        q.awaitTermination()
+    assert snapshot_read(spark, tbl).count() == 4  # nothing landed
