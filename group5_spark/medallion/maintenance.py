@@ -182,6 +182,12 @@ def compact_snapshot(
                 mode="overwrite",
                 stats_cols=stats_cols,
                 bloom_cols=bloom_cols,
+                # preserve the table's partition layout: an overwrite
+                # without partition_by would silently DE-PARTITION a
+                # partitioned table (and lose its manifest partition
+                # pruning) — compaction must change file sizes, never
+                # the table contract
+                partition_by=manifest.get("partition_by"),
                 note={
                     "compaction": True,
                     "files_before": len(files),
@@ -607,6 +613,7 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
         "orphan_manifests": len(orphans),
         "stats_coverage": round(with_stats / len(files), 3) if files else 1.0,
         "clustering_overlap": overlap,
+        "constraints": sorted(head.get("constraints", {})),
         "recommendations": recs,
     }
 
@@ -730,6 +737,7 @@ def compact_snapshot_partitions(
     *,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
     min_files_to_compact: int = 2,
+    sort_cols: list[str] | None = None,
 ) -> dict:
     """Partition-scoped compaction for snapshot tables: rewrite ONLY
     the partitions whose file count exceeds their target-size need;
@@ -745,6 +753,15 @@ def compact_snapshot_partitions(
     read-rewrite-commit), time travel intact, old files reclaimed by
     ``snapshot_expire``. Returns ``{}`` when healthy, else
     ``{version, partitions_compacted, files_before, files_after}``.
+
+    ``sort_cols`` clusters WITHIN each rewritten partition
+    (range-partition + in-file sort — the per-partition analog of
+    :func:`compact_snapshot`'s clustering mode): the fragmented
+    partitions come out of the rewrite with tight, non-overlapping
+    stats on the sort key, while healthy partitions still carry by
+    reference — so re-layout cost stays priced at the fragmented
+    volume. Only rewritten partitions change layout; pass no
+    ``sort_cols`` for a plain coalesce.
     """
     from group5_spark.medallion import snapshots as snap
 
@@ -757,6 +774,7 @@ def compact_snapshot_partitions(
                 spark, path,
                 target_file_bytes=target_file_bytes,
                 min_files_to_compact=min_files_to_compact,
+                sort_cols=sort_cols,
             )
             if out:
                 out.setdefault("partitions_compacted", 1)
@@ -803,7 +821,13 @@ def compact_snapshot_partitions(
             df = dfs[0]
             for d in dfs[1:]:
                 df = df.unionByName(d)
-            pieces.append(df.coalesce(needed))
+            if sort_cols:
+                df = df.repartitionByRange(
+                    needed, *sort_cols
+                ).sortWithinPartitions(*sort_cols)
+            else:
+                df = df.coalesce(needed)
+            pieces.append(df)
         rewritten = pieces[0]
         for p in pieces[1:]:
             rewritten = rewritten.unionByName(p)
@@ -817,9 +841,14 @@ def compact_snapshot_partitions(
                 carry_files=carried,
                 expected_parent=head["version"],
                 partition_by=part_col,
+                # sort_cols=None leaves stats to parent-coverage
+                # inheritance; a clustering rewrite must record stats
+                # on its sort key or the tight layout is invisible
+                stats_cols=sorted(sort_cols) if sort_cols else None,
                 note={
                     "compaction": "partitions",
                     "partitions": sorted(map(str, fragmented)),
+                    **({"clustered_by": sorted(sort_cols)} if sort_cols else {}),
                 },
             )
         except snap.SnapshotConflict:

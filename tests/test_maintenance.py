@@ -636,3 +636,109 @@ def test_apply_health_converges_the_table(spark, tmp_path):
     assert len(snapshot_versions(t)) == 1
 
     assert apply_health(spark, t, expire=True, keep_last=1) == []
+
+
+def test_partition_scoped_clustering_compaction(spark, tmp_path):
+    """sort_cols on the partition compactor clusters WITHIN each
+    rewritten partition while healthy partitions carry by reference —
+    pruning on (partition, sort-key) predicates tightens, rows are
+    intact, and the healthy partition's files are untouched."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_partitions,
+    )
+    from group5_spark.medallion.snapshots import (
+        prune_files,
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    # partition a: ONE healthy file; partition b: 8 shuffled files
+    a = spark.range(0, 500).select(
+        F.lit("a").alias("p"), F.col("id")
+    ).coalesce(1)
+    snapshot_commit(a, t, partition_by="p", stats_cols=["id"])
+    b = spark.range(0, 4000).select(
+        F.lit("b").alias("p"), F.col("id")
+    ).repartition(8)
+    snapshot_commit(b, t, mode="append", partition_by="p", stats_cols=["id"])
+
+    kept, total = prune_files(t, [("p", "=", "b"), ("id", ">=", 3900)])
+    assert len(kept) == 8  # round-robin: every b file overlaps
+
+    m1 = snapshot_manifest(t)
+    b_bytes = sum(
+        e["bytes"] for e in m1["files"] if e.get("partition") == "b"
+    )
+    a_files_before = {
+        e["path"] for e in m1["files"] if e.get("partition") == "a"
+    }
+    out = compact_snapshot_partitions(
+        spark, t,
+        sort_cols=["id"],
+        target_file_bytes=math.ceil(b_bytes / 4),
+    )
+    assert out["partitions_compacted"] == 1
+    m2 = snapshot_manifest(t)
+    assert m2["note"]["clustered_by"] == ["id"]
+    # healthy partition carried by reference
+    assert {
+        e["path"] for e in m2["files"] if e.get("partition") == "a"
+    } == a_files_before
+    kept, _ = prune_files(t, [("p", "=", "b"), ("id", ">=", 3900)])
+    assert 0 < len(kept) < 8
+    got = snapshot_read(
+        spark, t, predicates=[("p", "=", "b"), ("id", ">=", 3900)]
+    )
+    assert got.count() == 100
+    assert snapshot_read(spark, t).count() == 4500
+
+
+def test_health_reports_constraints(spark, tmp_path):
+    from group5_spark.medallion.maintenance import table_health
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(1, 5).toDF("id"), t, constraints={"pos_id": "id > 0"}
+    )
+    assert table_health(t)["constraints"] == ["pos_id"]
+
+
+def test_compact_snapshot_preserves_partition_layout(spark, tmp_path):
+    """Regression: a whole-table (clustering) compaction of a
+    PARTITIONED table must keep partition_by and partition pruning —
+    an overwrite without it would silently de-partition the table."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import compact_snapshot
+    from group5_spark.medallion.snapshots import (
+        prune_files,
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(0, 2000).select(
+        (F.col("id") % 2).cast("string").alias("p"), F.col("id")
+    )
+    snapshot_commit(df.repartition(8), t, partition_by="p", stats_cols=["id"])
+    nbytes = sum(e["bytes"] for e in snapshot_manifest(t)["files"])
+    out = compact_snapshot(
+        spark, t, sort_cols=["id"], target_file_bytes=math.ceil(nbytes / 4)
+    )
+    assert out["version"] == 2
+    m = snapshot_manifest(t)
+    assert m["partition_by"] == "p"
+    assert all("partition" in e for e in m["files"])
+    kept, total = prune_files(t, [("p", "=", "1")])
+    assert 0 < len(kept) < total
+    assert snapshot_read(spark, t, predicates=[("p", "=", "1")]).count() == 1000
