@@ -940,6 +940,11 @@ def test_constraints_survive_rollback_and_clone(spark, tmp_path):
 
     c = str(tmp_path / "clone")
     snapshot_clone(t, c)
+    # the documented clone contract: pin the cloned version on the
+    # SOURCE so its expire never reclaims files the clone references
+    from group5_spark.medallion.snapshots import snapshot_tag
+
+    snapshot_tag(t, "clone-pin")
     assert snapshot_manifest(c)["constraints"] == {"pos_id": "id > 0"}
     with pytest.raises(ConstraintViolation):
         snapshot_commit(_df(spark, -5, 0), c, mode="append")
@@ -1015,3 +1020,70 @@ def test_alter_constraint_lifecycle(spark, tmp_path):
     assert snapshot_drop_constraint(t, "pos_id") == 3  # absent: no-op
     snapshot_commit(_df(spark, -3, 2), t, mode="append")  # now lands
     assert snapshot_read(spark, t).count() == 54
+
+
+def test_metadata_ops_composed_lifecycle(spark, tmp_path):
+    """Kitchen-sink composition: append → ALTER ADD CONSTRAINT →
+    rollback → clone → diverge the clone → clustering-compact the
+    source → expire — at every step the lakehouse invariants hold
+    (linear audited history, constraint enforcement, clone isolation,
+    pruning, no data loss)."""
+    import math
+
+    import pytest
+
+    from group5_spark.medallion.maintenance import compact_snapshot
+    from group5_spark.medallion.snapshots import (
+        ConstraintViolation,
+        snapshot_add_constraint,
+        snapshot_clone,
+        snapshot_manifest,
+        snapshot_rollback,
+        snapshot_versions,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 1, 100).repartition(6), t, stats_cols=["id"])
+    snapshot_commit(_df(spark, 100, 150), t, mode="append")      # v2
+    snapshot_add_constraint(spark, t, "pos_id", "id > 0")        # v3
+    snapshot_rollback(t, version=1)                              # v4
+    # rollback restored v1's FILES but constraints came from v1's
+    # manifest (none) — the v3 rule is gone with the restore, which is
+    # the RESTORE contract (table state = the restored version's
+    # state); re-add to continue enforcing
+    assert "constraints" not in snapshot_manifest(t)
+    snapshot_add_constraint(spark, t, "pos_id", "id > 0")        # v5
+
+    c = str(tmp_path / "clone")
+    snapshot_clone(t, c)
+    # the documented clone contract: pin the cloned version on the
+    # SOURCE so its expire never reclaims files the clone references
+    from group5_spark.medallion.snapshots import snapshot_tag
+
+    snapshot_tag(t, "clone-pin")
+    with pytest.raises(ConstraintViolation):
+        snapshot_commit(_df(spark, -1, 3), c, mode="append")
+    snapshot_commit(_df(spark, 500, 520), c, mode="append")      # clone v2
+    # clone divergence never touches the source
+    assert snapshot_read(spark, t).count() == 99
+    assert snapshot_read(spark, c).count() == 119
+
+    nbytes = sum(e["bytes"] for e in snapshot_manifest(t)["files"])
+    out = compact_snapshot(
+        spark, t, sort_cols=["id"], target_file_bytes=math.ceil(nbytes / 3)
+    )
+    # the clustered rewrite inherits + enforces the constraint set
+    assert snapshot_manifest(t)["constraints"] == {"pos_id": "id > 0"}
+    with pytest.raises(ConstraintViolation):
+        snapshot_commit(_df(spark, -9, -5), t, mode="append")
+
+    snapshot_expire(t, keep_last=1)
+    # retained: the head plus the tag-pinned cloned version
+    assert {v["version"] for v in snapshot_versions(t)} >= {out["version"]}
+    head = snapshot_read(spark, t)
+    assert head.count() == 99 and head.agg(F.min("id")).first()[0] == 1
+    kept, total = prune_files(t, [("id", ">=", 90)])
+    assert 0 < len(kept) < total
+    # the clone still reads in full: the tag pinned its file closure
+    # through the source's expiry
+    assert snapshot_read(spark, c).count() == 119
