@@ -203,7 +203,12 @@ def compact_snapshot(
             continue  # head moved mid-rewrite; re-read and retry
         return {
             "files_before": len(files),
-            "files_after": needed,
+            # actual count from the committed manifest: a partitioned
+            # rewrite fans each task across its partition dirs, so
+            # the file count is NOT simply `needed`
+            "files_after": len(
+                snap.snapshot_manifest(path, version)["files"]
+            ),
             "version": version,
         }
 

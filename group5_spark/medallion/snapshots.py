@@ -645,12 +645,20 @@ def snapshot_versions(path: str) -> list[dict]:
     out = []
     for v in sorted(_lineage(root, _current_version(root))):
         d = json.loads(_manifest_path(root, v).read_text())
+        note = d.get("note") or {}
+        op = note.get("op") or (
+            "compaction" if note.get("compaction") else None
+        )
         out.append(
             {
                 "version": d["version"],
                 "parent": d["parent"],
                 "ts": d["ts"],
                 "n_files": len(d["files"]),
+                # audit-trail hint: which operation produced this
+                # version (rollback / compaction / constraint change /
+                # index maintenance), None for plain writes
+                "op": op,
             }
         )
     return out

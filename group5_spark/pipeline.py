@@ -189,9 +189,10 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
         for v in snapshot_versions(args.table_path):
             names = by_version.get(v["version"], [])
             suffix = f"  tags: {', '.join(sorted(names))}" if names else ""
+            opfx = f" op={v['op']}" if v.get("op") else ""
             print(
                 f"v{v['version']:05d} parent=v{v['parent']:05d} "
-                f"files={v['n_files']} ts={v['ts']:.0f}{suffix}"
+                f"files={v['n_files']} ts={v['ts']:.0f}{opfx}{suffix}"
             )
     elif args.action == "expire":
         out = snapshot_expire(args.table_path, keep_last=args.keep_last)
