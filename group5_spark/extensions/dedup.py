@@ -788,8 +788,22 @@ def near_dups_against_index(
     it is only read to verify candidate pairs' true Jaccard, and the
     candidate semi-set prunes that scan.
     """
-    from group5_spark.medallion.snapshots import snapshot_read
+    from group5_spark.medallion.snapshots import (
+        snapshot_manifest,
+        snapshot_read,
+    )
 
+    # pin the version once: params and the index read must describe
+    # the same state (a concurrent re-init with different banding
+    # landing between the two resolutions would otherwise probe new
+    # buckets with old-parameter signatures)
+    try:
+        version = snapshot_manifest(index_path, version)["version"]
+    except FileNotFoundError:
+        raise ValueError(
+            f"{index_path} is not an LSH index table (no snapshot "
+            "manifest found)"
+        ) from None
     params = lsh_index_params(index_path, version=version)
     index = snapshot_read(new_df.sparkSession, index_path, version=version)
     return incremental_near_dups(

@@ -518,17 +518,38 @@ def ivf_index_search(
     ``n_cells``). ``version=`` searches the index as of an earlier
     corpus state. Same output contract as :func:`ivf_topk`.
     """
-    from group5_spark.medallion.snapshots import snapshot_read
+    from group5_spark.medallion.snapshots import (
+        snapshot_manifest,
+        snapshot_read,
+    )
 
+    # pin the version ONCE: params/centroids and the per-cell reads
+    # must describe the same index state — re-resolving the head per
+    # read would let a concurrent ivf_index_retrain land in between,
+    # probing NEW-centroid files with OLD-centroid cells (silently
+    # wrong candidates)
+    try:
+        version = snapshot_manifest(index_path, version)["version"]
+    except FileNotFoundError:
+        raise ValueError(
+            f"{index_path} is not an IVF index table (no snapshot "
+            "manifest found)"
+        ) from None
     params, centroids = ivf_index_params(index_path, version=version)
     spark = queries.sparkSession
     q_vec = queries.withColumn(
         "v", _as_double(queries, params["vec_col"])
     ).select(F.col(params["id_col"]).alias("query_id"), "v")
-    probes = ivf_probe_cells(q_vec, centroids, n_probe)
+    # persist: the probe frame is consumed twice (collect for the
+    # probed-cell set, then the rank join) and its centroid-array
+    # scoring is the expensive map-side half of the search
+    probes = ivf_probe_cells(q_vec, centroids, n_probe).persist()
     probed = sorted(
         r["cell_id"] for r in probes.select("cell_id").distinct().collect()
     )
+    if not probed:  # empty query batch: empty result, right schema
+        assigned = snapshot_read(spark, index_path, version=version).limit(0)
+        return ivf_rank(probes, assigned, k)
     parts = [
         snapshot_read(
             spark,

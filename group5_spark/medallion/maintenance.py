@@ -119,10 +119,14 @@ def compact_snapshot(
     bloom_cols: list[str] | None = None,
     sort_cols: list[str] | None = None,
     zorder_cols: list[str] | None = None,
+    force: bool = False,
 ) -> dict:
     """Compaction for snapshot-versioned tables — routed THROUGH the
     commit protocol, so it is time-travel-safe where :func:`compact`'s
-    in-place swap is not.
+    in-place swap is not. ``force=True`` rewrites even when the file
+    count is healthy — the stats-repair path: a rewrite of a
+    stats-less table records stats on every file (commit-time
+    coverage inheritance plus any ``stats_cols`` passed here).
 
     Reads the current snapshot, rewrites it into ``ceil(bytes/target)``
     files, and commits the result as a new overwrite version (the
@@ -162,8 +166,10 @@ def compact_snapshot(
         files = manifest["files"]
         nbytes = sum(e.get("bytes", 0) for e in files)
         needed = max(1, math.ceil(nbytes / target_file_bytes))
-        if not cluster_cols and len(files) <= max(
-            needed, min_files_to_compact
+        if (
+            not cluster_cols
+            and not force
+            and len(files) <= max(needed, min_files_to_compact)
         ):
             return {}
         before = snap.snapshot_read(spark, path, version=manifest["version"])
@@ -938,9 +944,40 @@ def apply_health(
             "executed": not dry_run,
         }
         if not dry_run:
-            act["result"] = compact_snapshot_partitions(
+            res = compact_snapshot_partitions(
                 spark, path, target_file_bytes=target_file_bytes
             )
+            if not res and any(r.startswith("stats:") for r in recs):
+                # file counts are healthy but coverage isn't: the
+                # partition-scoped pass had nothing to rewrite, so
+                # the gap needs a FORCED stats-recording rewrite.
+                # Columns: whatever the table already covers
+                # (commit-time inheritance), else every scalar
+                # schema column — a never-stats'd table has nothing
+                # to inherit from.
+                from group5_spark.medallion.snapshots import (
+                    snapshot_manifest,
+                )
+
+                m = snapshot_manifest(path)
+                covered = {
+                    c
+                    for e in m["files"]
+                    for c in (e.get("stats") or {})
+                }
+                cols = sorted(covered - {m.get("partition_by")}) or [
+                    f["name"]
+                    for f in (m.get("schema") or {}).get("fields", [])
+                    if isinstance(f.get("type"), str)
+                    and f["name"] != m.get("partition_by")
+                ]
+                res = compact_snapshot(
+                    spark, path,
+                    target_file_bytes=target_file_bytes,
+                    stats_cols=cols or None,
+                    force=True,
+                )
+            act["result"] = res
         actions.append(act)
 
     expire_recs = [r for r in recs if r.startswith("expire:")]

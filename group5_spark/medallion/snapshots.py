@@ -263,6 +263,31 @@ class SnapshotConflict(Exception):
     another commit landed between the caller's read and this commit."""
 
 
+#: note keys that are PER-COMMIT markers (operation audit, streaming
+#: idempotency, clone bookkeeping) — everything else in a note is a
+#: TABLE PROPERTY (e.g. a persisted index's pinned parameters and
+#: centroids) and must survive same-table rewrites: compaction,
+#: rollback, DML, and plain commits all carry property keys forward,
+#: with the caller's own note winning on collision. Without this, the
+#: first compaction of an LSH/IVF index table would discard its
+#: pinned model and brick every subsequent probe/append.
+_EPHEMERAL_NOTE_KEYS = frozenset({
+    "op", "app_id", "batch_id", "compaction", "files_before",
+    "partitions", "delete_where", "update_where", "restored_version",
+    "cloned_from", "src_version", "constraint", "clustered_by",
+})
+
+
+def _property_note(note: dict | None) -> dict:
+    """The table-property subset of a manifest note (see
+    :data:`_EPHEMERAL_NOTE_KEYS`)."""
+    return {
+        k: v
+        for k, v in (note or {}).items()
+        if k not in _EPHEMERAL_NOTE_KEYS
+    }
+
+
 class ConstraintViolation(Exception):
     """Raised when a commit's staged rows violate the table's CHECK
     constraints — the commit never becomes visible (staged files are
@@ -369,28 +394,39 @@ def snapshot_commit(
     writer.parquet(str(data_dir))
     stats_cols = stats_cols or []
     bloom_cols = bloom_cols or []
-    if not stats_cols and (
-        mode in ("append", "replace_partitions") or carry_files is not None
-    ):
-        # inherit the parent's stats coverage: an append (or a
-        # file-pruned DML/compaction rewrite — overwrite+carry_files)
-        # that forgets stats_cols would otherwise add stats-less files
-        # that quietly disable manifest pruning on the whole table
-        # (the prune must keep any file it has no stats for).
-        # Harvested from the parent manifest's file entries; the
-        # partition column's synthetic min==max stat is re-derived
-        # from the layout, not inherited.
-        pv_now = _current_version(root)
-        if pv_now:
-            pfiles = json.loads(
-                _manifest_path(root, pv_now).read_text()
-            )["files"]
-            inherited_cols = {
-                c for e in pfiles for c in (e.get("stats") or {})
-            } - {partition_by}
-            stats_cols = sorted(
-                c for c in inherited_cols if c in df.columns
-            )
+    # inherit the parent's stats AND bloom coverage on EVERY commit to
+    # an existing table (append, DML/compaction rewrites, overwrite):
+    # a writer that forgets stats_cols would otherwise add stats-less
+    # files that quietly disable manifest pruning table-wide (the
+    # prune must keep any file it has no stats for), and a full
+    # rewrite — compaction, clustering — would erase the table's
+    # pruning coverage wholesale. The caller's explicit columns UNION
+    # with the inherited set (a clustering rewrite adds its sort key,
+    # it never drops 'ts'). Harvested from the parent manifest's file
+    # entries; the partition column's synthetic min==max stat is
+    # re-derived from the layout, not inherited.
+    pv_now = _current_version(root)
+    _head_manifest = (
+        json.loads(_manifest_path(root, pv_now).read_text())
+        if pv_now
+        else {}
+    )
+    if pv_now:
+        pfiles = _head_manifest["files"]
+        inherited_stats = {
+            c for e in pfiles for c in (e.get("stats") or {})
+        } - {partition_by}
+        inherited_blooms = {
+            c for e in pfiles for c in (e.get("bloom") or {})
+        }
+        stats_cols = sorted(
+            set(stats_cols)
+            | {c for c in inherited_stats if c in df.columns}
+        )
+        bloom_cols = sorted(
+            set(bloom_cols)
+            | {c for c in inherited_blooms if c in df.columns}
+        )
     staged = []
     kmv = _commit_kmv(df, ndv_cols) if ndv_cols else {}
     for f in sorted(data_dir.rglob("*.parquet")):
@@ -433,14 +469,7 @@ def snapshot_commit(
     # time; a concurrent commit that CHANGES the rule set in the
     # claim-race window is not re-validated — guard operator-driven
     # constraint changes with expected_parent.)
-    head_now = _current_version(root)
-    inherited = (
-        json.loads(_manifest_path(root, head_now).read_text()).get(
-            "constraints", {}
-        )
-        if head_now
-        else {}
-    )
+    inherited = _head_manifest.get("constraints", {})
     effective_constraints = dict(inherited)
     for cname, cexpr in (constraints or {}).items():
         if cexpr is None:
@@ -552,7 +581,12 @@ def snapshot_commit(
             "schema": json.loads(df.schema.json()),
             # writer-supplied marker (e.g. streaming batch id) — the
             # hook idempotent sinks use to recognize a durable commit
-            "note": note or {},
+            # table-property note keys survive every same-table
+            # commit; the caller's note wins on collision
+            "note": {
+                **_property_note(_head_manifest.get("note")),
+                **(note or {}),
+            },
             "files": entries,
         }
         if table_kmv:
@@ -966,13 +1000,15 @@ def snapshot_clone(
         "parent": 0,
         "ts": time.time(),
         "schema": m.get("schema"),
-        # the source's note travels with the clone — notes are table
-        # properties (e.g. a persisted index's pinned parameters and
-        # centroids), and a clone that loses them is not usable as
-        # what it was cloned from. Clone bookkeeping keys win on
-        # collision.
+        # the source's PROPERTY note keys travel with the clone —
+        # e.g. a persisted index's pinned parameters and centroids; a
+        # clone that loses them is not usable as what it was cloned
+        # from. Ephemeral keys are deliberately dropped: inheriting
+        # the source's streaming (app_id, batch_id) marker would make
+        # a stream writing to the clone silently skip its first
+        # batches as "already committed".
         "note": {
-            **(m.get("note") or {}),
+            **_property_note(m.get("note")),
             "cloned_from": str(src_root.resolve()),
             "src_version": m["version"],
         },
@@ -1045,7 +1081,13 @@ def snapshot_rollback(
             "parent": parent,
             "ts": time.time(),
             "schema": target.get("schema"),
-            "note": {"op": "rollback", "restored_version": version},
+            # restore the TARGET's table properties along with its
+            # files (a restored index must keep its pinned model)
+            "note": {
+                **_property_note(target.get("note")),
+                "op": "rollback",
+                "restored_version": version,
+            },
             "files": target["files"],
         }
         if target.get("partition_by"):
@@ -1141,7 +1183,11 @@ def snapshot_add_constraint(
             version=new_version,
             parent=parent,
             ts=time.time(),
-            note={"op": "add_constraint", "constraint": name},
+            note={
+                **_property_note(prior.get("note")),
+                "op": "add_constraint",
+                "constraint": name,
+            },
             constraints=rules,
         )
         return manifest
@@ -1167,7 +1213,11 @@ def snapshot_drop_constraint(path: str, name: str) -> int:
             version=new_version,
             parent=parent,
             ts=time.time(),
-            note={"op": "drop_constraint", "constraint": name},
+            note={
+                **_property_note(prior.get("note")),
+                "op": "drop_constraint",
+                "constraint": name,
+            },
         )
         if rules:
             manifest["constraints"] = rules

@@ -206,3 +206,35 @@ def test_retrain_resamples_and_old_version_stays_probeable(
     assert rows(S.ivf_index_search(q, idx, k=5, n_probe=2, version=1)) == rows(
         manual(c_v1, corpus0)
     )
+
+
+def test_search_handles_empty_query_batch(spark, sf_dir, tmp_path):
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfidx")
+    S.ivf_index_init(emb, idx, n_cells=4)
+    out = S.ivf_index_search(emb.limit(0), idx, k=5, n_probe=2)
+    assert out.count() == 0
+    assert set(out.columns) == {"query_id", "cand_id", "cosine", "rank"}
+
+
+def test_index_params_survive_compaction(spark, sf_dir, tmp_path):
+    """Compacting the IVF index table must not discard the pinned
+    centroids (property-note carry) — search still matches the
+    pre-compaction answer."""
+    from group5_spark.medallion.maintenance import compact_snapshot
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfidx")
+    S.ivf_index_init(emb, idx, n_cells=8)
+    q = emb.limit(4)
+    before = {
+        (r.query_id, r.cand_id, r.cosine, r.rank)
+        for r in S.ivf_index_search(q, idx, k=5, n_probe=3).collect()
+    }
+    out = compact_snapshot(spark, idx, force=True)
+    assert out["version"] == 2
+    after = {
+        (r.query_id, r.cand_id, r.cosine, r.rank)
+        for r in S.ivf_index_search(q, idx, k=5, n_probe=3).collect()
+    }
+    assert before == after and before

@@ -194,3 +194,44 @@ def test_stream_lsh_index_maintenance_exactly_once(spark, tmp_path):
     )
     q.awaitTermination()
     assert len(snapshot_versions(idx)) == versions_after
+
+
+def test_index_survives_compaction_and_rollback(spark, tmp_path):
+    """The pinned LSH parameters are TABLE PROPERTIES: ordinary
+    snapshot compaction (which the append docstring recommends for
+    overlap reclaim) and a rollback must carry them — probing after
+    either still works."""
+    from group5_spark.medallion.maintenance import compact_snapshot
+    from group5_spark.medallion.snapshots import snapshot_rollback
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "zeta eta theta iota")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "lshidx")
+    dedup.lsh_index_init(corpus, idx, shingle_n=1)
+    dedup.lsh_index_append(
+        spark.createDataFrame([(3, "delta gamma beta alpha")],
+                              ["doc_id", "text"]),
+        idx,
+    )
+    compact_snapshot(spark, idx, force=True)
+    assert dedup.lsh_index_params(idx)["shingle_n"] == 1
+
+    probe = spark.createDataFrame(
+        [(9, "beta alpha delta gamma")], ["doc_id", "text"]
+    )
+    all_docs = corpus.unionByName(
+        spark.createDataFrame([(3, "delta gamma beta alpha")],
+                              ["doc_id", "text"])
+    )
+    pairs = {
+        (r.id_new, r.id_corpus)
+        for r in dedup.near_dups_against_index(
+            probe, all_docs, idx, threshold=0.9
+        ).collect()
+    }
+    assert pairs == {(9, 1), (9, 3)}
+
+    snapshot_rollback(idx, version=2)
+    assert dedup.lsh_index_params(idx)["shingle_n"] == 1

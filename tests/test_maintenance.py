@@ -742,3 +742,25 @@ def test_compact_snapshot_preserves_partition_layout(spark, tmp_path):
     kept, total = prune_files(t, [("p", "=", "1")])
     assert 0 < len(kept) < total
     assert snapshot_read(spark, t, predicates=[("p", "=", "1")]).count() == 1000
+
+
+def test_apply_health_repairs_stats_on_healthy_file_counts(spark, tmp_path):
+    """A table whose file count is healthy but whose files carry no
+    stats gets a FORCED stats-recording rewrite — the heal loop
+    converges instead of no-op'ing forever."""
+    from group5_spark.medallion.maintenance import apply_health, table_health
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(spark.range(2000).coalesce(2), t)  # no stats_cols
+    h = table_health(t)
+    assert any(r.startswith("stats:") for r in h["recommendations"])
+
+    done = apply_health(spark, t)
+    assert any(
+        a["action"] == "compact" and a["executed"] and a["result"]
+        for a in done
+    )
+    h2 = table_health(t)
+    assert h2["stats_coverage"] == 1.0
+    assert not any(r.startswith("stats:") for r in h2["recommendations"])

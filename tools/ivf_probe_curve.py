@@ -56,6 +56,7 @@ def run_one(n: int) -> dict:
     )
     from group5_spark.medallion.snapshots import snapshot_clone
 
+    materialize_docs(1)  # probe/append batches come from the 1x tables
     materialize_docs(n)
     sf_dir = str(SCALE_ROOT / f"xd{n:03d}")
     idx = SCALE_ROOT / f"_ivfidx_x{n:03d}"
