@@ -1012,3 +1012,59 @@ def test_stream_snapshot_sink_enforces_table_constraints(spark, tmp_path):
     with pytest.raises(Exception, match="pos_id"):
         q.awaitTermination()
     assert snapshot_read(spark, tbl).count() == 4  # nothing landed
+
+
+def test_compaction_between_batches_keeps_stream_idempotency(
+    spark, tmp_path
+):
+    """A compaction commit between micro-batches must neither carry
+    the stream's (app_id, batch_id) marker (it is ephemeral, not a
+    table property) nor disturb the dedup walk: a checkpoint replay
+    after compaction still skips the committed batch, and a NEW batch
+    still lands."""
+    import json
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from group5_spark.medallion.maintenance import compact_snapshot
+    from group5_spark.medallion.snapshots import (
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    tbl = str(tmp_path / "tbl")
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i in (1, 2, 3):
+            f.write(json.dumps({"id": i}) + "\n")
+    schema = StructType([StructField("id", LongType())])
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            jobs.stream_snapshot_sink(stream, tbl, ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    assert snapshot_read(spark, tbl).count() == 3
+
+    out = compact_snapshot(spark, tbl, force=True)
+    m = snapshot_manifest(tbl)
+    assert "app_id" not in m["note"] and "batch_id" not in m["note"]
+
+    # replay the same (drained) checkpoint: no phantom commit
+    n_versions = len(snapshot_versions(tbl))
+    drain()
+    assert len(snapshot_versions(tbl)) == n_versions
+
+    # a genuinely new batch still lands after the compaction
+    with open(src / "b.json", "w") as f:
+        f.write(json.dumps({"id": 9}) + "\n")
+    drain()
+    assert snapshot_read(spark, tbl).count() == 4
