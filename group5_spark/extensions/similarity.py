@@ -540,13 +540,24 @@ def ivf_index_search(
     q_vec = queries.withColumn(
         "v", _as_double(queries, params["vec_col"])
     ).select(F.col(params["id_col"]).alias("query_id"), "v")
-    # persist: the probe frame is consumed twice (collect for the
-    # probed-cell set, then the rank join) and its centroid-array
-    # scoring is the expensive map-side half of the search
-    probes = ivf_probe_cells(q_vec, centroids, n_probe).persist()
-    probed = sorted(
-        r["cell_id"] for r in probes.select("cell_id").distinct().collect()
-    )
+    # The probe frame is consumed twice: once to collect the probed-
+    # cell set, once in the rank join the caller materializes later.
+    # Persist only for the FIRST pass and unpersist immediately — a
+    # lazily-returned persisted frame can never be unpersisted by this
+    # function, and the CacheManager would hold its blocks for the
+    # session lifetime (repeated searches accumulate until eviction
+    # pressure). Cost of the trade: the returned plan re-runs the
+    # map-only centroid scoring once; deterministic (centroids are
+    # frozen at this pinned version), zero extra index I/O.
+    probes = ivf_probe_cells(q_vec, centroids, n_probe)
+    cached = probes.persist()
+    try:
+        probed = sorted(
+            r["cell_id"]
+            for r in cached.select("cell_id").distinct().collect()
+        )
+    finally:
+        cached.unpersist()
     if not probed:  # empty query batch: empty result, right schema
         assigned = snapshot_read(spark, index_path, version=version).limit(0)
         return ivf_rank(probes, assigned, k)

@@ -565,7 +565,8 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
     versions = snap.snapshot_versions(path)
     chained = {v["version"] for v in versions}
     all_slots = [
-        int(m.stem[1:]) for m in (root / "_manifests").glob("v*.json")
+        int(m.stem[1:])
+        for m in (root / snap._MANIFEST_DIR).glob("v*.json")
     ]
     orphans = sorted(set(all_slots) - chained)
     with_stats = sum(1 for e in files if e.get("stats"))
@@ -818,17 +819,27 @@ def compact_snapshot_partitions(
         for part, (entries, needed) in sorted(fragmented.items()):
             by_base: dict[str, list[str]] = {}
             for e in entries:
-                by_base.setdefault(Path(e["path"]).parts[0], []).append(
-                    str(root / e["path"])
-                )
+                fp = root / e["path"]
+                try:
+                    b = str(root / fp.relative_to(root).parts[0])
+                except ValueError:
+                    # cloned (absolute) entry into the SOURCE table:
+                    # its own staging dir (above the col=value dir) is
+                    # the basePath — same fallback as snapshot_delete;
+                    # Path.parts[0] of an absolute path would yield
+                    # "/" and mis-derive phantom partition columns
+                    b = str(
+                        fp.parent.parent
+                        if "=" in fp.parent.name
+                        else fp.parent
+                    )
+                by_base.setdefault(b, []).append(str(fp))
             dfs = []
             for b, fs in sorted(by_base.items()):
                 r = spark.read
                 if schema is not None:
                     r = r.schema(schema)
-                dfs.append(
-                    r.option("basePath", str(root / b)).parquet(*fs)
-                )
+                dfs.append(r.option("basePath", b).parquet(*fs))
             df = dfs[0]
             for d in dfs[1:]:
                 df = df.unionByName(d)

@@ -273,8 +273,9 @@ class SnapshotConflict(Exception):
 #: pinned model and brick every subsequent probe/append.
 _EPHEMERAL_NOTE_KEYS = frozenset({
     "op", "app_id", "batch_id", "compaction", "files_before",
-    "partitions", "delete_where", "update_where", "restored_version",
-    "cloned_from", "src_version", "constraint", "clustered_by",
+    "partitions", "delete_where", "update_where", "set_cols",
+    "restored_version", "cloned_from", "src_version", "constraint",
+    "clustered_by", "merge",
 })
 
 
@@ -465,18 +466,24 @@ def snapshot_commit(
     # plan). SQL CHECK semantics: a NULL predicate passes; only rows
     # where the expression is FALSE violate. A violating commit never
     # becomes visible: staged files are removed, no manifest slot is
-    # claimed. (Constraint inheritance reads the head at validation
-    # time; a concurrent commit that CHANGES the rule set in the
-    # claim-race window is not re-validated — guard operator-driven
-    # constraint changes with expected_parent.)
-    inherited = _head_manifest.get("constraints", {})
-    effective_constraints = dict(inherited)
-    for cname, cexpr in (constraints or {}).items():
-        if cexpr is None:
-            effective_constraints.pop(cname, None)
-        else:
-            effective_constraints[cname] = cexpr
-    if effective_constraints and staged:
+    # claimed. If a blind append loses the chain-claim race below, the
+    # rule set is RE-DERIVED from the actual parent and any rules that
+    # grew are re-validated — a racing ADD CONSTRAINT (or property
+    # change) is never silently erased from the head manifest.
+    def _derive_rules(head_manifest: dict) -> dict:
+        rules = dict(head_manifest.get("constraints", {}))
+        for cname, cexpr in (constraints or {}).items():
+            if cexpr is None:
+                rules.pop(cname, None)
+            else:
+                rules[cname] = cexpr
+        return rules
+
+    def _validate_staged(rules: dict) -> None:
+        """Raise ConstraintViolation (and reclaim staged files) when a
+        staged row fails any rule in ``rules``."""
+        if not rules or not staged:
+            return
         from pyspark.sql import functions as F
 
         staged_df = df.sparkSession.read.parquet(str(data_dir))
@@ -485,17 +492,20 @@ def snapshot_commit(
                 F.sum(
                     (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
                 ).alias(cname)
-                for cname, e in sorted(effective_constraints.items())
+                for cname, e in sorted(rules.items())
             ]
         ).first()
         violations = {
             cname: int(counts[cname] or 0)
-            for cname in effective_constraints
+            for cname in rules
             if (counts[cname] or 0) > 0
         }
         if violations:
             shutil.rmtree(data_dir, ignore_errors=True)
             raise ConstraintViolation(path, violations)
+
+    effective_constraints = _derive_rules(_head_manifest)
+    _validate_staged(effective_constraints)
 
     # Optimistic concurrency, two atomic primitives:
     #   1. the version SLOT is claimed by exclusive manifest create
@@ -522,6 +532,31 @@ def snapshot_commit(
             raise SnapshotConflict(
                 f"head moved {expected_parent} → {parent} at {path}"
             )
+        if parent != pv_now:
+            # a racing commit extended the chain after our pre-stage
+            # read (blind appends rebase here): re-read the ACTUAL
+            # parent and re-derive the constraint set and property
+            # note from it — stamping the head from the pre-loop
+            # snapshot would silently ERASE a rule or property the
+            # racing commit added (e.g. an ADD CONSTRAINT or a
+            # retrained index's centroids). Rules beyond what the
+            # staged rows were already validated against are
+            # re-validated before this commit may publish them.
+            pv_now = parent
+            _head_manifest = (
+                json.loads(_manifest_path(root, parent).read_text())
+                if parent
+                else {}
+            )
+            rebased_rules = _derive_rules(_head_manifest)
+            _validate_staged(
+                {
+                    k: v
+                    for k, v in rebased_rules.items()
+                    if effective_constraints.get(k) != v
+                }
+            )
+            effective_constraints = rebased_rules
         taken = [
             int(m.stem[1:])
             for m in (root / _MANIFEST_DIR).glob("v*.json")

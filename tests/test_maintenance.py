@@ -764,3 +764,60 @@ def test_apply_health_repairs_stats_on_healthy_file_counts(spark, tmp_path):
     h2 = table_health(t)
     assert h2["stats_coverage"] == 1.0
     assert not any(r.startswith("stats:") for r in h2["recommendations"])
+
+
+def test_compact_snapshot_partitions_on_fragmented_clone(spark, tmp_path):
+    """Partition-scoped compaction of a CLONE: the clone's manifest
+    references the source's files by ABSOLUTE path, so basePath
+    derivation must use the cloned-entry fallback (the staging dir
+    above the col=value dir) — grouping by Path.parts[0] would yield
+    basePath "/" and mis-derive any 'key=value' ancestor directory as
+    a phantom partition column. The ancestor dir here ('exp=1') is
+    adversarial on purpose."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_partitions,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_clone,
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    base = tmp_path / "exp=1"
+    base.mkdir()
+    src = str(base / "src")
+    clone = str(base / "clone")
+
+    def day_df(lo, hi):
+        return spark.range(lo, hi).select(
+            F.col("id"),
+            (F.col("id") % 2).cast("string").alias("day"),
+        )
+
+    snapshot_commit(day_df(0, 40), src, partition_by="day")
+    snapshot_clone(src, clone)
+    # fragment the CLONE with several small partitioned appends — the
+    # fragmented partitions now mix cloned (absolute) and local
+    # (relative) entries
+    for lo in range(100, 130, 10):
+        snapshot_commit(
+            day_df(lo, lo + 10), clone, mode="append", partition_by="day"
+        )
+    before = {
+        (r["id"], r["day"])
+        for r in snapshot_read(spark, clone).collect()
+    }
+    out = compact_snapshot_partitions(
+        spark, clone, target_file_bytes=1 << 30, min_files_to_compact=1
+    )
+    assert out["partitions_compacted"] == 2
+    after_df = snapshot_read(spark, clone)
+    # no phantom partition columns, same rows, partition col intact
+    assert set(after_df.columns) == {"id", "day"}
+    assert {
+        (r["id"], r["day"]) for r in after_df.collect()
+    } == before
+    # the source is untouched
+    assert snapshot_read(spark, src).count() == 40

@@ -1087,3 +1087,99 @@ def test_metadata_ops_composed_lifecycle(spark, tmp_path):
     # the clone still reads in full: the tag pinned its file closure
     # through the source's expiry
     assert snapshot_read(spark, c).count() == 119
+
+
+def test_lost_race_append_rebases_constraints_and_properties(
+    spark, tmp_path, monkeypatch
+):
+    """A blind append that loses the chain-claim race rebases onto the
+    NEW parent — and must stamp the head with the RACING commit's
+    constraint set and property note, not the stale pre-stage
+    snapshot (which would silently erase a rule or property the
+    racing commit added)."""
+    from group5_spark.medallion import snapshots as snap
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 1, 10), t)  # v1: no rules, no props
+    # the "racing" commit: adds a CHECK rule and a table property
+    snapshot_commit(
+        _df(spark, 10, 20),
+        t,
+        mode="append",
+        note={"model": {"k": 3}},
+        constraints={"pos_id": "id > 0"},
+    )
+    # make the next commit's pre-stage head read STALE (v1), as if the
+    # racing commit landed between its read and its chain claim
+    real = snap._current_version
+    calls = {"n": 0}
+
+    def stale_then_real(root):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real(root)
+
+    monkeypatch.setattr(snap, "_current_version", stale_then_real)
+    v3 = snapshot_commit(_df(spark, 20, 30), t, mode="append")
+    m = snap.snapshot_manifest(t, v3)
+    # the racing rule and property survive on the new head
+    assert m["constraints"] == {"pos_id": "id > 0"}
+    assert m["note"]["model"] == {"k": 3}
+    assert snapshot_read(spark, t).count() == 29
+    # and the inherited rule keeps enforcing on later commits
+    import pytest as _pytest
+
+    from group5_spark.medallion.snapshots import ConstraintViolation
+
+    with _pytest.raises(ConstraintViolation):
+        snapshot_commit(_df(spark, -5, 0), t, mode="append")
+
+
+def test_lost_race_append_revalidates_grown_rule(
+    spark, tmp_path, monkeypatch
+):
+    """When the racing commit GREW the rule set, the rebased commit
+    must re-validate its staged rows against the new rules — rows that
+    passed the stale (empty) set but violate the racing rule are
+    rejected, and the staged files are reclaimed."""
+    import pytest as _pytest
+
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.medallion.snapshots import ConstraintViolation
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 1, 10), t)  # v1: no rules
+    snapshot_commit(
+        _df(spark, 10, 20), t, mode="append", constraints={"pos_id": "id > 0"}
+    )
+    real = snap._current_version
+    calls = {"n": 0}
+
+    def stale_then_real(root):
+        calls["n"] += 1
+        return 1 if calls["n"] == 1 else real(root)
+
+    monkeypatch.setattr(snap, "_current_version", stale_then_real)
+    n_dirs = len(list(Path(t).glob("data-*")))
+    with _pytest.raises(ConstraintViolation):
+        snapshot_commit(_df(spark, -5, 0), t, mode="append")
+    # head intact, violating staged files reclaimed
+    assert snap.snapshot_manifest(t)["version"] == 2
+    assert snapshot_read(spark, t).count() == 19
+    assert len(list(Path(t).glob("data-*"))) == n_dirs
+
+
+def test_update_note_set_cols_is_ephemeral(spark, tmp_path):
+    """snapshot_update's audit markers (update_where, set_cols) are
+    per-commit notes, NOT table properties — a later append must not
+    inherit them."""
+    from group5_spark.medallion.maintenance import snapshot_update
+    from group5_spark.medallion.snapshots import latest_note
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 10), t, stats_cols=["id"])
+    snapshot_update(spark, t, [("id", "=", 3)], {"k": F.lit(99)})
+    note = latest_note(t)
+    assert note["set_cols"] == ["k"] and "update_where" in note
+    snapshot_commit(_df(spark, 100, 105), t, mode="append")
+    assert "set_cols" not in latest_note(t)
+    assert "update_where" not in latest_note(t)
