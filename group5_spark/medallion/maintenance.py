@@ -26,7 +26,52 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "snapshot_update", "table_health", "compact_snapshot_partitions", "apply_health"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
+__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "snapshot_update", "snapshot_merge", "table_health", "compact_snapshot_partitions", "apply_health"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
+
+
+def _read_touched_files(
+    spark: SparkSession, root: Path, head: dict, touched_abs: list[str]
+):
+    """Read ONLY the given files of a snapshot version — the shared
+    scan half of every file-pruned DML (DELETE/UPDATE/MERGE). Same
+    basePath-per-staging-dir contract as ``snapshots.snapshot_read``
+    for Hive-partitioned layouts; a CLONED table's absolute entries
+    fall back to their own staging dir as basePath."""
+    from pyspark.sql.types import StructType
+
+    schema = (
+        StructType.fromJson(head["schema"])
+        if head.get("schema") is not None
+        else None
+    )
+
+    def reader():
+        r = spark.read
+        return r.schema(schema) if schema is not None else r
+
+    if head.get("partition_by"):
+        by_base: dict[str, list[str]] = {}
+        for p in sorted(touched_abs):
+            fp = Path(p)
+            try:
+                b = str(root / fp.relative_to(root).parts[0])
+            except ValueError:  # cloned (absolute) entry
+                b = str(
+                    fp.parent.parent if "=" in fp.parent.name else fp.parent
+                )
+            by_base.setdefault(b, []).append(p)
+        parts = [
+            reader().option("basePath", b).parquet(*fs)
+            for b, fs in sorted(by_base.items())
+        ]
+        df = parts[0]
+        for q in parts[1:]:
+            df = df.unionByName(q)
+        if schema is not None:
+            df = df.select(*[f.name for f in schema.fields])
+    else:
+        df = reader().parquet(*sorted(touched_abs))
+    return df
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -423,44 +468,7 @@ def snapshot_delete(
             if _abs(e) in touched_set
         )
 
-        # read ONLY the touched files (same basePath-per-staging-dir
-        # contract as snapshot_read for Hive-partitioned layouts)
-        from pyspark.sql.types import StructType
-
-        schema = (
-            StructType.fromJson(head["schema"])
-            if head.get("schema") is not None
-            else None
-        )
-
-        def reader():
-            r = spark.read
-            return r.schema(schema) if schema is not None else r
-
-        if head.get("partition_by"):
-            by_base: dict[str, list[str]] = {}
-            for p in sorted(touched_abs):
-                fp = Path(p)
-                try:
-                    b = str(root / fp.relative_to(root).parts[0])
-                except ValueError:  # cloned (absolute) entry
-                    b = str(
-                        fp.parent.parent
-                        if "=" in fp.parent.name
-                        else fp.parent
-                    )
-                by_base.setdefault(b, []).append(p)
-            parts = [
-                reader().option("basePath", b).parquet(*fs)
-                for b, fs in sorted(by_base.items())
-            ]
-            df = parts[0]
-            for q in parts[1:]:
-                df = df.unionByName(q)
-            if schema is not None:
-                df = df.select(*[f.name for f in schema.fields])
-        else:
-            df = reader().parquet(*sorted(touched_abs))
+        df = _read_touched_files(spark, root, head, touched_abs)
 
         matches = F.lit(True)
         for col, op, val in predicates:
@@ -675,42 +683,7 @@ def snapshot_update(
 
         carried = [e for e in head["files"] if _abs(e) not in touched_set]
 
-        from pyspark.sql.types import StructType
-
-        schema = (
-            StructType.fromJson(head["schema"])
-            if head.get("schema") is not None
-            else None
-        )
-
-        def reader():
-            r = spark.read
-            return r.schema(schema) if schema is not None else r
-
-        if head.get("partition_by"):
-            by_base: dict[str, list[str]] = {}
-            for p in sorted(touched_abs):
-                fp = Path(p)
-                try:
-                    b = str(root / fp.relative_to(root).parts[0])
-                except ValueError:  # cloned (absolute) entry
-                    b = str(
-                        fp.parent.parent
-                        if "=" in fp.parent.name
-                        else fp.parent
-                    )
-                by_base.setdefault(b, []).append(p)
-            parts = [
-                reader().option("basePath", b).parquet(*fs)
-                for b, fs in sorted(by_base.items())
-            ]
-            df = parts[0]
-            for q in parts[1:]:
-                df = df.unionByName(q)
-            if schema is not None:
-                df = df.select(*[f.name for f in schema.fields])
-        else:
-            df = reader().parquet(*sorted(touched_abs))
+        df = _read_touched_files(spark, root, head, touched_abs)
 
         matches = F.lit(True)
         for col, op, val in predicates:
@@ -739,6 +712,278 @@ def snapshot_update(
         return {
             "version": new_v,
             "files_rewritten": len(touched_set),
+            "files_carried": len(carried),
+        }
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    when_matched: str = "update",  # "update" | "delete"
+    when_not_matched: str = "insert",  # "insert" | "ignore"
+    sequence_col: str | None = None,
+    validate_source_keys: bool = True,
+    partition_by: str | None = None,
+    note: dict | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    key_probe_limit: int = 4096,
+) -> dict:
+    """MERGE INTO a snapshot table — the upsert the reference's
+    warehouse runs as its core DML (Snowflake MERGE in the silver
+    Task chain, `dag_streamflow_warehouse.py:118-126`), with the full
+    lakehouse contract the Hive-layout :func:`merge.merge_into`
+    cannot give: atomic visibility (one commit, never a half-merged
+    table), time travel to the pre-merge version, OCC against racing
+    writers, and CHECK-constraint enforcement on the merged rows.
+
+    File-level economics, same as :func:`snapshot_delete`: candidate
+    files are chosen from the MANIFEST — a file is touched only when
+    its per-key min/max range intersects the source batch's key range
+    (and, for single-key merges with ≤ ``key_probe_limit`` distinct
+    source keys, when its Bloom filter might contain at least one of
+    them — interleaved key ranges overlap every file, but an absent
+    key is definitely absent from a bloom). Everything else carries
+    into the new version by reference, byte-untouched. A CDC batch
+    touching 0.1% of a 100 TB table's keys rewrites that 0.1%, reads
+    kilobytes of manifest to prove it, and never scans the rest.
+
+    Pruning is sound without any partition-stability assumption: a
+    source key cannot live in a carried file (carried ⇔ provably
+    disjoint on the key), so unmatched source rows are exactly the
+    inserts. When NO file can match, the merge degrades to a pure
+    append-shaped commit (the every-batch fast path for append-mostly
+    CDC): staged inserts + carry everything, no join, no data read.
+
+    Semantics follow Delta's MERGE (shared resolution core
+    :func:`merge.resolve_merge_actions`): duplicate source keys are
+    an error (``validate_source_keys=False`` skips the check when the
+    caller already deduplicated — e.g. the streaming sink);
+    ``when_matched`` update|delete, ``when_not_matched``
+    insert|ignore, and ``sequence_col`` gates matched updates
+    CDC-style so late out-of-order replays never regress a row.
+    Merging into an ABSENT table creates it (all rows insert;
+    ``partition_by`` sets the new table's layout — for an existing
+    table the manifest's layout is authoritative and the parameter
+    must agree or be None).
+
+    Commit protocol: one ``snapshot_commit(mode='overwrite',
+    carry_files=…, expected_parent=head)`` per attempt; a racing
+    commit raises SnapshotConflict internally and the whole
+    prune-read-merge-commit retries against the new head, so a
+    concurrent append is never discarded. ``note`` rides on the
+    commit (the streaming sink passes its ``(app_id, batch_id)``
+    idempotency marker here). Returns ``{version, inserted, updated,
+    deleted, kept, files_rewritten, files_carried}`` — ``kept``
+    counts only rows in rewritten files (carried files' rows are
+    untouched by construction).
+    """
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.medallion.merge import (
+        _validate_unique_keys,
+        resolve_merge_actions,
+    )
+
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be update|delete, got {when_matched!r}"
+        )
+    if when_not_matched not in ("insert", "ignore"):
+        raise ValueError(
+            f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
+        )
+    if validate_source_keys:
+        _validate_unique_keys(source, keys)
+    # the key columns are the prune axis of every future merge: record
+    # their min/max on each commit unconditionally (commit-time
+    # coverage inheritance keeps them on the table from then on)
+    stats_cols = sorted(set(keys) | set(stats_cols or []))
+    root = Path(path)
+
+    def _zero(version: int) -> dict:
+        return {
+            "version": version,
+            "inserted": 0,
+            "updated": 0,
+            "deleted": 0,
+            "kept": 0,
+            "files_rewritten": 0,
+            "files_carried": 0,
+        }
+
+    try:
+        snap.snapshot_manifest(path)
+    except FileNotFoundError:
+        # absent table: the merge IS the initial load
+        if when_not_matched != "insert":
+            return _zero(0)
+        v = snap.snapshot_commit(
+            source,
+            path,
+            mode="overwrite",
+            partition_by=partition_by,
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            note={"op": "merge", **(note or {})},
+        )
+        out = _zero(v)
+        # inserted count from the committed manifest's footers —
+        # metadata-priced, no extra Spark job
+        out["inserted"] = sum(
+            int(e.get("rows", 0))
+            for e in snap.snapshot_manifest(path, v)["files"]
+        )
+        return out
+
+    # ONE aggregate over the source: per-key min/max (range pruning)
+    # + exact distinct-key count (bloom-probe eligibility). The
+    # source is a change batch — this job is priced by the batch.
+    aggs = []
+    for k in keys:
+        aggs += [F.min(k).alias(f"_min_{k}"), F.max(k).alias(f"_max_{k}")]
+    aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("_ndk"))
+    b = source.agg(*aggs).first()
+    if all(b[f"_min_{k}"] is None for k in keys):
+        return _zero(snap.snapshot_manifest(path)["version"])  # empty batch
+    probe_keys: list | None = None
+    if len(keys) == 1 and int(b["_ndk"] or 0) <= key_probe_limit:
+        probe_keys = [
+            r[0]
+            for r in source.select(keys[0]).distinct().collect()
+            if r[0] is not None  # NULL never equi-matches
+        ]
+
+    while True:
+        head = snap.snapshot_manifest(path)
+        version = head["version"]
+        if head.get("schema") is not None:
+            tbl_cols = [f["name"] for f in head["schema"]["fields"]]
+            if set(tbl_cols) != set(source.columns):
+                raise ValueError(
+                    f"schema mismatch: table {sorted(tbl_cols)} "
+                    f"vs source {sorted(source.columns)}"
+                )
+        if partition_by and head.get("partition_by") != partition_by:
+            raise ValueError(
+                f"table is partitioned by {head.get('partition_by')!r}; "
+                f"merge partition_by must agree (got {partition_by!r})"
+            )
+
+        def may_match(e: dict) -> bool:
+            if int(e.get("rows", 0)) == 0:
+                return False  # an empty file (no stats either) never matches
+            st = e.get("stats") or {}
+            # range test: every key's file range must intersect the
+            # source batch's [min, max] (missing stats → must read)
+            for k in keys:
+                if not (
+                    snap._overlaps(st, k, ">=", b[f"_min_{k}"])
+                    and snap._overlaps(st, k, "<=", b[f"_max_{k}"])
+                ):
+                    return False
+            if probe_keys is None:
+                return True
+            # point sharpening: keep the file only if at least one
+            # source key may be present (min/max containment, then
+            # bloom when the file has one)
+            k = keys[0]
+            bloom = (e.get("bloom") or {}).get(k)
+            if not st.get(k) and bloom is None:
+                return True
+            for v in probe_keys:
+                ok = snap._overlaps(st, k, "=", v)
+                if ok and bloom is not None:
+                    ok = snap._bloom_might_contain(bloom, v)
+                if ok:
+                    return True
+            return False
+
+        touched = [e for e in head["files"] if may_match(e)]
+        carried = [e for e in head["files"] if not may_match(e)]
+
+        if not touched:
+            if when_not_matched == "ignore":
+                return _zero(version)
+            # append-shaped fast path: nothing can match, so every
+            # source row inserts — no join, no table read (aligned to
+            # the table's declared column order)
+            inserts = (
+                source.select(*tbl_cols)
+                if head.get("schema") is not None
+                else source
+            )
+            try:
+                v = snap.snapshot_commit(
+                    inserts,
+                    path,
+                    mode="overwrite",
+                    carry_files=carried,
+                    expected_parent=version,
+                    partition_by=head.get("partition_by"),
+                    stats_cols=stats_cols,
+                    bloom_cols=bloom_cols,
+                    note={"op": "merge", **(note or {})},
+                )
+            except snap.SnapshotConflict:
+                continue
+            out = _zero(v)
+            carried_paths = {e["path"] for e in carried}
+            out["inserted"] = sum(
+                int(e.get("rows", 0))
+                for e in snap.snapshot_manifest(path, v)["files"]
+                if e["path"] not in carried_paths
+            )
+            out["files_carried"] = len(carried)
+            return out
+
+        touched_abs = [str(root / e["path"]) for e in touched]
+        target_df = _read_touched_files(spark, root, head, touched_abs)
+        resolved = resolve_merge_actions(
+            target_df,
+            source,
+            keys,
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            sequence_col=sequence_col,
+        ).persist()
+        try:
+            counts = {
+                r["_action"]: r["n"]
+                for r in resolved.groupBy("_action")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            survivors = resolved.filter(
+                ~F.col("_action").isin("delete", "drop")
+            ).drop("_action")
+            try:
+                v = snap.snapshot_commit(
+                    survivors,
+                    path,
+                    mode="overwrite",
+                    carry_files=carried,
+                    expected_parent=version,
+                    partition_by=head.get("partition_by"),
+                    stats_cols=stats_cols,
+                    bloom_cols=bloom_cols,
+                    note={"op": "merge", **(note or {})},
+                )
+            except snap.SnapshotConflict:
+                continue  # head moved mid-merge; re-prune and retry
+        finally:
+            resolved.unpersist()
+        return {
+            "version": v,
+            "inserted": counts.get("insert", 0),
+            "updated": counts.get("update", 0),
+            "deleted": counts.get("delete", 0),
+            "kept": counts.get("keep", 0),
+            "files_rewritten": len(touched),
             "files_carried": len(carried),
         }
 

@@ -44,7 +44,7 @@ from pathlib import Path
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["merge_into"]
+__all__ = ["merge_into", "resolve_merge_actions"]
 
 
 def _validate_unique_keys(source: DataFrame, keys: list[str]) -> None:
@@ -58,6 +58,67 @@ def _validate_unique_keys(source: DataFrame, keys: list[str]) -> None:
     if dup:
         kv = {k: dup[0][k] for k in keys}
         raise ValueError(f"MERGE source has duplicate key rows, e.g. {kv}")
+
+
+def resolve_merge_actions(
+    target: DataFrame,
+    source: DataFrame,
+    keys: list[str],
+    *,
+    when_matched: str = "update",
+    when_not_matched: str = "insert",
+    sequence_col: str | None = None,
+) -> DataFrame:
+    """The MERGE core, shared by the Hive-layout :func:`merge_into`
+    and the snapshot-table ``maintenance.snapshot_merge``: one
+    full-outer key join of ``target`` × ``source``, resolved per row
+    into the target's columns plus an ``_action`` marker ∈
+    insert|update|delete|keep|drop (drop = unmatched source row under
+    ``when_not_matched='ignore'``). ``sequence_col`` gates matched
+    updates CDC-style: a source row only wins when its sequence is >=
+    the target's, so late out-of-order replays never regress a row.
+
+    One shuffle on the key columns (a small source side broadcasts
+    under AQE); the caller filters/counts the actions and owns the
+    write protocol.
+    """
+    cols = target.columns  # canonical order
+    src = source.select(
+        [F.col(c).alias(f"_src_{c}") for c in cols]
+        + [F.lit(True).alias("_has_src")]
+    )
+    join_cond = None
+    for k in keys:
+        c = target[k] == src[f"_src_{k}"]
+        join_cond = c if join_cond is None else (join_cond & c)
+    joined = target.join(src, join_cond, "full_outer")
+
+    matched = F.col("_has_src").isNotNull() & target[keys[0]].isNotNull()
+    src_only = F.col("_has_src").isNotNull() & target[keys[0]].isNull()
+    if sequence_col is not None:
+        src_wins = matched & (
+            F.col(f"_src_{sequence_col}") >= target[sequence_col]
+        )
+    else:
+        src_wins = matched
+
+    action = (
+        F.when(
+            src_only,
+            F.lit("insert" if when_not_matched == "insert" else "drop"),
+        )
+        .when(src_wins, F.lit("update" if when_matched == "update" else "delete"))
+        .otherwise(F.lit("keep"))
+    )
+    return joined.select(
+        *[
+            F.when(src_wins | src_only, F.col(f"_src_{c}"))
+            .otherwise(target[c])
+            .alias(c)
+            for c in cols
+        ],
+        action.alias("_action"),
+    )
 
 
 def merge_into(
@@ -107,40 +168,12 @@ def merge_into(
         ]
         target = target.filter(F.col(partition_col).isin(affected_parts))
 
-    # Single full-outer join on the keys; marker columns decide the
-    # action per row. Source columns are prefixed to avoid collision.
-    src = source.select(
-        [F.col(c).alias(f"_src_{c}") for c in cols]
-        + [F.lit(True).alias("_has_src")]
-    )
-    join_cond = None
-    for k in keys:
-        c = target[k] == src[f"_src_{k}"]
-        join_cond = c if join_cond is None else (join_cond & c)
-    joined = target.join(src, join_cond, "full_outer")
-
-    matched = F.col("_has_src").isNotNull() & target[keys[0]].isNotNull()
-    src_only = F.col("_has_src").isNotNull() & target[keys[0]].isNull()
-    if sequence_col is not None:
-        src_wins = matched & (F.col(f"_src_{sequence_col}") >= target[sequence_col])
-    else:
-        src_wins = matched
-
-    action = (
-        F.when(src_only, F.lit("insert" if when_not_matched == "insert" else "drop"))
-        .when(src_wins, F.lit("update" if when_matched == "update" else "delete"))
-        .otherwise(F.lit("keep"))
-    )
-    resolved = joined.select(
-        *[
-            F.when(
-                src_wins | src_only, F.col(f"_src_{c}")
-            ).otherwise(target[c]).alias(c)
-            for c in cols
-        ],
-        action.alias("_action"),
-    )
-    resolved = resolved.persist()
+    resolved = resolve_merge_actions(
+        target, source, keys,
+        when_matched=when_matched,
+        when_not_matched=when_not_matched,
+        sequence_col=sequence_col,
+    ).persist()
     try:
         counts = {
             r["_action"]: r["n"]

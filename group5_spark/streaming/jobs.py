@@ -311,6 +311,94 @@ def stream_upsert(
     return query
 
 
+def stream_upsert_snapshot(
+    df: DataFrame,
+    checkpoint_dir: str,
+    table_path: str,
+    keys: list[str],
+    *,
+    sequence_col: str | None = None,
+    partition_by: str | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Continuously upsert a change stream into a SNAPSHOT table —
+    :func:`stream_upsert` with the lakehouse contract the Hive-layout
+    sink cannot give: every micro-batch lands as ONE atomic
+    file-pruned ``maintenance.snapshot_merge`` commit, so readers
+    never see a half-merged batch, every batch boundary is
+    time-travelable, the table's CHECK constraints gate the merged
+    rows, and a concurrent compaction/writer serializes through OCC
+    instead of racing the sink on files.
+
+    Exactly-once, two layers deep:
+    - **Replay dedup**: each merge commit records ``(app_id,
+      batch_id)`` in its manifest note (the Delta txnAppId/txnVersion
+      pattern, shared with :func:`stream_snapshot_sink`); a batch
+      whose id this app already durably committed is skipped, so a
+      crash between the commit and the checkpoint write cannot
+      double-apply. ``app_id`` defaults to the checkpoint's streaming
+      query id — checkpoint loss degrades to at-least-once, never to
+      data loss, and the MERGE layer below makes that harmless.
+    - **Idempotent apply**: MERGE itself is idempotent per key — with
+      ``sequence_col`` even against out-of-order replays — so a
+      replayed batch that slips past the note check (new query id)
+      converges to the same table.
+
+    Within a batch, rows are deduplicated per key keeping the highest
+    sequence (a single MERGE must see one row per key). The key
+    columns get manifest min/max stats on every commit (inside
+    ``snapshot_merge``), so each batch prunes its candidate files
+    from kilobytes of metadata — the CDC batch is priced by the keys
+    it touches, not the table. Blocks until the AvailableNow drain
+    completes.
+    """
+    from pyspark.sql import Window
+
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.medallion.maintenance import snapshot_merge
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        app = app_id or _checkpoint_query_id(checkpoint_dir)
+        if app is not None:
+            done = snap.last_committed_batch(table_path, app)
+            if done is not None and done >= batch_id:
+                return  # this app already durably merged this batch
+        order = (
+            [F.col(sequence_col).desc()] if sequence_col else []
+        ) + [F.struct(*[F.col(c) for c in batch.columns]).desc()]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        deduped = (
+            batch.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        snapshot_merge(
+            batch.sparkSession,
+            table_path,
+            deduped,
+            keys,
+            sequence_col=sequence_col,
+            partition_by=partition_by,
+            stats_cols=stats_cols,
+            bloom_cols=bloom_cols,
+            validate_source_keys=False,  # dedup above guarantees it
+            note={"app_id": app, "batch_id": batch_id},
+        )
+
+    query = (
+        df.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -196,3 +196,269 @@ def test_delete_empties_partition_without_pruning(spark, tmp_path):
     assert not os.path.isdir(os.path.join(path, "d=2024-01-02"))
     # untouched partitions survive the full-table rewrite with rows intact
     assert got[4] == ("2024-01-03", "d", 1)
+
+
+# ---------------------------------------------------------------------------
+# snapshot_merge: MERGE INTO on snapshot-versioned tables
+# ---------------------------------------------------------------------------
+
+
+def _snap_df(spark, rows):
+    return spark.createDataFrame(rows, ["id", "d", "v", "seq"])
+
+
+def _snap_read(spark, path, version=None):
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    return {
+        r["id"]: (str(r["d"]), r["v"], r["seq"])
+        for r in snapshot_read(spark, path, version=version).collect()
+    }
+
+
+def test_snapshot_merge_equals_hive_merge(spark, tmp_path):
+    """The snapshot MERGE must produce byte-for-byte the same table
+    content and action counts as the proven Hive-layout merge_into on
+    identical target + source."""
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    hive = str(tmp_path / "hive")
+    snapt = str(tmp_path / "snap")
+    _write_target(spark, hive, BASE)
+    snapshot_commit(_snap_df(spark, BASE), snapt, stats_cols=["id"])
+    src = spark.createDataFrame(
+        [(2, "2024-01-01", "B2", 2), (5, "2024-01-02", "e", 1)],
+        ["id", "d", "v", "seq"],
+    )
+    hive_counts = merge_into(spark, hive, src, ["id"])
+    out = snapshot_merge(spark, snapt, src, ["id"])
+    assert {k: out[k] for k in ("inserted", "updated", "deleted")} == {
+        k: hive_counts[k] for k in ("inserted", "updated", "deleted")
+    }
+    assert _read(spark, hive) == _snap_read(spark, snapt)
+    # time travel: the pre-merge version is intact
+    assert _snap_read(spark, snapt, version=1) == {
+        r[0]: (r[1], r[2], r[3]) for r in BASE
+    }
+
+
+def test_snapshot_merge_file_pruned_by_key_range(spark, tmp_path):
+    """Only files whose manifest key range intersects the source
+    batch's keys are rewritten; the rest carry by reference (same
+    entries, byte-identical paths)."""
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+    )
+
+    t = str(tmp_path / "t")
+    # three files with disjoint id ranges
+    snapshot_commit(
+        _snap_df(spark, [(i, "d", f"v{i}", 1) for i in range(0, 10)]).coalesce(1),
+        t, stats_cols=["id"],
+    )
+    for lo in (100, 200):
+        snapshot_commit(
+            _snap_df(
+                spark, [(i, "d", f"v{i}", 1) for i in range(lo, lo + 10)]
+            ).coalesce(1),
+            t, mode="append", stats_cols=["id"],
+        )
+    before = snapshot_manifest(t)
+    src = _snap_df(spark, [(105, "d", "UP", 2), (106, "d", "NEW", 2)])
+    out = snapshot_merge(spark, t, src, ["id"])
+    assert out["files_rewritten"] == 1 and out["files_carried"] == 2
+    assert out["updated"] == 2 and out["inserted"] == 0
+    after = snapshot_manifest(t)
+    carried_paths = {e["path"] for e in before["files"]} & {
+        e["path"] for e in after["files"]
+    }
+    assert len(carried_paths) == 2  # two files carried verbatim
+    got = _snap_read(spark, t)
+    assert got[105] == ("d", "UP", 2) and got[106] == ("d", "NEW", 2)
+    assert len(got) == 30
+
+
+def test_snapshot_merge_bloom_sharpened_pruning(spark, tmp_path):
+    """Interleaved key ranges: min/max overlap every file, but the
+    per-file bloom proves the source keys absent from one — only the
+    other is rewritten."""
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    t = str(tmp_path / "t")
+    evens = _snap_df(
+        spark, [(i, "d", "e", 1) for i in range(0, 100, 2)]
+    ).coalesce(1)
+    odds = _snap_df(
+        spark, [(i, "d", "o", 1) for i in range(1, 100, 2)]
+    ).coalesce(1)
+    snapshot_commit(evens, t, stats_cols=["id"], bloom_cols=["id"])
+    snapshot_commit(
+        odds, t, mode="append", stats_cols=["id"], bloom_cols=["id"]
+    )
+    src = _snap_df(spark, [(31, "d", "O2", 2)])  # odd key only
+    out = snapshot_merge(spark, t, src, ["id"])
+    assert out["files_rewritten"] == 1 and out["files_carried"] == 1
+    assert out["updated"] == 1
+    got = _snap_read(spark, t)
+    assert got[31] == ("d", "O2", 2) and len(got) == 100
+
+
+def test_snapshot_merge_insert_only_fast_path(spark, tmp_path):
+    """A source whose keys provably match nothing degrades to an
+    append-shaped commit: zero files rewritten, zero reads of the
+    table, every row inserted."""
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    t = str(tmp_path / "t")
+    snapshot_commit(
+        _snap_df(spark, [(i, "d", f"v{i}", 1) for i in range(10)]),
+        t, stats_cols=["id"],
+    )
+    src = _snap_df(spark, [(i, "d", "new", 1) for i in range(500, 505)])
+    out = snapshot_merge(spark, t, src, ["id"])
+    assert out["files_rewritten"] == 0
+    assert out["inserted"] == 5 and out["updated"] == 0
+    assert len(_snap_read(spark, t)) == 15
+
+
+def test_snapshot_merge_sequence_gating_and_delete(spark, tmp_path):
+    """CDC sequence gating: a replayed older change never regresses a
+    row; when_matched='delete' removes matched keys."""
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    t = str(tmp_path / "t")
+    snapshot_commit(_snap_df(spark, BASE), t, stats_cols=["id"])
+    snapshot_merge(
+        spark, t,
+        _snap_df(spark, [(2, "2024-01-01", "B5", 5)]),
+        ["id"], sequence_col="seq",
+    )
+    # older replay (seq 3 < 5): must not regress
+    out = snapshot_merge(
+        spark, t,
+        _snap_df(spark, [(2, "2024-01-01", "B3", 3)]),
+        ["id"], sequence_col="seq",
+    )
+    assert out["updated"] == 0 and out["kept"] >= 1
+    assert _snap_read(spark, t)[2] == ("2024-01-01", "B5", 5)
+    # delete clause
+    out = snapshot_merge(
+        spark, t,
+        _snap_df(spark, [(1, "2024-01-01", "x", 9)]),
+        ["id"], when_matched="delete", when_not_matched="ignore",
+    )
+    assert out["deleted"] == 1
+    assert 1 not in _snap_read(spark, t)
+
+
+def test_snapshot_merge_constraint_enforced_and_crash_invisible(
+    spark, tmp_path
+):
+    """A merged commit violating the table's CHECK constraint never
+    becomes visible: no new version, staged files reclaimed, head rows
+    untouched."""
+    import pytest as _pytest
+
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import (
+        ConstraintViolation,
+        snapshot_commit,
+        snapshot_manifest,
+    )
+    from pathlib import Path
+
+    t = str(tmp_path / "t")
+    snapshot_commit(
+        _snap_df(spark, BASE), t, stats_cols=["id"],
+        constraints={"pos_seq": "seq > 0"},
+    )
+    n_dirs = len(list(Path(t).glob("data-*")))
+    with _pytest.raises(ConstraintViolation):
+        snapshot_merge(
+            spark, t,
+            _snap_df(spark, [(2, "2024-01-01", "bad", -1)]),
+            ["id"],
+        )
+    assert snapshot_manifest(t)["version"] == 1
+    assert _snap_read(spark, t)[2] == ("2024-01-01", "b", 1)
+    assert len(list(Path(t).glob("data-*"))) == n_dirs
+
+
+def test_snapshot_merge_creates_absent_table(spark, tmp_path):
+    from group5_spark.medallion.maintenance import snapshot_merge
+
+    t = str(tmp_path / "t")
+    out = snapshot_merge(spark, t, _snap_df(spark, BASE), ["id"])
+    assert out["version"] == 1 and out["inserted"] == 4
+    assert len(_snap_read(spark, t)) == 4
+
+
+def test_snapshot_merge_retries_past_racing_append(
+    spark, tmp_path, monkeypatch
+):
+    """OCC: an append landing between the merge's head read and its
+    commit raises SnapshotConflict internally; the merge re-prunes
+    against the new head and retries — the racing rows survive."""
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    t = str(tmp_path / "t")
+    snapshot_commit(_snap_df(spark, BASE), t, stats_cols=["id"])
+    racing_rows = _snap_df(spark, [(42, "2024-01-09", "race", 1)])
+    real_commit = snap.snapshot_commit
+    state = {"raced": False}
+
+    def racing(df, path_, **kw):
+        if not state["raced"] and kw.get("expected_parent") is not None:
+            state["raced"] = True
+            real_commit(racing_rows, path_, mode="append")
+        return real_commit(df, path_, **kw)
+
+    monkeypatch.setattr(snap, "snapshot_commit", racing)
+    out = snapshot_merge(
+        spark, t,
+        _snap_df(spark, [(2, "2024-01-01", "B2", 2)]),
+        ["id"],
+    )
+    assert out["updated"] == 1
+    got = _snap_read(spark, t)
+    assert got[42] == ("2024-01-09", "race", 1)  # racing append intact
+    assert got[2] == ("2024-01-01", "B2", 2)
+
+
+def test_snapshot_merge_partitioned_table(spark, tmp_path):
+    """MERGE on a Hive-partitioned snapshot table: layout preserved,
+    a matched row may move partitions, manifest partition pruning
+    still works afterwards."""
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import (
+        prune_files,
+        snapshot_commit,
+        snapshot_manifest,
+    )
+
+    t = str(tmp_path / "t")
+    snapshot_commit(
+        _snap_df(spark, BASE), t, partition_by="d", stats_cols=["id"]
+    )
+    src = spark.createDataFrame(
+        # id 3 moves from d=2024-01-02 to d=2024-01-05
+        [(3, "2024-01-05", "moved", 2), (9, "2024-01-05", "new", 1)],
+        ["id", "d", "v", "seq"],
+    )
+    out = snapshot_merge(spark, t, src, ["id"])
+    assert out["updated"] == 1 and out["inserted"] == 1
+    assert snapshot_manifest(t)["partition_by"] == "d"
+    got = _snap_read(spark, t)
+    assert got[3] == ("2024-01-05", "moved", 2)
+    assert got[9] == ("2024-01-05", "new", 1)
+    # partition pruning on the new head: the moved-to day resolves
+    kept, total = prune_files(t, [("d", "=", "2024-01-05")])
+    assert 0 < len(kept) < total

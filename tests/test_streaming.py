@@ -1068,3 +1068,174 @@ def test_compaction_between_batches_keeps_stream_idempotency(
         f.write(json.dumps({"id": 9}) + "\n")
     drain()
     assert snapshot_read(spark, tbl).count() == 4
+
+
+def _emit_cdc(src_dir, name, rows):
+    import json
+
+    with open(src_dir / name, "w") as f:
+        for r in rows:
+            f.write(json.dumps(dict(zip("id d v seq".split(), r))) + "\n")
+
+
+def _cdc_schema():
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType([
+        StructField("id", IntegerType()),
+        StructField("d", StringType()),
+        StructField("v", StringType()),
+        StructField("seq", IntegerType()),
+    ])
+
+
+def test_stream_upsert_snapshot_merges_batches_atomically(spark, tmp_path):
+    """CDC stream → snapshot table: each micro-batch is ONE merge
+    commit (atomic, versioned), in-batch dup keys collapse to the
+    highest sequence, stale replays never regress a row, and every
+    batch boundary stays time-travelable."""
+    from group5_spark.medallion.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _emit_cdc(src_dir, "b1.json", [
+        (1, "2024-01-01", "a", 1),
+        (2, "2024-01-01", "b0", 1),
+        (2, "2024-01-01", "b1", 2),  # in-batch dup: higher seq wins
+    ])
+    stream = spark.readStream.schema(_cdc_schema()).json(str(src_dir))
+    jobs.stream_upsert_snapshot(
+        stream, ckpt, tbl, ["id"], sequence_col="seq"
+    )
+    got = {
+        r["id"]: (r["v"], r["seq"])
+        for r in snapshot_read(spark, tbl).collect()
+    }
+    assert got == {1: ("a", 1), 2: ("b1", 2)}
+    v_after_b1 = snapshot_versions(tbl)[-1]["version"]
+
+    _emit_cdc(src_dir, "b2.json", [
+        (1, "2024-01-01", "a2", 5),
+        (2, "2024-01-01", "STALE", 1),  # older seq: must not regress
+        (3, "2024-01-02", "c", 1),
+    ])
+    stream = spark.readStream.schema(_cdc_schema()).json(str(src_dir))
+    jobs.stream_upsert_snapshot(
+        stream, ckpt, tbl, ["id"], sequence_col="seq"
+    )
+    got = {
+        r["id"]: (r["v"], r["seq"])
+        for r in snapshot_read(spark, tbl).collect()
+    }
+    assert got == {1: ("a2", 5), 2: ("b1", 2), 3: ("c", 1)}
+    # time travel to the first batch boundary
+    old = {
+        r["id"]: (r["v"], r["seq"])
+        for r in snapshot_read(spark, tbl, version=v_after_b1).collect()
+    }
+    assert old == {1: ("a", 1), 2: ("b1", 2)}
+
+
+def test_stream_upsert_snapshot_crash_replay_dedupes(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection: the merge commit is durable, the process dies
+    before the checkpoint write. On resume the batch replays; the
+    (app_id, batch_id) manifest note recognizes it as committed and
+    skips — no phantom version, no double-applied merge."""
+    import pytest
+
+    from group5_spark.medallion import maintenance as maint_mod
+    from group5_spark.medallion.snapshots import (
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _emit_cdc(src_dir, "b1.json", [
+        (1, "2024-01-01", "a", 1), (2, "2024-01-01", "b", 1),
+    ])
+
+    real_merge = maint_mod.snapshot_merge
+
+    def crash_after_merge(*args, **kwargs):
+        out = real_merge(*args, **kwargs)
+        raise RuntimeError("injected crash after durable merge")
+
+    monkeypatch.setattr(maint_mod, "snapshot_merge", crash_after_merge)
+    stream = spark.readStream.schema(_cdc_schema()).json(str(src_dir))
+    with pytest.raises(Exception, match="injected crash"):
+        jobs.stream_upsert_snapshot(
+            stream, ckpt, tbl, ["id"], sequence_col="seq"
+        )
+    assert snapshot_read(spark, tbl).count() == 2  # merge WAS durable
+
+    monkeypatch.setattr(maint_mod, "snapshot_merge", real_merge)
+    n_versions = len(snapshot_versions(tbl))
+    stream = spark.readStream.schema(_cdc_schema()).json(str(src_dir))
+    jobs.stream_upsert_snapshot(
+        stream, ckpt, tbl, ["id"], sequence_col="seq"
+    )
+    # replayed batch skipped: same rows, no phantom version
+    assert snapshot_read(spark, tbl).count() == 2
+    assert len(snapshot_versions(tbl)) == n_versions
+
+
+def test_stream_upsert_snapshot_compaction_between_batches(
+    spark, tmp_path
+):
+    """A compaction between micro-batches must not disturb the sink:
+    the replayed (drained) checkpoint produces no phantom commit, a
+    genuinely new CDC batch still merges, and the merged rows read
+    back atomically from the compacted-then-merged table."""
+    from group5_spark.medallion.maintenance import compact_snapshot
+    from group5_spark.medallion.snapshots import (
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_versions,
+    )
+
+    src_dir = tmp_path / "src"
+    src_dir.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    _emit_cdc(src_dir, "b1.json", [
+        (1, "2024-01-01", "a", 1), (2, "2024-01-01", "b", 1),
+    ])
+
+    def drain():
+        stream = spark.readStream.schema(_cdc_schema()).json(str(src_dir))
+        jobs.stream_upsert_snapshot(
+            stream, ckpt, tbl, ["id"], sequence_col="seq"
+        )
+
+    drain()
+    compact_snapshot(spark, tbl, force=True)
+    m = snapshot_manifest(tbl)
+    # the compaction note carries no stream marker
+    assert "app_id" not in m["note"] and "batch_id" not in m["note"]
+
+    n_versions = len(snapshot_versions(tbl))
+    drain()  # drained checkpoint: nothing new → no phantom commit
+    assert len(snapshot_versions(tbl)) == n_versions
+
+    _emit_cdc(src_dir, "b2.json", [(2, "2024-01-01", "B2", 9)])
+    drain()
+    got = {
+        r["id"]: (r["v"], r["seq"])
+        for r in snapshot_read(spark, tbl).collect()
+    }
+    assert got == {1: ("a", 1), 2: ("B2", 9)}
