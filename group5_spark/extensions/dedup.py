@@ -126,18 +126,57 @@ def shingles(text_col: str, n: int = 3) -> F.Column:
     return F.expr(_shingles_sql(text_col, n))
 
 
+def cap_group_sizes(
+    df: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    observation=None,
+) -> DataFrame:
+    """Drop every group (by ``key_cols``) with more than ``cap`` rows
+    — the mega-bucket guard every blocked pair-generator needs at
+    scale (the FAISS `max_codes` / Dataproc-BigTable hot-key
+    convention). A boilerplate or stopword-heavy shingle pattern can
+    put m documents in one LSH bucket and m² candidate pairs on one
+    task; above the cap the bucket is dropped wholesale rather than
+    letting one skewed key own the stage. One window count over the
+    SAME key the downstream self-join shuffles on — AQE coalesces the
+    two exchanges, so the guard adds no extra shuffle.
+
+    Opt-in everywhere (callers default to no cap) so exact oracles
+    stay exact. When ``observation`` (a :class:`pyspark.sql.
+    Observation`) is passed, the dropped/seen row counts ride on the
+    same job as named metrics (``rows_dropped``, ``rows_seen``) — the
+    logged evidence of what the cap discarded, with no second pass.
+    """
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*key_cols)
+    sized = df.withColumn("_gsz", F.count(F.lit(1)).over(w))
+    if observation is not None:
+        sized = sized.observe(
+            observation,
+            F.sum((F.col("_gsz") > cap).cast("long")).alias("rows_dropped"),
+            F.count(F.lit(1)).alias("rows_seen"),
+        )
+    return sized.filter(F.col("_gsz") <= cap).drop("_gsz")
+
+
 def jaccard_pairs(
     df: DataFrame,
     block_col: str,
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    max_block_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Blocked word-set Jaccard near-dup pairs.
 
     Pairs are generated only within ``block_col`` groups (metadata
     blocking — e.g. source or LSH bucket), so the self-join is an
     equi-join Spark shuffles once on the block key; no cross join.
+    ``max_block_size`` (opt-in) drops blocks larger than the cap
+    before pairing — see :func:`cap_group_sizes`.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
     """
     toks = df.select(
@@ -145,6 +184,10 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         F.array_distinct(F.split(F.col(text_col), " ")).alias("words"),
     )
+    if max_block_size is not None:
+        toks = cap_group_sizes(
+            toks, ["block"], max_block_size, observation
+        )
     a = toks.alias("a")
     b = toks.alias("b")
     pairs = a.join(
@@ -286,6 +329,8 @@ def lsh_band_buckets(
     bands: int = 4,
     shingle_n: int = 3,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """The LSH *index rows* for a corpus: one ``(id, band, bucket)``
     row per document per band (documents sharing any (band, bucket)
@@ -297,6 +342,12 @@ def lsh_band_buckets(
     signatures — see :func:`incremental_near_dups`. At 100 TB the
     index is ~bands × 16 bytes per doc, and a probe is an equi-join
     on the bucket key, never a corpus text scan.
+
+    ``max_bucket_size`` (opt-in, off by default so oracle paths stay
+    exact) drops any (band, bucket) with more rows — the mega-bucket
+    guard for boilerplate/stopword shingle patterns whose m-member
+    bucket would otherwise emit m² candidates; see
+    :func:`cap_group_sizes` for the metric contract.
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
@@ -318,9 +369,14 @@ def lsh_band_buckets(
             for b in range(bands)
         ]
     )
-    return sigs.select("id", F.explode(band_structs).alias("bb")).select(
+    out = sigs.select("id", F.explode(band_structs).alias("bb")).select(
         "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    if max_bucket_size is not None:
+        out = cap_group_sizes(
+            out, ["band", "bucket"], max_bucket_size, observation
+        )
+    return out
 
 
 def minhash_lsh_pairs(
@@ -332,6 +388,8 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (shingle → minhash → band →
     bucket-join → verify).
@@ -342,9 +400,14 @@ def minhash_lsh_pairs(
     with true word-set Jaccard. Deterministic: fixed hash seeds; with
     ``hash_fn="md5"`` the whole pipeline (signatures, band buckets,
     verified pairs) is reproducible in DuckDB SQL for oracle gating.
+    ``max_bucket_size`` (opt-in) caps candidate generation per
+    (band, bucket) — see :func:`lsh_band_buckets`; recall on pairs
+    outside the dropped mega-buckets is unchanged because every
+    band's bucket votes independently.
     """
     buckets = lsh_band_buckets(
-        df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
+        df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn,
+        max_bucket_size=max_bucket_size, observation=observation)
 
     a = buckets.alias("a")
     b = buckets.alias("b")

@@ -36,6 +36,7 @@ versioning at all — this is a beyond-reference scale component.
 from __future__ import annotations
 
 import json
+import re
 import shutil
 import time
 import uuid
@@ -187,6 +188,7 @@ def _file_stats(path: Path, stats_cols: list[str]) -> dict:
         if col not in idx:
             continue
         mins, maxs = [], []
+        nulls: int | None = 0
         for rg in range(md.num_row_groups):
             # types pyarrow can't extract stats for (e.g. decimal)
             # raise here — degrade to no-stats (= must-read), never
@@ -195,6 +197,10 @@ def _file_stats(path: Path, stats_cols: list[str]) -> dict:
                 st = md.row_group(rg).column(idx[col]).statistics
                 has = st is not None and st.has_min_max
                 lo, hi = (st.min, st.max) if has else (None, None)
+                if nulls is not None and st is not None and st.has_null_count:
+                    nulls += st.null_count
+                else:
+                    nulls = None
             except Exception:
                 has = False
             if not has:
@@ -209,7 +215,76 @@ def _file_stats(path: Path, stats_cols: list[str]) -> dict:
             if not isinstance(lo, (int, float, str, bool)):
                 lo, hi = str(lo), str(hi)  # dates/decimals → portable JSON
             out[col] = {"min": lo, "max": hi}
+            # exact per-file null count (footer metadata) — lets a
+            # commit-time NOT NULL CHECK be proven without reading data
+            if nulls is not None:
+                out[col]["nulls"] = int(nulls)
     return out
+
+
+# The stats-provable CHECK fragment: a single-column numeric range
+# rule or IS NOT NULL. Everything else (disjunctions, multi-column,
+# string comparisons — parquet truncates long string stats) falls back
+# to reading the staged data.
+_SIMPLE_RANGE_RULE = re.compile(
+    r"^\s*`?([A-Za-z_]\w*)`?\s*(>=|<=|>|<)\s*(-?\d+(?:\.\d+)?)\s*$"
+)
+_NOT_NULL_RULE = re.compile(
+    r"^\s*`?([A-Za-z_]\w*)`?\s+IS\s+NOT\s+NULL\s*$", re.IGNORECASE
+)
+
+
+def _rule_stats_col(expr: str) -> str | None:
+    """Column a CHECK expression constrains, when the expression is in
+    the stats-provable fragment; None for anything more complex."""
+    m = _SIMPLE_RANGE_RULE.match(expr) or _NOT_NULL_RULE.match(expr)
+    return m.group(1) if m else None
+
+
+def _stats_prove_pass(expr: str, entries: list[dict]) -> bool:
+    """True when the file entries' footer stats alone PROVE that no
+    row in them fails the CHECK ``expr`` — the metadata fast-path of
+    commit-time constraint validation. Conservative by construction:
+    any file lacking the needed stat (or with a non-numeric stat for a
+    range rule) returns False and the caller reads the staged data
+    instead; a True here can never mask a violation because footer
+    min/max bound every non-null value and SQL CHECK passes NULLs.
+    Empty files (rows == 0) pass vacuously."""
+    m = _NOT_NULL_RULE.match(expr)
+    if m:
+        col = m.group(1)
+        return all(
+            int(e.get("rows", 0)) == 0
+            or (e.get("stats") or {}).get(col, {}).get("nulls") == 0
+            for e in entries
+        )
+    m = _SIMPLE_RANGE_RULE.match(expr)
+    if not m:
+        return False
+    col, op, lit = m.group(1), m.group(2), m.group(3)
+    value = float(lit) if ("." in lit or "e" in lit.lower()) else int(lit)
+    for e in entries:
+        if int(e.get("rows", 0)) == 0:
+            continue
+        s = (e.get("stats") or {}).get(col)
+        if s is None:
+            return False
+        lo, hi = s["min"], s["max"]
+        if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+            return False
+        # NULL rows pass CHECK and footer min/max exclude nulls, so
+        # the non-null range alone decides
+        if op == ">":
+            ok = lo > value
+        elif op == ">=":
+            ok = lo >= value
+        elif op == "<":
+            ok = hi < value
+        else:  # <=
+            ok = hi <= value
+        if not ok:
+            return False
+    return True
 
 
 _BLOOM_BITS = 4096
@@ -428,6 +503,26 @@ def snapshot_commit(
             set(bloom_cols)
             | {c for c in inherited_blooms if c in df.columns}
         )
+    # Columns constrained by a stats-provable CHECK rule (inherited or
+    # added by this commit) get footer stats unconditionally: the
+    # validation below — and every future commit's — can then be
+    # proven from file metadata alone, no second pass over the staged
+    # bytes. Dropped rules (None) don't force a stat.
+    _active_rules = {
+        **_head_manifest.get("constraints", {}),
+        **{k: v for k, v in (constraints or {}).items() if v is not None},
+    }
+    for k in (constraints or {}):
+        if (constraints or {})[k] is None:
+            _active_rules.pop(k, None)
+    stats_cols = sorted(
+        set(stats_cols)
+        | {
+            c
+            for ex in _active_rules.values()
+            if (c := _rule_stats_col(ex)) is not None and c in df.columns
+        }
+    )
     staged = []
     kmv = _commit_kmv(df, ndv_cols) if ndv_cols else {}
     for f in sorted(data_dir.rglob("*.parquet")):
@@ -481,8 +576,21 @@ def snapshot_commit(
 
     def _validate_staged(rules: dict) -> None:
         """Raise ConstraintViolation (and reclaim staged files) when a
-        staged row fails any rule in ``rules``."""
+        staged row fails any rule in ``rules``. Rules in the
+        stats-provable fragment are proven from the staged entries'
+        footer min/max/null-count stats (harvested above — kilobytes
+        of metadata, zero Spark jobs); only the unproven remainder
+        triggers the column-pruned re-read of the staged parquet.
+        Range/NOT NULL rules on stats-covered columns — the common
+        case — make constrained commits metadata-priced."""
         if not rules or not staged:
+            return
+        unproven = {
+            cname: e
+            for cname, e in rules.items()
+            if not _stats_prove_pass(e, staged)
+        }
+        if not unproven:
             return
         from pyspark.sql import functions as F
 
@@ -492,12 +600,12 @@ def snapshot_commit(
                 F.sum(
                     (~F.coalesce(F.expr(e), F.lit(True))).cast("long")
                 ).alias(cname)
-                for cname, e in sorted(rules.items())
+                for cname, e in sorted(unproven.items())
             ]
         ).first()
         violations = {
             cname: int(counts[cname] or 0)
-            for cname in rules
+            for cname in unproven
             if (counts[cname] or 0) > 0
         }
         if violations:

@@ -51,6 +51,47 @@ def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     assert len(missed) <= max(1, len(exact) // 10), f"LSH recall too low: {missed}"
 
 
+def test_lsh_bucket_cap_drops_mega_bucket_keeps_recall(spark):
+    """Adversarial corpus: 400 byte-identical boilerplate docs put one
+    400-member bucket in EVERY band (→ 79,800 candidate pairs per band
+    uncapped). The opt-in cap drops those buckets wholesale, the
+    dropped/seen counts ride the same job as observe metrics, and
+    recall on pairs OUTSIDE the pathological group is unchanged."""
+    from pyspark.sql import Observation
+
+    patho = " ".join(f"w{i}" for i in range(30))  # shared boilerplate
+    rows = [(f"p{i:04d}", patho) for i in range(400)]
+    for j in range(20):  # 20 honest near-dup pairs, disjoint vocab
+        t = " ".join(f"u{j}x{k}" for k in range(30))
+        rows += [(f"n{j:02d}a", t), (f"n{j:02d}b", t)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    # metric contract: 400 docs × 4 bands dropped, honest rows kept
+    obs = Observation("lsh_cap")
+    kept = dedup.lsh_band_buckets(
+        df, max_bucket_size=50, observation=obs
+    ).count()
+    assert kept == 40 * 4
+    assert obs.get == {"rows_dropped": 400 * 4, "rows_seen": 440 * 4}
+
+    want = {(f"n{j:02d}a", f"n{j:02d}b") for j in range(20)}
+    capped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            df, threshold=0.9, max_bucket_size=50
+        ).collect()
+    }
+    assert capped == want  # mega-bucket gone, every honest pair kept
+    # recall parity: the capped run finds exactly what an uncapped run
+    # over the non-pathological corpus finds
+    honest = df.filter(~F.col("doc_id").startswith("p"))
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(honest, threshold=0.9).collect()
+    }
+    assert capped == uncapped
+
+
 def test_simhash_is_order_insensitive_ish(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],

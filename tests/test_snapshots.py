@@ -920,6 +920,76 @@ def test_constraint_null_passes_and_drop_rule(spark, tmp_path):
     assert snapshot_read(spark, t).count() == 8
 
 
+def test_constraint_stats_fastpath_skips_staged_read(
+    spark, tmp_path, monkeypatch
+):
+    """Range / NOT NULL CHECK rules over stats-covered columns are
+    proven from the staged files' footer min/max/null-count stats —
+    commit-time validation runs ZERO Spark read jobs (the reader is
+    monkeypatched to explode). Constrained columns get footer stats
+    automatically, so the fast-path is self-sustaining from the first
+    commit that declares the rule."""
+    import pyspark.sql.readwriter as rw
+
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 1, 100), t,
+        constraints={"pos_id": "id > 0", "id_nn": "id IS NOT NULL"},
+    )
+    # the constrained column was auto-added to stats coverage, with
+    # the exact footer null count the NOT NULL proof needs
+    for e in snapshot_manifest(t)["files"]:
+        assert e["stats"]["id"]["nulls"] == 0
+
+    def boom(self, *a, **kw):
+        raise AssertionError("constraint validation read staged data")
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", boom)
+    # both rules proven from metadata — no read, commit lands
+    snapshot_commit(_df(spark, 100, 200), t, mode="append")
+    assert snapshot_manifest(t)["version"] == 2
+
+
+def test_constraint_fastpath_fallback_still_detects(spark, tmp_path):
+    """The fast-path only ever PROVES a pass: violating data on the
+    same provable-fragment rules is unprovable from stats and the
+    fallback read reports it; a non-provable rule mixed in is read
+    alongside, and only the actually-violated rule is named."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.snapshots import (
+        ConstraintViolation,
+        snapshot_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _df(spark, 1, 100), t,
+        constraints={
+            "pos_id": "id > 0",  # provable fragment
+            "id_nn": "id IS NOT NULL",  # provable fragment
+            "k_range": "k BETWEEN 0 AND 4",  # not in the fragment
+        },
+    )
+    # range violation: min stat = -5 can't prove; the fallback read
+    # finds ids -5..0 (6 rows) and the negative-remainder k values
+    with pytest.raises(
+        ConstraintViolation, match=r"k_range.*4 row.*pos_id.*6 row"
+    ):
+        snapshot_commit(_df(spark, -5, 5), t, mode="append")
+    # NOT NULL violation through the null-count stat
+    nulls = spark.range(3).select(
+        F.when(F.col("id") > 0, F.col("id")).alias("id"),
+        (F.col("id") % 5).alias("k"),
+    )
+    with pytest.raises(ConstraintViolation, match="id_nn"):
+        snapshot_commit(nulls, t, mode="append")
+    assert snapshot_manifest(t)["version"] == 1  # nothing landed
+
+
 def test_constraints_survive_rollback_and_clone(spark, tmp_path):
     import pytest
 
