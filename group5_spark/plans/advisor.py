@@ -380,6 +380,60 @@ def stats_from_snapshot(
     )
 
 
+def snapshot_side_stats(
+    root_dir: str, table: str, key: str | None = None
+) -> TableStats | None:
+    """:func:`stats_from_snapshot` for a table that MAY be snapshot-
+    managed: ``{root_dir}/{table}`` with a manifest → its write-time
+    stats (zero Spark jobs, kilobytes of metadata); no manifest →
+    None, and the caller falls back to a runtime
+    :func:`collect_stats` scan. The soft-lookup form the flag-routed
+    queries need — statistics availability must never change query
+    results, only how the plan was decided.
+
+    When the caller's frame is a FILTERED view of the table, manifest
+    stats are an UPPER BOUND — which only errs in the safe direction:
+    an oversized estimate can demote broadcast to shuffle (slower,
+    never wrong), never promote an oversized side into a broadcast
+    OOM. Hot-key share is 0 on this path (not derivable from KMV),
+    so static salting is never chosen from manifest stats alone —
+    AQE's runtime skew split remains the guard, per
+    :func:`stats_from_snapshot`.
+    """
+    from pathlib import Path
+
+    from group5_spark.medallion import snapshots as snap
+
+    path = Path(root_dir) / table
+    if not (path / snap._MANIFEST_DIR).is_dir():
+        return None
+    try:
+        return stats_from_snapshot(str(path), key)
+    except FileNotFoundError:
+        return None
+
+
+def fk_carried_stats(fact: TableStats, key_side: TableStats) -> TableStats:
+    """Planning stats for a JOIN INTERMEDIATE about to be re-joined on
+    a key it inherited from a dimension — the standard CBO
+    foreign-key propagation assumption: an FK equi-join preserves the
+    fact side's cardinality (every fact row matches exactly one dim
+    row), so the intermediate keeps the fact's rows/bytes while the
+    new join key's NDV and KMV sketch come from the table that
+    CONTRIBUTED that column. Lets a multi-join query plan every step
+    from base-table manifests with zero runtime scans — stats flow
+    through the join tree the way Catalyst's own column stats do.
+    """
+    return TableStats(
+        rows=fact.rows,
+        bytes_est=fact.bytes_est,
+        key_ndv=key_side.key_ndv,
+        top_key=None,
+        top_key_rows=0,
+        key_hashes=key_side.key_hashes,
+    )
+
+
 def stat_join(
     left: DataFrame,
     right: DataFrame,
@@ -387,16 +441,22 @@ def stat_join(
     how: str = "inner",
     broadcast_bytes: int = 32 << 20,
     skew_share: float = 0.10,
+    left_stats: TableStats | None = None,
+    right_stats: TableStats | None = None,
 ) -> tuple[DataFrame, JoinAdvice]:
     """Collect stats on both sides, advise, and apply — the one-call
     form. Returns (joined, advice) so callers can log the decision.
 
-    The stats pass costs one key-partial shuffle per side; amortize it
-    by caching :func:`collect_stats` results for tables joined
-    repeatedly (stats drift slowly — Iceberg/Delta refresh them on
-    write, not on read).
+    ``left_stats`` / ``right_stats`` override the runtime scan per
+    side — pass :func:`snapshot_side_stats` (manifest) or
+    :func:`fk_carried_stats` (propagated) results so a fully
+    snapshot-backed query plans every join with ZERO extra Spark
+    jobs. Any side left None pays one key-partial stats shuffle;
+    amortize repeats by caching :func:`collect_stats` results
+    (stats drift slowly — Iceberg/Delta refresh them on write, not
+    on read).
     """
-    ls = collect_stats(left, on)
-    rs = collect_stats(right, on)
+    ls = left_stats if left_stats is not None else collect_stats(left, on)
+    rs = right_stats if right_stats is not None else collect_stats(right, on)
     advice = advise_join(ls, rs, broadcast_bytes, skew_share, how=how)
     return planned_join(left, right, on, advice, how), advice

@@ -74,9 +74,33 @@ def register(name: str, oracle: str | None = None):
 #: then moves with the data instead of living in the query text.
 ADVISOR_CONF = "spark.group5.advisor.enabled"
 
+#: Optional root of snapshot-managed copies of the input tables
+#: (``{dir}/{table}`` with a manifest). When set, the advisor-routed
+#: queries resolve planning statistics from the manifests' write-time
+#: row counts / byte sizes / KMV key sketches instead of running a
+#: stats scan per join side — the whole multi-join plan is decided
+#: from kilobytes of metadata with ZERO extra Spark jobs (the
+#: Iceberg/Puffin pattern: pay statistics at write time). Tables
+#: absent from the dir fall back to the runtime scan per side;
+#: results never depend on which path planned the join.
+ADVISOR_STATS_DIR_CONF = "spark.group5.advisor.stats_dir"
+
 
 def _advisor_on(spark: SparkSession) -> bool:
     return str(spark.conf.get(ADVISOR_CONF, "false")).lower() == "true"
+
+
+def _manifest_stats(spark: SparkSession, table: str, key: str):
+    """Manifest-backed TableStats for ``table`` (planning key
+    ``key``) from the ``ADVISOR_STATS_DIR_CONF`` snapshot root, or
+    None when the conf is unset / the table isn't snapshot-managed
+    there — the caller then lets ``stat_join`` pay the runtime scan."""
+    root = spark.conf.get(ADVISOR_STATS_DIR_CONF, None)
+    if not root:
+        return None
+    from group5_spark.plans.advisor import snapshot_side_stats
+
+    return snapshot_side_stats(root, table, key)
 
 
 # --------------------------------------------------------------------
@@ -6041,15 +6065,26 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     if _advisor_on(spark):
         from group5_spark.plans.advisor import stat_join
 
+        # With stats_dir set, the two dim sides plan from the part /
+        # supplier MANIFESTS. Both frames are filtered views, so
+        # manifest stats are upper bounds — safe by direction: an
+        # overestimate can only demote broadcast to shuffle, never
+        # promote an oversized side into a broadcast OOM. The
+        # synthesized partsupp bridge has no manifest and pays the
+        # runtime scan either way.
+        parts_st = _manifest_stats(spark, "part", "p_partkey")
+        elig_st = _manifest_stats(spark, "supplier", "s_suppkey")
         cand, _ = stat_join(
             ps.withColumnRenamed("ps_partkey", "p_partkey"),
             parts,
             "p_partkey",
+            right_stats=parts_st,
         )
         cand, _ = stat_join(
             cand.withColumnRenamed("ps_suppkey", "s_suppkey"),
             eligible,
             "s_suppkey",
+            right_stats=elig_st,
         )
         # the USING-style join folded ps_partkey into p_partkey;
         # restore both names so the window + final select see the
@@ -6531,14 +6566,42 @@ def advisor_planned_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     lands on broadcast; at 100 TB the same code degrades lineitem ⋈
     orders to a plain shuffle the moment neither side fits the budget
     — the decision moves with the data, the query text doesn't.
+
+    With `spark.group5.advisor.stats_dir` ALSO set (snapshot-managed
+    copies of the inputs, KMV sketches on the join keys), all three
+    decisions come from manifest metadata instead: base sides read
+    `stats_from_snapshot`, and the two join INTERMEDIATES get
+    `fk_carried_stats` — the FK equi-joins preserve lineitem's
+    cardinality, so the intermediate keeps lineitem's rows/bytes
+    while each new key's NDV+sketch comes from the table that
+    contributed the column (l_suppkey from lineitem, o_custkey from
+    orders). Planning then runs ZERO Spark jobs — job-count-gated in
+    test_advisor.py — which is the difference between "the advisor
+    scans twice per join" and "the advisor reads kilobytes" when the
+    same decision is made per-batch on a streaming upsert path.
     """
-    from group5_spark.plans.advisor import stat_join
+    from group5_spark.plans.advisor import fk_carried_stats, stat_join
 
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     sup = load_table(spark, sf_dir, "supplier")
     cust = load_table(spark, sf_dir, "customer")
     nat = load_table(spark, sf_dir, "nation")
+
+    # manifest-backed planning stats (None → stat_join scans that side)
+    li_ok = _manifest_stats(spark, "lineitem", "l_orderkey")
+    li_sk = _manifest_stats(spark, "lineitem", "l_suppkey")
+    or_ok = _manifest_stats(spark, "orders", "o_orderkey")
+    or_ck = _manifest_stats(spark, "orders", "o_custkey")
+    sup_st = _manifest_stats(spark, "supplier", "s_suppkey")
+    cust_st = _manifest_stats(spark, "customer", "c_custkey")
+    # intermediate after li⋈orders keeps lineitem's cardinality (FK
+    # join); its l_suppkey stats ARE lineitem's, its c_custkey NDV and
+    # sketch come from orders' o_custkey
+    j2_left = li_sk
+    j3_left = (
+        fk_carried_stats(li_ok, or_ck) if (li_ok and or_ck) else None
+    )
 
     li_slim = li.select(
         F.col("l_orderkey").alias("o_orderkey"),
@@ -6549,12 +6612,19 @@ def advisor_planned_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("_rev"),
     )
     ord_slim = orders.select("o_orderkey", "o_custkey")
-    j, _ = stat_join(li_slim, ord_slim, "o_orderkey")
-    j, _ = stat_join(j, sup.select("s_suppkey", "s_nationkey"), "s_suppkey")
+    j, _ = stat_join(
+        li_slim, ord_slim, "o_orderkey",
+        left_stats=li_ok, right_stats=or_ok,
+    )
+    j, _ = stat_join(
+        j, sup.select("s_suppkey", "s_nationkey"), "s_suppkey",
+        left_stats=j2_left, right_stats=sup_st,
+    )
     j, _ = stat_join(
         j.withColumnRenamed("o_custkey", "c_custkey"),
         cust.select("c_custkey", "c_nationkey"),
         "c_custkey",
+        left_stats=j3_left, right_stats=cust_st,
     )
     ns = nat.select(
         F.col("n_nationkey").alias("s_nationkey"),

@@ -515,3 +515,142 @@ def test_registry_dynfilter_query_materializes_the_semi_filter(spark, sf_dir):
         for r in plain.collect()
     }
     assert got == want and got
+
+
+# ------------- manifest-backed planning in flag-routed queries ------
+
+
+@pytest.fixture(scope="module")
+def stats_root(spark, sf_dir, tmp_path_factory):
+    """Snapshot-managed copies of the advisor queries' input tables,
+    KMV sketches on every join key — the `advisor.stats_dir` layout."""
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    root = tmp_path_factory.mktemp("advisor_stats")
+    for tbl, keys in {
+        "lineitem": ["l_orderkey", "l_suppkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "supplier": ["s_suppkey"],
+        "customer": ["c_custkey"],
+        "part": ["p_partkey"],
+    }.items():
+        snapshot_commit(
+            load_table(spark, sf_dir, tbl), str(root / tbl), ndv_cols=keys
+        )
+    return str(root)
+
+
+def test_manifest_planned_trade_volume_runs_zero_stats_jobs(
+    spark, sf_dir, stats_root, monkeypatch
+):
+    """With advisor.stats_dir set, nation_trade_volume's three advised
+    joins are planned ENTIRELY from manifest metadata: building the
+    plan launches no MORE Spark jobs than the hand-hinted plan build
+    (only parquet schema reads — job-group count assertion) and never
+    calls collect_stats (monkeypatched to explode) — vs the runtime
+    path, which pays a stats scan per join side. Advice still
+    materializes as broadcasts, and results match the hand-hinted
+    plan exactly."""
+    from group5_spark.plans import advisor as A
+    from group5_spark.queries import (
+        ADVISOR_CONF,
+        ADVISOR_STATS_DIR_CONF,
+        QUERIES,
+    )
+
+    sc = spark.sparkContext
+    # baseline: jobs a hand-hinted PLAN BUILD costs (schema reads only)
+    sc.setJobGroup("plan-baseline", "hand-hinted plan build")
+    baseline_df = QUERIES["nation_trade_volume"](spark, sf_dir)
+    baseline_jobs = len(
+        sc.statusTracker().getJobIdsForGroup("plan-baseline")
+    )
+    sc.setJobGroup("", "")
+    want = sorted(map(tuple, baseline_df.collect()))
+
+    monkeypatch.setattr(
+        A, "collect_stats",
+        lambda *a, **kw: pytest.fail("manifest path ran a stats scan"),
+    )
+    spark.conf.set(ADVISOR_CONF, "true")
+    spark.conf.set(ADVISOR_STATS_DIR_CONF, stats_root)
+    try:
+        sc.setJobGroup("advisor-planning", "manifest-backed join planning")
+        df = QUERIES["nation_trade_volume"](spark, sf_dir)
+        planning_jobs = len(
+            sc.statusTracker().getJobIdsForGroup("advisor-planning")
+        )
+        sc.setJobGroup("advisor-exec", "")
+        # decisions from kilobytes: zero jobs beyond the schema reads
+        assert planning_jobs <= baseline_jobs
+        assert I.num_broadcast_joins(df) >= 4  # advice still lands
+        monkeypatch.setattr(A, "collect_stats", collect_stats)
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        spark.conf.set(ADVISOR_CONF, "false")
+        spark.conf.unset(ADVISOR_STATS_DIR_CONF)
+        sc.setJobGroup("", "")
+
+
+def test_manifest_and_runtime_stats_agree_on_strategy(
+    spark, sf_dir, stats_root
+):
+    """The same join advised from manifest sketches and from a runtime
+    collect_stats scan lands on the SAME strategy — availability of
+    write-time statistics changes the planning cost, never the plan
+    class (both paths see sizes on the same side of the broadcast
+    budget)."""
+    from group5_spark.plans.advisor import advise_join, snapshot_side_stats
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    for pair_key, l_tbl, l_df, l_key, r_tbl, r_df, r_key in [
+        ("ok", "lineitem", li, "l_orderkey", "orders", orders, "o_orderkey"),
+    ]:
+        lm = snapshot_side_stats(stats_root, l_tbl, l_key)
+        rm = snapshot_side_stats(stats_root, r_tbl, r_key)
+        lr = collect_stats(l_df, l_key)
+        rr = collect_stats(r_df, r_key)
+        assert lm.rows == lr.rows and rm.rows == rr.rows  # exact counts
+        a_m = advise_join(lm, rm)
+        a_r = advise_join(lr, rr)
+        assert a_m.strategy == a_r.strategy
+        # and under a budget that fits neither side, both degrade the
+        # same way (shuffle) — the agreement isn't broadcast-trivial
+        tight = advise_join(lm, rm, broadcast_bytes=1)
+        tight_r = advise_join(lr, rr, broadcast_bytes=1)
+        assert tight.strategy == tight_r.strategy == "shuffle"
+
+
+def test_manifest_stats_fall_back_per_side_when_absent(
+    spark, sf_dir, stats_root
+):
+    """min_cost_supplier with stats_dir set: the part/supplier dim
+    sides plan from manifests (filtered frames -> upper-bound stats,
+    safe direction), the synthesized partsupp bridge has no manifest
+    and pays the runtime scan — and the mixed-path result is
+    byte-identical to the hand-hinted plan."""
+    from group5_spark.queries import (
+        ADVISOR_CONF,
+        ADVISOR_STATS_DIR_CONF,
+        QUERIES,
+    )
+
+    want = [
+        tuple(r) for r in QUERIES["min_cost_supplier"](spark, sf_dir).collect()
+    ]
+    spark.conf.set(ADVISOR_CONF, "true")
+    spark.conf.set(ADVISOR_STATS_DIR_CONF, stats_root)
+    try:
+        df = QUERIES["min_cost_supplier"](spark, sf_dir)
+        assert I.num_broadcast_joins(df) >= 2
+        assert [tuple(r) for r in df.collect()] == want
+    finally:
+        spark.conf.set(ADVISOR_CONF, "false")
+        spark.conf.unset(ADVISOR_STATS_DIR_CONF)
+
+
+def test_snapshot_side_stats_none_without_manifest(tmp_path):
+    from group5_spark.plans.advisor import snapshot_side_stats
+
+    assert snapshot_side_stats(str(tmp_path), "nope", "k") is None
