@@ -90,6 +90,81 @@ def _advisor_on(spark: SparkSession) -> bool:
     return str(spark.conf.get(ADVISOR_CONF, "false")).lower() == "true"
 
 
+#: Optional path of a persisted LSH index (`lsh_index_init`) over the
+#: documents corpus. When set, `corpus_curation_funnel`'s near-dup
+#: stage generates candidate pairs from the index's (band, bucket)
+#: equi-join instead of the source-block self-join — candidates per
+#: doc drop from |source block| to |bucket mates|. Verification stays
+#: the funnel's own word-set Jaccard rule, so the drop-set contract
+#: is unchanged.
+FUNNEL_LSH_INDEX_CONF = "spark.group5.funnel.lsh_index"
+
+
+def _lsh_candidate_word_pairs(
+    spark: SparkSession, exact: DataFrame, index_path: str, threshold: float
+) -> DataFrame:
+    """`corpus_curation_funnel`'s near-dup pairs with CANDIDATE
+    GENERATION from a persisted LSH index and the funnel's own
+    verification rule (same source, word-set Jaccard >= threshold).
+
+    The index is the corpus's (id, band, bucket) snapshot table;
+    restricting it to the exact-dedup survivors is a broadcast-able
+    semi-join, and the bucket self-join replaces the source-block
+    self-join as the pair generator — the only stage of the funnel
+    whose cost is super-linear in block size. Because the index only
+    proposes candidates and the word-set rule still decides, a
+    bucket's false positives cost verification time, never wrong
+    drops; banding recall is the one semantic dial (finer banding →
+    higher recall), pinned in the index's own manifest note.
+
+    Build the index with ``shingle_n=1`` so the MinHash basis IS the
+    word set this verifier measures — an n-gram basis would miss
+    word-order permutations that word-set Jaccard counts as
+    duplicates (signature similarity must estimate the similarity the
+    verifier decides on, or recall is uncontrolled).
+    """
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    idx = snapshot_read(spark, index_path)
+    survivors = idx.join(
+        exact.select(F.col("doc_id").alias("id")), "id", "left_semi"
+    )
+    a, b = survivors.alias("a"), survivors.alias("b")
+    cand = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band") == F.col("b.band"),
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.id") < F.col("b.id"),
+            ],
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    wa = exact.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("source").alias("src_a"),
+        F.array_distinct(F.split("text", " ")).alias("w_a"),
+    )
+    wb = exact.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("source").alias("src_b"),
+        F.array_distinct(F.split("text", " ")).alias("w_b"),
+    )
+    jac = F.size(F.array_intersect("w_a", "w_b")).cast("double") / F.size(
+        F.array_union("w_a", "w_b")
+    )
+    return (
+        cand.join(wa, "id_a")
+        .join(wb, "id_b")
+        .filter(F.col("src_a") == F.col("src_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def _manifest_stats(spark: SparkSession, table: str, key: str):
     """Manifest-backed TableStats for ``table`` (planning key
     ``key``) from the ``ADVISOR_STATS_DIR_CONF`` snapshot root, or
@@ -7029,11 +7104,18 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate unpivoted to (stage, n_docs) — no per-stage recount
     passes (a union of stage COUNT(*)s would re-run the whole lineage
     once per stage). The near-dup stage is the only pairwise step and
-    stays source-blocked; at 100 TB swap it for the banded LSH index
-    probe (`near_dups_against_index`) — same drop-set contract.
-    Pair-greedy ≠ transitive-closure dedup (see `dedup_clusters` for
-    the component semantics); greedy is order-deterministic and what
-    curation pipelines typically ship.
+    stays source-blocked by default; with
+    `spark.group5.funnel.lsh_index` set to a persisted LSH index over
+    the corpus (`lsh_index_init`/`append`), candidate pairs come from
+    the index's (band, bucket) equi-join instead of the full
+    source-block self-join — the 100 TB path, where a source block
+    can hold millions of docs but an LSH bucket holds a handful. The
+    index only PRUNES the pair space; verification stays the funnel's
+    own word-set Jaccard ≥ 0.9 + same-source rule, so the drop-set
+    contract (and the oracle) is unchanged — equivalence-tested in
+    test_extensions.py. Pair-greedy ≠ transitive-closure dedup (see
+    `dedup_clusters` for the component semantics); greedy is
+    order-deterministic and what curation pipelines typically ship.
     """
     from group5_spark.extensions.dedup import jaccard_pairs
     from group5_spark.extensions.splits import hash_split
@@ -7055,9 +7137,13 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("e", F.col("q") & (F.col("doc_id") == F.col("_minq")))
 
     exact = flagged.filter(F.col("e")).select("doc_id", "source", "text")
+    idx_path = spark.conf.get(FUNNEL_LSH_INDEX_CONF, None)
+    if idx_path:
+        pairs = _lsh_candidate_word_pairs(spark, exact, idx_path, 0.9)
+    else:
+        pairs = jaccard_pairs(exact, block_col="source", threshold=0.9)
     drop = (
-        jaccard_pairs(exact, block_col="source", threshold=0.9)
-        .select(F.col("id_b").alias("doc_id"))
+        pairs.select(F.col("id_b").alias("doc_id"))
         .distinct()
         .withColumn("_dropped", F.lit(True))
     )

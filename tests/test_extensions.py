@@ -774,3 +774,35 @@ def test_histogram_sketch_clamps_out_of_range(spark):
     rows = {r["bin"]: r["cnt"] for r in s.collect()}
     assert rows[0] == 2 and rows[31] == 2
     assert sum(rows.values()) == df.count()
+
+
+def test_funnel_lsh_index_flag_preserves_dropset(spark, sf_dir, tmp_path):
+    """corpus_curation_funnel with `spark.group5.funnel.lsh_index` set:
+    the near-dup stage's candidate pairs come from the persisted LSH
+    index (bucket equi-join) instead of the source-block self-join,
+    verification stays the funnel's word-set Jaccard >= 0.9 rule — and
+    the entire funnel output (every stage count, every split size) is
+    IDENTICAL to the default path on the real documents table."""
+    from group5_spark.catalog import load_table
+    from group5_spark.queries import FUNNEL_LSH_INDEX_CONF, QUERIES
+
+    q = QUERIES["corpus_curation_funnel"]
+    want = {(r.stage, r.n_docs) for r in q(spark, sf_dir).collect()}
+
+    idx = str(tmp_path / "funnel_lsh_idx")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # shingle_n=1 makes the MinHash basis the WORD SET — the funnel's
+    # own similarity space (the corpus's near-dups are word-order
+    # permutations, invisible to word-3-gram shingles); 16 bands of 2
+    # rows put candidate recall at j=0.9 effectively at 1. Both dials
+    # are pinned in the index's manifest note.
+    dedup.lsh_index_init(docs, idx, num_hashes=32, bands=16, shingle_n=1)
+    spark.conf.set(FUNNEL_LSH_INDEX_CONF, idx)
+    try:
+        df = q(spark, sf_dir)
+        # flag routed: the plan scans the persisted index's files
+        assert any("funnel_lsh_idx" in f for f in df.inputFiles())
+        got = {(r.stage, r.n_docs) for r in df.collect()}
+    finally:
+        spark.conf.unset(FUNNEL_LSH_INDEX_CONF)
+    assert got == want
