@@ -7228,77 +7228,142 @@ def recursive_trade_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_TRADE_REACH_SQL)
 
 
+@register(
+    "variant_bronze_extract",
+    """
+    WITH raw AS (
+      SELECT to_json(struct_pack(event_id := event_id, user_id := user_id,
+             event_type := event_type, value := value, props := props))
+             AS payload
+      FROM events
+    ),
+    x AS (
+      SELECT json_extract_string(payload, '$.event_type') AS event_type,
+             CAST(json_extract(payload, '$.user_id') AS BIGINT) AS user_id,
+             CAST(json_extract(payload, '$.value') AS DOUBLE) AS value,
+             CAST(json_extract_string(
+                 json_extract_string(payload, '$.props'), '$.k') AS BIGINT
+             ) AS k
+      FROM raw
+    )
+    SELECT event_type, COUNT(*) AS n_events,
+           COUNT(DISTINCT user_id) AS n_users,
+           SUM(k)::BIGINT AS sum_k,
+           SUM(CAST(value AS DECIMAL(18,2)))::DOUBLE AS sum_value
+    FROM x GROUP BY event_type
+    """,
+)
+def variant_bronze_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snowflake-style VARIANT bronze (reference
+    dag_streamflow_warehouse.py:100-109 lands raw_payload VARIANT):
+    the whole event is serialized as one semi-structured payload,
+    parsed to Spark 4's VariantType, and every analytic field is
+    extracted back OUT of the variant with typed `variant_get` paths
+    — schema-on-read ELT, including a doubly-nested hop (`props` is a
+    JSON string INSIDE the payload, so its `k` needs a second
+    parse_json). The oracle replays the identical round-trip through
+    DuckDB's JSON type, proving the variant encode/decode is
+    value-faithful for strings, bigints, and doubles.
+
+    Scale shape: map-only until the final group-by — variant parse
+    and path extraction are per-row JVM expressions (no UDF), and the
+    binary variant encoding is what makes repeated path access cheap
+    at 100 TB (parse once, extract many, vs re-tokenizing JSON text
+    per field).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    raw = ev.select(
+        F.parse_json(
+            F.to_json(
+                F.struct("event_id", "user_id", "event_type", "value", "props")
+            )
+        ).alias("payload")
+    )
+    x = raw.select(
+        F.expr("variant_get(payload, '$.event_type', 'string')").alias(
+            "event_type"
+        ),
+        F.expr("variant_get(payload, '$.user_id', 'bigint')").alias("user_id"),
+        F.expr("variant_get(payload, '$.value', 'double')").alias("value"),
+        F.expr(
+            "variant_get(parse_json(variant_get(payload, '$.props', "
+            "'string')), '$.k', 'bigint')"
+        ).alias("k"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("k").alias("sum_k"),
+        F.sum(F.col("value").cast(DEC2)).cast("double").alias("sum_value"),
+    )
+
+
 # The driver oracle-checks the FIRST 50 registered queries each round.
-# Rounds 1-3 cumulatively put driver-green rows on 128 distinct
-# queries (see CORRECTNESS_r0{1,2,3}.json). The round-4 window closes
-# the evidence ceiling: every oracle-backed query never driver-checked
-# before (11, incl. the round-4 operators, the dynamic-filter query,
-# the recursive CTE, and the composed curation funnel), the two
-# round-3 driver-`err` rows re-submitted with serialized scalar
-# outputs, the two queries whose output surface changed this round,
-# the 27 queries
-# whose only driver evidence is round 1 (oldest — refresh it), and 8
-# §2 canonicals. sketch_scale_stats stays out by design (rows-only
-# approx sketch — a window slot would never yield a hash row). Every
-# name below is green in tools/check_oracle.py --strict (the
-# driver-replica comparator, now array-intolerant exactly like the
-# driver) before this window ships.
+# After round 4, cumulative driver-green evidence covers 144/145
+# queries (everything but the rows-only-by-design sketch_scale_stats),
+# so the round-5 window is a pure FRESHNESS rotation: the one new
+# round-5 query (VariantType bronze), then every query whose NEWEST
+# driver evidence is round 1 (3) or round 2 (44), topped up with the
+# two most pipeline-critical round-3 rows (the persisted-IVF probe
+# and the contamination check). After this round no query's newest
+# evidence is older than round 3. Every name below is green in
+# tools/check_oracle.py --strict (the driver-replica comparator,
+# array-intolerant exactly like the driver) before this window ships.
 _CHECK_WINDOW = [
-    # never driver-checked before (oracle-backed)
-    "doc_chunk_windows",
-    "monthly_open_order_lines",
-    "dedup_incremental_neardup",
-    "dedup_clusters_incremental",
-    "histogram_weekly_percentiles",
-    "parts_supplier_relationship",
-    "doc_repetition_filter",
-    "text_bigram_logprob",
-    "advisor_planned_trade_volume",
-    "corpus_shard_shuffle",
-    "embedding_int8_quantization",
-    "dynfilter_urgent_order_revenue",
-    "recursive_trade_reach",
-    "corpus_curation_funnel",
-    # round-3 driver-err rows, now with scalar (serialized) outputs
-    "order_part_baskets",
-    "inverted_index_postings",
-    # output surface changed in round 4 (decimal->double; advisor flag)
-    "rich_inactive_customers",
-    "min_cost_supplier",
-    # round-1-only driver evidence — refresh
-    "customers_without_orders",
-    "customers_with_orders",
-    "late_shipment_priority",
-    "union_active_ids",
-    "intersect_active_ids",
-    "except_active_ids",
-    "conversion_rate",
-    "events_by_type_daily",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    "text_quality",
-    "text_langid",
-    "text_fingerprint",
-    "sim_topk",
-    "knn_label_vote",
-    "sim_lsh_topk",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "cube_event_counts",
-    "pivot_event_matrix",
-    "string_functions_showcase",
-    "date_functions_showcase",
-    "ntile_customer_quartiles",
-    "exists_returned_orders",
-    "scalar_subquery_pricey_parts",
-    # §2 canonicals (re-confirmation)
-    "pricing_summary",
-    "top3_parts_per_brand",
-    "waiting_suppliers",
-    "part_pair_affinity",
-    "nation_trade_volume",
+    # new in round 5 — never driver-checked
+    "variant_bronze_extract",
+    # newest driver evidence is round 1 — oldest first
+    "top_customers",
+    "avg_order_value",
+    "pct_revenue_by_segment",
+    # newest driver evidence is round 2
+    "asof_last_click_before_error",
+    "brand_market_share",
+    "cheapest_shipment_per_part",
+    "cohort_weekly_retention",
+    "column_ops_showcase",
+    "customer_order_counts",
+    "customer_rfm_segments",
+    "daily_revenue",
+    "dedup_embedding_cosine",
+    "disjunctive_brand_revenue",
+    "doc_frequency_top_words",
+    "doc_pipeline_filtered_corpus",
+    "events_props_sum",
+    "forecast_revenue_change",
+    "funnel_steps",
+    "having_heavy_brands",
+    "hopping_event_counts",
+    "in_subquery_big_orders",
+    "large_volume_customers",
+    "lead_lag_daily_revenue",
+    "moving_avg_7d",
+    "mtd_revenue",
+    "multimodal_decode_features",
+    "order_count_distribution",
+    "percentiles_by_segment",
+    "profit_by_nation_year",
+    "promo_revenue_share",
+    "repeat_orders_within_3d",
+    "returned_item_customers",
+    "revenue_by_nation",
+    "rollup_revenue",
+    "running_revenue",
+    "sessionized_event_counts",
+    "shipping_priority",
+    "small_quantity_revenue",
+    "sql_surface_revenue",
+    "stratified_doc_sample",
+    "supplier_counts_by_part",
+    "text_token_count",
+    "top_supplier_by_revenue",
+    "train_val_test_split",
+    "tumbling_hourly_events",
+    "unpivot_money_components",
+    "yoy_revenue",
+    # round-3 refreshers: the persisted-index ANN probe + decontam
+    "sim_ivf_topk",
+    "contamination_check",
 ]
 
 
