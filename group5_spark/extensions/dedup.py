@@ -455,6 +455,8 @@ def incremental_near_dups(
     shingle_n: int = 3,
     threshold: float = 0.5,
     hash_fn: str = "xxhash64",
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicates of a NEW batch against an EXISTING corpus using
     the corpus's persisted LSH band-bucket index — the every-crawl
@@ -473,12 +475,23 @@ def incremental_near_dups(
     verify join prunes the scan). Nothing ever enumerates
     batch × corpus.
 
+    ``max_bucket_size`` (opt-in) caps the INDEX side per (band,
+    bucket) before the probe join — the probe-path mega-bucket guard:
+    an m-doc boilerplate bucket in the index turns every batch doc
+    that lands in it into m candidates, so one hot bucket prices the
+    whole probe. The batch side is already bounded by the batch. See
+    :func:`cap_group_sizes` for the dropped/seen metric contract.
+
     Returns ``(id_new, id_corpus, jaccard)`` pairs at/above
     ``threshold``.
     """
     if corpus_index is None:
         corpus_index = lsh_band_buckets(
             corpus_df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
+    if max_bucket_size is not None:
+        corpus_index = cap_group_sizes(
+            corpus_index, ["band", "bucket"], max_bucket_size, observation
+        )
     new_buckets = lsh_band_buckets(
         new_df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
 
@@ -839,6 +852,8 @@ def near_dups_against_index(
     index_path: str,
     version: int | None = None,
     threshold: float = 0.5,
+    max_bucket_size: int | None = None,
+    observation=None,
 ) -> DataFrame:
     """Near-duplicates of ``new_df`` against the corpus, probing the
     PERSISTED index at ``index_path`` (latest version by default;
@@ -849,7 +864,9 @@ def near_dups_against_index(
     batch's probe signatures are bucket-compatible by construction.
     ``corpus_df`` must be the corpus the index (version) describes —
     it is only read to verify candidate pairs' true Jaccard, and the
-    candidate semi-set prunes that scan.
+    candidate semi-set prunes that scan. ``max_bucket_size`` (opt-in)
+    drops over-full index buckets before the probe join — see
+    :func:`incremental_near_dups`.
     """
     from group5_spark.medallion.snapshots import (
         snapshot_manifest,
@@ -880,4 +897,6 @@ def near_dups_against_index(
         shingle_n=params["shingle_n"],
         threshold=threshold,
         hash_fn=params["hash_fn"],
+        max_bucket_size=max_bucket_size,
+        observation=observation,
     )

@@ -235,3 +235,49 @@ def test_index_survives_compaction_and_rollback(spark, tmp_path):
 
     snapshot_rollback(idx, version=2)
     assert dedup.lsh_index_params(idx)["shingle_n"] == 1
+
+
+def test_probe_path_mega_bucket_cap(spark, tmp_path):
+    """Probe-side mega-bucket guard: a 300-doc boilerplate group in
+    the CORPUS puts 300 rows in one index bucket per band — every
+    probe doc landing there would fan out 300 candidates. With the
+    opt-in cap the hot buckets drop (metrics ride the probe job),
+    while probes that hit honest buckets return exactly what the
+    uncapped probe returns."""
+    from pyspark.sql import Observation
+
+    patho = " ".join(f"b{i}" for i in range(30))
+    corpus_rows = [(i, patho) for i in range(300)]
+    for j in range(10):  # honest corpus docs with disjoint vocab
+        corpus_rows.append((1000 + j, " ".join(f"h{j}w{k}" for k in range(30))))
+    corpus = spark.createDataFrame(corpus_rows, ["doc_id", "text"])
+    idx = str(tmp_path / "capidx")
+    dedup.lsh_index_init(corpus, idx, shingle_n=1)
+
+    # batch: one boilerplate doc + one near-dup of an honest doc
+    batch = spark.createDataFrame(
+        [
+            (5000, patho),
+            (5001, " ".join(f"h3w{k}" for k in range(29)) + " extra"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = {
+        (r.id_new, r.id_corpus)
+        for r in dedup.near_dups_against_index(
+            batch, corpus, idx, threshold=0.9
+        ).collect()
+    }
+    assert sum(1 for a, b in uncapped if a == 5000) == 300
+    assert (5001, 1003) in uncapped
+
+    obs = Observation("probe_cap")
+    capped = {
+        (r.id_new, r.id_corpus)
+        for r in dedup.near_dups_against_index(
+            batch, corpus, idx, threshold=0.9,
+            max_bucket_size=50, observation=obs,
+        ).collect()
+    }
+    assert capped == {p for p in uncapped if p[0] != 5000}
+    assert obs.get["rows_dropped"] > 0  # the hot buckets were cut

@@ -1,0 +1,178 @@
+"""Measured scale curve for file-pruned MERGE INTO on snapshot
+tables: a FIXED CDC batch merged into an Nx orders table.
+
+The production framing (mirrors fixed_batch_neardup / fixed_batch_ivf
+in SCALE_TRAINOPS.json): the table grows with every crawl; the
+per-batch warehouse upsert must be priced by the batch and the files
+it actually touches, never the table. Two operations are timed per
+scale, each against a zero-copy CLONE of the measured table (the
+ladder table itself is never mutated, so runs are idempotent):
+
+- update-heavy merge: 2,000 update keys confined to the 1x key range
+  + 500 inserts beyond the key space. The table is written
+  range-clustered on the key with file count growing ~2N, so the
+  batch's key range intersects a CONSTANT number of files while
+  `files_carried` grows with N — the manifest proves the economics
+  (rewritten files flat, carried linear, wall time ~flat).
+- insert-only merge: every key beyond the table's max, so min/max
+  pruning proves NO file can match and the merge degrades to the
+  append-shaped fast path (no join, no data read) — the
+  append-mostly CDC steady state.
+
+Writes/merges the `fixed_batch_merge` key into SCALE_TRAINOPS.json
+(UPDATES the JSON in place — never rewrites the other orchestrators'
+keys).
+
+Usage:
+    python tools/merge_curve.py            # scales 1 4 16 64
+    python tools/merge_curve.py --one 16   # single scale (subprocess worker)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import shutil
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.scale_curve import BASE_SF, SCALE_ROOT, _spark, materialize  # noqa: E402
+
+SCALES = [1, 4, 16, 64]
+N_UPDATES = 2000
+N_INSERTS = 500
+
+
+def run_one(n: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import (
+        snapshot_clone,
+        snapshot_manifest,
+    )
+
+    materialize(n)
+    sf_dir = str(SCALE_ROOT / f"x{n:03d}")
+    tbl = SCALE_ROOT / f"_mergetbl_x{n:03d}"
+    spark = _spark(f"merge-curve-x{n}")
+
+    build_s = None
+    files = max(8, 2 * n)
+    if not (tbl / "_DONE").exists():
+        shutil.rmtree(tbl, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        t0 = time.perf_counter()
+        snapshot_merge(  # initial load through the same DML surface
+            spark,
+            str(tbl),
+            orders.repartitionByRange(files, "o_orderkey"),
+            keys=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+            validate_source_keys=False,
+        )
+        build_s = round(time.perf_counter() - t0, 3)
+        (tbl / "_DONE").touch()
+
+    base = load_table(spark, BASE_SF, "orders")
+    okey_max = base.agg(F.max("o_orderkey")).first()[0]
+    # fixed batch at every scale: 2k updates spread over the 1x key
+    # range (hits ~files/N of the range-clustered files = constant
+    # count) + 500 inserts beyond every replica's key space
+    stride = max(1, okey_max // (N_UPDATES * 4))  # 4-way sparse keys
+    updates = (
+        base.filter((F.col("o_orderkey") % (4 * stride)) == 0)
+        .limit(N_UPDATES)
+        .withColumn("o_orderpriority", F.lit("9-CDC-UPDATED"))
+    )
+    inserts = base.limit(N_INSERTS).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**13)
+    )
+    batch = updates.unionByName(inserts).cache()
+    batch.count()  # materialize the batch outside the timed region
+
+    def timed_merge(src, label):
+        clone = SCALE_ROOT / f"_mergetbl_clone_x{n:03d}"
+        shutil.rmtree(clone, ignore_errors=True)
+        snapshot_clone(str(tbl), str(clone))
+        t0 = time.perf_counter()
+        res = snapshot_merge(
+            spark, str(clone), src, keys=["o_orderkey"],
+            validate_source_keys=False,
+        )
+        secs = round(time.perf_counter() - t0, 3)
+        shutil.rmtree(clone, ignore_errors=True)
+        res.pop("version")
+        return {"seconds": secs, **res}
+
+    upd = timed_merge(batch, "update-heavy")
+    ins = timed_merge(inserts, "insert-only")
+    batch.unpersist()
+
+    n_files = len(snapshot_manifest(str(tbl))["files"])
+    spark.stop()
+    return {
+        "scale": n,
+        "table_files": n_files,
+        "build_seconds_untimed_ingest": build_s,
+        "update_merge": upd,
+        "insert_only_merge": ins,
+    }
+
+
+def _fit_exponent(points: list[tuple[int, float]]) -> float:
+    xs = [math.log(p[0]) for p in points]
+    ys = [math.log(max(p[1], 1e-6)) for p in points]
+    mx, my = sum(xs) / len(xs), sum(ys) / len(ys)
+    denom = sum((x - mx) ** 2 for x in xs) or 1.0
+    return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--one":
+        print("RESULT " + json.dumps(run_one(int(sys.argv[2]))))
+        return
+    runs = []
+    for n in SCALES:
+        print(f"=== scale x{n} ===", flush=True)
+        out = subprocess.run(
+            [sys.executable, __file__, "--one", str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [
+            l for l in out.stdout.splitlines() if l.startswith("RESULT ")
+        ][-1]
+        runs.append(json.loads(line[len("RESULT "):]))
+        print(runs[-1], flush=True)
+    rec = {
+        "method": (
+            "fixed CDC batch (2k range-spread updates + 500 inserts) "
+            "merged into an Nx range-clustered snapshot orders table "
+            "via a zero-copy clone per run; manifest min/max+bloom "
+            "pruning keeps files_rewritten ~constant while "
+            "files_carried grows with N; the insert-only batch proves "
+            "the no-match append-shaped fast path (no join, no data "
+            "read)"
+        ),
+        "runs": runs,
+        "update_merge_exponent": _fit_exponent(
+            [(r["scale"], r["update_merge"]["seconds"]) for r in runs]
+        ),
+        "insert_only_exponent": _fit_exponent(
+            [(r["scale"], r["insert_only_merge"]["seconds"]) for r in runs]
+        ),
+    }
+    path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
+    data = json.loads(path.read_text())
+    data["fixed_batch_merge"] = rec
+    path.write_text(json.dumps(data, indent=1))
+    print(json.dumps(rec, indent=1))
+
+
+if __name__ == "__main__":
+    main()
