@@ -725,6 +725,8 @@ def snapshot_merge(
     when_matched: str = "update",  # "update" | "delete"
     when_not_matched: str = "insert",  # "insert" | "ignore"
     sequence_col: str | None = None,
+    matched_condition: str | None = None,
+    update_set: dict[str, str] | None = None,
     validate_source_keys: bool = True,
     partition_by: str | None = None,
     note: dict | None = None,
@@ -950,6 +952,8 @@ def snapshot_merge(
             when_matched=when_matched,
             when_not_matched=when_not_matched,
             sequence_col=sequence_col,
+            matched_condition=matched_condition,
+            update_set=update_set,
         ).persist()
         try:
             counts = {

@@ -68,6 +68,8 @@ def resolve_merge_actions(
     when_matched: str = "update",
     when_not_matched: str = "insert",
     sequence_col: str | None = None,
+    matched_condition: str | None = None,
+    update_set: dict[str, str] | None = None,
 ) -> DataFrame:
     """The MERGE core, shared by the Hive-layout :func:`merge_into`
     and the snapshot-table ``maintenance.snapshot_merge``: one
@@ -78,11 +80,34 @@ def resolve_merge_actions(
     updates CDC-style: a source row only wins when its sequence is >=
     the target's, so late out-of-order replays never regress a row.
 
+    Delta/Snowflake clause parity:
+
+    - ``matched_condition`` — ``WHEN MATCHED AND <cond> THEN …``: a
+      SQL boolean over the ``src``/``tgt`` structs (e.g.
+      ``"src.o_totalprice > tgt.o_totalprice"``); a matched row
+      failing the condition (or evaluating it to NULL) keeps the
+      target row, exactly like a MERGE with no further clauses.
+      Composes with ``sequence_col`` (both must pass).
+    - ``update_set`` — ``UPDATE SET col = <expr>, …``: partial-column
+      updates; listed columns evaluate their ``src``/``tgt``
+      expression, unlisted columns KEEP the target value (Delta's SET
+      semantics — full-row replace is the ``None`` default). Inserted
+      rows always take the full source row. Key columns cannot be
+      SET: rewriting the match key mid-merge would silently break
+      key-based file pruning and can mint duplicate keys.
+
     One shuffle on the key columns (a small source side broadcasts
     under AQE); the caller filters/counts the actions and owns the
     write protocol.
     """
     cols = target.columns  # canonical order
+    if update_set:
+        bad = sorted(set(update_set) - set(cols))
+        if bad:
+            raise ValueError(f"update_set names unknown columns: {bad}")
+        keyed = sorted(set(update_set) & set(keys))
+        if keyed:
+            raise ValueError(f"update_set cannot SET key columns: {keyed}")
     src = source.select(
         [F.col(c).alias(f"_src_{c}") for c in cols]
         + [F.lit(True).alias("_has_src")]
@@ -92,15 +117,33 @@ def resolve_merge_actions(
         c = target[k] == src[f"_src_{k}"]
         join_cond = c if join_cond is None else (join_cond & c)
     joined = target.join(src, join_cond, "full_outer")
+    if matched_condition is not None or update_set:
+        # src/tgt structs give the clause expressions a stable SQL
+        # namespace regardless of the internal column mangling
+        joined = joined.withColumn(
+            "src", F.struct(*[F.col(f"_src_{c}").alias(c) for c in cols])
+        ).withColumn("tgt", F.struct(*[target[c].alias(c) for c in cols]))
 
     matched = F.col("_has_src").isNotNull() & target[keys[0]].isNotNull()
     src_only = F.col("_has_src").isNotNull() & target[keys[0]].isNull()
+    src_wins = matched
     if sequence_col is not None:
-        src_wins = matched & (
+        src_wins = src_wins & (
             F.col(f"_src_{sequence_col}") >= target[sequence_col]
         )
+    if matched_condition is not None:
+        # NULL condition keeps the target row, like SQL WHERE
+        src_wins = src_wins & F.coalesce(
+            F.expr(matched_condition), F.lit(False)
+        )
+
+    if update_set:
+        upd = {
+            c: F.expr(update_set[c]) if c in update_set else target[c]
+            for c in cols
+        }
     else:
-        src_wins = matched
+        upd = {c: F.col(f"_src_{c}") for c in cols}
 
     action = (
         F.when(
@@ -112,7 +155,8 @@ def resolve_merge_actions(
     )
     return joined.select(
         *[
-            F.when(src_wins | src_only, F.col(f"_src_{c}"))
+            F.when(src_only, F.col(f"_src_{c}"))
+            .when(src_wins, upd[c])
             .otherwise(target[c])
             .alias(c)
             for c in cols
@@ -131,6 +175,8 @@ def merge_into(
     when_matched: str = "update",  # "update" | "delete"
     when_not_matched: str = "insert",  # "insert" | "ignore"
     sequence_col: str | None = None,
+    matched_condition: str | None = None,
+    update_set: dict[str, str] | None = None,
     prune_partitions: bool = True,
     validate_source_keys: bool = True,
 ) -> dict[str, int]:
@@ -173,6 +219,8 @@ def merge_into(
         when_matched=when_matched,
         when_not_matched=when_not_matched,
         sequence_col=sequence_col,
+        matched_condition=matched_condition,
+        update_set=update_set,
     ).persist()
     try:
         counts = {

@@ -462,3 +462,92 @@ def test_snapshot_merge_partitioned_table(spark, tmp_path):
     # partition pruning on the new head: the moved-to day resolves
     kept, total = prune_files(t, [("d", "=", "2024-01-05")])
     assert 0 < len(kept) < total
+
+
+def test_matched_condition_gates_updates(spark, tmp_path):
+    """WHEN MATCHED AND <cond> THEN UPDATE: matched rows failing the
+    src/tgt condition (or evaluating it to NULL) keep the target row;
+    unmatched source rows still insert unconditionally."""
+    p = str(tmp_path / "t")
+    _write_target(spark, p, BASE)
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-05", "z9", 9),  # cond true  -> updates
+            (2, "2024-01-05", "B", 0),   # cond false -> keeps target
+            (3, "2024-01-05", None, 9),  # cond NULL  -> keeps target
+            (9, "2024-01-05", "z", 9),   # unmatched  -> inserts
+        ],
+        ["id", "d", "v", "seq"],
+    )
+    counts = merge_into(
+        spark, p, src, keys=["id"],
+        matched_condition="src.v > tgt.v AND src.seq > tgt.seq",
+    )
+    assert counts == {"inserted": 1, "updated": 1, "deleted": 0, "kept": 3}
+    got = _read(spark, p)
+    assert got[1] == ("2024-01-05", "z9", 9)
+    assert got[2] == ("2024-01-01", "b", 1)  # condition false
+    assert got[3] == ("2024-01-02", "c", 1)  # condition NULL
+    assert got[9] == ("2024-01-05", "z", 9)
+
+
+def test_update_set_partial_columns(spark, tmp_path):
+    """UPDATE SET col = expr: listed columns evaluate their src/tgt
+    expression, unlisted columns keep the target value on updated
+    rows; inserted rows take the full source row. SETting a key or an
+    unknown column is rejected."""
+    p = str(tmp_path / "t")
+    _write_target(spark, p, BASE)
+    src = spark.createDataFrame(
+        [(1, "2024-09-09", "NEW", 7), (9, "2024-09-09", "ins", 7)],
+        ["id", "d", "v", "seq"],
+    )
+    counts = merge_into(
+        spark, p, src, keys=["id"],
+        update_set={"v": "concat(tgt.v, '+', src.v)", "seq": "src.seq"},
+    )
+    assert counts == {"inserted": 1, "updated": 1, "deleted": 0, "kept": 3}
+    got = _read(spark, p)
+    assert got[1] == ("2024-01-01", "a+NEW", 7)  # d kept, v/seq SET
+    assert got[9] == ("2024-09-09", "ins", 7)    # insert = full source row
+
+    with pytest.raises(ValueError, match="key columns"):
+        merge_into(spark, p, src, keys=["id"], update_set={"id": "src.id"})
+    with pytest.raises(ValueError, match="unknown columns"):
+        merge_into(spark, p, src, keys=["id"], update_set={"nope": "1"})
+
+
+def test_snapshot_merge_clauses_end_to_end(spark, tmp_path):
+    """The same clause surface through the snapshot DML: a CDC batch
+    whose condition gates on a src/tgt comparison, with partial-column
+    SET — atomic commit, prune economics unchanged."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    p = str(tmp_path / "snap")
+    base = spark.range(100).select(
+        F.col("id"),
+        F.lit("x").alias("v"),
+        (F.col("id") % 10).alias("score"),
+    )
+    snapshot_merge(spark, p, base, keys=["id"], validate_source_keys=False)
+    batch = spark.range(20).select(
+        F.col("id"),
+        F.lit("upd").alias("v"),
+        F.lit(5).alias("score"),
+    )
+    res = snapshot_merge(
+        spark, p, batch, keys=["id"],
+        matched_condition="src.score > tgt.score",  # ids with score<5
+        update_set={"v": "src.v"},
+        validate_source_keys=False,
+    )
+    # ids 0..19: score = id%10 -> id%10 < 5 on 10 of the 20
+    assert res["updated"] == 10 and res["inserted"] == 0
+    out = snapshot_read(spark, p)
+    assert out.filter("v = 'upd'").count() == 10
+    # partial SET: score column kept the target value on updated rows
+    assert out.filter("v = 'upd' and score >= 5").count() == 0
+    assert out.count() == 100
