@@ -727,12 +727,18 @@ def snapshot_merge(
     sequence_col: str | None = None,
     matched_condition: str | None = None,
     update_set: dict[str, str] | None = None,
+    matched_clauses: list[dict] | None = None,
+    insert_values: dict[str, str] | None = None,
+    when_not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
+    not_matched_by_source_set: dict[str, str] | None = None,
     validate_source_keys: bool = True,
     partition_by: str | None = None,
     note: dict | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     key_probe_limit: int = 4096,
+    dv_threshold: float | None = None,
 ) -> dict:
     """MERGE INTO a snapshot table — the upsert the reference's
     warehouse runs as its core DML (Snowflake MERGE in the silver
@@ -787,20 +793,36 @@ def snapshot_merge(
 
     from group5_spark.medallion import snapshots as snap
     from group5_spark.medallion.merge import (
+        _normalize_matched_clauses,
         _validate_unique_keys,
         resolve_merge_actions,
     )
 
-    if when_matched not in ("update", "delete"):
-        raise ValueError(
-            f"when_matched must be update|delete, got {when_matched!r}"
-        )
+    # validate the clause grammar eagerly (same rules as the shared
+    # resolver) so a bad clause fails before any pruning or I/O
+    _normalize_matched_clauses(
+        when_matched, matched_condition, update_set, matched_clauses
+    )
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
         )
     if validate_source_keys:
         _validate_unique_keys(source, keys)
+
+    def _clause_kwargs() -> dict:
+        return dict(
+            when_matched=when_matched,
+            when_not_matched=when_not_matched,
+            sequence_col=sequence_col,
+            matched_condition=matched_condition,
+            update_set=update_set,
+            matched_clauses=matched_clauses,
+            insert_values=insert_values,
+            when_not_matched_by_source=when_not_matched_by_source,
+            not_matched_by_source_condition=not_matched_by_source_condition,
+            not_matched_by_source_set=not_matched_by_source_set,
+        )
     # the key columns are the prune axis of every future merge: record
     # their min/max on each commit unconditionally (commit-time
     # coverage inheritance keeps them on the table from then on)
@@ -818,6 +840,27 @@ def snapshot_merge(
             "files_carried": 0,
         }
 
+    def _as_inserts(df, out_cols: list[str]):
+        """Source rows shaped as INSERT rows for the no-join fast
+        paths: full source rows by default; with ``insert_values``
+        the listed expressions evaluate over a ``src`` struct and
+        unlisted columns become typed NULLs — the same rows the full
+        resolver would produce for unmatched source rows."""
+        if insert_values is None:
+            return df.select(*out_cols)
+        types = dict(df.dtypes)
+        base = df.select(
+            F.struct(*[F.col(c) for c in df.columns]).alias("src")
+        )
+        return base.select(
+            *[
+                F.expr(insert_values[c]).alias(c)
+                if c in insert_values
+                else F.lit(None).cast(types[c]).alias(c)
+                for c in out_cols
+            ]
+        )
+
     try:
         snap.snapshot_manifest(path)
     except FileNotFoundError:
@@ -825,7 +868,7 @@ def snapshot_merge(
         if when_not_matched != "insert":
             return _zero(0)
         v = snap.snapshot_commit(
-            source,
+            _as_inserts(source, source.columns),
             path,
             mode="overwrite",
             partition_by=partition_by,
@@ -843,21 +886,51 @@ def snapshot_merge(
         return out
 
     # ONE aggregate over the source: per-key min/max (range pruning)
-    # + exact distinct-key count (bloom-probe eligibility). The
-    # source is a change batch — this job is priced by the batch.
+    # + exact distinct-key count (bloom-probe eligibility) + row count
+    # (the genuinely-empty-batch test — key min/max alone can't tell
+    # "no rows" from "rows whose keys are all NULL", and the latter
+    # still INSERT under when_not_matched='insert'). The source is a
+    # change batch — this job is priced by the batch.
     aggs = []
     for k in keys:
         aggs += [F.min(k).alias(f"_min_{k}"), F.max(k).alias(f"_max_{k}")]
     aggs.append(F.count_distinct(*[F.col(k) for k in keys]).alias("_ndk"))
+    aggs.append(F.count(F.lit(1)).alias("_cnt"))
     b = source.agg(*aggs).first()
-    if all(b[f"_min_{k}"] is None for k in keys):
+    if int(b["_cnt"] or 0) == 0:
         return _zero(snap.snapshot_manifest(path)["version"])  # empty batch
-    probe_keys: list | None = None
-    if len(keys) == 1 and int(b["_ndk"] or 0) <= key_probe_limit:
-        probe_keys = [
-            r[0]
-            for r in source.select(keys[0]).distinct().collect()
-            if r[0] is not None  # NULL never equi-matches
+    # every key column entirely NULL ⇒ no source row can equi-match
+    # any target row; the rows are pure inserts (the no-touch fast
+    # path below handles insert vs ignore) — but a by-source clause
+    # still has to visit every file, so only short-circuit without one
+    all_null_keys = all(b[f"_min_{k}"] is None for k in keys)
+    probe_tuples: list[tuple] | None = None
+    if not all_null_keys and int(b["_ndk"] or 0) <= key_probe_limit:
+        probe_tuples = [
+            tuple(r)
+            for r in source.select(*keys).distinct().collect()
+            if all(v is not None for v in r)  # NULL never equi-matches
+        ]
+    # pre-hash each probe's bloom bit positions ONCE — the prune loop
+    # probes |files| × |keys| times and md5 per probe-per-file adds up
+    comp_bloom_key = (
+        snap.composite_bloom_name(keys) if len(keys) > 1 else keys[0]
+    )
+    sorted_pos = [keys.index(k) for k in sorted(keys)]
+    probe_pos: list[tuple[tuple, list[int]]] | None = None
+    if probe_tuples is not None:
+        probe_pos = [
+            (
+                t,
+                snap._bloom_hashes(
+                    t[0]
+                    if len(keys) == 1
+                    else snap._COMPOSITE_SEP.join(
+                        str(t[i]) for i in sorted_pos
+                    )
+                ),
+            )
+            for t in probe_tuples
         ]
 
     while True:
@@ -888,25 +961,37 @@ def snapshot_merge(
                     and snap._overlaps(st, k, "<=", b[f"_max_{k}"])
                 ):
                     return False
-            if probe_keys is None:
+            if probe_pos is None:
                 return True
             # point sharpening: keep the file only if at least one
-            # source key may be present (min/max containment, then
-            # bloom when the file has one)
-            k = keys[0]
-            bloom = (e.get("bloom") or {}).get(k)
-            if not st.get(k) and bloom is None:
-                return True
-            for v in probe_keys:
-                ok = snap._overlaps(st, k, "=", v)
+            # source key (tuple) may be present — every key's min/max
+            # must contain its component, then the bloom (single-column
+            # or canonical composite) when the file has one. A file
+            # with neither stats nor bloom passes via _overlaps'
+            # missing-stats=True on the first probe.
+            bloom = (e.get("bloom") or {}).get(comp_bloom_key)
+            for t, pos in probe_pos:
+                ok = all(
+                    snap._overlaps(st, k, "=", v) for k, v in zip(keys, t)
+                )
                 if ok and bloom is not None:
-                    ok = snap._bloom_might_contain(bloom, v)
+                    ok = snap._bloom_might_contain_positions(bloom, pos)
                 if ok:
                     return True
             return False
 
-        touched = [e for e in head["files"] if may_match(e)]
-        carried = [e for e in head["files"] if not may_match(e)]
+        if when_not_matched_by_source is not None:
+            # a by-source action can land in ANY file regardless of
+            # the source's keys (the rows it deletes/updates are
+            # exactly the ones the source does NOT name) — pruning is
+            # unsound; only genuinely empty files stay carried
+            flags = [int(e.get("rows", 0)) > 0 for e in head["files"]]
+        elif all_null_keys:
+            flags = [False] * len(head["files"])  # pure-insert batch
+        else:
+            flags = [may_match(e) for e in head["files"]]
+        touched = [e for e, f in zip(head["files"], flags) if f]
+        carried = [e for e, f in zip(head["files"], flags) if not f]
 
         if not touched:
             if when_not_matched == "ignore":
@@ -914,10 +999,9 @@ def snapshot_merge(
             # append-shaped fast path: nothing can match, so every
             # source row inserts — no join, no table read (aligned to
             # the table's declared column order)
-            inserts = (
-                source.select(*tbl_cols)
-                if head.get("schema") is not None
-                else source
+            inserts = _as_inserts(
+                source,
+                tbl_cols if head.get("schema") is not None else source.columns,
             )
             try:
                 v = snap.snapshot_commit(
@@ -946,14 +1030,7 @@ def snapshot_merge(
         touched_abs = [str(root / e["path"]) for e in touched]
         target_df = _read_touched_files(spark, root, head, touched_abs)
         resolved = resolve_merge_actions(
-            target_df,
-            source,
-            keys,
-            when_matched=when_matched,
-            when_not_matched=when_not_matched,
-            sequence_col=sequence_col,
-            matched_condition=matched_condition,
-            update_set=update_set,
+            target_df, source, keys, **_clause_kwargs()
         ).persist()
         try:
             counts = {

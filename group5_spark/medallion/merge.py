@@ -60,6 +60,61 @@ def _validate_unique_keys(source: DataFrame, keys: list[str]) -> None:
         raise ValueError(f"MERGE source has duplicate key rows, e.g. {kv}")
 
 
+def _normalize_matched_clauses(
+    when_matched: str,
+    matched_condition: str | None,
+    update_set: dict[str, str] | None,
+    matched_clauses: list[dict] | None,
+) -> list[dict]:
+    """Canonical ordered WHEN MATCHED clause list. The legacy scalar
+    form (``when_matched`` + optional ``matched_condition`` /
+    ``update_set``) synthesizes a single clause; ``matched_clauses``
+    supersedes it and the two forms cannot be mixed."""
+    if matched_clauses is not None:
+        if (
+            when_matched != "update"
+            or matched_condition is not None
+            or update_set
+        ):
+            raise ValueError(
+                "pass matched_clauses= OR the scalar "
+                "when_matched/matched_condition/update_set form, not both"
+            )
+        out = []
+        for i, cl in enumerate(matched_clauses):
+            action = cl.get("action")
+            if action not in ("update", "delete"):
+                raise ValueError(
+                    f"matched_clauses[{i}].action must be update|delete, "
+                    f"got {action!r}"
+                )
+            if action == "delete" and cl.get("set"):
+                raise ValueError(
+                    f"matched_clauses[{i}]: a delete clause takes no set="
+                )
+            out.append(
+                {
+                    "condition": cl.get("condition"),
+                    "action": action,
+                    "set": cl.get("set"),
+                }
+            )
+        if not out:
+            raise ValueError("matched_clauses must not be empty")
+        return out
+    if when_matched not in ("update", "delete"):
+        raise ValueError(
+            f"when_matched must be update|delete, got {when_matched!r}"
+        )
+    return [
+        {
+            "condition": matched_condition,
+            "action": when_matched,
+            "set": update_set or None,
+        }
+    ]
+
+
 def resolve_merge_actions(
     target: DataFrame,
     source: DataFrame,
@@ -70,6 +125,12 @@ def resolve_merge_actions(
     sequence_col: str | None = None,
     matched_condition: str | None = None,
     update_set: dict[str, str] | None = None,
+    matched_clauses: list[dict] | None = None,
+    insert_values: dict[str, str] | None = None,
+    when_not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
+    not_matched_by_source_set: dict[str, str] | None = None,
+    passthrough_cols: list[str] | None = None,
 ) -> DataFrame:
     """The MERGE core, shared by the Hive-layout :func:`merge_into`
     and the snapshot-table ``maintenance.snapshot_merge``: one
@@ -91,23 +152,108 @@ def resolve_merge_actions(
     - ``update_set`` — ``UPDATE SET col = <expr>, …``: partial-column
       updates; listed columns evaluate their ``src``/``tgt``
       expression, unlisted columns KEEP the target value (Delta's SET
-      semantics — full-row replace is the ``None`` default). Inserted
-      rows always take the full source row. Key columns cannot be
-      SET: rewriting the match key mid-merge would silently break
-      key-based file pruning and can mint duplicate keys.
+      semantics — full-row replace is the ``None`` default). When
+      ``sequence_col`` is set, the winning row always carries the
+      SOURCE's sequence value even if the SET list omits it —
+      otherwise a later replay whose sequence falls between the stale
+      kept value and the applied one would pass the ``>=`` gate and
+      regress the SET columns, breaking the no-replay-regression
+      contract. Key columns cannot be SET: rewriting the match key
+      mid-merge would silently break key-based file pruning and can
+      mint duplicate keys.
+    - ``matched_clauses`` — MULTIPLE ORDERED ``WHEN MATCHED [AND
+      cond] THEN UPDATE SET …|DELETE`` clauses:
+      ``[{"condition": sql|None, "action": "update"|"delete",
+      "set": {...}|None}, ...]``. The FIRST clause whose condition
+      passes wins (Delta's ordered-clause rule); no clause passing
+      keeps the target row. Supersedes the scalar form above.
+    - ``insert_values`` — ``WHEN NOT MATCHED THEN INSERT (cols)
+      VALUES (exprs)``: inserted rows evaluate the listed
+      ``{col: sql-over-src}`` expressions; UNLISTED columns become
+      NULL (cast to the target type), Delta's column-subset INSERT.
+      Key columns must be listed — an inserted row with a NULL merge
+      key would be unfindable by every later merge.
+    - ``when_not_matched_by_source`` — ``WHEN NOT MATCHED BY SOURCE
+      [AND cond] THEN DELETE | UPDATE SET …`` (the full-sync CDC
+      clause): target rows with NO source match are deleted, or
+      updated via ``not_matched_by_source_set`` (exprs over ``tgt``),
+      when ``not_matched_by_source_condition`` (over ``tgt``) passes
+      or is None. NOTE for file-pruned callers: a by-source action
+      can hit rows in files the source keys never touch — pruning is
+      sound only when this clause is absent
+      (``maintenance.snapshot_merge`` disables pruning accordingly).
+
+    ``passthrough_cols``: extra TARGET-side columns (e.g. file/row
+    lineage for the deletion-vector write path) carried through the
+    resolution verbatim — NULL on insert rows, the target's value
+    everywhere else. They ride after ``_action`` and are never
+    touched by clause expressions.
 
     One shuffle on the key columns (a small source side broadcasts
     under AQE); the caller filters/counts the actions and owns the
     write protocol.
     """
-    cols = target.columns  # canonical order
-    if update_set:
-        bad = sorted(set(update_set) - set(cols))
+    cols = [c for c in target.columns if c not in (passthrough_cols or [])]
+    clauses = _normalize_matched_clauses(
+        when_matched, matched_condition, update_set, matched_clauses
+    )
+    for i, cl in enumerate(clauses):
+        if cl["set"]:
+            bad = sorted(set(cl["set"]) - set(cols))
+            if bad:
+                raise ValueError(
+                    f"matched clause {i} SET names unknown columns: {bad}"
+                )
+            keyed = sorted(set(cl["set"]) & set(keys))
+            if keyed:
+                raise ValueError(
+                    f"matched clause {i} cannot SET key columns: {keyed}"
+                )
+    if when_not_matched_by_source not in (None, "update", "delete"):
+        raise ValueError(
+            "when_not_matched_by_source must be update|delete|None, "
+            f"got {when_not_matched_by_source!r}"
+        )
+    if when_not_matched_by_source == "update":
+        if not not_matched_by_source_set:
+            raise ValueError(
+                "when_not_matched_by_source='update' requires "
+                "not_matched_by_source_set="
+            )
+        bad = sorted(set(not_matched_by_source_set) - set(cols))
         if bad:
-            raise ValueError(f"update_set names unknown columns: {bad}")
-        keyed = sorted(set(update_set) & set(keys))
+            raise ValueError(
+                f"not_matched_by_source_set names unknown columns: {bad}"
+            )
+        keyed = sorted(set(not_matched_by_source_set) & set(keys))
         if keyed:
-            raise ValueError(f"update_set cannot SET key columns: {keyed}")
+            raise ValueError(
+                f"not_matched_by_source_set cannot SET key columns: {keyed}"
+            )
+    if insert_values is not None:
+        bad = sorted(set(insert_values) - set(cols))
+        if bad:
+            raise ValueError(f"insert_values names unknown columns: {bad}")
+        missing_keys = sorted(set(keys) - set(insert_values))
+        if missing_keys:
+            raise ValueError(
+                f"insert_values must include the merge keys: {missing_keys}"
+            )
+    needs_structs = (
+        insert_values is not None
+        or when_not_matched_by_source is not None
+        or any(cl["condition"] is not None or cl["set"] for cl in clauses)
+    )
+    if needs_structs and ({"src", "tgt"} & set(cols)):
+        # clause expressions address the two sides through struct
+        # columns literally named src/tgt; a real column by either
+        # name would be silently shadowed — refuse loudly instead
+        raise ValueError(
+            "clause expressions reserve the column names 'src' and "
+            "'tgt'; rename the colliding target column(s): "
+            f"{sorted({'src', 'tgt'} & set(cols))}"
+        )
+
     src = source.select(
         [F.col(c).alias(f"_src_{c}") for c in cols]
         + [F.lit(True).alias("_has_src")]
@@ -117,7 +263,7 @@ def resolve_merge_actions(
         c = target[k] == src[f"_src_{k}"]
         join_cond = c if join_cond is None else (join_cond & c)
     joined = target.join(src, join_cond, "full_outer")
-    if matched_condition is not None or update_set:
+    if needs_structs:
         # src/tgt structs give the clause expressions a stable SQL
         # namespace regardless of the internal column mangling
         joined = joined.withColumn(
@@ -126,42 +272,80 @@ def resolve_merge_actions(
 
     matched = F.col("_has_src").isNotNull() & target[keys[0]].isNotNull()
     src_only = F.col("_has_src").isNotNull() & target[keys[0]].isNull()
-    src_wins = matched
+    tgt_only = F.col("_has_src").isNull()
+    seq_ok = F.lit(True)
     if sequence_col is not None:
-        src_wins = src_wins & (
-            F.col(f"_src_{sequence_col}") >= target[sequence_col]
-        )
-    if matched_condition is not None:
+        seq_ok = F.col(f"_src_{sequence_col}") >= target[sequence_col]
+
+    def _cond(expr: str | None):
         # NULL condition keeps the target row, like SQL WHERE
-        src_wins = src_wins & F.coalesce(
-            F.expr(matched_condition), F.lit(False)
+        return (
+            F.lit(True)
+            if expr is None
+            else F.coalesce(F.expr(expr), F.lit(False))
         )
 
-    if update_set:
-        upd = {
-            c: F.expr(update_set[c]) if c in update_set else target[c]
-            for c in cols
-        }
-    else:
-        upd = {c: F.col(f"_src_{c}") for c in cols}
-
-    action = (
-        F.when(
-            src_only,
-            F.lit("insert" if when_not_matched == "insert" else "drop"),
-        )
-        .when(src_wins, F.lit("update" if when_matched == "update" else "delete"))
-        .otherwise(F.lit("keep"))
+    # per-clause winning predicates, in clause order: the FIRST
+    # matching WHEN in the chains below wins, which IS the ordered
+    # Delta clause semantics
+    clause_preds = [
+        matched & seq_ok & _cond(cl["condition"]) for cl in clauses
+    ]
+    bysrc_pred = (
+        tgt_only & _cond(not_matched_by_source_condition)
+        if when_not_matched_by_source is not None
+        else None
     )
+
+    def _clause_value(cl: dict, c: str):
+        st = cl["set"]
+        if not st:
+            return F.col(f"_src_{c}")  # full-row replace
+        if c in st:
+            return F.expr(st[c])
+        if sequence_col is not None and c == sequence_col:
+            # a winning row must carry the source's sequence even when
+            # the SET list omits it (see docstring: replay regression)
+            return F.col(f"_src_{c}")
+        return target[c]  # Delta SET: unlisted columns keep target
+
+    tgt_types = dict(target.dtypes)
+
+    def _insert_value(c: str):
+        if insert_values is None:
+            return F.col(f"_src_{c}")
+        if c in insert_values:
+            return F.expr(insert_values[c])
+        return F.lit(None).cast(tgt_types[c])
+
+    def _value(c: str):
+        v = F.when(src_only, _insert_value(c))
+        for pred, cl in zip(clause_preds, clauses):
+            v = v.when(pred, _clause_value(cl, c))
+        if bysrc_pred is not None and when_not_matched_by_source == "update":
+            v = v.when(
+                bysrc_pred,
+                F.expr(not_matched_by_source_set[c])
+                if c in not_matched_by_source_set
+                else target[c],
+            )
+        return v.otherwise(target[c]).alias(c)
+
+    action = F.when(
+        src_only,
+        F.lit("insert" if when_not_matched == "insert" else "drop"),
+    )
+    for pred, cl in zip(clause_preds, clauses):
+        action = action.when(pred, F.lit(cl["action"]))
+    if bysrc_pred is not None:
+        action = action.when(
+            bysrc_pred, F.lit(when_not_matched_by_source)
+        )
+    action = action.otherwise(F.lit("keep"))
     return joined.select(
-        *[
-            F.when(src_only, F.col(f"_src_{c}"))
-            .when(src_wins, upd[c])
-            .otherwise(target[c])
-            .alias(c)
-            for c in cols
-        ],
+        *[_value(c) for c in cols],
         action.alias("_action"),
+        *[target[c].alias(c) for c in (passthrough_cols or [])],
     )
 
 
@@ -177,6 +361,11 @@ def merge_into(
     sequence_col: str | None = None,
     matched_condition: str | None = None,
     update_set: dict[str, str] | None = None,
+    matched_clauses: list[dict] | None = None,
+    insert_values: dict[str, str] | None = None,
+    when_not_matched_by_source: str | None = None,
+    not_matched_by_source_condition: str | None = None,
+    not_matched_by_source_set: dict[str, str] | None = None,
     prune_partitions: bool = True,
     validate_source_keys: bool = True,
 ) -> dict[str, int]:
@@ -188,10 +377,11 @@ def merge_into(
     ``prune_partitions`` requires ``partition_col`` to be stable per
     key (a row never moves between partitions); pass False to scan
     the whole target when keys can change partition (full-table merge,
-    like Delta without a partition predicate).
+    like Delta without a partition predicate). A
+    ``when_not_matched_by_source`` clause disables pruning outright:
+    by-source actions hit target rows the source keys never name, so
+    every partition is in scope by definition.
     """
-    if when_matched not in ("update", "delete"):
-        raise ValueError(f"when_matched must be update|delete, got {when_matched!r}")
     if when_not_matched not in ("insert", "ignore"):
         raise ValueError(
             f"when_not_matched must be insert|ignore, got {when_not_matched!r}"
@@ -208,7 +398,11 @@ def merge_into(
     cols = target.columns  # canonical order
 
     affected_parts: list | None = None
-    if partition_col and prune_partitions:
+    if (
+        partition_col
+        and prune_partitions
+        and when_not_matched_by_source is None
+    ):
         affected_parts = [
             r[0] for r in source.select(partition_col).distinct().collect()
         ]
@@ -221,6 +415,11 @@ def merge_into(
         sequence_col=sequence_col,
         matched_condition=matched_condition,
         update_set=update_set,
+        matched_clauses=matched_clauses,
+        insert_values=insert_values,
+        when_not_matched_by_source=when_not_matched_by_source,
+        not_matched_by_source_condition=not_matched_by_source_condition,
+        not_matched_by_source_set=not_matched_by_source_set,
     ).persist()
     try:
         counts = {

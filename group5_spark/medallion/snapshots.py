@@ -304,21 +304,56 @@ def _bloom_hashes(value) -> list[int]:
     ]
 
 
+#: composite-bloom tuple separator: the value hashed for a multi-column
+#: bloom is "\x1f".join(str(v) for the SORTED column list) — readers
+#: (snapshot_merge's tuple probe) must build the probe string the same
+#: way. \x1f (ASCII unit separator) never appears in normal key text,
+#: so ("ab","c") and ("a","bc") hash differently.
+_COMPOSITE_SEP = "\x1f"
+
+
+def composite_bloom_name(cols: list[str]) -> str:
+    """Canonical manifest key for a multi-column bloom: the sorted
+    column names comma-joined (``bloom_cols=["k2,k1"]`` and
+    ``["k1,k2"]`` address the same bloom)."""
+    return ",".join(sorted(cols))
+
+
 def _file_bloom(path: Path, col: str) -> str | None:
     """Per-file Bloom filter over a column's distinct values (hex
     bitset). Commit-time cost: one single-column read of the new file
     — the same work Parquet's own bloom writer does. Gives point
     (``=``) predicates file-skipping power where min/max can't help:
     interleaved key ranges overlap every file's [min, max], but a key
-    absent from a file is definitely-absent in its bloom."""
+    absent from a file is definitely-absent in its bloom.
+
+    ``col`` may be a COMPOSITE key ``"k1,k2"``: the bloom then holds
+    hashes of the (sorted-column-order) value tuples, so a multi-key
+    merge can prune files where per-key ranges all overlap but the
+    specific (k1, k2) combinations are absent — interleaved composite
+    ranges are exactly where single-column pruning goes blind."""
     import pyarrow.parquet as pq
 
+    cols = sorted(col.split(",")) if "," in col else [col]
     try:
-        table = pq.read_table(str(path), columns=[col])
+        table = pq.read_table(str(path), columns=cols)
     except Exception:
         return None
     bits = bytearray(_BLOOM_BITS // 8)
-    for v in table.column(0).unique().to_pylist():
+    if len(cols) == 1:
+        values = table.column(0).unique().to_pylist()
+    else:
+        seen = set()
+        lists = [table.column(i).to_pylist() for i in range(len(cols))]
+        values = []
+        for tup in zip(*lists):
+            if any(v is None for v in tup):
+                continue  # NULL never equi-matches; don't bloat the bloom
+            s = _COMPOSITE_SEP.join(str(v) for v in tup)
+            if s not in seen:
+                seen.add(s)
+                values.append(s)
+    for v in values:
         if v is None:
             continue
         for pos in _bloom_hashes(v):
@@ -327,10 +362,15 @@ def _file_bloom(path: Path, col: str) -> str | None:
 
 
 def _bloom_might_contain(hex_bits: str, value) -> bool:
+    return _bloom_might_contain_positions(hex_bits, _bloom_hashes(value))
+
+
+def _bloom_might_contain_positions(hex_bits: str, positions: list[int]) -> bool:
+    """Probe with PRE-HASHED bit positions — callers probing many
+    files with the same key set (snapshot_merge's prune loop) hash
+    each key once instead of once per (key, file) pair."""
     bits = bytes.fromhex(hex_bits)
-    return all(
-        bits[pos // 8] & (1 << (pos % 8)) for pos in _bloom_hashes(value)
-    )
+    return all(bits[pos // 8] & (1 << (pos % 8)) for pos in positions)
 
 
 class SnapshotConflict(Exception):
@@ -469,7 +509,16 @@ def snapshot_commit(
         writer = writer.partitionBy(partition_by)
     writer.parquet(str(data_dir))
     stats_cols = stats_cols or []
-    bloom_cols = bloom_cols or []
+    # canonicalize composite bloom names ("k2,k1" → "k1,k2") so probe
+    # and commit always agree on the manifest key
+    bloom_cols = [
+        composite_bloom_name(c.split(",")) if "," in c else c
+        for c in (bloom_cols or [])
+    ]
+
+    def _bloom_covered(name: str, columns: list[str]) -> bool:
+        parts = name.split(",") if "," in name else [name]
+        return all(p in columns for p in parts)
     # inherit the parent's stats AND bloom coverage on EVERY commit to
     # an existing table (append, DML/compaction rewrites, overwrite):
     # a writer that forgets stats_cols would otherwise add stats-less
@@ -501,7 +550,7 @@ def snapshot_commit(
         )
         bloom_cols = sorted(
             set(bloom_cols)
-            | {c for c in inherited_blooms if c in df.columns}
+            | {c for c in inherited_blooms if _bloom_covered(c, df.columns)}
         )
     # Columns constrained by a stats-provable CHECK rule (inherited or
     # added by this commit) get footer stats unconditionally: the

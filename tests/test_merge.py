@@ -551,3 +551,305 @@ def test_snapshot_merge_clauses_end_to_end(spark, tmp_path):
     # partial SET: score column kept the target value on updated rows
     assert out.filter("v = 'upd' and score >= 5").count() == 0
     assert out.count() == 100
+
+
+# ---------------------------------------------------------------------------
+# round 6: full MERGE grammar — ordered WHEN MATCHED clauses, WHEN NOT
+# MATCHED BY SOURCE, insert-column-subset — plus the NULL-key batch fix,
+# sequence-carry on partial SET, and composite-key bloom pruning
+# ---------------------------------------------------------------------------
+
+
+def test_matched_clauses_ordered_first_wins(spark, tmp_path):
+    """Multiple WHEN MATCHED clauses evaluate in order; the first
+    whose condition passes decides the row (Delta's ordered rule)."""
+    p = str(tmp_path / "t")
+    _write_target(spark, p, BASE)
+    src = spark.createDataFrame(
+        [
+            (1, "2024-01-01", "KILL", 2),   # first clause: delete
+            (2, "2024-01-01", "keep2", 2),  # second clause: partial SET
+            (9, "2024-01-09", "new", 1),    # unmatched: insert
+        ],
+        ["id", "d", "v", "seq"],
+    )
+    counts = merge_into(
+        spark, p, src, ["id"],
+        matched_clauses=[
+            {"condition": "src.v = 'KILL'", "action": "delete"},
+            {"condition": None, "action": "update",
+             "set": {"v": "concat(tgt.v, '+', src.v)"}},
+        ],
+    )
+    assert counts == {"inserted": 1, "updated": 1, "deleted": 1, "kept": 2}
+    got = _read(spark, p)
+    assert 1 not in got
+    assert got[2] == ("2024-01-01", "b+keep2", 1)
+    assert got[9] == ("2024-01-09", "new", 1)
+
+
+def test_matched_clauses_validation(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _write_target(spark, p, BASE)
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", "x", 2)], ["id", "d", "v", "seq"]
+    )
+    with pytest.raises(ValueError, match="not both"):
+        merge_into(
+            spark, p, src, ["id"],
+            matched_condition="src.v = 'x'",
+            matched_clauses=[{"action": "update"}],
+        )
+    with pytest.raises(ValueError, match="update|delete"):
+        merge_into(spark, p, src, ["id"],
+                   matched_clauses=[{"action": "upsert"}])
+    with pytest.raises(ValueError, match="no set"):
+        merge_into(
+            spark, p, src, ["id"],
+            matched_clauses=[{"action": "delete", "set": {"v": "src.v"}}],
+        )
+    with pytest.raises(ValueError, match="must not be empty"):
+        merge_into(spark, p, src, ["id"], matched_clauses=[])
+    with pytest.raises(ValueError, match="key columns"):
+        merge_into(
+            spark, p, src, ["id"],
+            matched_clauses=[{"action": "update", "set": {"id": "src.id"}}],
+        )
+
+
+def test_by_source_delete_full_sync(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE DELETE: target rows absent from the
+    source batch are removed — the full-sync CDC pattern."""
+    p = str(tmp_path / "t")
+    _write_target(spark, p, BASE)
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", "a2", 2), (9, "2024-01-09", "new", 1)],
+        ["id", "d", "v", "seq"],
+    )
+    counts = merge_into(
+        spark, p, src, ["id"], when_not_matched_by_source="delete"
+    )
+    assert counts["deleted"] == 3  # ids 2, 3, 4 absent from source
+    assert counts["inserted"] == 1 and counts["updated"] == 1
+    got = _read(spark, p)
+    assert set(got) == {1, 9}
+
+
+def test_by_source_update_with_condition(spark, tmp_path):
+    """WHEN NOT MATCHED BY SOURCE AND <cond> UPDATE SET: only target
+    rows passing the tgt-side condition are touched."""
+    p = str(tmp_path / "t")
+    _write_target(spark, p, BASE)
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", "a2", 2)], ["id", "d", "v", "seq"]
+    )
+    counts = merge_into(
+        spark, p, src, ["id"],
+        when_not_matched_by_source="update",
+        not_matched_by_source_condition="tgt.d = '2024-01-01'",
+        not_matched_by_source_set={"v": "'stale'"},
+    )
+    got = _read(spark, p)
+    assert got[2] == ("2024-01-01", "stale", 1)      # condition passed
+    assert got[3] == ("2024-01-02", "c", 1)           # condition failed
+    assert got[4] == ("2024-01-03", "d", 1)
+    assert counts["updated"] == 2  # id=1 (matched) + id=2 (by-source)
+
+
+def test_by_source_requires_set_and_rejects_keys(spark, tmp_path):
+    p = str(tmp_path / "t")
+    _write_target(spark, p, BASE)
+    src = spark.createDataFrame(
+        [(1, "2024-01-01", "x", 2)], ["id", "d", "v", "seq"]
+    )
+    with pytest.raises(ValueError, match="requires"):
+        merge_into(spark, p, src, ["id"], when_not_matched_by_source="update")
+    with pytest.raises(ValueError, match="key columns"):
+        merge_into(
+            spark, p, src, ["id"],
+            when_not_matched_by_source="update",
+            not_matched_by_source_set={"id": "0"},
+        )
+
+
+def test_by_source_delete_lands_in_carried_file(spark, tmp_path):
+    """The VERDICT caution case: a by-source delete must hit rows in a
+    file the source keys never touch — snapshot_merge therefore
+    disables pruning when the clause is present (every non-empty file
+    is rewritten), and the far-range rows really are deleted."""
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    t = str(tmp_path / "t")
+    # two files with disjoint id ranges: without the by-source clause
+    # a src touching only 0..9 would carry the 100..109 file verbatim
+    snapshot_commit(
+        _snap_df(spark, [(i, "d", f"v{i}", 1) for i in range(10)]).coalesce(1),
+        t, stats_cols=["id"],
+    )
+    snapshot_commit(
+        _snap_df(
+            spark, [(i, "d", f"v{i}", 1) for i in range(100, 110)]
+        ).coalesce(1),
+        t, mode="append", stats_cols=["id"],
+    )
+    src = _snap_df(spark, [(5, "d", "KEPT", 2)])
+    # sanity: the same batch WITHOUT by-source carries the far file
+    probe = snapshot_merge(spark, t, src, ["id"])
+    assert probe["files_carried"] >= 1
+    out = snapshot_merge(
+        spark, t, src, ["id"], when_not_matched_by_source="delete"
+    )
+    assert out["files_carried"] == 0  # pruning disabled: all files in scope
+    assert out["deleted"] == 19      # everything but id=5
+    got = _snap_read(spark, t)
+    assert set(got) == {5} and got[5] == ("d", "KEPT", 2)
+
+
+def test_insert_column_subset(spark, tmp_path):
+    """INSERT (cols) VALUES (exprs): listed columns evaluate over src,
+    unlisted columns become typed NULLs; merge keys must be listed."""
+    p = str(tmp_path / "t")
+    _write_target(spark, p, BASE)
+    src = spark.createDataFrame(
+        [(9, "2024-01-09", "secret", 7)], ["id", "d", "v", "seq"]
+    )
+    merge_into(
+        spark, p, src, ["id"],
+        insert_values={"id": "src.id", "seq": "src.seq * 10"},
+    )
+    got = {
+        r["id"]: (r["d"], r["v"], r["seq"])
+        for r in __import__("pyspark").sql.SparkSession.active()
+        .read.parquet(p).collect()
+    }
+    assert got[9] == (None, None, 70)
+    with pytest.raises(ValueError, match="merge keys"):
+        merge_into(spark, p, src, ["id"], insert_values={"v": "src.v"})
+
+
+def test_all_null_key_batch_inserts_not_dropped(spark, tmp_path):
+    """ADVICE (medium): a non-empty batch whose key columns are ALL
+    NULL must insert its rows under when_not_matched='insert' —
+    previously it early-returned as 'empty batch' and the rows
+    silently vanished."""
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_commit, snapshot_read
+
+    t = str(tmp_path / "t")
+    snapshot_commit(_snap_df(spark, BASE), t, stats_cols=["id"])
+    schema = StructType(
+        [
+            StructField("id", LongType()),
+            StructField("d", StringType()),
+            StructField("v", StringType()),
+            StructField("seq", LongType()),
+        ]
+    )
+    batch = spark.createDataFrame([(None, "dd", "nullkey", 1)], schema)
+    out = snapshot_merge(spark, t, batch, ["id"])
+    assert out["inserted"] == 1 and out["files_rewritten"] == 0
+    rows = snapshot_read(spark, t).filter("v = 'nullkey'").collect()
+    assert len(rows) == 1 and rows[0]["id"] is None
+    # and under 'ignore' the batch is a no-op, not an error
+    out2 = snapshot_merge(
+        spark, t, batch, ["id"], when_not_matched="ignore"
+    )
+    assert out2["inserted"] == 0 and out2["files_rewritten"] == 0
+
+
+def test_sequence_carried_on_partial_update_set(spark, tmp_path):
+    """ADVICE (low): update_set omitting sequence_col must still carry
+    the source's sequence on winning rows — otherwise a later replay
+    between the stale and applied sequences regresses the SET columns."""
+    p = str(tmp_path / "t")
+    _write_target(spark, p, [(1, "2024-01-01", "a", 1)])
+    merge_into(
+        spark, p,
+        spark.createDataFrame(
+            [(1, "2024-01-01", "v5", 5)], ["id", "d", "v", "seq"]
+        ),
+        ["id"], sequence_col="seq", update_set={"v": "src.v"},
+    )
+    got = _read(spark, p)
+    assert got[1] == ("2024-01-01", "v5", 5)  # sequence carried, not stale 1
+    # the out-of-order replay (seq 3, between stale 1 and applied 5)
+    # must now lose the >= gate
+    counts = merge_into(
+        spark, p,
+        spark.createDataFrame(
+            [(1, "2024-01-01", "v3", 3)], ["id", "d", "v", "seq"]
+        ),
+        ["id"], sequence_col="seq", update_set={"v": "src.v"},
+    )
+    assert counts["updated"] == 0
+    assert _read(spark, p)[1] == ("2024-01-01", "v5", 5)
+
+
+def test_src_tgt_column_collision_rejected(spark, tmp_path):
+    """ADVICE (low): clause expressions reserve the struct names
+    src/tgt; a table with a real column by either name must be
+    rejected loudly instead of silently shadowing it."""
+    p = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "x", 1)], ["id", "src", "seq"])
+    df.write.mode("overwrite").parquet(p)
+    batch = spark.createDataFrame([(1, "y", 2)], ["id", "src", "seq"])
+    with pytest.raises(ValueError, match="src"):
+        merge_into(
+            spark, p, batch, ["id"],
+            matched_condition="src.seq > tgt.seq",
+        )
+    # without clause expressions the names are never reserved
+    counts = merge_into(spark, p, batch, ["id"])
+    assert counts["updated"] == 1
+
+
+def test_composite_key_bloom_pruning(spark, tmp_path):
+    """VERDICT #3: a 2-key merge where per-key ranges overlap every
+    file but the composite (k1,k2) bloom proves the tuple absent from
+    one — range-only pruning touches both files, tuple-bloom pruning
+    touches exactly one."""
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    def df2(rows):
+        return spark.createDataFrame(rows, ["k1", "k2", "v"])
+
+    # file A holds (i, i); file B holds (i, i+1) — k1 and k2 ranges
+    # both span [0, 50] on each file, so per-key min/max cannot
+    # separate them; only the tuple identity can
+    a = df2([(i, i, "a") for i in range(50)]).coalesce(1)
+    b = df2([(i, i + 1, "b") for i in range(50)]).coalesce(1)
+
+    # WITHOUT the composite bloom: both files touched
+    t0 = str(tmp_path / "plain")
+    snapshot_commit(a, t0, stats_cols=["k1", "k2"])
+    snapshot_commit(b, t0, mode="append", stats_cols=["k1", "k2"])
+    src = df2([(5, 5, "UP")])  # lives in file A only
+    out0 = snapshot_merge(spark, t0, src, ["k1", "k2"])
+    assert out0["files_rewritten"] == 2  # range-blind
+
+    # WITH the composite bloom ("k2,k1" spelling canonicalizes too):
+    # the tuple (5,5) is provably absent from file B
+    t1 = str(tmp_path / "bloomed")
+    snapshot_commit(a, t1, stats_cols=["k1", "k2"], bloom_cols=["k2,k1"])
+    snapshot_commit(
+        b, t1, mode="append", stats_cols=["k1", "k2"], bloom_cols=["k1,k2"]
+    )
+    out1 = snapshot_merge(spark, t1, src, ["k1", "k2"])
+    assert out1["files_rewritten"] == 1 and out1["files_carried"] == 1
+    assert out1["updated"] == 1
+    got = {
+        (r["k1"], r["k2"]): r["v"]
+        for r in __import__("group5_spark.medallion.snapshots", fromlist=["snapshot_read"])
+        .snapshot_read(spark, t1).collect()
+    }
+    assert got[(5, 5)] == "UP" and got[(5, 6)] == "b"
+    assert len(got) == 100
