@@ -146,13 +146,6 @@ def refresh_aggregate(
 # ---------------------------------------------------------------------------
 
 
-def _manifest_files(path: str, version: int) -> dict[str, dict]:
-    from group5_spark.medallion.snapshots import snapshot_manifest
-
-    m = snapshot_manifest(path, version)
-    return {e["path"]: e for e in m["files"]}
-
-
 def ivm_init(
     spark: SparkSession,
     base_path: str,
@@ -192,9 +185,16 @@ def ivm_refresh(
     The delta between the MV's recorded base version and the base
     table's head is read from the MANIFEST file diff: files present
     only in the new version contribute +rows, files present only in
-    the old version contribute −rows; files in both are untouched
-    (snapshot data files are immutable, so path identity is content
-    identity). The MV update is then
+    the old version contribute −rows; files in both are untouched.
+    File identity is ``(path, deletion-vector sidecar)`` — data files
+    are immutable, but a DV commit changes a file's LOGICAL content
+    without moving a byte, so a file whose DV changed is treated as
+    removed-at-old-DV plus added-at-new-DV (each side read through
+    :func:`snapshots.read_entries`, which applies the respective
+    mask; the file is read twice — the simple, provably-equivalent
+    form; reading only the delta positions is a possible refinement).
+    Without this, a DV-path merge would silently double-count in
+    every downstream incremental aggregate. The MV update is then
 
         MV' = Σ_groups ( MV  ∪  +agg(added files)  ∪  −agg(removed files) )
 
@@ -237,47 +237,34 @@ def ivm_refresh(
             "files_removed": 0,
         }
 
-    from group5_spark.medallion.snapshots import snapshot_manifest
+    from group5_spark.medallion.snapshots import (
+        read_entries,
+        snapshot_manifest,
+    )
 
-    old_files = _manifest_files(base_path, base_from)
-    new_files = _manifest_files(base_path, base_to)
-    added = sorted(set(new_files) - set(old_files))
-    removed = sorted(set(old_files) - set(new_files))
-    head_manifest = snapshot_manifest(base_path, base_to)
-    partitioned = bool(head_manifest.get("partition_by"))
-    schema = None
-    if head_manifest.get("schema") is not None:
-        from pyspark.sql.types import StructType
+    old_m = snapshot_manifest(base_path, base_from)
+    new_m = snapshot_manifest(base_path, base_to)
 
-        schema = StructType.fromJson(head_manifest["schema"])
+    def ident(e: dict) -> tuple:
+        # (path, dv sidecar) IS the logical content identity: the same
+        # bytes under a different mask are a different logical file
+        return (e["path"], (e.get("dv") or {}).get("sidecar"))
 
-    def signed_agg(rel_paths: list[str], sign: int) -> DataFrame | None:
-        if not rel_paths:
+    old_by = {ident(e): e for e in old_m["files"]}
+    new_by = {ident(e): e for e in new_m["files"]}
+    added_entries = [e for k, e in sorted(new_by.items()) if k not in old_by]
+    removed_entries = [e for k, e in sorted(old_by.items()) if k not in new_by]
+
+    def signed_agg(
+        entries: list[dict], manifest: dict, sign: int
+    ) -> DataFrame | None:
+        if not entries:
             return None
-        if partitioned:
-            # Hive layout: the partition column lives in directory
-            # names — read each staging dir with its own basePath so
-            # Spark reconstructs it (same contract as snapshot_read)
-            by_base: dict[str, list[str]] = {}
-            for p in rel_paths:
-                by_base.setdefault(Path(p).parts[0], []).append(
-                    str(Path(base_path) / p)
-                )
-            dfs = []
-            for b, fs in sorted(by_base.items()):
-                r = spark.read
-                if schema is not None:
-                    r = r.schema(schema)
-                dfs.append(
-                    r.option("basePath", str(Path(base_path) / b)).parquet(*fs)
-                )
-            df = dfs[0]
-            for d in dfs[1:]:
-                df = df.unionByName(d)
-        else:
-            df = spark.read.parquet(
-                *[str(Path(base_path) / p) for p in rel_paths]
-            )
+        # read_entries applies each entry's OWN deletion vector — the
+        # removed side is read under the old mask, the added side
+        # under the new one, so the retraction is exactly the rows
+        # that stopped being visible
+        df = read_entries(spark, Path(base_path), manifest, entries)
         return df.groupBy(*group_cols).agg(
             *[
                 (F.lit(sign) * F.sum(c)).alias(f"sum_{c}")
@@ -286,8 +273,13 @@ def ivm_refresh(
             (F.lit(sign) * F.count(F.lit(1))).alias("n_rows"),
         )
 
+    added = added_entries
+    removed = removed_entries
     parts = [snapshot_read(spark, mv_path)]
-    for part in (signed_agg(added, 1), signed_agg(removed, -1)):
+    for part in (
+        signed_agg(added_entries, new_m, 1),
+        signed_agg(removed_entries, old_m, -1),
+    ):
         if part is not None:
             parts.append(part)
     merged = parts[0]

@@ -29,49 +29,190 @@ from pyspark.sql import SparkSession
 __all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "snapshot_update", "snapshot_merge", "table_health", "compact_snapshot_partitions", "apply_health"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
 
 
-def _read_touched_files(
-    spark: SparkSession, root: Path, head: dict, touched_abs: list[str]
+def _read_touched_entries(
+    spark: SparkSession,
+    root: Path,
+    head: dict,
+    entries: list[dict],
+    *,
+    with_lineage: bool = False,
 ):
-    """Read ONLY the given files of a snapshot version — the shared
-    scan half of every file-pruned DML (DELETE/UPDATE/MERGE). Same
-    basePath-per-staging-dir contract as ``snapshots.snapshot_read``
-    for Hive-partitioned layouts; a CLONED table's absolute entries
-    fall back to their own staging dir as basePath."""
-    from pyspark.sql.types import StructType
+    """Read ONLY the given manifest entries of a snapshot version —
+    the shared scan half of every file-pruned DML (DELETE/UPDATE/
+    MERGE), delegating to ``snapshots.read_entries``: same basePath
+    contract for Hive layouts, and entries carrying a deletion vector
+    are read merge-on-read (masked rows must never re-enter a DML's
+    resolution — a rewrite would resurrect them). ``with_lineage``
+    adds ``_file``/``_pos`` for the DV writer path."""
+    from group5_spark.medallion import snapshots as snap
 
-    schema = (
-        StructType.fromJson(head["schema"])
-        if head.get("schema") is not None
-        else None
+    return snap.read_entries(
+        spark, root, head, entries, with_lineage=with_lineage
     )
 
-    def reader():
-        r = spark.read
-        return r.schema(schema) if schema is not None else r
+def _dv_commit(
+    spark: SparkSession,
+    root: Path,
+    head: dict,
+    touched: list[dict],
+    carried: list[dict],
+    frame,
+    dv_threshold: float,
+    *,
+    note: dict | None = None,
+    stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+) -> dict:
+    """The merge-on-read write half shared by every DV-mode DML
+    (MERGE/DELETE/UPDATE): decide rewrite-vs-deletion-vector PER
+    TOUCHED FILE, write one union sidecar for the masked positions,
+    stage only the rows that must exist as new bytes, and commit.
 
-    if head.get("partition_by"):
-        by_base: dict[str, list[str]] = {}
-        for p in sorted(touched_abs):
-            fp = Path(p)
-            try:
-                b = str(root / fp.relative_to(root).parts[0])
-            except ValueError:  # cloned (absolute) entry
-                b = str(
-                    fp.parent.parent if "=" in fp.parent.name else fp.parent
-                )
-            by_base.setdefault(b, []).append(p)
-        parts = [
-            reader().option("basePath", b).parquet(*fs)
-            for b, fs in sorted(by_base.items())
+    ``frame`` carries the table columns (already holding each row's
+    FINAL value) plus four lineage markers from
+    ``_read_touched_entries(with_lineage=True)`` /
+    ``resolve_merge_actions(passthrough_cols=...)``:
+
+    - ``_file``/``_pos`` — the row's physical origin (NULL for rows
+      with no target origin, i.e. inserts);
+    - ``_mask`` — the origin position must stop being visible (the
+      row was deleted, or replaced by an emitted update);
+    - ``_emit`` — the row's final value must be WRITTEN to new files
+      (inserts, updated rows). A row can be both (update: mask old
+      position, emit new value), either, or neither (keep).
+
+    Per-file economics (the Iceberg-v2 / Delta-DV contract): a file
+    whose masked fraction exceeds ``dv_threshold`` — or that died
+    entirely — is REWRITTEN (its keeps are emitted, the file leaves
+    the manifest); a file below the threshold is carried byte-
+    untouched with a ``dv`` reference, so a 10-row match in a 1 GB
+    file costs a 10-position sidecar row-group, not a 1 GB rewrite.
+    Bytes written ∝ emitted rows + masked positions, never ∝ touched
+    file bytes. A file already carrying a DV gets the UNION sidecar
+    (old positions ∪ new) so each entry references exactly one
+    sidecar; positions are disjoint by construction because the read
+    half already masked the old ones.
+
+    Commits under ``expected_parent`` like every read-modify-write;
+    on :class:`SnapshotConflict` the freshly written sidecar is
+    reclaimed before re-raising (the caller's OCC loop re-runs the
+    whole prune-read-resolve). Returns ``{version, files_rewritten,
+    files_masked, files_carried, rows_masked}``.
+    """
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion import snapshots as snap
+
+    tbl_cols = (
+        [f["name"] for f in head["schema"]["fields"]]
+        if head.get("schema") is not None
+        else [
+            c
+            for c in frame.columns
+            if c not in ("_file", "_pos", "_mask", "_emit")
         ]
-        df = parts[0]
-        for q in parts[1:]:
-            df = df.unionByName(q)
-        if schema is not None:
-            df = df.select(*[f.name for f in schema.fields])
-    else:
-        df = reader().parquet(*sorted(touched_abs))
-    return df
+    )
+    frame = frame.persist()
+    try:
+        mask_counts = {
+            r["_file"]: int(r["n"])
+            for r in frame.filter(
+                F.col("_mask") & F.col("_file").isNotNull()
+            )
+            .groupBy("_file")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        by_path = {e["path"]: e for e in touched}
+        rewrite: list[str] = []
+        dv_mask: list[str] = []
+        for f, n in sorted(mask_counts.items()):
+            live = snap.entry_rows(by_path[f])
+            # a fully-dead file always rewrites (to nothing): carrying
+            # a 100%-masked file would pay its sidecar forever
+            if not live or n >= live or n / live > dv_threshold:
+                rewrite.append(f)
+            else:
+                dv_mask.append(f)
+        untouched = [e for e in touched if e["path"] not in mask_counts]
+
+        rewrite_pred = (
+            F.col("_file").isin(rewrite) if rewrite else F.lit(False)
+        )
+        out = frame.filter(
+            F.col("_emit") | ((~F.col("_mask")) & rewrite_pred)
+        ).select(*tbl_cols)
+        if not rewrite and out.isEmpty():
+            # a pure-DV commit (e.g. a small delete) stages NO bytes;
+            # without this, every CDC batch would litter the table with
+            # empty part files (cheap on the persisted frame)
+            out = spark.createDataFrame([], out.schema)
+
+        dv_dir: str | None = None
+        new_dv_entries: list[dict] = []
+        if dv_mask:
+            dv_dir = f"dv-{uuid.uuid4().hex[:8]}"
+            masks = frame.filter(
+                F.col("_mask") & F.col("_file").isin(dv_mask)
+            ).select(
+                F.col("_file").alias("file"), F.col("_pos").alias("pos")
+            )
+            prior_dv_files = [
+                f for f in dv_mask if by_path[f].get("dv")
+            ]
+            if prior_dv_files:
+                olds = sorted(
+                    {by_path[f]["dv"]["sidecar"] for f in prior_dv_files}
+                )
+                prior = (
+                    spark.read.parquet(*[str(root / s) for s in olds])
+                    .filter(F.col("file").isin(prior_dv_files))
+                    .select("file", "pos")
+                )
+                masks = masks.unionByName(prior)
+            # cluster the sidecar by file so a reader's semi-filter to
+            # its dv entries touches few row groups
+            masks.repartition("file").write.mode("error").parquet(
+                str(root / dv_dir)
+            )
+            for f in dv_mask:
+                e = by_path[f]
+                old_n = int((e.get("dv") or {}).get("deleted", 0))
+                ne = {k: v for k, v in e.items() if k != "dv"}
+                ne["dv"] = {
+                    "sidecar": dv_dir,
+                    "deleted": old_n + mask_counts[f],
+                }
+                new_dv_entries.append(ne)
+
+        carry = list(carried) + untouched + new_dv_entries
+        try:
+            v = snap.snapshot_commit(
+                out,
+                str(root),
+                mode="overwrite",
+                carry_files=carry,
+                expected_parent=head["version"],
+                partition_by=head.get("partition_by"),
+                stats_cols=stats_cols,
+                bloom_cols=bloom_cols,
+                note=note,
+            )
+        except snap.SnapshotConflict:
+            if dv_dir is not None:
+                shutil.rmtree(root / dv_dir, ignore_errors=True)
+            raise
+        return {
+            "version": v,
+            "files_rewritten": len(rewrite),
+            "files_masked": len(dv_mask),
+            "files_carried": len(carried) + len(untouched),
+            "rows_masked": sum(mask_counts[f] for f in dv_mask),
+            "rows_matched": sum(mask_counts.values()),
+        }
+    finally:
+        frame.unpersist()
+
 
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
@@ -410,6 +551,7 @@ def snapshot_delete(
     spark: SparkSession,
     path: str,
     predicates: list[tuple],
+    dv_threshold: float | None = None,
 ) -> dict:
     """DELETE FROM a snapshot table WHERE all ``predicates`` hold
     (``[(col, op, value), ...]``, conjunctive) — Delta-style, with
@@ -429,6 +571,16 @@ def snapshot_delete(
     compliance clock for physical erasure: expire the pre-delete
     history and the rows' bytes are gone.
 
+    ``dv_threshold`` switches the write path to MERGE-ON-READ: a
+    touched file whose matching fraction is at or below the threshold
+    is carried byte-untouched with a deletion-vector sidecar masking
+    the matched positions (readers anti-join it away); only files
+    above the threshold — or fully emptied — are rewritten. Bytes
+    written become ∝ matched rows, not ∝ touched-file bytes: the
+    10-row right-to-be-forgotten delete in a 1 GB file costs a
+    kilobyte sidecar. ``compact_snapshot`` folds DVs back into plain
+    files. The result dict gains ``files_masked``/``rows_masked``.
+
     Returns ``{version, files_rewritten, files_carried, rows_deleted}``
     (no-op dict with ``version`` = current head when no file can
     match).
@@ -446,33 +598,45 @@ def snapshot_delete(
     while True:
         head = snap.snapshot_manifest(path)
         version = head["version"]
-        touched_abs, total = snap.prune_files(path, predicates, version)
-        if not touched_abs:
+        touched, total = snap.prune_entries(path, predicates, version)
+        if not touched:
             return {
                 "version": version,
                 "files_rewritten": 0,
                 "files_carried": total,
                 "rows_deleted": 0,
             }
-        # match by absolute path: a CLONED table's entries are already
-        # absolute (into the source table), so relative_to would throw
-        touched_set = {str(Path(p)) for p in touched_abs}
-
-        def _abs(e: dict) -> str:
-            return str(root / e["path"])
-
-        carried = [e for e in head["files"] if _abs(e) not in touched_set]
-        touched_rows = sum(
-            int(e.get("rows", 0))
-            for e in head["files"]
-            if _abs(e) in touched_set
-        )
-
-        df = _read_touched_files(spark, root, head, touched_abs)
+        touched_paths = {e["path"] for e in touched}
+        carried = [
+            e for e in head["files"] if e["path"] not in touched_paths
+        ]
+        note = {"delete_where": [list(p) for p in predicates]}
 
         matches = F.lit(True)
         for col, op, val in predicates:
             matches = matches & ops[op](F.col(col), F.lit(val))
+
+        if dv_threshold is not None:
+            df = _read_touched_entries(
+                spark, root, head, touched, with_lineage=True
+            )
+            frame = df.withColumn(
+                "_mask", F.coalesce(matches, F.lit(False))
+            ).withColumn("_emit", F.lit(False))
+            try:
+                out = _dv_commit(
+                    spark, root, head, touched, carried, frame,
+                    dv_threshold, note=note,
+                )
+            except snap.SnapshotConflict:
+                continue
+            # in a delete, every matched (masked-or-rewritten-away)
+            # row is a deletion
+            out["rows_deleted"] = out.pop("rows_matched")
+            return out
+
+        touched_rows = sum(snap.entry_rows(e) for e in touched)
+        df = _read_touched_entries(spark, root, head, touched)
         survivors = df.filter(~matches)
 
         try:
@@ -483,7 +647,7 @@ def snapshot_delete(
                 carry_files=carried,
                 expected_parent=version,
                 partition_by=head.get("partition_by"),
-                note={"delete_where": [list(p) for p in predicates]},
+                note=note,
             )
         except snap.SnapshotConflict:
             continue  # a commit raced the read; re-derive on the new head
@@ -496,7 +660,7 @@ def snapshot_delete(
         )
         return {
             "version": new_v,
-            "files_rewritten": len(touched_set),
+            "files_rewritten": len(touched),
             "files_carried": len(carried),
             "rows_deleted": touched_rows - staged_rows,
         }
@@ -607,6 +771,16 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
             "ndv: no KMV sketch in the head manifest — the join "
             "advisor cannot plan from metadata (commit with ndv_cols)"
         )
+    dv_files = [e for e in files if e.get("dv")]
+    rows_masked = sum(int(e["dv"].get("deleted", 0)) for e in dv_files)
+    live_rows = sum(snap.entry_rows(e) for e in files)
+    if dv_files and rows_masked > max(1, live_rows) * 0.2:
+        recs.append(
+            f"compact: {rows_masked} masked rows across {len(dv_files)} "
+            f"deletion-vector file(s) (> 20% of live rows) — every read "
+            f"pays the positional anti-join until a compaction folds "
+            f"the DVs back into plain files"
+        )
     overlap: dict[str, float] = {}
     stat_cols = {
         c for e in files for c in (e.get("stats") or {})
@@ -632,6 +806,8 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
         "versions_retained": len(versions),
         "orphan_manifests": len(orphans),
         "stats_coverage": round(with_stats / len(files), 3) if files else 1.0,
+        "dv_files": len(dv_files),
+        "rows_masked": rows_masked,
         "clustering_overlap": overlap,
         "constraints": sorted(head.get("constraints", {})),
         "recommendations": recs,
@@ -643,6 +819,7 @@ def snapshot_update(
     path: str,
     predicates: list[tuple],
     set_exprs: dict,
+    dv_threshold: float | None = None,
 ) -> dict:
     """UPDATE ... SET ``set_exprs`` ({col: Column}) WHERE all
     ``predicates`` hold — the DML sibling of :func:`snapshot_delete`,
@@ -651,6 +828,12 @@ def snapshot_update(
     non-matching rows copied through unchanged); everything else
     carries into the new version by reference. Commits under
     ``expected_parent``; retries on a racing commit.
+
+    ``dv_threshold`` switches to merge-on-read: files at or below the
+    matched fraction carry byte-untouched with a deletion vector over
+    the OLD row positions, and only the UPDATED rows are written as
+    new files — bytes written ∝ rows changed, not files touched. The
+    result dict gains ``files_masked``/``rows_updated``.
 
     Returns ``{version, files_rewritten, files_carried}`` (rows
     changed is not knowable from footers — an update preserves
@@ -669,25 +852,56 @@ def snapshot_update(
     while True:
         head = snap.snapshot_manifest(path)
         version = head["version"]
-        touched_abs, total = snap.prune_files(path, predicates, version)
-        if not touched_abs:
+        touched, total = snap.prune_entries(path, predicates, version)
+        if not touched:
             return {
                 "version": version,
                 "files_rewritten": 0,
                 "files_carried": total,
             }
-        touched_set = {str(Path(p)) for p in touched_abs}
-
-        def _abs(e: dict) -> str:
-            return str(root / e["path"])
-
-        carried = [e for e in head["files"] if _abs(e) not in touched_set]
-
-        df = _read_touched_files(spark, root, head, touched_abs)
+        touched_paths = {e["path"] for e in touched}
+        carried = [
+            e for e in head["files"] if e["path"] not in touched_paths
+        ]
+        note = {"update_where": [list(p) for p in predicates],
+                "set_cols": sorted(set_exprs)}
 
         matches = F.lit(True)
         for col, op, val in predicates:
             matches = matches & ops[op](F.col(col), F.lit(val))
+
+        if dv_threshold is not None:
+            df = _read_touched_entries(
+                spark, root, head, touched, with_lineage=True
+            )
+            m = F.coalesce(matches, F.lit(False))
+            # an updated row masks its old position AND emits its new
+            # value; non-matching rows are pure keeps
+            frame = df.select(
+                *[
+                    F.when(m, set_exprs[c]).otherwise(F.col(c)).alias(c)
+                    if c in set_exprs
+                    else F.col(c)
+                    for c in df.columns
+                    if c not in ("_file", "_pos")
+                ],
+                "_file",
+                "_pos",
+                m.alias("_mask"),
+                m.alias("_emit"),
+            )
+            try:
+                out = _dv_commit(
+                    spark, root, head, touched, carried, frame,
+                    dv_threshold, note=note,
+                )
+            except snap.SnapshotConflict:
+                continue
+            out["rows_updated"] = out.pop("rows_matched")
+            out.pop("rows_masked")
+            return out
+
+        df = _read_touched_entries(spark, root, head, touched)
         updated = df.select(
             *[
                 F.when(matches, set_exprs[c]).otherwise(F.col(c)).alias(c)
@@ -704,14 +918,13 @@ def snapshot_update(
                 carry_files=carried,
                 expected_parent=version,
                 partition_by=head.get("partition_by"),
-                note={"update_where": [list(p) for p in predicates],
-                      "set_cols": sorted(set_exprs)},
+                note=note,
             )
         except snap.SnapshotConflict:
             continue
         return {
             "version": new_v,
-            "files_rewritten": len(touched_set),
+            "files_rewritten": len(touched),
             "files_carried": len(carried),
         }
 
@@ -1027,8 +1240,58 @@ def snapshot_merge(
             out["files_carried"] = len(carried)
             return out
 
-        touched_abs = [str(root / e["path"]) for e in touched]
-        target_df = _read_touched_files(spark, root, head, touched_abs)
+        if dv_threshold is not None:
+            # merge-on-read write path: resolve with row lineage, mask
+            # the OLD positions of updated/deleted rows, emit only
+            # inserts + updated values; _dv_commit decides rewrite-vs-
+            # DV per file and keeps sub-threshold files byte-untouched
+            target_df = _read_touched_entries(
+                spark, root, head, touched, with_lineage=True
+            )
+            resolved = resolve_merge_actions(
+                target_df, source, keys,
+                **_clause_kwargs(),
+                passthrough_cols=["_file", "_pos"],
+            ).persist()
+            try:
+                counts = {
+                    r["_action"]: r["n"]
+                    for r in resolved.groupBy("_action")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+                frame = resolved.withColumn(
+                    "_mask",
+                    F.col("_action").isin("update", "delete")
+                    & F.col("_file").isNotNull(),
+                ).withColumn(
+                    "_emit", F.col("_action").isin("insert", "update")
+                ).drop("_action")
+                try:
+                    dv_out = _dv_commit(
+                        spark, root, head, touched, carried, frame,
+                        dv_threshold,
+                        note={"op": "merge", **(note or {})},
+                        stats_cols=stats_cols,
+                        bloom_cols=bloom_cols,
+                    )
+                except snap.SnapshotConflict:
+                    continue  # head moved mid-merge; re-prune and retry
+            finally:
+                resolved.unpersist()
+            return {
+                "version": dv_out["version"],
+                "inserted": counts.get("insert", 0),
+                "updated": counts.get("update", 0),
+                "deleted": counts.get("delete", 0),
+                "kept": counts.get("keep", 0),
+                "files_rewritten": dv_out["files_rewritten"],
+                "files_masked": dv_out["files_masked"],
+                "files_carried": dv_out["files_carried"],
+                "rows_masked": dv_out["rows_masked"],
+            }
+
+        target_df = _read_touched_entries(spark, root, head, touched)
         resolved = resolve_merge_actions(
             target_df, source, keys, **_clause_kwargs()
         ).persist()
@@ -1143,32 +1406,11 @@ def compact_snapshot_partitions(
         )
         pieces = []
         for part, (entries, needed) in sorted(fragmented.items()):
-            by_base: dict[str, list[str]] = {}
-            for e in entries:
-                fp = root / e["path"]
-                try:
-                    b = str(root / fp.relative_to(root).parts[0])
-                except ValueError:
-                    # cloned (absolute) entry into the SOURCE table:
-                    # its own staging dir (above the col=value dir) is
-                    # the basePath — same fallback as snapshot_delete;
-                    # Path.parts[0] of an absolute path would yield
-                    # "/" and mis-derive phantom partition columns
-                    b = str(
-                        fp.parent.parent
-                        if "=" in fp.parent.name
-                        else fp.parent
-                    )
-                by_base.setdefault(b, []).append(str(fp))
-            dfs = []
-            for b, fs in sorted(by_base.items()):
-                r = spark.read
-                if schema is not None:
-                    r = r.schema(schema)
-                dfs.append(r.option("basePath", b).parquet(*fs))
-            df = dfs[0]
-            for d in dfs[1:]:
-                df = df.unionByName(d)
+            # read_entries applies any deletion vectors: a compaction
+            # that read the raw files would RESURRECT masked rows —
+            # this is also how per-partition compaction FOLDS a
+            # partition's DVs back into plain files
+            df = snap.read_entries(spark, root, head, entries)
             if sort_cols:
                 df = df.repartitionByRange(
                     needed, *sort_cols

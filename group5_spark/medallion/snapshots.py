@@ -52,6 +52,10 @@ __all__ = [
     "snapshot_changes",
     "snapshot_manifest",
     "prune_files",
+    "prune_entries",
+    "read_entries",
+    "entry_rows",
+    "composite_bloom_name",
     "latest_note",
     "last_committed_batch",
     "snapshot_tag",
@@ -934,16 +938,26 @@ def _overlaps_cmp(lo, hi, op: str, value) -> bool:
     raise ValueError(f"unsupported op {op!r}")
 
 
-def prune_files(
+def entry_rows(e: dict) -> int:
+    """LOGICAL row count of a manifest file entry: the parquet
+    footer's physical count minus the rows masked by the entry's
+    deletion vector. Planners and health reports must count logical
+    rows — a 1 M-row file with 999 k masked rows contributes 1 k."""
+    n = int(e.get("rows", 0))
+    dv = e.get("dv")
+    if dv:
+        n -= int(dv.get("deleted", 0))
+    return max(n, 0)
+
+
+def prune_entries(
     path: str,
     predicates: list[tuple],
     version: int | None = None,
-) -> tuple[list[str], int]:
-    """Resolve a snapshot's file list under conjunctive predicates
-    ``[(col, op, value), ...]``. Returns ``(kept_paths, total_files)``
-    — the manifest-level decision, exposed separately so tests (and
-    operators) can assert exactly what gets skipped without running a
-    scan."""
+) -> tuple[list[dict], int]:
+    """:func:`prune_files` returning the full manifest ENTRIES (the
+    form DV-aware readers need — an entry carries its deletion-vector
+    reference alongside the path)."""
     root = Path(path)
     v = version if version is not None else _current_version(root)
     m = _manifest_path(root, v)
@@ -956,14 +970,198 @@ def prune_files(
             if not _overlaps(e["stats"], c, op, val):
                 return False
             # bloom probe: an equality key definitely absent from the
-            # file prunes it even when min/max ranges overlap
+            # file prunes it even when min/max ranges overlap. Sound
+            # under DVs too: stats/blooms describe a SUPERSET of the
+            # live rows, so they can only under-prune, never wrong-prune.
             b = e.get("bloom", {}).get(c)
             if op == "=" and b and not _bloom_might_contain(b, val):
                 return False
         return True
 
-    kept = [str(root / e["path"]) for e in files if may_match(e)]
+    kept = [e for e in files if may_match(e)]
     return kept, len(files)
+
+
+def prune_files(
+    path: str,
+    predicates: list[tuple],
+    version: int | None = None,
+) -> tuple[list[str], int]:
+    """Resolve a snapshot's file list under conjunctive predicates
+    ``[(col, op, value), ...]``. Returns ``(kept_paths, total_files)``
+    — the manifest-level decision, exposed separately so tests (and
+    operators) can assert exactly what gets skipped without running a
+    scan."""
+    root = Path(path)
+    kept, total = prune_entries(path, predicates, version)
+    return [str(root / e["path"]) for e in kept], total
+
+
+#: normalized form of Spark's ``_metadata.file_path`` URI
+#: (``file:/tmp/x`` or ``file:///tmp/x`` → ``/tmp/x``) — the join key
+#: between a scan row's physical file and the manifest entry it came
+#: from. Scheme-stripping beats URI-parsing here: the reader and the
+#: manifest writer run on the same filesystem namespace by contract.
+_URI_SCHEME_RE = r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/+"
+
+
+def _norm_file_uri_col():
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(
+        F.col("_metadata.file_path").cast("string"), _URI_SCHEME_RE, "/"
+    )
+
+
+def read_entries(
+    spark: SparkSession,
+    root: Path,
+    manifest: dict,
+    entries: list[dict],
+    *,
+    with_lineage: bool = False,
+) -> DataFrame:
+    """Read the given manifest ENTRIES of a snapshot version — the one
+    scan primitive every snapshot reader (``snapshot_read``, the
+    file-pruned DML, IVM's delta reads) shares. Handles:
+
+    - the manifest schema (zero listing cost; appended columns read as
+      NULL from pre-evolution files);
+    - Hive-partitioned layouts (each staging dir gets its own
+      ``basePath`` so Spark reconstructs the partition column);
+    - **deletion vectors**: entries carrying ``dv`` are read through a
+      positional ANTI-JOIN against their sidecar's (file, pos) list —
+      the merge-on-read half of DV DML. The sidecar is kilobytes-to-
+      megabytes (it lists masked positions, not rows), broadcast when
+      small; files without a DV never pay the join.
+    - ``with_lineage=True``: the result additionally carries
+      ``_file`` (the entry's manifest-relative path) and ``_pos``
+      (the row's PHYSICAL position in its file — stable across DV
+      masking, which is what lets a later DV reference it). The DV
+      writer path reads with lineage; plain readers don't.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema_json = manifest.get("schema")
+    schema = (
+        StructType.fromJson(schema_json) if schema_json is not None else None
+    )
+    dv_entries = [e for e in entries if e.get("dv")]
+    need_meta = with_lineage or bool(dv_entries)
+
+    if not entries:
+        if schema is None:
+            raise ValueError(
+                "cannot synthesize an empty frame without a manifest schema"
+            )
+        out = spark.createDataFrame([], schema)
+        if with_lineage:
+            out = out.withColumn("_file", F.lit(None).cast("string"))
+            out = out.withColumn("_pos", F.lit(None).cast("long"))
+        return out
+
+    def make_reader():
+        r = spark.read
+        if schema is not None:
+            r = r.schema(schema)
+        return r
+
+    def attach_meta(df):
+        if not need_meta:
+            return df
+        return df.select(
+            "*",
+            _norm_file_uri_col().alias("_dv_uri"),
+            F.col("_metadata.row_index").alias("_pos"),
+        )
+
+    paths = [str(root / e["path"]) for e in entries]
+    if manifest.get("partition_by"):
+        # Hive-partitioned layout: the partition column lives in the
+        # directory names, so each staging dir is read with ITS OWN
+        # basePath (one basePath across several data-* dirs trips
+        # Spark's conflicting-directory check) and the groups union.
+        by_base: dict[str, list[str]] = {}
+        for f in paths:
+            fp = Path(f)
+            try:
+                base = str(root / fp.relative_to(root).parts[0])
+            except ValueError:
+                # cloned entry: an absolute path into the SOURCE table —
+                # its own staging dir (above the col=value dir) is the
+                # basePath that lets Spark reconstruct the partition col
+                base = str(
+                    fp.parent.parent if "=" in fp.parent.name else fp.parent
+                )
+            by_base.setdefault(base, []).append(f)
+        parts = [
+            attach_meta(make_reader().option("basePath", b).parquet(*fs))
+            for b, fs in sorted(by_base.items())
+        ]
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        if schema is not None:  # restore declared column order
+            extra = ["_dv_uri", "_pos"] if need_meta else []
+            df = df.select(*[f.name for f in schema.fields], *extra)
+    else:
+        df = attach_meta(make_reader().parquet(*paths))
+
+    if need_meta:
+        import os as _os
+
+        # manifest-relative identity for every scan row: join the
+        # normalized physical URI to the (tiny, broadcast) entry map
+        mapping = spark.createDataFrame(
+            [
+                (_os.path.abspath(str(root / e["path"])), e["path"])
+                for e in entries
+            ],
+            "_dv_uri string, _file string",
+        )
+        df = df.join(F.broadcast(mapping), "_dv_uri").drop("_dv_uri")
+
+    if dv_entries:
+        sidecars = sorted({e["dv"]["sidecar"] for e in dv_entries})
+        pos = spark.read.parquet(*[str(root / s) for s in sidecars])
+
+        def _sidecar_key(e: dict) -> str:
+            # a sidecar's rows are keyed by the path form the entry had
+            # in the table that WROTE the mask. A clone absolutizes both
+            # the entry path and the sidecar path but cannot rewrite the
+            # rows inside the (immutable) sidecar — so when both are
+            # absolute, the original key is the entry path relative to
+            # the sidecar's owning table root (its parent dir). Falls
+            # back to the entry path verbatim (same-table sidecars, and
+            # clones whose source entry was already absolute).
+            sc = e["dv"]["sidecar"]
+            p = e["path"]
+            if Path(sc).is_absolute() and Path(p).is_absolute():
+                try:
+                    return str(Path(p).relative_to(Path(sc).parent))
+                except ValueError:
+                    return p
+            return p
+
+        # keymap doubles as the stale-row filter: a sidecar may list
+        # positions for files a LATER commit rewrote (their entries
+        # dropped the dv) — the inner join keeps only current masks
+        keymap = spark.createDataFrame(
+            [(_sidecar_key(e), e["path"]) for e in dv_entries],
+            "file string, _file string",
+        )
+        pos = pos.join(F.broadcast(keymap), "file").select(
+            "_file", F.col("pos").alias("_pos")
+        )
+        total_deleted = sum(int(e["dv"].get("deleted", 0)) for e in dv_entries)
+        if total_deleted <= 4_000_000:
+            pos = F.broadcast(pos)
+        df = df.join(pos, ["_file", "_pos"], "left_anti")
+
+    if not with_lineage and need_meta:
+        df = df.drop("_file", "_pos")
+    return df
 
 
 def snapshot_read(
@@ -981,9 +1179,9 @@ def snapshot_read(
     predicate is ALSO applied row-level in the plan (manifest pruning
     is file-granular; the residual filter still pushes down to
     parquet row groups), so results are exact even when stats are
-    absent."""
-    from pyspark.sql.types import StructType
-
+    absent. Entries carrying a deletion vector are read merge-on-read
+    style (positional anti-join against the DV sidecar — see
+    :func:`read_entries`); masked rows never surface."""
     if sum(x is not None for x in (version, ref, asof)) > 1:
         raise ValueError("pass at most one of version= / ref= / asof=")
     root = Path(path)
@@ -993,59 +1191,11 @@ def snapshot_read(
         version = resolve_asof(path, asof)
     v = version if version is not None else _current_version(root)
     manifest = json.loads(_manifest_path(root, v).read_text())
-    kept, _ = prune_files(path, predicates or [], v)
-    schema_json = manifest.get("schema")
-    schema = (
-        StructType.fromJson(schema_json) if schema_json is not None else None
-    )
-
-    def make_reader():
-        r = spark.read
-        if schema is not None:
-            # manifest schema, not file-footer inference: zero listing
-            # cost, and appended columns read as NULL from
-            # pre-evolution files
-            r = r.schema(schema)
-        return r
-
-    part_col = manifest.get("partition_by")
-    if not kept:
-        if schema is not None:
-            return spark.createDataFrame([], schema)
+    kept, _ = prune_entries(path, predicates or [], v)
+    if not kept and manifest.get("schema") is None:
         all_files = [str(root / e["path"]) for e in manifest["files"]]
-        return make_reader().parquet(*all_files).limit(0)
-    if part_col:
-        # Hive-partitioned layout: the partition column lives in the
-        # directory names, so each staging dir is read with ITS OWN
-        # basePath (one basePath across several data-* dirs trips
-        # Spark's conflicting-directory check) and the groups union.
-        # Group count = number of commits contributing retained files
-        # — bounded by history depth, and partition-pruned reads
-        # typically touch one or two.
-        by_base: dict[str, list[str]] = {}
-        for f in kept:
-            fp = Path(f)
-            try:
-                base = str(root / fp.relative_to(root).parts[0])
-            except ValueError:
-                # cloned entry: an absolute path into the SOURCE table —
-                # its own staging dir (above the col=value dir) is the
-                # basePath that lets Spark reconstruct the partition col
-                base = str(
-                    fp.parent.parent if "=" in fp.parent.name else fp.parent
-                )
-            by_base.setdefault(base, []).append(f)
-        parts = [
-            make_reader().option("basePath", b).parquet(*fs)
-            for b, fs in sorted(by_base.items())
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        if schema is not None:  # restore declared column order
-            df = df.select(*[f.name for f in schema.fields])
-    else:
-        df = make_reader().parquet(*kept)
+        return spark.read.parquet(*all_files).limit(0)
+    df = read_entries(spark, root, manifest, kept)
     import operator as _op
 
     ops = {
@@ -1179,10 +1329,17 @@ def snapshot_clone(
     if ref is not None:
         version = resolve_ref(src_path, ref)
     m = snapshot_manifest(src_path, version)
-    entries = [
-        dict(e, path=str((src_root / e["path"]).resolve()))
-        for e in m["files"]
-    ]
+    entries = []
+    for e in m["files"]:
+        ne = dict(e, path=str((src_root / e["path"]).resolve()))
+        if e.get("dv"):
+            # the DV sidecar is part of the file's identity: a clone
+            # reading the source's bytes must mask the same positions
+            ne["dv"] = dict(
+                e["dv"],
+                sidecar=str((src_root / e["dv"]["sidecar"]).resolve()),
+            )
+        entries.append(ne)
     root = Path(dst_path)
     (root / _MANIFEST_DIR).mkdir(parents=True, exist_ok=True)
     if _current_version(root):
@@ -1467,7 +1624,14 @@ def snapshot_expire(
             (drop if now - ts > orphan_grace_s else keep).append(m)
     live = set()
     for m in keep:
-        live.update(e["path"] for e in json.loads(m.read_text())["files"])
+        kept_entries = json.loads(m.read_text())["files"]
+        live.update(e["path"] for e in kept_entries)
+        # a retained version's deletion-vector sidecars are part of its
+        # file closure: dropping one would silently RESURRECT the
+        # masked rows for time-travel readers
+        live.update(
+            e["dv"]["sidecar"] for e in kept_entries if e.get("dv")
+        )
     deleted = 0
     for m in drop:
         try:
@@ -1485,6 +1649,16 @@ def snapshot_expire(
             if e["path"] not in live and p.exists():
                 p.unlink()
                 deleted += 1
+        for e in entries:
+            dv = e.get("dv")
+            if not dv or dv["sidecar"] in live:
+                continue
+            sp = root / dv["sidecar"]
+            if not sp.resolve().is_relative_to(root.resolve()):
+                continue  # cloned sidecar: the source owns it
+            if sp.exists():
+                deleted += sum(1 for _ in sp.rglob("*.parquet"))
+                shutil.rmtree(sp)
         m.unlink()
         # NOTE: the dropped version's outgoing chain link (c<v>) is
         # deliberately KEPT. Links are the linearization history: a

@@ -356,12 +356,16 @@ def stats_from_snapshot(
     :func:`collect_stats` when a skew decision is on the table.
     """
     from group5_spark.medallion.snapshots import (
+        entry_rows,
         kmv_ndv_estimate,
         snapshot_manifest,
     )
 
     m = snapshot_manifest(path, version)
-    rows = sum(int(e.get("rows", 0)) for e in m["files"])
+    # LOGICAL rows: a deletion-vector entry contributes its live count
+    # (physical minus masked) — planning from physical rows would
+    # overestimate a heavily-masked table and demote broadcasts
+    rows = sum(entry_rows(e) for e in m["files"])
     disk = sum(int(e["bytes"]) for e in m["files"])
     ndv = 0
     hashes: tuple = ()

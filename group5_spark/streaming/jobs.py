@@ -322,6 +322,7 @@ def stream_upsert_snapshot(
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
     app_id: str | None = None,
+    dv_threshold: float | None = None,
 ) -> StreamingQuery:
     """Continuously upsert a change stream into a SNAPSHOT table —
     :func:`stream_upsert` with the lakehouse contract the Hive-layout
@@ -353,6 +354,13 @@ def stream_upsert_snapshot(
     from kilobytes of metadata — the CDC batch is priced by the keys
     it touches, not the table. Blocks until the AvailableNow drain
     completes.
+
+    ``dv_threshold`` forwards to :func:`snapshot_merge`'s
+    merge-on-read path: per-batch matched rows below the per-file
+    fraction mask positions in a deletion-vector sidecar instead of
+    rewriting the file — the steady-state CDC write cost becomes ∝
+    batch size even when each batch's keys scatter across large
+    files. Schedule ``compact_snapshot`` to fold accumulated DVs.
     """
     from pyspark.sql import Window
 
@@ -387,6 +395,7 @@ def stream_upsert_snapshot(
             bloom_cols=bloom_cols,
             validate_source_keys=False,  # dedup above guarantees it
             note={"app_id": app, "batch_id": batch_id},
+            dv_threshold=dv_threshold,
         )
 
     query = (
