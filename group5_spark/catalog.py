@@ -44,6 +44,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # a catalog dir may hold SNAPSHOT-managed tables ({dir}/{name} with
+    # a manifest) instead of plain {name}.parquet files — read through
+    # the manifest so versioning, deletion vectors, and file pruning
+    # apply, and so the advisor can plan from the same manifest's
+    # write-time statistics with zero extra scans (auto-discovered in
+    # queries._manifest_stats; spark.group5.advisor.stats_dir overrides)
+    from pathlib import Path
+
+    if (Path(sf_dir) / name / "_manifests").is_dir():
+        from group5_spark.medallion.snapshots import snapshot_read
+
+        return snapshot_read(spark, f"{sf_dir}/{name}")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")

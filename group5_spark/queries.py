@@ -165,17 +165,26 @@ def _lsh_candidate_word_pairs(
     )
 
 
-def _manifest_stats(spark: SparkSession, table: str, key: str):
+def _manifest_stats(
+    spark: SparkSession, table: str, key: str, sf_dir: str | None = None
+):
     """Manifest-backed TableStats for ``table`` (planning key
-    ``key``) from the ``ADVISOR_STATS_DIR_CONF`` snapshot root, or
-    None when the conf is unset / the table isn't snapshot-managed
-    there — the caller then lets ``stat_join`` pay the runtime scan."""
-    root = spark.conf.get(ADVISOR_STATS_DIR_CONF, None)
-    if not root:
-        return None
+    ``key``): the ``ADVISOR_STATS_DIR_CONF`` snapshot root when set,
+    else AUTO-DISCOVERED from the query's own input dir — when
+    ``{sf_dir}/{table}`` is itself a snapshot table (the layout
+    ``catalog.load_table`` reads through the manifest), its write-time
+    stats are the statistics OF the exact frame being planned, so
+    manifest planning is on by default with the conf as override.
+    None when neither root is snapshot-managed — the caller then lets
+    ``stat_join`` pay the runtime scan."""
     from group5_spark.plans.advisor import snapshot_side_stats
 
-    return snapshot_side_stats(root, table, key)
+    root = spark.conf.get(ADVISOR_STATS_DIR_CONF, None)
+    if root:
+        return snapshot_side_stats(root, table, key)
+    if sf_dir is not None:
+        return snapshot_side_stats(sf_dir, table, key)
+    return None
 
 
 # --------------------------------------------------------------------
@@ -6147,8 +6156,8 @@ def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         # promote an oversized side into a broadcast OOM. The
         # synthesized partsupp bridge has no manifest and pays the
         # runtime scan either way.
-        parts_st = _manifest_stats(spark, "part", "p_partkey")
-        elig_st = _manifest_stats(spark, "supplier", "s_suppkey")
+        parts_st = _manifest_stats(spark, "part", "p_partkey", sf_dir)
+        elig_st = _manifest_stats(spark, "supplier", "s_suppkey", sf_dir)
         cand, _ = stat_join(
             ps.withColumnRenamed("ps_partkey", "p_partkey"),
             parts,
@@ -6664,12 +6673,12 @@ def advisor_planned_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = load_table(spark, sf_dir, "nation")
 
     # manifest-backed planning stats (None → stat_join scans that side)
-    li_ok = _manifest_stats(spark, "lineitem", "l_orderkey")
-    li_sk = _manifest_stats(spark, "lineitem", "l_suppkey")
-    or_ok = _manifest_stats(spark, "orders", "o_orderkey")
-    or_ck = _manifest_stats(spark, "orders", "o_custkey")
-    sup_st = _manifest_stats(spark, "supplier", "s_suppkey")
-    cust_st = _manifest_stats(spark, "customer", "c_custkey")
+    li_ok = _manifest_stats(spark, "lineitem", "l_orderkey", sf_dir)
+    li_sk = _manifest_stats(spark, "lineitem", "l_suppkey", sf_dir)
+    or_ok = _manifest_stats(spark, "orders", "o_orderkey", sf_dir)
+    or_ck = _manifest_stats(spark, "orders", "o_custkey", sf_dir)
+    sup_st = _manifest_stats(spark, "supplier", "s_suppkey", sf_dir)
+    cust_st = _manifest_stats(spark, "customer", "c_custkey", sf_dir)
     # intermediate after li⋈orders keeps lineitem's cardinality (FK
     # join); its l_suppkey stats ARE lineitem's, its c_custkey NDV and
     # sketch come from orders' o_custkey

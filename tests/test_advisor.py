@@ -654,3 +654,91 @@ def test_snapshot_side_stats_none_without_manifest(tmp_path):
     from group5_spark.plans.advisor import snapshot_side_stats
 
     assert snapshot_side_stats(str(tmp_path), "nope", "k") is None
+
+
+# ------------- auto-discovered manifest stats (round 6) -------------
+
+
+@pytest.fixture(scope="module")
+def snapshot_catalog(spark, sf_dir, tmp_path_factory):
+    """A catalog dir whose tables ARE snapshot tables ({dir}/{name}
+    with a manifest, KMV sketches on the join keys) — the layout
+    load_table reads through the manifest and _manifest_stats
+    auto-discovers without any conf."""
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    root = tmp_path_factory.mktemp("snap_catalog")
+    for tbl, keys in {
+        "lineitem": ["l_orderkey", "l_suppkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "supplier": ["s_suppkey"],
+        "customer": ["c_custkey"],
+        "nation": [],
+    }.items():
+        snapshot_commit(
+            load_table(spark, sf_dir, tbl),
+            str(root / tbl),
+            ndv_cols=keys or None,
+        )
+    return str(root)
+
+
+def test_autodiscovered_manifest_stats_zero_jobs_no_conf(
+    spark, sf_dir, snapshot_catalog, monkeypatch
+):
+    """VERDICT #7 done-criterion: when the query's own input dir IS a
+    snapshot catalog, manifest planning engages with NO
+    advisor.stats_dir conf — collect_stats is never called (patched to
+    fail), plan building launches no more jobs than the hand-hinted
+    build, and results match the plain-parquet run exactly."""
+    from group5_spark.plans import advisor as A
+    from group5_spark.plans.advisor import collect_stats
+    from group5_spark.queries import ADVISOR_CONF, QUERIES
+
+    sc = spark.sparkContext
+    want = sorted(
+        map(tuple, QUERIES["nation_trade_volume"](spark, sf_dir).collect())
+    )
+    sc.setJobGroup("auto-baseline", "hand-hinted plan build")
+    QUERIES["nation_trade_volume"](spark, snapshot_catalog)
+    baseline_jobs = len(sc.statusTracker().getJobIdsForGroup("auto-baseline"))
+    sc.setJobGroup("", "")
+
+    monkeypatch.setattr(
+        A, "collect_stats",
+        lambda *a, **kw: pytest.fail(
+            "auto-discovery missed: a stats scan ran with no conf set"
+        ),
+    )
+    spark.conf.set(ADVISOR_CONF, "true")
+    assert spark.conf.get("spark.group5.advisor.stats_dir", None) is None
+    try:
+        sc.setJobGroup("auto-planning", "auto-discovered manifest planning")
+        df = QUERIES["advisor_planned_trade_volume"](spark, snapshot_catalog)
+        planning_jobs = len(
+            sc.statusTracker().getJobIdsForGroup("auto-planning")
+        )
+        sc.setJobGroup("", "")
+        assert planning_jobs <= baseline_jobs
+        assert I.num_broadcast_joins(df) >= 4
+        monkeypatch.setattr(A, "collect_stats", collect_stats)
+        assert sorted(map(tuple, df.collect())) == want
+    finally:
+        spark.conf.set(ADVISOR_CONF, "false")
+        sc.setJobGroup("", "")
+
+
+def test_conf_overrides_autodiscovery(spark, sf_dir, snapshot_catalog):
+    """An explicit stats_dir conf wins over the input-dir fallback."""
+    from group5_spark.queries import ADVISOR_STATS_DIR_CONF, _manifest_stats
+
+    spark.conf.set(ADVISOR_STATS_DIR_CONF, str(snapshot_catalog))
+    try:
+        # conf root hit: manifest stats resolve even though sf_dir has
+        # no snapshot tables
+        st = _manifest_stats(spark, "lineitem", "l_orderkey", sf_dir)
+        assert st is not None and st.rows > 0 and st.key_ndv > 0
+    finally:
+        spark.conf.unset(ADVISOR_STATS_DIR_CONF)
+    # no conf + plain-parquet sf_dir: no manifest stats (runtime path)
+    assert _manifest_stats(spark, "lineitem", "l_orderkey", sf_dir) is None
