@@ -131,6 +131,8 @@ def cap_group_sizes(
     key_cols: list[str],
     cap: int,
     observation=None,
+    sample_to: int | None = None,
+    order_col: str = "id",
 ) -> DataFrame:
     """Drop every group (by ``key_cols``) with more than ``cap`` rows
     — the mega-bucket guard every blocked pair-generator needs at
@@ -142,6 +144,16 @@ def cap_group_sizes(
     SAME key the downstream self-join shuffles on — AQE coalesces the
     two exchanges, so the guard adds no extra shuffle.
 
+    ``sample_to=k`` softens the guard (FAISS ``max_codes`` spirit):
+    an over-cap group is SAMPLED down to its k hash-first members
+    instead of vanishing, so pathological buckets keep partial
+    in-bucket recall at a bounded k² pair cost. The sample is
+    DETERMINISTIC — rank by ``xxhash64(order_col, keys)`` inside the
+    group — so reruns, retries, and the incremental index path all
+    keep the same members (a random sample would make near-dup output
+    nondeterministic across retries). Groups at or under ``cap`` are
+    never touched by either mode.
+
     Opt-in everywhere (callers default to no cap) so exact oracles
     stay exact. When ``observation`` (a :class:`pyspark.sql.
     Observation`) is passed, the dropped/seen row counts ride on the
@@ -152,13 +164,33 @@ def cap_group_sizes(
 
     w = Window.partitionBy(*key_cols)
     sized = df.withColumn("_gsz", F.count(F.lit(1)).over(w))
+    if sample_to is None:
+        keep = F.col("_gsz") <= cap
+        if observation is not None:
+            sized = sized.observe(
+                observation,
+                F.sum((~keep).cast("long")).alias("rows_dropped"),
+                F.count(F.lit(1)).alias("rows_seen"),
+            )
+        return sized.filter(keep).drop("_gsz")
+    if sample_to > cap:
+        raise ValueError(
+            f"sample_to ({sample_to}) must be <= cap ({cap}) — a sample "
+            "larger than the cap would never engage"
+        )
+    wr = w.orderBy(
+        F.xxhash64(F.col(order_col), *[F.col(c) for c in key_cols]),
+        F.col(order_col),  # hash-collision tie-break keeps rank total
+    )
+    sized = sized.withColumn("_grk", F.row_number().over(wr))
+    keep = (F.col("_gsz") <= cap) | (F.col("_grk") <= sample_to)
     if observation is not None:
         sized = sized.observe(
             observation,
-            F.sum((F.col("_gsz") > cap).cast("long")).alias("rows_dropped"),
+            F.sum((~keep).cast("long")).alias("rows_dropped"),
             F.count(F.lit(1)).alias("rows_seen"),
         )
-    return sized.filter(F.col("_gsz") <= cap).drop("_gsz")
+    return sized.filter(keep).drop("_gsz", "_grk")
 
 
 def jaccard_pairs(
@@ -331,6 +363,7 @@ def lsh_band_buckets(
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
     observation=None,
+    sample_bucket_to: int | None = None,
 ) -> DataFrame:
     """The LSH *index rows* for a corpus: one ``(id, band, bucket)``
     row per document per band (documents sharing any (band, bucket)
@@ -374,7 +407,8 @@ def lsh_band_buckets(
     )
     if max_bucket_size is not None:
         out = cap_group_sizes(
-            out, ["band", "bucket"], max_bucket_size, observation
+            out, ["band", "bucket"], max_bucket_size, observation,
+            sample_to=sample_bucket_to,
         )
     return out
 
@@ -390,6 +424,7 @@ def minhash_lsh_pairs(
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
     observation=None,
+    sample_bucket_to: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-duplicate pairs (shingle → minhash → band →
     bucket-join → verify).
@@ -407,7 +442,8 @@ def minhash_lsh_pairs(
     """
     buckets = lsh_band_buckets(
         df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn,
-        max_bucket_size=max_bucket_size, observation=observation)
+        max_bucket_size=max_bucket_size, observation=observation,
+        sample_bucket_to=sample_bucket_to)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -457,6 +493,7 @@ def incremental_near_dups(
     hash_fn: str = "xxhash64",
     max_bucket_size: int | None = None,
     observation=None,
+    sample_bucket_to: int | None = None,
 ) -> DataFrame:
     """Near-duplicates of a NEW batch against an EXISTING corpus using
     the corpus's persisted LSH band-bucket index — the every-crawl
@@ -479,7 +516,10 @@ def incremental_near_dups(
     bucket) before the probe join — the probe-path mega-bucket guard:
     an m-doc boilerplate bucket in the index turns every batch doc
     that lands in it into m candidates, so one hot bucket prices the
-    whole probe. The batch side is already bounded by the batch. See
+    whole probe. The batch side is already bounded by the batch.
+    ``sample_bucket_to=k`` keeps a deterministic k-member sample of an
+    over-cap bucket instead of dropping it (partial recall inside
+    pathological buckets at ≤ k candidates per probe doc). See
     :func:`cap_group_sizes` for the dropped/seen metric contract.
 
     Returns ``(id_new, id_corpus, jaccard)`` pairs at/above
@@ -490,7 +530,8 @@ def incremental_near_dups(
             corpus_df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)
     if max_bucket_size is not None:
         corpus_index = cap_group_sizes(
-            corpus_index, ["band", "bucket"], max_bucket_size, observation
+            corpus_index, ["band", "bucket"], max_bucket_size, observation,
+            sample_to=sample_bucket_to,
         )
     new_buckets = lsh_band_buckets(
         new_df, id_col, text_col, num_hashes, bands, shingle_n, hash_fn)

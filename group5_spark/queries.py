@@ -7307,72 +7307,275 @@ def variant_bronze_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------
+# Round 6: the DML surface under the driver's value gate — deletion-
+# vector reads, full-sync (BY SOURCE) merge, and ordered WHEN MATCHED
+# clauses, each replayed against a plain-SQL DuckDB oracle. Reference
+# parity: the reference's warehouse MERGE family
+# (dag_streamflow_warehouse.py:118-126) is full-rewrite Snowflake SQL;
+# these queries prove the snapshot engine's file-pruned / merge-on-read
+# equivalents return identical rows.
+# --------------------------------------------------------------------
+
+
+def _dml_scratch(name: str, sf_dir: str) -> str:
+    """Deterministic per-(query, sf) scratch root for DML queries —
+    rebuilt from the source tables on every run, so the driver's
+    value hash is a pure function of the inputs."""
+    import re as _re
+
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    return f"/tmp/group5_dml/{name}_{tag}"
+
+
+@register(
+    "dv_delete_survivors",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_total
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+      AND NOT (o_totalprice < 30000.0)
+    GROUP BY o_orderstatus
+    """,
+)
+def dv_delete_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-vector DML under the value gate: the 1995 orders land
+    in a snapshot table, a sub-threshold DELETE masks the cheap orders
+    via a positional sidecar (NO file is rewritten — asserted), and
+    the merge-on-read scan must return exactly what a plain SQL filter
+    returns. At 100 TB this is the right-to-be-forgotten delete priced
+    by the matched rows: kilobytes of sidecar against terabytes of
+    carried-by-reference data, with the read-side anti-join proven
+    row-exact here.
+    """
+    import shutil as _shutil
+
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    path = _dml_scratch("dv_delete_survivors", sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    snapshot_commit(
+        orders.repartitionByRange(2, "o_orderkey"),
+        path,
+        stats_cols=["o_orderkey", "o_totalprice"],
+    )
+    res = snapshot_delete(
+        spark, path, [("o_totalprice", "<", 30000.0)], dv_threshold=0.95
+    )
+    if res["files_rewritten"] or not res["files_masked"]:
+        raise RuntimeError(
+            f"DV path did not engage: {res} — the query exists to gate "
+            "the merge-on-read read path, not the rewrite path"
+        )
+    return (
+        snapshot_read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC2))
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "merge_full_sync_status",
+    """
+    SELECT o_orderstatus,
+           'SYNCED' AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_total
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+      AND o_totalprice >= 50000.0
+    GROUP BY o_orderstatus
+    """,
+)
+def merge_full_sync_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WHEN NOT MATCHED BY SOURCE under the value gate: the 1995
+    orders are the target, the >= 50k subset is the source batch, and
+    one MERGE both stamps every surviving row (matched UPDATE SET) and
+    deletes every target row the source no longer names (the
+    Snowflake/Delta full-sync CDC pattern the reference's silver MERGE
+    family implies). The final table must equal the source predicate
+    applied in plain SQL — proving the by-source clause scanned files
+    the source keys never touched.
+    """
+    import shutil as _shutil
+
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    path = _dml_scratch("merge_full_sync_status", sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    snapshot_merge(  # initial load through the same DML surface
+        spark,
+        path,
+        orders.repartitionByRange(2, "o_orderkey"),
+        keys=["o_orderkey"],
+        validate_source_keys=False,
+    )
+    src = orders.filter(F.col("o_totalprice") >= 50000.0)
+    snapshot_merge(
+        spark,
+        path,
+        src,
+        keys=["o_orderkey"],
+        update_set={"o_orderpriority": "'SYNCED'"},
+        when_not_matched_by_source="delete",
+        validate_source_keys=False,
+    )
+    return (
+        snapshot_read(spark, path)
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC2))
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+
+
+@register(
+    "merge_tiered_clauses",
+    """
+    SELECT CASE WHEN o_totalprice >= 200000.0 THEN 'TIER-HIGH'
+                ELSE o_orderpriority END AS priority,
+           COUNT(*) AS n_orders
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+      AND NOT (o_totalprice < 10000.0)
+    GROUP BY 1
+    """,
+)
+def merge_tiered_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple ORDERED ``WHEN MATCHED`` clauses under the value gate:
+    one MERGE of the 1995 orders onto themselves where the FIRST
+    matching clause wins per row — sub-10k orders are deleted, >= 200k
+    orders are re-prioritized, and the middle band falls through both
+    conditions and keeps its row untouched. The surviving table must
+    equal the plain-SQL CASE over the same predicate — Delta's
+    ordered-clause rule, value-hashed.
+    """
+    import shutil as _shutil
+
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    path = _dml_scratch("merge_tiered_clauses", sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    snapshot_merge(
+        spark,
+        path,
+        orders.repartitionByRange(2, "o_orderkey"),
+        keys=["o_orderkey"],
+        validate_source_keys=False,
+    )
+    snapshot_merge(
+        spark,
+        path,
+        orders,
+        keys=["o_orderkey"],
+        matched_clauses=[
+            {"condition": "src.o_totalprice < 10000.0", "action": "delete"},
+            {
+                "condition": "src.o_totalprice >= 200000.0",
+                "action": "update",
+                "set": {"o_orderpriority": "'TIER-HIGH'"},
+            },
+        ],
+        when_not_matched="ignore",
+        validate_source_keys=False,
+    )
+    return (
+        snapshot_read(spark, path)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 # The driver oracle-checks the FIRST 50 registered queries each round.
-# After round 4, cumulative driver-green evidence covers 144/145
-# queries (everything but the rows-only-by-design sketch_scale_stats),
-# so the round-5 window is a pure FRESHNESS rotation: the one new
-# round-5 query (VariantType bronze), then every query whose NEWEST
-# driver evidence is round 1 (3) or round 2 (44), topped up with the
-# two most pipeline-critical round-3 rows (the persisted-IVF probe
-# and the contamination check). After this round no query's newest
-# evidence is older than round 3. Every name below is green in
-# tools/check_oracle.py --strict (the driver-replica comparator,
-# array-intolerant exactly like the driver) before this window ships.
+# Cumulative driver-green evidence covers every query except the
+# rows-only-by-design sketch_scale_stats, so the round-6 window is:
+# the three NEW round-6 DML queries (never driver-checked), then ALL
+# 45 queries whose newest driver evidence is round 3 (the oldest
+# cohort), topped up with the two most load-bearing round-4 rows (the
+# flagship scan-agg and the conversion-rate measure). After this round
+# no query's newest evidence is older than round 4 (= 2 rounds old).
+# Every name below is green in tools/check_oracle.py --strict (the
+# driver-replica comparator, array-intolerant exactly like the driver)
+# before this window ships.
 _CHECK_WINDOW = [
-    # new in round 5 — never driver-checked
-    "variant_bronze_extract",
-    # newest driver evidence is round 1 — oldest first
-    "top_customers",
-    "avg_order_value",
-    "pct_revenue_by_segment",
-    # newest driver evidence is round 2
-    "asof_last_click_before_error",
-    "brand_market_share",
-    "cheapest_shipment_per_part",
-    "cohort_weekly_retention",
-    "column_ops_showcase",
-    "customer_order_counts",
-    "customer_rfm_segments",
-    "daily_revenue",
-    "dedup_embedding_cosine",
-    "disjunctive_brand_revenue",
-    "doc_frequency_top_words",
-    "doc_pipeline_filtered_corpus",
-    "events_props_sum",
-    "forecast_revenue_change",
-    "funnel_steps",
-    "having_heavy_brands",
-    "hopping_event_counts",
-    "in_subquery_big_orders",
-    "large_volume_customers",
-    "lead_lag_daily_revenue",
-    "moving_avg_7d",
-    "mtd_revenue",
-    "multimodal_decode_features",
-    "order_count_distribution",
-    "percentiles_by_segment",
-    "profit_by_nation_year",
-    "promo_revenue_share",
-    "repeat_orders_within_3d",
-    "returned_item_customers",
-    "revenue_by_nation",
-    "rollup_revenue",
-    "running_revenue",
-    "sessionized_event_counts",
-    "shipping_priority",
-    "small_quantity_revenue",
-    "sql_surface_revenue",
-    "stratified_doc_sample",
-    "supplier_counts_by_part",
-    "text_token_count",
-    "top_supplier_by_revenue",
-    "train_val_test_split",
-    "tumbling_hourly_events",
-    "unpivot_money_components",
-    "yoy_revenue",
-    # round-3 refreshers: the persisted-index ANN probe + decontam
-    "sim_ivf_topk",
-    "contamination_check",
+    # new in round 6 — never driver-checked
+    "dv_delete_survivors",
+    "merge_full_sync_status",
+    "merge_tiered_clauses",
+    # newest driver evidence is round 3 — full cohort
+    "bigram_top_counts",
+    "boilerplate_ngram_fraction",
+    "brand_customer_overlap",
+    "corpus_quality_gate",
+    "crossmodal_dup_agreement",
+    "dedup_cluster_representatives",
+    "dedup_clusters",
+    "dedup_incremental_new",
+    "dq_orders_checks",
+    "embedding_norm_stats",
+    "excess_parts_suppliers",
+    "fuzzy_part_name_pairs",
+    "gap_filled_daily_revenue",
+    "global_top_orders",
+    "grouping_sets_revenue",
+    "important_stock_share",
+    "kmeans_embedding_clusters",
+    "kmv_distinct_estimate",
+    "kmv_users_by_event_type",
+    "kmv_weekly_rollup",
+    "lang_temperature_resample",
+    "latest_event_per_user",
+    "mad_order_value_by_segment",
+    "moving_avg_7d_range",
+    "multimodal_audio_features",
+    "multimodal_video_features",
+    "mv_filtered_status_revenue",
+    "mv_star_segment_revenue",
+    "nation_supply_value_share",
+    "native_session_windows",
+    "ohlc_hourly_value",
+    "ordered_funnel_users",
+    "packed_sequence_bins",
+    "per_source_doc_cap",
+    "pii_redaction_report",
+    "revenue_pareto_share",
+    "salted_segment_revenue",
+    "stats_price_quantity",
+    "text_unigram_logprob",
+    "tfidf_top_terms",
+    "trailing_7d_active_users",
+    "user_active_coverage",
+    "window_navigation_showcase",
+    "winsorized_order_stats",
+    "word_position_stats",
+    # round-4 refreshers: the flagship scan-agg + conversion measure
+    "pricing_summary",
+    "conversion_rate",
 ]
 
 

@@ -92,6 +92,62 @@ def test_lsh_bucket_cap_drops_mega_bucket_keeps_recall(spark):
     assert capped == uncapped
 
 
+def test_lsh_sampled_mega_bucket_keeps_partial_recall(spark):
+    """sample_bucket_to=k (round-6 stretch): the same adversarial
+    400-identical-doc corpus, but over-cap buckets keep a
+    DETERMINISTIC k-member sample instead of vanishing — nonzero
+    recall INSIDE the pathological group at a bounded pair count,
+    honest pairs untouched, and the sample stable across reruns."""
+    from pyspark.sql import Observation
+
+    patho = " ".join(f"w{i}" for i in range(30))
+    rows = [(f"p{i:04d}", patho) for i in range(400)]
+    for j in range(20):
+        t = " ".join(f"u{j}x{k}" for k in range(30))
+        rows += [(f"n{j:02d}a", t), (f"n{j:02d}b", t)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    k = 10
+    obs = Observation("lsh_sample")
+    kept = dedup.lsh_band_buckets(
+        df, max_bucket_size=50, sample_bucket_to=k, observation=obs
+    )
+    kept_rows = kept.count()
+    # honest rows all kept; each over-cap (band, bucket) keeps exactly k
+    assert kept_rows == 40 * 4 + k * 4
+    assert obs.get == {
+        "rows_dropped": (400 - k) * 4,
+        "rows_seen": 440 * 4,
+    }
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            df, threshold=0.9, max_bucket_size=50, sample_bucket_to=k
+        ).collect()
+    }
+    honest_pairs = {(f"n{j:02d}a", f"n{j:02d}b") for j in range(20)}
+    in_bucket = pairs - honest_pairs
+    assert honest_pairs <= pairs  # honest recall unchanged
+    # NONZERO recall inside the mega-bucket, bounded by C(k,2) PER
+    # BAND (each band hashes its own sample, so up to bands × C(k,2)
+    # distinct pairs overall — vs C(400,2) = 79,800 uncapped)
+    assert in_bucket
+    assert all(a.startswith("p") and b.startswith("p") for a, b in in_bucket)
+    assert len(in_bucket) <= 4 * (k * (k - 1) // 2)
+    # deterministic: a rerun keeps the identical sample → same pairs
+    rerun = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            df, threshold=0.9, max_bucket_size=50, sample_bucket_to=k
+        ).collect()
+    }
+    assert rerun == pairs
+    # guard: a sample larger than the cap is a misconfiguration
+    with pytest.raises(ValueError, match="sample_to"):
+        dedup.cap_group_sizes(df, ["doc_id"], cap=5, sample_to=6)
+
+
 def test_simhash_is_order_insensitive_ish(spark):
     df = spark.createDataFrame(
         [(1, "alpha beta gamma delta"), (2, "delta gamma beta alpha")],

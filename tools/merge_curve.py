@@ -23,9 +23,19 @@ Writes/merges the `fixed_batch_merge` key into SCALE_TRAINOPS.json
 (UPDATES the JSON in place — never rewrites the other orchestrators'
 keys).
 
+`--dv` runs the round-6 WIDE-FILE ladder instead: the same fixed CDC
+batch against tables with a FIXED file count whose files are N×
+wider, comparing rewrite-mode staged bytes against deletion-vector-
+mode staged+sidecar bytes. Rewrite cost grows with file width (a
+10-row match in a wider file re-encodes the whole file); DV cost
+tracks the MATCHED ROWS and stays flat — the write-amplification
+claim, measured. Writes `fixed_batch_merge_dv`.
+
 Usage:
     python tools/merge_curve.py            # scales 1 4 16 64
     python tools/merge_curve.py --one 16   # single scale (subprocess worker)
+    python tools/merge_curve.py --dv       # wide-file DV ladder
+    python tools/merge_curve.py --one-dv 16
 """
 
 from __future__ import annotations
@@ -125,6 +135,155 @@ def run_one(n: int) -> dict:
     }
 
 
+DV_FILES = 8  # fixed file count: scale widens files, not the manifest
+
+
+def run_one_dv(n: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import (
+        snapshot_clone,
+        snapshot_manifest,
+    )
+
+    materialize(n)
+    sf_dir = str(SCALE_ROOT / f"x{n:03d}")
+    tbl = SCALE_ROOT / f"_mergedvtbl_x{n:03d}"
+    spark = _spark(f"merge-dv-curve-x{n}")
+
+    if not (tbl / "_DONE").exists():
+        shutil.rmtree(tbl, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        snapshot_merge(
+            spark,
+            str(tbl),
+            # FIXED file count at every scale: each file holds N× the
+            # rows, which is exactly the regime where whole-file
+            # rewrite amplification hurts
+            orders.repartitionByRange(DV_FILES, "o_orderkey"),
+            keys=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+            validate_source_keys=False,
+        )
+        (tbl / "_DONE").touch()
+
+    base = load_table(spark, BASE_SF, "orders")
+    okey_max = base.agg(F.max("o_orderkey")).first()[0]
+    stride = max(1, okey_max // (N_UPDATES * 4))
+    updates = (
+        base.filter((F.col("o_orderkey") % (4 * stride)) == 0)
+        .limit(N_UPDATES)
+        .withColumn("o_orderpriority", F.lit("9-CDC-UPDATED"))
+    )
+    inserts = base.limit(N_INSERTS).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**13)
+    )
+    batch = updates.unionByName(inserts).cache()
+    batch.count()
+
+    def staged_and_sidecar_bytes(path: str, version: int) -> int:
+        m = snapshot_manifest(path, version)
+        parent_paths = {
+            e["path"]
+            for e in snapshot_manifest(path, m["parent"])["files"]
+        }
+        staged = sum(
+            int(e["bytes"])
+            for e in m["files"]
+            if e["path"] not in parent_paths
+        )
+        sidecar = 0
+        for e in m["files"]:
+            if e.get("dv"):
+                d = Path(path) / e["dv"]["sidecar"]
+                if d.is_dir():
+                    sidecar += sum(
+                        f.stat().st_size for f in d.rglob("*.parquet")
+                    )
+        return staged + sidecar
+
+    def timed(mode: str, dv_threshold):
+        clone = SCALE_ROOT / f"_mergedvtbl_clone_x{n:03d}"
+        shutil.rmtree(clone, ignore_errors=True)
+        snapshot_clone(str(tbl), str(clone))
+        t0 = time.perf_counter()
+        res = snapshot_merge(
+            spark, str(clone), batch, keys=["o_orderkey"],
+            validate_source_keys=False, dv_threshold=dv_threshold,
+        )
+        secs = round(time.perf_counter() - t0, 3)
+        out = {
+            "seconds": secs,
+            "bytes_written": staged_and_sidecar_bytes(
+                str(clone), res["version"]
+            ),
+            "files_rewritten": res["files_rewritten"],
+            "files_masked": res.get("files_masked", 0),
+            "updated": res["updated"],
+            "inserted": res["inserted"],
+        }
+        shutil.rmtree(clone, ignore_errors=True)
+        return out
+
+    rewrite = timed("rewrite", None)
+    dv = timed("dv", 0.2)
+    batch.unpersist()
+
+    m = snapshot_manifest(str(tbl))
+    table_bytes = sum(int(e["bytes"]) for e in m["files"])
+    spark.stop()
+    return {
+        "scale": n,
+        "table_files": len(m["files"]),
+        "table_bytes": table_bytes,
+        "rewrite_mode": rewrite,
+        "dv_mode": dv,
+    }
+
+
+def main_dv() -> None:
+    runs = []
+    for n in SCALES:
+        print(f"=== dv scale x{n} ===", flush=True)
+        out = subprocess.run(
+            [sys.executable, __file__, "--one-dv", str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [
+            l for l in out.stdout.splitlines() if l.startswith("RESULT ")
+        ][-1]
+        runs.append(json.loads(line[len("RESULT "):]))
+        print(runs[-1], flush=True)
+    rec = {
+        "method": (
+            "same fixed CDC batch (2k updates + 500 inserts) merged "
+            "into an Nx orders table held at a FIXED 8-file layout "
+            "(files N× wider), via a zero-copy clone per run; "
+            "rewrite-mode bytes re-encode every matched file and grow "
+            "with file width, dv-mode bytes (staged rows + position "
+            "sidecar) track the matched rows and stay ~flat — "
+            "bytes_written ∝ matched rows, not matched files"
+        ),
+        "runs": runs,
+        "rewrite_bytes_exponent": _fit_exponent(
+            [(r["scale"], r["rewrite_mode"]["bytes_written"]) for r in runs]
+        ),
+        "dv_bytes_exponent": _fit_exponent(
+            [(r["scale"], r["dv_mode"]["bytes_written"]) for r in runs]
+        ),
+        "dv_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["dv_mode"]["seconds"]) for r in runs]
+        ),
+    }
+    path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
+    data = json.loads(path.read_text())
+    data["fixed_batch_merge_dv"] = rec
+    path.write_text(json.dumps(data, indent=1))
+    print(json.dumps(rec, indent=1))
+
+
 def _fit_exponent(points: list[tuple[int, float]]) -> float:
     xs = [math.log(p[0]) for p in points]
     ys = [math.log(max(p[1], 1e-6)) for p in points]
@@ -136,6 +295,12 @@ def _fit_exponent(points: list[tuple[int, float]]) -> float:
 def main() -> None:
     if len(sys.argv) > 2 and sys.argv[1] == "--one":
         print("RESULT " + json.dumps(run_one(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--one-dv":
+        print("RESULT " + json.dumps(run_one_dv(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--dv":
+        main_dv()
         return
     runs = []
     for n in SCALES:

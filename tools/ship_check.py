@@ -1,0 +1,101 @@
+"""Ship gate for the evidence artifacts (round-6 VERDICT #4).
+
+Round 5 shipped two documentation-integrity defects: a SCALE.md
+"measured" sentence citing a `SCALE_TRAINOPS.json` key that was never
+recorded, and a PLANS.md missing the newest plan-audited query. This
+checker makes both impossible to ship again:
+
+1. **Scale citations resolve.** Every ``SCALE_TRAINOPS.json:<key>`` /
+   ``SCALE_CURVE.json:<key>`` citation in SCALE.md must name a
+   top-level key that EXISTS in that JSON file — a "measured" claim
+   must point at recorded data in the same tree.
+2. **Plan audit is complete.** PLANS.md must contain a ``## <query>``
+   summary section for every plan-audited query (bench HEADLINE +
+   dump_plans EXTRA) — a new bench/audited query without a regenerated
+   PLANS.md fails the gate.
+
+Importable (``check(repo_root) -> list[str]`` of problems, empty when
+clean) and runnable (exit 1 with the problem list). Wired into the
+test suite (tests/test_ship_check.py) so `pytest` IS the ship gate.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+#: two citation shapes appear in SCALE.md: `SCALE_X.json:key` and
+#: "`SCALE_X.json` under `key`" — both must resolve
+_CITE_RE = re.compile(
+    r"SCALE_(TRAINOPS|CURVE)\.json(?::`?|`?\s+under\s+`)(\w+)"
+)
+
+
+def _scale_citation_problems(root: Path) -> list[str]:
+    scale_md = root / "SCALE.md"
+    if not scale_md.exists():
+        return []
+    data = {}
+    for name in ("TRAINOPS", "CURVE"):
+        p = root / f"SCALE_{name}.json"
+        try:
+            data[name] = json.loads(p.read_text())
+        except (FileNotFoundError, json.JSONDecodeError):
+            data[name] = {}
+    problems = []
+    for m in _CITE_RE.finditer(scale_md.read_text()):
+        which, key = m.group(1), m.group(2)
+        if key not in data[which]:
+            problems.append(
+                f"SCALE.md cites SCALE_{which}.json:{key} but the key is "
+                f"absent — record the measurement in the same commit as "
+                f"the claim"
+            )
+    return problems
+
+
+def _plan_audit_problems(
+    root: Path, required: list[str] | None = None
+) -> list[str]:
+    plans_md = root / "PLANS.md"
+    if not plans_md.exists():
+        return ["PLANS.md is missing — run tools/dump_plans.py"]
+    if required is None:
+        sys.path.insert(0, str(root))
+        sys.path.insert(0, str(root / "tools"))
+        from bench import HEADLINE  # noqa: E402
+
+        from dump_plans import EXTRA  # noqa: E402
+
+        required = [*HEADLINE, *EXTRA]
+    have = set(
+        re.findall(r"^## (\w+)$", plans_md.read_text(), flags=re.MULTILINE)
+    )
+    problems = []
+    for name in required:
+        if name not in have:
+            problems.append(
+                f"PLANS.md lacks a summary section for plan-audited "
+                f"query {name!r} — regenerate with tools/dump_plans.py"
+            )
+    return problems
+
+
+def check(repo_root: str | Path | None = None) -> list[str]:
+    root = Path(repo_root or Path(__file__).resolve().parent.parent)
+    return _scale_citation_problems(root) + _plan_audit_problems(root)
+
+
+def main() -> int:
+    problems = check()
+    for p in problems:
+        print(f"SHIP-CHECK FAIL: {p}")
+    if not problems:
+        print("ship-check: evidence artifacts consistent")
+    return 1 if problems else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
