@@ -103,15 +103,14 @@ def _dv_commit(
 
     from group5_spark.medallion import snapshots as snap
 
-    tbl_cols = (
-        [f["name"] for f in head["schema"]["fields"]]
-        if head.get("schema") is not None
-        else [
-            c
-            for c in frame.columns
-            if c not in ("_file", "_pos", "_mask", "_emit")
-        ]
-    )
+    # frame-derived, not head-schema-derived: under schema evolution
+    # the frame already carries the WIDENED column set the commit must
+    # stage (resolution/read preserved the table-then-appended order)
+    tbl_cols = [
+        c
+        for c in frame.columns
+        if c not in ("_file", "_pos", "_mask", "_emit")
+    ]
     frame = frame.persist()
     try:
         mask_counts = {
@@ -952,6 +951,7 @@ def snapshot_merge(
     bloom_cols: list[str] | None = None,
     key_probe_limit: int = 4096,
     dv_threshold: float | None = None,
+    schema_evolution: bool = False,
 ) -> dict:
     """MERGE INTO a snapshot table — the upsert the reference's
     warehouse runs as its core DML (Snowflake MERGE in the silver
@@ -1001,6 +1001,17 @@ def snapshot_merge(
     deleted, kept, files_rewritten, files_carried}`` — ``kept``
     counts only rows in rewritten files (carried files' rows are
     untouched by construction).
+
+    ``dv_threshold`` routes the write through the merge-on-read path
+    (see :func:`_dv_commit`): sub-threshold matched files carry
+    byte-untouched with a deletion-vector sidecar over the replaced
+    rows' positions, and only inserts + updated values stage as new
+    bytes. ``schema_evolution=True`` accepts SOURCE columns absent
+    from the table (Delta autoMerge): they append to the schema in
+    this commit's manifest, matched/kept target rows take NULL for
+    them unless updated, and pre-evolution files — carried by
+    reference — surface NULL on read; source batches missing TABLE
+    columns are still rejected (dropping data is never implicit).
     """
     from pyspark.sql import functions as F
 
@@ -1149,13 +1160,31 @@ def snapshot_merge(
     while True:
         head = snap.snapshot_manifest(path)
         version = head["version"]
+        evo_cols: list[tuple[str, str]] = []
         if head.get("schema") is not None:
             tbl_cols = [f["name"] for f in head["schema"]["fields"]]
-            if set(tbl_cols) != set(source.columns):
+            extra = [c for c in source.columns if c not in tbl_cols]
+            missing = sorted(set(tbl_cols) - set(source.columns))
+            if missing or (extra and not schema_evolution):
                 raise ValueError(
                     f"schema mismatch: table {sorted(tbl_cols)} "
                     f"vs source {sorted(source.columns)}"
+                    + (
+                        " (pass schema_evolution=True to append the "
+                        f"new source columns {extra})"
+                        if extra and not missing
+                        else ""
+                    )
                 )
+            if extra:
+                # Delta autoMerge semantics: new source columns APPEND
+                # to the table schema; the widened schema rides this
+                # commit's manifest, and pre-evolution files (carried
+                # by reference) surface NULL for the new columns on
+                # read — no data file is touched to evolve
+                src_types = dict(source.dtypes)
+                evo_cols = [(c, src_types[c]) for c in extra]
+                tbl_cols = tbl_cols + extra
         if partition_by and head.get("partition_by") != partition_by:
             raise ValueError(
                 f"table is partitioned by {head.get('partition_by')!r}; "
@@ -1248,6 +1277,8 @@ def snapshot_merge(
             target_df = _read_touched_entries(
                 spark, root, head, touched, with_lineage=True
             )
+            for c, t in evo_cols:
+                target_df = target_df.withColumn(c, F.lit(None).cast(t))
             resolved = resolve_merge_actions(
                 target_df, source, keys,
                 **_clause_kwargs(),
@@ -1292,6 +1323,8 @@ def snapshot_merge(
             }
 
         target_df = _read_touched_entries(spark, root, head, touched)
+        for c, t in evo_cols:
+            target_df = target_df.withColumn(c, F.lit(None).cast(t))
         resolved = resolve_merge_actions(
             target_df, source, keys, **_clause_kwargs()
         ).persist()

@@ -327,3 +327,96 @@ def test_dv_streaming_upsert_routes_masks(spark, tmp_path):
     got = snapshot_read(spark, t)
     assert got.count() == 5000
     assert got.filter("id = 2").collect()[0]["v"] == "UP"
+
+
+def test_change_feed_scoped_to_manifest_diff(spark, tmp_path):
+    """files_scope='changed' (round 6): the CDF reads ONLY the entries
+    that differ between the two manifests — an append to a many-file
+    table reads one file per side — and returns exactly what the
+    whole-table diff returns, including across a compaction that
+    moves rows between files without changing them."""
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    t = _table(spark, tmp_path, n=1000, files=4)
+    v0 = snapshot_manifest(t)["version"]
+    # append one small file
+    extra = spark.createDataFrame(
+        [(5000, 0, "new", 1)], ["id", "g", "v", "seq"]
+    )
+    snapshot_commit(extra, t, mode="append")
+    scoped = {
+        (r["id"], r["_change"])
+        for r in snapshot_changes(spark, t, ["id"], v_from=v0).collect()
+    }
+    full = {
+        (r["id"], r["_change"])
+        for r in snapshot_changes(
+            spark, t, ["id"], v_from=v0, files_scope="all"
+        ).collect()
+    }
+    assert scoped == full == {(5000, "insert")}
+    # compaction moves every row between files but changes none: the
+    # scoped diff reads everything (all entries differ) yet emits ZERO
+    # changes — no spurious insert/delete from file movement
+    v1 = snapshot_manifest(t)["version"]
+    compact_snapshot(spark, t, force=True)
+    assert snapshot_changes(spark, t, ["id"], v_from=v1).count() == 0
+    # and a DV delete after compaction surfaces as deletes either way
+    v2 = snapshot_manifest(t)["version"]
+    snapshot_delete(spark, t, [("id", "<", 3)], dv_threshold=0.5)
+    scoped2 = {
+        (r["id"], r["_change"])
+        for r in snapshot_changes(spark, t, ["id"], v_from=v2).collect()
+    }
+    assert scoped2 == {(0, "delete"), (1, "delete"), (2, "delete")}
+
+
+def test_merge_schema_evolution_appends_columns(spark, tmp_path):
+    """schema_evolution=True: new source columns append to the table
+    schema; pre-evolution rows surface NULL; a source missing TABLE
+    columns is still rejected; off by default."""
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], ["id", "v", "seq"]
+    )
+    snapshot_merge(spark, t, base, ["id"])
+    widened = spark.createDataFrame(
+        [(2, "B2", 2, "eu"), (3, "c", 1, "us")],
+        ["id", "v", "seq", "region"],
+    )
+    # default: loud mismatch naming the fix
+    with pytest.raises(ValueError, match="schema_evolution=True"):
+        snapshot_merge(spark, t, widened, ["id"])
+    out = snapshot_merge(
+        spark, t, widened, ["id"], schema_evolution=True
+    )
+    assert out["updated"] == 1 and out["inserted"] == 1
+    got = {
+        r["id"]: (r["v"], r["seq"], r["region"])
+        for r in snapshot_read(spark, t).collect()
+    }
+    assert got == {
+        1: ("a", 1, None),       # pre-evolution row: NULL for the new col
+        2: ("B2", 2, "eu"),      # updated row carries the new col
+        3: ("c", 1, "us"),       # inserted row carries the new col
+    }
+    # a later narrow batch (missing the table's region column) is
+    # rejected — dropping data is never implicit
+    with pytest.raises(ValueError, match="schema mismatch"):
+        snapshot_merge(spark, t, base, ["id"], schema_evolution=True)
+    # evolution composes with the DV path
+    wider2 = spark.createDataFrame(
+        [(1, "A3", 3, "ap", 9.5)], ["id", "v", "seq", "region", "score"]
+    )
+    out2 = snapshot_merge(
+        spark, t, wider2, ["id"], schema_evolution=True, dv_threshold=0.9
+    )
+    assert out2["updated"] == 1
+    got2 = {
+        r["id"]: (r["v"], r["region"], r["score"])
+        for r in snapshot_read(spark, t).collect()
+    }
+    assert got2[1] == ("A3", "ap", 9.5)
+    assert got2[2] == ("B2", "eu", None) and got2[3] == ("c", "us", None)
