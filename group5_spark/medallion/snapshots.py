@@ -1048,9 +1048,9 @@ def read_entries(
         StructType.fromJson(schema_json) if schema_json is not None else None
     )
     dv_entries = [e for e in entries if e.get("dv")]
-    need_meta = with_lineage or bool(dv_entries)
+    plain_entries = [e for e in entries if not e.get("dv")]
 
-    if not entries:
+    def _empty():
         if schema is None:
             raise ValueError(
                 "cannot synthesize an empty frame without a manifest schema"
@@ -1061,67 +1061,82 @@ def read_entries(
             out = out.withColumn("_pos", F.lit(None).cast("long"))
         return out
 
+    if not entries:
+        return _empty()
+
     def make_reader():
         r = spark.read
         if schema is not None:
             r = r.schema(schema)
         return r
 
-    def attach_meta(df):
-        if not need_meta:
-            return df
-        return df.select(
-            "*",
-            _norm_file_uri_col().alias("_dv_uri"),
-            F.col("_metadata.row_index").alias("_pos"),
-        )
+    def _read_group(subset: list[dict], need_meta: bool):
+        """One scan over ``subset``, with the per-staging-dir basePath
+        contract for Hive layouts; ``need_meta`` attaches the
+        normalized physical-file URI + row position and resolves them
+        to the manifest-relative ``_file``/``_pos`` identity."""
 
-    paths = [str(root / e["path"]) for e in entries]
-    if manifest.get("partition_by"):
-        # Hive-partitioned layout: the partition column lives in the
-        # directory names, so each staging dir is read with ITS OWN
-        # basePath (one basePath across several data-* dirs trips
-        # Spark's conflicting-directory check) and the groups union.
-        by_base: dict[str, list[str]] = {}
-        for f in paths:
-            fp = Path(f)
-            try:
-                base = str(root / fp.relative_to(root).parts[0])
-            except ValueError:
-                # cloned entry: an absolute path into the SOURCE table —
-                # its own staging dir (above the col=value dir) is the
-                # basePath that lets Spark reconstruct the partition col
-                base = str(
-                    fp.parent.parent if "=" in fp.parent.name else fp.parent
-                )
-            by_base.setdefault(base, []).append(f)
-        parts = [
-            attach_meta(make_reader().option("basePath", b).parquet(*fs))
-            for b, fs in sorted(by_base.items())
-        ]
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        if schema is not None:  # restore declared column order
-            extra = ["_dv_uri", "_pos"] if need_meta else []
-            df = df.select(*[f.name for f in schema.fields], *extra)
-    else:
-        df = attach_meta(make_reader().parquet(*paths))
+        def attach_meta(df):
+            if not need_meta:
+                return df
+            return df.select(
+                "*",
+                _norm_file_uri_col().alias("_dv_uri"),
+                F.col("_metadata.row_index").alias("_pos"),
+            )
 
-    if need_meta:
-        import os as _os
+        paths = [str(root / e["path"]) for e in subset]
+        if manifest.get("partition_by"):
+            # Hive-partitioned layout: the partition column lives in
+            # the directory names, so each staging dir is read with
+            # ITS OWN basePath (one basePath across several data-*
+            # dirs trips Spark's conflicting-directory check) and the
+            # groups union.
+            by_base: dict[str, list[str]] = {}
+            for f in paths:
+                fp = Path(f)
+                try:
+                    base = str(root / fp.relative_to(root).parts[0])
+                except ValueError:
+                    # cloned entry: an absolute path into the SOURCE
+                    # table — its own staging dir (above the col=value
+                    # dir) is the basePath that lets Spark reconstruct
+                    # the partition col
+                    base = str(
+                        fp.parent.parent
+                        if "=" in fp.parent.name
+                        else fp.parent
+                    )
+                by_base.setdefault(base, []).append(f)
+            parts = [
+                attach_meta(make_reader().option("basePath", b).parquet(*fs))
+                for b, fs in sorted(by_base.items())
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            if schema is not None:  # restore declared column order
+                extra = ["_dv_uri", "_pos"] if need_meta else []
+                df = df.select(*[f.name for f in schema.fields], *extra)
+        else:
+            df = attach_meta(make_reader().parquet(*paths))
 
-        # manifest-relative identity for every scan row: join the
-        # normalized physical URI to the (tiny, broadcast) entry map
-        mapping = spark.createDataFrame(
-            [
-                (_os.path.abspath(str(root / e["path"])), e["path"])
-                for e in entries
-            ],
-            "_dv_uri string, _file string",
-        )
-        df = df.join(F.broadcast(mapping), "_dv_uri").drop("_dv_uri")
+        if need_meta:
+            import os as _os
 
+            # manifest-relative identity for every scan row: join the
+            # normalized physical URI to the (tiny, broadcast) entry map
+            mapping = spark.createDataFrame(
+                [
+                    (_os.path.abspath(str(root / e["path"])), e["path"])
+                    for e in subset
+                ],
+                "_dv_uri string, _file string",
+            )
+            df = df.join(F.broadcast(mapping), "_dv_uri").drop("_dv_uri")
+        return df
+
+    masked = None
     if dv_entries:
         sidecars = sorted({e["dv"]["sidecar"] for e in dv_entries})
         pos = spark.read.parquet(*[str(root / s) for s in sidecars])
@@ -1157,11 +1172,27 @@ def read_entries(
         total_deleted = sum(int(e["dv"].get("deleted", 0)) for e in dv_entries)
         if total_deleted <= 4_000_000:
             pos = F.broadcast(pos)
-        df = df.join(pos, ["_file", "_pos"], "left_anti")
+        masked = _read_group(dv_entries, need_meta=True).join(
+            pos, ["_file", "_pos"], "left_anti"
+        )
+        if not with_lineage:
+            masked = masked.drop("_file", "_pos")
 
-    if not with_lineage and need_meta:
-        df = df.drop("_file", "_pos")
-    return df
+    # files WITHOUT a DV never pay the metadata/mapping/anti-join
+    # machinery — the common all-plain read is byte-identical to the
+    # pre-DV plan
+    plain = (
+        _read_group(plain_entries, need_meta=with_lineage)
+        if plain_entries
+        else None
+    )
+    if plain is None and masked is None:
+        return _empty()
+    if masked is None:
+        return plain
+    if plain is None:
+        return masked
+    return plain.unionByName(masked)
 
 
 def snapshot_read(

@@ -323,6 +323,7 @@ def stream_upsert_snapshot(
     bloom_cols: list[str] | None = None,
     app_id: str | None = None,
     dv_threshold: float | None = None,
+    schema_evolution: bool = False,
 ) -> StreamingQuery:
     """Continuously upsert a change stream into a SNAPSHOT table —
     :func:`stream_upsert` with the lakehouse contract the Hive-layout
@@ -396,6 +397,7 @@ def stream_upsert_snapshot(
             validate_source_keys=False,  # dedup above guarantees it
             note={"app_id": app, "batch_id": batch_id},
             dv_threshold=dv_threshold,
+            schema_evolution=schema_evolution,
         )
 
     query = (
