@@ -238,6 +238,7 @@ def ivm_refresh(
         }
 
     from group5_spark.medallion.snapshots import (
+        entry_eq_suffix,
         read_entries,
         snapshot_manifest,
     )
@@ -245,13 +246,23 @@ def ivm_refresh(
     old_m = snapshot_manifest(base_path, base_from)
     new_m = snapshot_manifest(base_path, base_to)
 
-    def ident(e: dict) -> tuple:
-        # (path, dv sidecar) IS the logical content identity: the same
-        # bytes under a different mask are a different logical file
-        return (e["path"], (e.get("dv") or {}).get("sidecar"))
+    def ident(e: dict, m: dict) -> tuple:
+        # (path, dv sidecar, eq-delete suffix) IS the logical content
+        # identity: the same bytes under a different positional mask —
+        # or with more equality-delete sidecars postdating them — are a
+        # different logical file. An eq-upsert therefore retracts every
+        # pre-existing file at its old mask and re-adds it at the new
+        # one (each side read through read_entries under its own
+        # manifest, so the respective masks apply) — the simple,
+        # provably-equivalent form, same as the DV path below.
+        return (
+            e["path"],
+            (e.get("dv") or {}).get("sidecar"),
+            entry_eq_suffix(m, e),
+        )
 
-    old_by = {ident(e): e for e in old_m["files"]}
-    new_by = {ident(e): e for e in new_m["files"]}
+    old_by = {ident(e, old_m): e for e in old_m["files"]}
+    new_by = {ident(e, new_m): e for e in new_m["files"]}
     added_entries = [e for k, e in sorted(new_by.items()) if k not in old_by]
     removed_entries = [e for k, e in sorted(old_by.items()) if k not in new_by]
 

@@ -26,7 +26,7 @@ from pathlib import Path
 
 from pyspark.sql import SparkSession
 
-__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "snapshot_update", "snapshot_merge", "table_health", "compact_snapshot_partitions", "apply_health"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
+__all__ = ["table_file_stats", "compact", "compact_snapshot", "snapshot_delete", "snapshot_update", "snapshot_merge", "snapshot_eq_upsert", "snapshot_eq_delete", "table_health", "compact_snapshot_partitions", "apply_health"]  # plus write_sorted/write_zorder/zorder_arranged/analyze_tables
 
 
 def _read_touched_entries(
@@ -354,6 +354,11 @@ def compact_snapshot(
         if (
             not cluster_cols
             and not force
+            # pending equality-delete masks always warrant a rewrite:
+            # the full overwrite below FOLDS them (reads run masked,
+            # the new manifest drops the sidecars — see the eq GC in
+            # snapshot_commit), ending the per-read anti-join rent
+            and not manifest.get("eq_deletes")
             and len(files) <= max(needed, min_files_to_compact)
         ):
             return {}
@@ -1363,6 +1368,183 @@ def snapshot_merge(
             "files_rewritten": len(touched),
             "files_carried": len(carried),
         }
+
+
+def snapshot_eq_upsert(
+    spark: SparkSession,
+    path: str,
+    source,
+    keys: list[str],
+    *,
+    sequence_col: str | None = None,
+    schema_evolution: bool = False,
+    note: dict | None = None,
+) -> dict:
+    """Zero-target-read streaming upsert (Iceberg-v2 EQUALITY
+    deletes): append the batch's rows as new data files and commit an
+    equality-delete sidecar of the batch's key tuples in the same
+    atomic version — every pre-existing row with one of those keys
+    stops being visible, WITHOUT the writer reading, bloom-probing,
+    or rewriting a single target file. Where :func:`snapshot_merge`
+    prices a CDC batch by the files it touches, this prices it by the
+    batch alone: commit cost is O(|batch|) and INDEPENDENT of table
+    size — the true high-frequency-ingest scale path. The deferred
+    cost moves to readers (one broadcast anti-join per eq commit,
+    see ``snapshots.read_entries``) until :func:`compact_snapshot`
+    folds the masks back into plain files; alternate cheap upserts
+    with periodic compaction.
+
+    Semantics: last-writer-wins by commit order (this commit's rows
+    replace ALL earlier rows sharing a key; its own rows and later
+    appends are never masked — write-sequence gating, see
+    ``snapshots._last_seq``). Out-of-order protection across batches
+    needs the read-side sequence gate of :func:`snapshot_merge`; this
+    writer can't compare against target rows it never reads.
+    ``sequence_col`` dedups WITHIN the batch (highest value per key
+    wins). Rows whose key columns are all-NULL can't match anything
+    and are appended as plain inserts (excluded from the sidecar).
+
+    ``schema_evolution=True`` lets the batch carry columns the table
+    lacks (appended after the table's columns, Delta autoMerge
+    style); without it, extra or missing columns raise.
+
+    Returns ``{version, rows_appended, delete_keys}``.
+    """
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion import snapshots as snap
+
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    missing = [k for k in keys if k not in source.columns]
+    if missing:
+        raise ValueError(f"source lacks key columns {missing}")
+    root = Path(path)
+    head_v = snap._current_version(root)
+    head = snap.snapshot_manifest(path, head_v) if head_v else {}
+
+    schema_json = head.get("schema")
+    if schema_json is not None:
+        tbl_cols = [f["name"] for f in schema_json["fields"]]
+        lacking = [c for c in tbl_cols if c not in source.columns]
+        extra = [c for c in source.columns if c not in tbl_cols]
+        if lacking:
+            raise ValueError(
+                f"source lacks table columns {lacking} — an append-"
+                "shaped upsert cannot drop columns"
+            )
+        if extra and not schema_evolution:
+            raise ValueError(
+                f"source adds columns {extra}; pass "
+                "schema_evolution=True to append them to the table "
+                "schema"
+            )
+        source = source.select(*tbl_cols, *extra)
+
+    if sequence_col is not None:
+        if sequence_col not in source.columns:
+            raise ValueError(f"sequence_col {sequence_col!r} not in source")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy(F.col(sequence_col).desc())
+        source = (
+            source.withColumn("_eq_rn", F.row_number().over(w))
+            .filter(F.col("_eq_rn") == 1)
+            .drop("_eq_rn")
+        )
+
+    # the sidecar: one row per distinct key tuple with any non-NULL
+    # component (equality can never match an all-NULL tuple). Written
+    # BEFORE the commit; reclaimed if the commit never lands.
+    eq_dir = f"eq-{uuid.uuid4().hex[:8]}"
+    del_keys = (
+        source.select(*keys)
+        .na.drop(how="all", subset=keys)
+        .dropDuplicates(keys)
+    )
+    del_keys.write.mode("error").parquet(str(root / eq_dir))
+    n_keys = sum(
+        snap._file_rows(f) for f in sorted((root / eq_dir).rglob("*.parquet"))
+    )
+    try:
+        v = snap.snapshot_commit(
+            source,
+            path,
+            mode="append",
+            eq_add={"sidecar": eq_dir, "keys": list(keys), "rows": n_keys},
+            note={"op": "eq_upsert", **(note or {})},
+        )
+    except BaseException:
+        shutil.rmtree(root / eq_dir, ignore_errors=True)
+        raise
+    new_m = snap.snapshot_manifest(path, v)
+    appended = sum(
+        int(e.get("rows", 0))
+        for e in new_m["files"]
+        if e.get("seq", 0) == new_m.get("last_seq")
+    )
+    return {"version": v, "rows_appended": appended, "delete_keys": n_keys}
+
+
+def snapshot_eq_delete(
+    spark: SparkSession,
+    path: str,
+    delete_keys,
+    keys: list[str] | None = None,
+    *,
+    note: dict | None = None,
+) -> dict:
+    """Zero-target-read DELETE by key set: commit ONLY an equality-
+    delete sidecar (no data files) masking every existing row whose
+    key tuple appears in ``delete_keys`` (a DataFrame of the key
+    columns; ``keys`` defaults to its columns). The GDPR/right-to-be-
+    forgotten fast path at 100 TB: cost is O(|keys|) regardless of
+    where the rows live — no probe, no rewrite; masks resolve at read
+    and fold at the next :func:`compact_snapshot`. All-NULL key
+    tuples are dropped (they can't match). Returns ``{version,
+    delete_keys}``."""
+    from pyspark.sql.types import StructType
+
+    from group5_spark.medallion import snapshots as snap
+
+    keys = list(keys or delete_keys.columns)
+    if not keys:
+        raise ValueError("keys must be non-empty")
+    root = Path(path)
+    head_v = snap._current_version(root)
+    if not head_v:
+        raise ValueError(f"{path} is not a snapshot table")
+    head = snap.snapshot_manifest(path, head_v)
+    if head.get("schema") is None:
+        raise ValueError(
+            "eq-delete needs a manifest schema to synthesize the "
+            "empty append (legacy pre-schema table — rewrite it once)"
+        )
+    eq_dir = f"eq-{uuid.uuid4().hex[:8]}"
+    dk = (
+        delete_keys.select(*keys)
+        .na.drop(how="all", subset=keys)
+        .dropDuplicates(keys)
+    )
+    dk.write.mode("error").parquet(str(root / eq_dir))
+    n_keys = sum(
+        snap._file_rows(f) for f in sorted((root / eq_dir).rglob("*.parquet"))
+    )
+    empty = spark.createDataFrame(
+        [], StructType.fromJson(head["schema"])
+    )
+    try:
+        v = snap.snapshot_commit(
+            empty,
+            path,
+            mode="append",
+            eq_add={"sidecar": eq_dir, "keys": keys, "rows": n_keys},
+            note={"op": "eq_delete", **(note or {})},
+        )
+    except BaseException:
+        shutil.rmtree(root / eq_dir, ignore_errors=True)
+        raise
+    return {"version": v, "delete_keys": n_keys}
 
 
 def compact_snapshot_partitions(

@@ -137,6 +137,38 @@ def _file_rows(path: Path) -> int:
     return int(pq.ParquetFile(str(path)).metadata.num_rows)
 
 
+def _last_seq(manifest: dict) -> int:
+    """The table's monotonic WRITE-SEQUENCE counter (Iceberg's
+    data-sequence-number): every commit stamps its staged entries with
+    ``last_seq + 1``, and an equality-delete sidecar committed at
+    sequence s applies to exactly the entries whose ``seq`` < s —
+    never to rows appended in the same or a later commit. Decoupled
+    from the version number so clones (which restart versions at 1
+    but inherit source entries with source sequences) stay ordered.
+    Legacy manifests default to their version; legacy entries default
+    to seq 0, which correctly predates every sidecar."""
+    return int(manifest.get("last_seq", manifest.get("version", 0) or 0))
+
+
+def entry_eq_suffix(manifest: dict, e: dict) -> tuple:
+    """The equality-delete sidecars that apply to manifest entry
+    ``e`` — those committed at a sequence AFTER the entry's rows were
+    written — as a sorted tuple of sidecar paths. Part of the entry's
+    logical-content identity: the same bytes under a longer suffix are
+    a different logical file (used by the change feed and IVM, which
+    must treat a grown suffix as removed-rows, exactly like a changed
+    deletion vector)."""
+    es = e.get("seq", 0)
+    return tuple(
+        d["sidecar"]
+        for d in sorted(
+            manifest.get("eq_deletes") or [],
+            key=lambda d: (d["seq"], d["sidecar"]),
+        )
+        if d["seq"] > es
+    )
+
+
 def _commit_kmv(df, ndv_cols: list[str], k: int = 256) -> dict:
     """Per-column KMV sketch of this commit's data: the k smallest
     distinct portable-hash values, JSON-storable and MERGEABLE —
@@ -437,6 +469,7 @@ def snapshot_commit(
     partition_by: str | None = None,
     carry_files: list[dict] | None = None,
     constraints: dict[str, str | None] | None = None,
+    eq_add: dict | None = None,
 ) -> int:
     """Write ``df`` as the next version of the table at ``path`` and
     return the new version number.
@@ -483,6 +516,20 @@ def snapshot_commit(
     drops a rule). A violating commit raises
     :class:`ConstraintViolation` and never becomes visible.
 
+    ``eq_add`` (mode='append' only): register an EQUALITY-DELETE
+    sidecar alongside this commit's staged rows —
+    ``{"sidecar": <table-relative dir of key-tuple parquet>,
+    "keys": [cols], "rows": n}``. The sidecar's key tuples stop being
+    visible in every entry written BEFORE this commit (strictly
+    smaller write sequence); this commit's own staged rows and all
+    later appends are untouched. This is the merge-on-read upsert
+    half (Iceberg v2 equality deletes): the writer never reads, probes
+    or rewrites a target file — see
+    :func:`maintenance.snapshot_eq_upsert`. Readers resolve the masks
+    (:func:`read_entries`); compaction folds them; a sidecar that no
+    longer applies to any entry is dropped from the manifest
+    automatically.
+
     The commit protocol is stage → claim manifest slot → claim chain
     link (the atomic commit point); a crash before the chain claim
     leaves the staged files invisible and the previous version intact
@@ -492,6 +539,11 @@ def snapshot_commit(
         raise ValueError(
             f"mode must be overwrite|append|replace_partitions, got {mode!r}"
         )
+    if eq_add is not None:
+        if mode != "append":
+            raise ValueError("eq_add is an append-mode primitive")
+        if not eq_add.get("sidecar") or not eq_add.get("keys"):
+            raise ValueError("eq_add requires 'sidecar' and 'keys'")
     if mode == "replace_partitions" and not partition_by:
         raise ValueError("replace_partitions requires partition_by=")
     if carry_files is not None and mode != "overwrite":
@@ -767,6 +819,38 @@ def snapshot_commit(
             entries = carried + staged
             # replaced rows invalidate any additive sketch merge
             table_kmv = {}
+        # Write-sequence bookkeeping (see _last_seq): the parent whose
+        # counter this commit extends is the one whose entries it
+        # carries — `prior` for append/replace_partitions, the (rebased)
+        # head for overwrite. Staged entries are stamped IN the retry
+        # loop: a rebase re-reads the parent, so the sequence stays
+        # strictly monotonic across races.
+        base_m = (
+            prior
+            if mode in ("append", "replace_partitions") and parent
+            else _head_manifest
+        )
+        seq = _last_seq(base_m) + 1
+        for e in staged:
+            e["seq"] = seq
+        # Equality-delete carry: masks survive every commit that keeps
+        # masked entries reachable (append, replace_partitions, and
+        # file-level rewrites via carry_files); a PLAIN overwrite is a
+        # logical replace, so nothing old remains for them to mask.
+        carried_eq = (
+            list(base_m.get("eq_deletes") or [])
+            if parent and (mode != "overwrite" or carry_files is not None)
+            else []
+        )
+        if eq_add is not None:
+            carried_eq = carried_eq + [{**eq_add, "seq": seq}]
+        # GC: a sidecar every remaining entry postdates masks nothing —
+        # a full rewrite (compaction) folds ALL masks this way.
+        live_eq = [
+            d
+            for d in carried_eq
+            if any(e.get("seq", 0) < d["seq"] for e in entries)
+        ]
         manifest = {
             "version": version,
             "parent": parent,
@@ -784,7 +868,10 @@ def snapshot_commit(
                 **(note or {}),
             },
             "files": entries,
+            "last_seq": seq,
         }
+        if live_eq:
+            manifest["eq_deletes"] = live_eq
         if table_kmv:
             manifest["kmv"] = table_kmv
         if effective_constraints:
@@ -1063,6 +1150,49 @@ def read_entries(
 
     if not entries:
         return _empty()
+
+    # Equality-delete masks (the zero-target-read upsert's read half):
+    # bucket entries by WHICH sidecars postdate them — sidecar sets are
+    # nested suffixes of the sequence-sorted list, so there are at most
+    # (#sidecars + 1) buckets, not one per entry — then anti-join each
+    # bucket once per distinct key set against the (small, broadcast)
+    # union of its applicable sidecars' key tuples. Entries no sidecar
+    # postdates (the common case, and every file after a compaction
+    # fold) recurse into the mask-free path below unchanged.
+    eq_all = sorted(
+        manifest.get("eq_deletes") or [],
+        key=lambda d: (d["seq"], d["sidecar"]),
+    )
+    if eq_all:
+        buckets: dict[int, list[dict]] = {}
+        for e in entries:
+            es = e.get("seq", 0)
+            i = 0
+            while i < len(eq_all) and eq_all[i]["seq"] <= es:
+                i += 1
+            buckets.setdefault(i, []).append(e)
+        inner = {k: v for k, v in manifest.items() if k != "eq_deletes"}
+        parts = []
+        for i, subset in sorted(buckets.items()):
+            df = read_entries(
+                spark, root, inner, subset, with_lineage=with_lineage
+            )
+            by_keys: dict[tuple, list[dict]] = {}
+            for d in eq_all[i:]:
+                by_keys.setdefault(tuple(d["keys"]), []).append(d)
+            cols_before = df.columns
+            for keys, ds in sorted(by_keys.items()):
+                dk = spark.read.parquet(
+                    *[str(root / d["sidecar"]) for d in ds]
+                ).select(*keys)
+                if sum(int(d.get("rows", 0)) for d in ds) <= 4_000_000:
+                    dk = F.broadcast(dk)
+                df = df.join(dk, list(keys), "left_anti")
+            parts.append(df.select(*cols_before))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def make_reader():
         r = spark.read
@@ -1400,6 +1530,18 @@ def snapshot_clone(
         manifest["kmv"] = m["kmv"]
     if m.get("constraints"):
         manifest["constraints"] = m["constraints"]
+    # equality-delete masks travel with the clone (sidecars
+    # absolutized like DV sidecars — key tuples inside need no
+    # rebasing, unlike DV (file,pos) rows); the source's write-
+    # sequence counter is inherited so the clone's own future
+    # sidecars postdate every inherited entry even though its
+    # VERSION numbers restart at 1
+    if m.get("eq_deletes"):
+        manifest["eq_deletes"] = [
+            dict(d, sidecar=str((src_root / d["sidecar"]).resolve()))
+            for d in m["eq_deletes"]
+        ]
+    manifest["last_seq"] = _last_seq(m)
     with open(_manifest_path(root, 1), "x") as f:
         f.write(json.dumps(manifest, indent=1))
     with open(_chain_path(root, 0), "x") as f:
@@ -1476,6 +1618,13 @@ def snapshot_rollback(
             manifest["kmv"] = target["kmv"]
         if target.get("constraints"):
             manifest["constraints"] = target["constraints"]
+        # the restored content's equality-delete masks are part of it;
+        # the write-sequence counter stays monotonic from the HEAD so
+        # post-restore commits never collide with restored sequences
+        if target.get("eq_deletes"):
+            manifest["eq_deletes"] = target["eq_deletes"]
+        parent_m = json.loads(_manifest_path(root, parent).read_text())
+        manifest["last_seq"] = max(_last_seq(parent_m), _last_seq(target))
         return manifest
 
     return _metadata_commit(root, build)
@@ -1655,20 +1804,23 @@ def snapshot_expire(
             (drop if now - ts > orphan_grace_s else keep).append(m)
     live = set()
     for m in keep:
-        kept_entries = json.loads(m.read_text())["files"]
+        km = json.loads(m.read_text())
+        kept_entries = km["files"]
         live.update(e["path"] for e in kept_entries)
-        # a retained version's deletion-vector sidecars are part of its
-        # file closure: dropping one would silently RESURRECT the
-        # masked rows for time-travel readers
+        # a retained version's deletion-vector AND equality-delete
+        # sidecars are part of its file closure: dropping one would
+        # silently RESURRECT the masked rows for time-travel readers
         live.update(
             e["dv"]["sidecar"] for e in kept_entries if e.get("dv")
         )
+        live.update(d["sidecar"] for d in km.get("eq_deletes") or [])
     deleted = 0
     for m in drop:
         try:
-            entries = json.loads(m.read_text())["files"]
+            dropped_m = json.loads(m.read_text())
+            entries = dropped_m["files"]
         except (ValueError, json.JSONDecodeError, KeyError):
-            entries = []
+            dropped_m, entries = {}, []
         for e in entries:
             p = root / e["path"]
             # containment guard: a CLONED table's entries reference the
@@ -1680,11 +1832,13 @@ def snapshot_expire(
             if e["path"] not in live and p.exists():
                 p.unlink()
                 deleted += 1
-        for e in entries:
-            dv = e.get("dv")
-            if not dv or dv["sidecar"] in live:
+        dropped_sidecars = [
+            e["dv"]["sidecar"] for e in entries if e.get("dv")
+        ] + [d["sidecar"] for d in dropped_m.get("eq_deletes") or []]
+        for sc in dropped_sidecars:
+            if sc in live:
                 continue
-            sp = root / dv["sidecar"]
+            sp = root / sc
             if not sp.resolve().is_relative_to(root.resolve()):
                 continue  # cloned sidecar: the source owns it
             if sp.exists():
@@ -1765,14 +1919,59 @@ def snapshot_changes(
 
         old_by = {ident(e): e for e in old_m["files"]}
         new_by = {ident(e): e for e in new_m["files"]}
-        new = read_entries(
-            spark, root, new_m,
-            [e for k, e in sorted(new_by.items()) if k not in old_by],
-        )
-        old = read_entries(
-            spark, root, old_m,
-            [e for k, e in sorted(old_by.items()) if k not in new_by],
-        )
+        old_full = [e for k, e in sorted(old_by.items()) if k not in new_by]
+        new_full = [e for k, e in sorted(new_by.items()) if k not in old_by]
+        # Entries both versions share by (path, DV) whose EQUALITY-
+        # DELETE suffix grew: an eq-upsert changed their logical
+        # content without moving a byte. Reading them whole on both
+        # sides would be table-priced; instead the OLD side gains only
+        # the rows the new sidecars mask (old-mask read SEMI-joined to
+        # the delta key tuples — exactly the rows that stopped being
+        # visible), and the new side gains nothing from them. A
+        # re-inserted key then meets its old row in the outer join and
+        # reports 'update', a purely-deleted key reports 'delete' —
+        # the feed stays priced by the delta, not the table.
+        eq_targeted: list[dict] = []
+        delta_names: set[str] = set()
+        for k in sorted(set(old_by) & set(new_by)):
+            osfx = entry_eq_suffix(old_m, old_by[k])
+            nsfx = entry_eq_suffix(new_m, new_by[k])
+            if osfx == nsfx:
+                continue
+            if set(osfx) <= set(nsfx):
+                eq_targeted.append(old_by[k])
+                delta_names.update(set(nsfx) - set(osfx))
+            else:
+                # suffix shrank or diverged (no current producer does
+                # this): full re-read of the entry on both sides —
+                # identical rows cancel by fingerprint
+                old_full.append(old_by[k])
+                new_full.append(new_by[k])
+        delta_ds = [
+            d
+            for d in new_m.get("eq_deletes") or []
+            if d["sidecar"] in delta_names
+        ]
+        keysets = {tuple(d["keys"]) for d in delta_ds}
+        if eq_targeted and len(keysets) > 1:
+            # mixed key sets inside one diff window: fall back to the
+            # provably-equivalent full re-read for those entries
+            old_full.extend(eq_targeted)
+            new_full.extend(new_by[ident(e)] for e in eq_targeted)
+            eq_targeted = []
+        new = read_entries(spark, root, new_m, new_full)
+        old = read_entries(spark, root, old_m, old_full)
+        if eq_targeted:
+            kcols = list(next(iter(keysets)))
+            dk = spark.read.parquet(
+                *[str(root / d["sidecar"]) for d in delta_ds]
+            ).select(*kcols)
+            if sum(int(d.get("rows", 0)) for d in delta_ds) <= 4_000_000:
+                dk = F.broadcast(dk)
+            newly_masked = read_entries(
+                spark, root, old_m, eq_targeted
+            ).join(dk, kcols, "left_semi")
+            old = old.unionByName(newly_masked)
     else:
         new = snapshot_read(spark, path, version=v_to)
         old = snapshot_read(spark, path, version=v_from)

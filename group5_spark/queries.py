@@ -7511,22 +7511,104 @@ def merge_tiered_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "eq_upsert_survivors",
+    """
+    SELECT o_orderstatus,
+           CASE WHEN o_totalprice >= 150000.0 THEN 'EQ-UPSERTED'
+                ELSE o_orderpriority END AS priority,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_total
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+      AND o_totalprice >= 20000.0
+    GROUP BY 1, 2
+    """,
+)
+def eq_upsert_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equality-delete DML under the value gate: the 1995 orders land
+    in a snapshot table, a ZERO-TARGET-READ upsert re-prioritizes the
+    >= 150k tier (:func:`snapshot_eq_upsert` — the batch's rows are
+    appended and an equality-delete sidecar of its keys masks every
+    older row, no target file read, probed, or rewritten — asserted
+    via the manifest), then a zero-read :func:`snapshot_eq_delete`
+    drops the sub-20k keys, stacking a second sidecar over BOTH the
+    original files and the first upsert's appends. The final
+    merge-on-read scan must equal the plain-SQL CASE + filter. At
+    100 TB this is the high-frequency CDC ingest path: commit cost is
+    O(batch), independent of table size, with the mask rent deferred
+    to readers until compaction folds it.
+    """
+    import shutil as _shutil
+
+    from group5_spark.medallion.maintenance import (
+        snapshot_eq_delete,
+        snapshot_eq_upsert,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    path = _dml_scratch("eq_upsert_survivors", sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.year("o_orderdate") == 1995
+    )
+    snapshot_commit(
+        orders.repartitionByRange(2, "o_orderkey"),
+        path,
+        stats_cols=["o_orderkey", "o_totalprice"],
+    )
+    v1_paths = {e["path"] for e in snapshot_manifest(path, 1)["files"]}
+    batch = orders.filter(F.col("o_totalprice") >= 150000.0).withColumn(
+        "o_orderpriority", F.lit("EQ-UPSERTED")
+    )
+    res = snapshot_eq_upsert(spark, path, batch, keys=["o_orderkey"])
+    m2 = snapshot_manifest(path, res["version"])
+    if not v1_paths <= {e["path"] for e in m2["files"]} or not m2.get(
+        "eq_deletes"
+    ):
+        raise RuntimeError(
+            "eq-upsert rewrote or dropped a target file — the query "
+            "exists to gate the zero-target-read write path"
+        )
+    snapshot_eq_delete(
+        spark,
+        path,
+        orders.filter(F.col("o_totalprice") < 20000.0).select("o_orderkey"),
+    )
+    return (
+        snapshot_read(spark, path)
+        .groupBy(
+            "o_orderstatus", F.col("o_orderpriority").alias("priority")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC2))
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+
+
 # The driver oracle-checks the FIRST 50 registered queries each round.
 # Cumulative driver-green evidence covers every query except the
 # rows-only-by-design sketch_scale_stats, so the round-6 window is:
-# the three NEW round-6 DML queries (never driver-checked), then ALL
+# the four NEW round-6 DML queries (never driver-checked), then ALL
 # 45 queries whose newest driver evidence is round 3 (the oldest
-# cohort), topped up with the two most load-bearing round-4 rows (the
-# flagship scan-agg and the conversion-rate measure). After this round
-# no query's newest evidence is older than round 4 (= 2 rounds old).
-# Every name below is green in tools/check_oracle.py --strict (the
-# driver-replica comparator, array-intolerant exactly like the driver)
-# before this window ships.
+# cohort), topped up with the round-4 flagship scan-agg. After this
+# round no query's newest evidence is older than round 4 (= 2 rounds
+# old). Every name below is green in tools/check_oracle.py --strict
+# (the driver-replica comparator, array-intolerant exactly like the
+# driver) before this window ships.
 _CHECK_WINDOW = [
     # new in round 6 — never driver-checked
     "dv_delete_survivors",
     "merge_full_sync_status",
     "merge_tiered_clauses",
+    "eq_upsert_survivors",
     # newest driver evidence is round 3 — full cohort
     "bigram_top_counts",
     "boilerplate_ngram_fraction",
@@ -7573,9 +7655,8 @@ _CHECK_WINDOW = [
     "window_navigation_showcase",
     "winsorized_order_stats",
     "word_position_stats",
-    # round-4 refreshers: the flagship scan-agg + conversion measure
+    # round-4 refresher: the flagship scan-agg
     "pricing_summary",
-    "conversion_rate",
 ]
 
 

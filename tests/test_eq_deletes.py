@@ -1,0 +1,347 @@
+"""Equality deletes / zero-target-read upserts (round 6, the capstone
+on the DV merge-on-read work): `snapshot_eq_upsert` appends the CDC
+batch's rows and commits a key-tuple sidecar in one atomic version —
+no target file is read, probed, or rewritten — and every pre-existing
+row sharing a key stops being visible. `snapshot_eq_delete` is the
+key-set DELETE twin. Readers resolve the masks by write-sequence
+(a sidecar applies only to entries committed strictly before it);
+compaction folds them; the change feed and IVM stay exact.
+
+Reference parity note: the reference's warehouse upsert is full-
+rewrite Snowflake MERGE (`dag_streamflow_warehouse.py:118-126`);
+equality deletes are the beyond-reference scale path (Iceberg v2
+equality-delete files) that prices a CDC batch by the batch alone —
+commit cost independent of table size, where even the file-pruned
+`snapshot_merge` still pays to read the files it touches.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from group5_spark.medallion.incremental import ivm_init, ivm_refresh
+from group5_spark.medallion.maintenance import (
+    compact_snapshot,
+    snapshot_eq_delete,
+    snapshot_eq_upsert,
+    snapshot_merge,
+)
+from group5_spark.medallion.snapshots import (
+    snapshot_changes,
+    snapshot_clone,
+    snapshot_commit,
+    snapshot_expire,
+    snapshot_manifest,
+    snapshot_read,
+    snapshot_rollback,
+)
+
+
+def _base(spark, n=1000):
+    return spark.range(n).select(
+        F.col("id"),
+        (F.col("id") % 10).alias("g"),
+        F.concat(F.lit("v"), F.col("id")).alias("v"),
+        F.lit(1).alias("seq"),
+    )
+
+
+def _table(spark, tmp_path, name="t", n=1000, files=2):
+    t = str(tmp_path / name)
+    snapshot_commit(_base(spark, n).repartition(files), t, stats_cols=["id"])
+    return t
+
+
+def _batch(spark, rows):
+    return spark.createDataFrame(rows, ["id", "g", "v", "seq"])
+
+
+def _rows(spark, t, version=None):
+    return {
+        r["id"]: (r["g"], r["v"], r["seq"])
+        for r in snapshot_read(spark, t, version=version).collect()
+    }
+
+
+def test_eq_upsert_replaces_and_inserts(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    out = snapshot_eq_upsert(
+        spark, t, _batch(spark, [(3, 3, "UP3", 2), (2000, 0, "NEW", 2)]),
+        ["id"],
+    )
+    assert out["rows_appended"] == 2 and out["delete_keys"] == 2
+    rows = _rows(spark, t)
+    assert rows[3] == (3, "UP3", 2)
+    assert rows[2000] == (0, "NEW", 2)
+    assert len(rows) == 1001
+    # no pre-existing file was rewritten: the original entries are
+    # still in the manifest byte-identical, only masked by sequence
+    m = snapshot_manifest(t)
+    assert len(m["eq_deletes"]) == 1
+    assert m["eq_deletes"][0]["keys"] == ["id"]
+    assert sum(1 for e in m["files"] if e.get("seq", 0) == 1) == 2
+
+
+def test_eq_upsert_equivalent_to_merge(spark, tmp_path):
+    """Done-criterion equivalence: eq-upsert ≡ snapshot_merge upsert
+    on the same batches (merge reads+rewrites; eq masks)."""
+    a = _table(spark, tmp_path, "merge")
+    b = _table(spark, tmp_path, "eq")
+    batches = [
+        [(3, 3, "UP3", 2), (7, 7, "UP7", 2), (2000, 0, "NEW", 2)],
+        [(3, 3, "UP3b", 3), (2000, 0, "NEWb", 3), (2001, 1, "N2", 3)],
+    ]
+    for rows in batches:
+        src = _batch(spark, rows)
+        snapshot_merge(spark, a, src, ["id"])
+        snapshot_eq_upsert(spark, b, src, ["id"])
+    assert _rows(spark, a) == _rows(spark, b)
+
+
+def test_eq_writer_never_reads_target(spark, tmp_path, monkeypatch):
+    """THE property the feature exists for: the upsert commit runs
+    zero read jobs against the table — the reader API is
+    monkeypatched to explode for the duration of both eq writers."""
+    import pyspark.sql.readwriter as rw
+
+    t = _table(spark, tmp_path)
+
+    def boom(self, *a, **kw):
+        raise AssertionError("eq writer read a file")
+
+    monkeypatch.setattr(rw.DataFrameReader, "parquet", boom)
+    out = snapshot_eq_upsert(
+        spark, t, _batch(spark, [(1, 1, "X", 2)]), ["id"]
+    )
+    assert out["delete_keys"] == 1
+    out2 = snapshot_eq_delete(
+        spark, t, spark.createDataFrame([(2,), (3,)], "id long")
+    )
+    assert out2["delete_keys"] == 2
+    monkeypatch.undo()
+    rows = _rows(spark, t)
+    assert rows[1] == (1, "X", 2)
+    assert 2 not in rows and 3 not in rows
+    assert len(rows) == 998
+
+
+def test_eq_sequence_gating_own_rows_and_later_appends_survive(
+    spark, tmp_path
+):
+    """A sidecar masks only entries committed strictly BEFORE it: the
+    upsert's own rows survive their sidecar, and a later plain append
+    re-introducing a deleted key is visible (last writer wins)."""
+    t = _table(spark, tmp_path)
+    snapshot_eq_upsert(spark, t, _batch(spark, [(5, 5, "UP5", 2)]), ["id"])
+    assert _rows(spark, t)[5] == (5, "UP5", 2)
+    # plain append AFTER the sidecar: not masked
+    snapshot_commit(_batch(spark, [(6, 6, "BACK6", 3)]), t, mode="append")
+    snapshot_eq_delete(spark, t, spark.createDataFrame([(6,)], "id long"))
+    snapshot_commit(_batch(spark, [(6, 6, "BACK6b", 4)]), t, mode="append")
+    rows = _rows(spark, t)
+    assert rows[6] == (6, "BACK6b", 4)
+    assert len(rows) == 1000  # 999 survivors + UP5 replaced 5 + 6 back
+
+
+def test_eq_stacked_sidecars_bucket_correctly(spark, tmp_path):
+    """Three sidecars at different sequences over files at three
+    sequences: each file is anti-joined against exactly the sidecars
+    that postdate it (nested-suffix bucketing in read_entries)."""
+    t = _table(spark, tmp_path)
+    snapshot_eq_upsert(spark, t, _batch(spark, [(1, 1, "A1", 2)]), ["id"])
+    snapshot_eq_upsert(
+        spark, t, _batch(spark, [(1, 1, "A2", 3), (2, 2, "B2", 3)]), ["id"]
+    )
+    snapshot_eq_upsert(spark, t, _batch(spark, [(2, 2, "B3", 4)]), ["id"])
+    rows = _rows(spark, t)
+    assert rows[1] == (1, "A2", 3)  # A1 masked by sidecar 3
+    assert rows[2] == (2, "B3", 4)  # B2 masked by sidecar 4
+    assert len(rows) == 1000
+    # time travel sees each intermediate state exactly
+    assert _rows(spark, t, version=2)[1] == (1, "A1", 2)
+    assert _rows(spark, t, version=3)[2] == (2, "B2", 3)
+
+
+def test_eq_upsert_batch_dedup_by_sequence_col(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    src = _batch(
+        spark, [(3, 3, "OLD", 5), (3, 3, "NEWEST", 9), (3, 3, "MID", 7)]
+    )
+    snapshot_eq_upsert(spark, t, src, ["id"], sequence_col="seq")
+    assert _rows(spark, t)[3] == (3, "NEWEST", 9)
+
+
+def test_eq_upsert_null_keys_insert_without_masking(spark, tmp_path):
+    """All-NULL key tuples can't equality-match anything: they append
+    as plain inserts and are excluded from the sidecar."""
+    t = _table(spark, tmp_path)
+    src = spark.createDataFrame(
+        [(None, 0, "NK", 2), (4, 4, "UP4", 2)],
+        "id long, g long, v string, seq int",
+    )
+    out = snapshot_eq_upsert(spark, t, src, ["id"])
+    assert out["delete_keys"] == 1  # only id=4
+    rows = snapshot_read(spark, t).filter(F.col("id").isNull()).collect()
+    assert len(rows) == 1 and rows[0]["v"] == "NK"
+    assert _rows(spark, t)[4] == (4, "UP4", 2)
+
+
+def test_eq_upsert_schema_mismatch_raises(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    with pytest.raises(ValueError, match="lacks table columns"):
+        snapshot_eq_upsert(
+            spark, t, spark.createDataFrame([(1,)], "id long"), ["id"]
+        )
+    wide = spark.createDataFrame(
+        [(1, 1, "W", 2, "extra")], "id long, g long, v string, seq int, x string"
+    )
+    with pytest.raises(ValueError, match="schema_evolution"):
+        snapshot_eq_upsert(spark, t, wide, ["id"])
+    snapshot_eq_upsert(spark, t, wide, ["id"], schema_evolution=True)
+    out = snapshot_read(spark, t)
+    assert "x" in out.columns
+    got = {r["id"]: r["x"] for r in out.filter("id in (1, 2)").collect()}
+    assert got == {1: "extra", 2: None}  # old files surface NULL
+
+
+def test_eq_compaction_folds_and_drops_sidecars(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    snapshot_eq_upsert(spark, t, _batch(spark, [(3, 3, "UP3", 2)]), ["id"])
+    snapshot_eq_delete(spark, t, spark.createDataFrame([(7,)], "id long"))
+    expected = _rows(spark, t)
+    # pending masks force the rewrite even at a healthy file count
+    out = compact_snapshot(spark, t)
+    assert out, "compaction must engage while eq masks are pending"
+    m = snapshot_manifest(t)
+    assert "eq_deletes" not in m
+    assert _rows(spark, t) == expected
+    # a second compaction is a no-op again
+    assert compact_snapshot(spark, t) == {}
+
+
+def test_eq_dml_reads_respect_masks(spark, tmp_path):
+    """A later row-level DML (file-pruned DELETE) over an eq-masked
+    table must not resurrect masked rows — the DML's touched-file
+    reads go through the same masked read primitive."""
+    from group5_spark.medallion.maintenance import snapshot_delete
+
+    t = _table(spark, tmp_path)
+    snapshot_eq_upsert(spark, t, _batch(spark, [(3, 3, "UP3", 2)]), ["id"])
+    snapshot_delete(spark, t, [("g", "=", 3)])  # rewrites files holding g=3
+    rows = _rows(spark, t)
+    assert 3 not in rows  # UP3 had g=3 → deleted, old v3 must not return
+    assert all(v[0] != 3 for v in rows.values())
+
+
+def test_eq_change_feed_delta_priced_and_exact(spark, tmp_path):
+    """The scoped change feed across an eq-upsert commit: deletes for
+    masked-and-gone keys, updates for re-inserted keys, inserts for
+    new keys — computed from the delta sidecars, not a full re-read."""
+    t = _table(spark, tmp_path, files=4)
+    v1 = snapshot_manifest(t)["version"]
+    snapshot_eq_upsert(
+        spark, t,
+        _batch(spark, [(3, 3, "UP3", 2), (2000, 0, "NEW", 2)]), ["id"],
+    )
+    snapshot_eq_delete(spark, t, spark.createDataFrame([(9,)], "id long"))
+    ch = {
+        r["id"]: r["_change"]
+        for r in snapshot_changes(spark, t, ["id"], v_from=v1).collect()
+    }
+    assert ch == {3: "update", 2000: "insert", 9: "delete"}
+    # audit: the scoped feed equals the exhaustive full-read feed
+    full = {
+        r["id"]: r["_change"]
+        for r in snapshot_changes(
+            spark, t, ["id"], v_from=v1, files_scope="all"
+        ).collect()
+    }
+    assert ch == full
+
+
+def test_eq_ivm_matches_full_recompute(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    mv = str(tmp_path / "mv")
+    ivm_init(spark, t, mv, ["g"], ["seq"])
+    snapshot_eq_upsert(
+        spark, t,
+        _batch(
+            spark,
+            [(3, 3, "UP3", 100), (7, 7, "UP7", 50), (2000, 5, "NEW", 7)],
+        ),
+        ["id"],
+    )
+    snapshot_eq_delete(
+        spark, t, spark.createDataFrame([(8,), (18,)], "id long")
+    )
+    ivm_refresh(spark, t, mv, ["g"], ["seq"])
+    got = {
+        r["g"]: (r["sum_seq"], r["n_rows"])
+        for r in snapshot_read(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["sum_seq"], r["n_rows"])
+        for r in snapshot_read(spark, t)
+        .groupBy("g")
+        .agg(F.sum("seq").alias("sum_seq"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_eq_expire_retains_live_sidecars_reclaims_dead(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    snapshot_eq_upsert(spark, t, _batch(spark, [(3, 3, "UP3", 2)]), ["id"])
+    expected = _rows(spark, t)
+    # expire history below the eq commit: the sidecar is still LIVE
+    snapshot_expire(t, keep_last=1)
+    assert _rows(spark, t) == expected
+    # fold, then expire the pre-compaction versions: sidecar now dead
+    compact_snapshot(spark, t)
+    import glob
+
+    snapshot_expire(t, keep_last=1)
+    assert glob.glob(str(tmp_path / "t" / "eq-*")) == []
+    assert _rows(spark, t) == expected
+
+
+def test_eq_clone_carries_masks_and_sequences(spark, tmp_path):
+    """A shallow clone inherits the masks (absolutized sidecars) AND
+    the write-sequence counter, so the clone's own later eq commits
+    postdate every inherited entry despite version numbers resetting."""
+    t = _table(spark, tmp_path)
+    snapshot_eq_upsert(spark, t, _batch(spark, [(3, 3, "UP3", 2)]), ["id"])
+    c = str(tmp_path / "clone")
+    snapshot_clone(t, c)
+    assert _rows(spark, c) == _rows(spark, t)
+    # the clone's own upsert masks inherited (source-sequence) entries
+    snapshot_eq_upsert(spark, c, _batch(spark, [(4, 4, "C4", 3)]), ["id"])
+    rows = _rows(spark, c)
+    assert rows[4] == (4, "C4", 3) and rows[3] == (3, "UP3", 2)
+    # ...and the source is untouched
+    assert _rows(spark, t)[4] == (4, "v4", 1)
+
+
+def test_eq_rollback_restores_masked_state(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    snapshot_eq_upsert(spark, t, _batch(spark, [(3, 3, "UP3", 2)]), ["id"])
+    masked_state = _rows(spark, t)
+    v_masked = snapshot_manifest(t)["version"]
+    compact_snapshot(spark, t)
+    snapshot_rollback(t, version=v_masked)
+    assert _rows(spark, t) == masked_state
+    # post-restore eq commits still sequence AFTER restored entries
+    snapshot_eq_upsert(spark, t, _batch(spark, [(3, 3, "UP3c", 9)]), ["id"])
+    assert _rows(spark, t)[3] == (3, "UP3c", 9)
+
+
+def test_eq_predicate_reads_still_masked(spark, tmp_path):
+    """File pruning composes with eq masks: a predicate read over a
+    pruned entry set still anti-joins the applicable sidecars."""
+    t = _table(spark, tmp_path, files=4)
+    snapshot_eq_upsert(
+        spark, t, _batch(spark, [(500, 0, "UP500", 2)]), ["id"]
+    )
+    got = snapshot_read(spark, t, predicates=[("id", "=", 500)]).collect()
+    assert len(got) == 1 and got[0]["v"] == "UP500"

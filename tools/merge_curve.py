@@ -31,11 +31,22 @@ mode staged+sidecar bytes. Rewrite cost grows with file width (a
 tracks the MATCHED ROWS and stays flat — the write-amplification
 claim, measured. Writes `fixed_batch_merge_dv`.
 
+`--eq` runs the equality-delete ladder on the SAME wide-file tables:
+the fixed batch committed via `snapshot_eq_upsert`, which appends the
+batch and a key-tuple sidecar WITHOUT reading, probing, or rewriting
+any target file — commit seconds and bytes should be flat in table
+size and file width (the DV path must still read+re-encode or mask
+matched files; the eq path touches none). The deferred read rent is
+measured too: a full masked scan vs the same scan after
+`compact_snapshot` folds the masks. Writes `fixed_batch_eq_upsert`.
+
 Usage:
     python tools/merge_curve.py            # scales 1 4 16 64
     python tools/merge_curve.py --one 16   # single scale (subprocess worker)
     python tools/merge_curve.py --dv       # wide-file DV ladder
     python tools/merge_curve.py --one-dv 16
+    python tools/merge_curve.py --eq       # equality-delete ladder
+    python tools/merge_curve.py --one-eq 16
 """
 
 from __future__ import annotations
@@ -243,6 +254,161 @@ def run_one_dv(n: int) -> dict:
     }
 
 
+def run_one_eq(n: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot,
+        snapshot_eq_upsert,
+        snapshot_merge,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_clone,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    materialize(n)
+    sf_dir = str(SCALE_ROOT / f"x{n:03d}")
+    tbl = SCALE_ROOT / f"_mergedvtbl_x{n:03d}"  # shared with --dv
+    spark = _spark(f"merge-eq-curve-x{n}")
+
+    if not (tbl / "_DONE").exists():
+        shutil.rmtree(tbl, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        snapshot_merge(
+            spark,
+            str(tbl),
+            orders.repartitionByRange(DV_FILES, "o_orderkey"),
+            keys=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+            validate_source_keys=False,
+        )
+        (tbl / "_DONE").touch()
+
+    base = load_table(spark, BASE_SF, "orders")
+    okey_max = base.agg(F.max("o_orderkey")).first()[0]
+    stride = max(1, okey_max // (N_UPDATES * 4))
+    updates = (
+        base.filter((F.col("o_orderkey") % (4 * stride)) == 0)
+        .limit(N_UPDATES)
+        .withColumn("o_orderpriority", F.lit("9-CDC-UPDATED"))
+    )
+    inserts = base.limit(N_INSERTS).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**13)
+    )
+    batch = updates.unionByName(inserts).cache()
+    batch.count()
+
+    def commit_bytes(path: str, version: int) -> int:
+        m = snapshot_manifest(path, version)
+        parent_paths = {
+            e["path"]
+            for e in snapshot_manifest(path, m["parent"])["files"]
+        }
+        staged = sum(
+            int(e["bytes"])
+            for e in m["files"]
+            if e["path"] not in parent_paths
+        )
+        sidecar = 0
+        for d in m.get("eq_deletes") or []:
+            sd = Path(path) / d["sidecar"]
+            if sd.is_dir():
+                sidecar += sum(
+                    f.stat().st_size for f in sd.rglob("*.parquet")
+                )
+        return staged + sidecar
+
+    clone = SCALE_ROOT / f"_mergeeqtbl_clone_x{n:03d}"
+    shutil.rmtree(clone, ignore_errors=True)
+    snapshot_clone(str(tbl), str(clone))
+    t0 = time.perf_counter()
+    res = snapshot_eq_upsert(
+        spark, str(clone), batch, keys=["o_orderkey"]
+    )
+    commit_s = round(time.perf_counter() - t0, 3)
+    bytes_written = commit_bytes(str(clone), res["version"])
+
+    t0 = time.perf_counter()
+    masked_rows = snapshot_read(spark, str(clone)).count()
+    masked_read_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    compact_snapshot(spark, str(clone), target_mb=256)
+    compact_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    folded_rows = snapshot_read(spark, str(clone)).count()
+    folded_read_s = round(time.perf_counter() - t0, 3)
+    if folded_rows != masked_rows:
+        raise RuntimeError(
+            f"compaction changed row count: {masked_rows} != {folded_rows}"
+        )
+    shutil.rmtree(clone, ignore_errors=True)
+    batch.unpersist()
+
+    m = snapshot_manifest(str(tbl))
+    spark.stop()
+    return {
+        "scale": n,
+        "table_files": len(m["files"]),
+        "table_bytes": sum(int(e["bytes"]) for e in m["files"]),
+        "eq_upsert": {
+            "seconds": commit_s,
+            "bytes_written": bytes_written,
+            "rows_appended": res["rows_appended"],
+            "delete_keys": res["delete_keys"],
+        },
+        "masked_read_seconds": masked_read_s,
+        "compact_fold_seconds": compact_s,
+        "folded_read_seconds": folded_read_s,
+        "rows": masked_rows,
+    }
+
+
+def main_eq() -> None:
+    runs = []
+    for n in SCALES:
+        print(f"=== eq scale x{n} ===", flush=True)
+        out = subprocess.run(
+            [sys.executable, __file__, "--one-eq", str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [
+            l for l in out.stdout.splitlines() if l.startswith("RESULT ")
+        ][-1]
+        runs.append(json.loads(line[len("RESULT "):]))
+        print(runs[-1], flush=True)
+    rec = {
+        "method": (
+            "same fixed CDC batch (2k updates + 500 inserts) committed "
+            "via snapshot_eq_upsert into the Nx wide-file (8-file) "
+            "orders table through a zero-copy clone per run; the "
+            "writer appends the batch plus a key-tuple equality-delete "
+            "sidecar and never reads, probes, or rewrites a target "
+            "file, so commit seconds and bytes_written are flat in "
+            "table size AND file width; the deferred rent is the "
+            "masked full scan (one broadcast anti-join) until "
+            "compact_snapshot folds the masks"
+        ),
+        "runs": runs,
+        "eq_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["eq_upsert"]["seconds"]) for r in runs]
+        ),
+        "eq_bytes_exponent": _fit_exponent(
+            [(r["scale"], r["eq_upsert"]["bytes_written"]) for r in runs]
+        ),
+        "masked_read_exponent": _fit_exponent(
+            [(r["scale"], r["masked_read_seconds"]) for r in runs]
+        ),
+    }
+    path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
+    data = json.loads(path.read_text())
+    data["fixed_batch_eq_upsert"] = rec
+    path.write_text(json.dumps(data, indent=1))
+    print(json.dumps(rec, indent=1))
+
+
 def main_dv() -> None:
     runs = []
     for n in SCALES:
@@ -301,6 +467,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--dv":
         main_dv()
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--one-eq":
+        print("RESULT " + json.dumps(run_one_eq(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--eq":
+        main_eq()
         return
     runs = []
     for n in SCALES:
