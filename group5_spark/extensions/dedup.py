@@ -67,6 +67,73 @@ def drop_exact_duplicates(
     return df.join(keep, on=id_col, how="left_semi")
 
 
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 3,
+) -> DataFrame:
+    """C4-style SPAN-level exact dedup (Raffel et al. 2020 §2.2 dedup
+    repeated three-sentence spans): split each document into
+    consecutive ``span_words``-word segments, keep each distinct
+    segment's FIRST corpus-wide occurrence (smallest ``(id, position)``)
+    and drop every other occurrence, then reassemble the survivors in
+    order. Returns ``(id_col, n_spans, kept_spans, deduped_text)`` —
+    documents whose every span was seen earlier disappear entirely.
+
+    This is sub-document dedup — the training-corpus complement to the
+    whole-document operators above: boilerplate (headers, nav bars,
+    license blocks) repeats across documents that are NOT
+    near-duplicates as wholes, so doc-granularity MinHash never
+    removes it. The reference dedups whole records only
+    (StreamFlow silver `_dedup_latest`); spans are the corpus-scale
+    extension.
+
+    Scale design (100 TB):
+    - Span building is pure JVM HOFs over the split array
+      (sequence → transform → slice): no explode-regroup round trip,
+      no Python, whole-stage codegen end to end.
+    - First-occurrence election is ``groupBy(span).agg(min(struct(id,
+      pos)))`` — partial map-side combine absorbs boilerplate skew (a
+      span occurring 10⁷ times collapses to one row per map task,
+      where a row_number window would sort the whole group on a
+      single reducer). Winners join back as a standard shuffled
+      equi-join; with long spans, swap the join key for
+      ``portable_hash56_sql`` to keep the shuffle 8 bytes wide.
+    - Reassembly is one groupBy(doc) + array_sort — linear, no window.
+    """
+    arr = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(arr) / F.lit(span_words)).cast("long")
+    spans = F.transform(
+        F.sequence(F.lit(1), n_spans.cast("int")),
+        lambda s: F.concat_ws(
+            " ", F.slice(arr, (s - 1) * span_words + 1, span_words)
+        ),
+    )
+    seg = df.select(
+        F.col(id_col),
+        n_spans.alias("n_spans"),
+        F.posexplode(spans).alias("seg", "chunk"),
+    )
+    firsts = seg.groupBy("chunk").agg(
+        F.min(F.struct(id_col, "seg")).alias("first")
+    )
+    kept = seg.join(firsts, "chunk").where(
+        (F.col(id_col) == F.col(f"first.{id_col}"))
+        & (F.col("seg") == F.col("first.seg"))
+    )
+    return kept.groupBy(id_col, "n_spans").agg(
+        F.count(F.lit(1)).alias("kept_spans"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+        ).alias("deduped_text"),
+    )
+
+
 def incremental_new_docs(
     new_df: DataFrame,
     existing_df: DataFrame,

@@ -1596,14 +1596,30 @@ def compact_snapshot_partitions(
                 out.setdefault("partitions_compacted", 1)
             return out
         by_part: dict = {}
+        migrate: list = []
         for e in head["files"]:
-            by_part.setdefault(e.get("partition"), []).append(e)
+            # partition evolution: an entry written under a previous
+            # spec has a 'partition' value from ANOTHER column (or
+            # none) — value grouping is unsound for it. Migration is
+            # this function's job: old-spec entries are ALWAYS
+            # rewritten, landing under the current layout, which is
+            # what re-enables replace_partitions after an evolution.
+            if snap._entry_old_spec(e, part_col):
+                migrate.append(e)
+            else:
+                by_part.setdefault(e.get("partition"), []).append(e)
         fragmented = {}
         for part, entries in by_part.items():
             nbytes = sum(int(e.get("bytes", 0)) for e in entries)
             needed = max(1, math.ceil(nbytes / target_file_bytes))
             if len(entries) > max(needed, min_files_to_compact):
                 fragmented[part] = (entries, needed)
+        if migrate:
+            nbytes = sum(int(e.get("bytes", 0)) for e in migrate)
+            fragmented["__previous_spec__"] = (
+                migrate,
+                max(1, math.ceil(nbytes / target_file_bytes)),
+            )
         if not fragmented:
             return {}
         carried = [
@@ -1630,6 +1646,12 @@ def compact_snapshot_partitions(
                 df = df.repartitionByRange(
                     needed, *sort_cols
                 ).sortWithinPartitions(*sort_cols)
+            elif part == "__previous_spec__":
+                # the migrate group spans MANY partition values — hash
+                # them together so the final partitionBy write emits
+                # ~needed files per value actually present, not
+                # needed × |values|
+                df = df.repartition(needed, part_col)
             else:
                 df = df.coalesce(needed)
             pieces.append(df)

@@ -470,6 +470,7 @@ def snapshot_commit(
     carry_files: list[dict] | None = None,
     constraints: dict[str, str | None] | None = None,
     eq_add: dict | None = None,
+    evolve_partitioning: bool = False,
 ) -> int:
     """Write ``df`` as the next version of the table at ``path`` and
     return the new version number.
@@ -530,6 +531,22 @@ def snapshot_commit(
     longer applies to any entry is dropped from the manifest
     automatically.
 
+    ``evolve_partitioning`` (mode='append' only): allow this append's
+    ``partition_by`` to DIFFER from the table's current spec —
+    Iceberg-style partition evolution. The spec changes going forward
+    only: no data file moves (at 100 TB, re-laying the table out is
+    exactly the rewrite evolution exists to avoid). Existing entries
+    keep their layout and are annotated with the spec they were
+    written under (``partition_col``); the manifest records the spec
+    history (``partition_history``) while any old-spec entry remains
+    reachable. Reads are unaffected — pruning is stats-driven and the
+    scan already reconstructs each staging dir's layout — but
+    VALUE-grouped operations become spec-aware:
+    ``replace_partitions`` refuses old-spec files it cannot
+    stats-prove disjoint from the replaced partitions, and
+    ``compact_snapshot_partitions`` migrates old-spec files into the
+    current layout (after which the history annotation drops away).
+
     The commit protocol is stage → claim manifest slot → claim chain
     link (the atomic commit point); a crash before the chain claim
     leaves the staged files invisible and the previous version intact
@@ -546,6 +563,12 @@ def snapshot_commit(
             raise ValueError("eq_add requires 'sidecar' and 'keys'")
     if mode == "replace_partitions" and not partition_by:
         raise ValueError("replace_partitions requires partition_by=")
+    if evolve_partitioning and mode != "append":
+        raise ValueError(
+            "evolve_partitioning is an append-mode primitive (an "
+            "overwrite replaces the layout wholesale; replace_partitions "
+            "across specs is unsound)"
+        )
     if carry_files is not None and mode != "overwrite":
         raise ValueError("carry_files is an overwrite-mode primitive")
     if carry_files is not None and expected_parent is None:
@@ -643,6 +666,9 @@ def snapshot_commit(
             # manifest pruning on the partition column is free
             pv = f.parent.name.split("=", 1)[1]
             entry["partition"] = pv
+            # self-describing spec: after a partition evolution, value
+            # groupings must know WHICH column a value belongs to
+            entry["partition_col"] = partition_by
             # skip the stat when the dir name is URL-escaped: a raw
             # predicate value would compare against the escaped form
             # and could WRONGLY prune a matching file
@@ -782,15 +808,34 @@ def snapshot_commit(
             # a carried+staged mix is not a pure append: any additive
             # sketch no longer describes the table
             table_kmv = {}
+        spec_evolved = False
+        evolved_from: str | None = None
         if mode == "append" and parent:
             prior = json.loads(_manifest_path(root, parent).read_text())
-            if prior.get("partition_by") and prior["partition_by"] != partition_by:
+            prior_spec = prior.get("partition_by")
+            if prior_spec != partition_by and not evolve_partitioning:
                 shutil.rmtree(data_dir, ignore_errors=True)
                 raise ValueError(
-                    f"table is partitioned by {prior['partition_by']!r}; "
-                    f"append must pass the same partition_by"
+                    f"table is partitioned by {prior_spec!r}; append "
+                    f"must pass the same partition_by (got "
+                    f"{partition_by!r}) — pass evolve_partitioning=True "
+                    "to change the spec going forward; existing files "
+                    "keep their layout"
                 )
-            entries = prior["files"] + staged
+            prior_files = prior["files"]
+            if prior_spec != partition_by:
+                # partition evolution: annotate every carried entry
+                # with the spec it was written under (explicit None
+                # for unpartitioned files) so value-grouped operations
+                # can tell which entries their grouping is sound for
+                spec_evolved, evolved_from = True, prior_spec
+                prior_files = [
+                    e
+                    if "partition_col" in e
+                    else {**e, "partition_col": prior_spec}
+                    for e in prior_files
+                ]
+            entries = prior_files + staged
             # mergeable sketches: table-level NDV without rescanning —
             # min-k of the union equals the sketch of the union
             table_kmv = _merge_kmv(prior.get("kmv", {}), kmv)
@@ -811,11 +856,37 @@ def snapshot_commit(
                     f"(got {partition_by!r})"
                 )
             touched = {e["partition"] for e in staged}
+            cur_files, old_files = [], []
+            for e in prior["files"]:
+                (
+                    old_files
+                    if _entry_old_spec(e, partition_by)
+                    else cur_files
+                ).append(e)
+            # partition evolution: an old-spec file's 'partition' value
+            # belongs to ANOTHER column — it can neither be matched
+            # against the touched set (a string collision would drop
+            # live rows) nor blindly carried (it may physically contain
+            # rows of a replaced partition). Carry only what the footer
+            # stats PROVE disjoint from every touched value; otherwise
+            # refuse — compact_snapshot_partitions migrates the layout.
+            for e in old_files:
+                if _may_contain_value(
+                    e.get("stats") or {}, partition_by, touched
+                ):
+                    shutil.rmtree(data_dir, ignore_errors=True)
+                    raise ValueError(
+                        f"file {e['path']} was written under a previous "
+                        f"partition spec ({e.get('partition_col')!r}) "
+                        f"and its stats cannot prove it avoids the "
+                        f"replaced {partition_by} partitions "
+                        f"{sorted(touched)} — run "
+                        "compact_snapshot_partitions() to migrate the "
+                        "layout, then retry"
+                    )
             carried = [
-                e
-                for e in prior["files"]
-                if e.get("partition") not in touched
-            ]
+                e for e in cur_files if e.get("partition") not in touched
+            ] + old_files
             entries = carried + staged
             # replaced rows invalidate any additive sketch merge
             table_kmv = {}
@@ -878,8 +949,21 @@ def snapshot_commit(
             manifest["constraints"] = effective_constraints
         if partition_by:
             manifest["partition_by"] = partition_by
-        elif mode == "append" and parent and prior.get("partition_by"):
-            manifest["partition_by"] = prior["partition_by"]
+        # partition-spec history: kept while any reachable entry still
+        # lives under a previous spec (readers keep per-staging-dir
+        # layout reconstruction on for mixed/legacy layouts); dropped
+        # automatically once rewrites/compaction unify the layout.
+        hist = (
+            list(base_m.get("partition_history") or [])
+            if parent and (mode != "overwrite" or carry_files is not None)
+            else []
+        )
+        if spec_evolved and (not hist or hist[-1] != evolved_from):
+            hist = hist + [evolved_from]
+        if hist and any(
+            _entry_old_spec(e, partition_by or None) for e in entries
+        ):
+            manifest["partition_history"] = hist
         try:
             with open(_manifest_path(root, version), "x") as f:
                 f.write(json.dumps(manifest, indent=1))
@@ -1023,6 +1107,42 @@ def _overlaps_cmp(lo, hi, op: str, value) -> bool:
     if op == ">=":
         return hi >= value
     raise ValueError(f"unsupported op {op!r}")
+
+
+def _entry_old_spec(e: dict, current_spec: str | None) -> bool:
+    """True when a manifest file entry was written under a DIFFERENT
+    partition spec than ``current_spec`` (partition evolution — see
+    ``snapshot_commit(evolve_partitioning=True)``). Entries predating
+    any evolution carry no ``partition_col`` annotation and are by
+    construction current-spec; the evolution commit annotates every
+    carried entry (explicit ``None`` for unpartitioned files), so the
+    default here is only ever taken for never-evolved lineages."""
+    return "partition_col" in e and e["partition_col"] != current_spec
+
+
+def _may_contain_value(stats: dict, col: str, values) -> bool:
+    """Can a file with these footer stats contain a row whose ``col``
+    equals ANY of ``values``? Probe values arrive as Hive dir-name
+    strings; numeric stats coerce the probe before comparing.
+    Unprovable (missing stats, uncoercible) → True — the caller must
+    assume overlap, mirroring ``_overlaps``'s never-wrongly-prune
+    discipline."""
+    s = stats.get(col)
+    for v in values:
+        probe = v
+        lo = (s or {}).get("min")
+        if (
+            isinstance(lo, (int, float))
+            and not isinstance(lo, bool)
+            and isinstance(v, str)
+        ):
+            try:
+                probe = type(lo)(v)
+            except (TypeError, ValueError):
+                probe = v
+        if _overlaps(stats, col, "=", probe):
+            return True
+    return False
 
 
 def entry_rows(e: dict) -> int:
@@ -1216,7 +1336,7 @@ def read_entries(
             )
 
         paths = [str(root / e["path"]) for e in subset]
-        if manifest.get("partition_by"):
+        if manifest.get("partition_by") or manifest.get("partition_history"):
             # Hive-partitioned layout: the partition column lives in
             # the directory names, so each staging dir is read with
             # ITS OWN basePath (one basePath across several data-*
@@ -1526,6 +1646,8 @@ def snapshot_clone(
     }
     if m.get("partition_by"):
         manifest["partition_by"] = m["partition_by"]
+    if m.get("partition_history"):
+        manifest["partition_history"] = m["partition_history"]
     if m.get("kmv"):
         manifest["kmv"] = m["kmv"]
     if m.get("constraints"):
@@ -1614,6 +1736,8 @@ def snapshot_rollback(
         }
         if target.get("partition_by"):
             manifest["partition_by"] = target["partition_by"]
+        if target.get("partition_history"):
+            manifest["partition_history"] = target["partition_history"]
         if target.get("kmv"):
             manifest["kmv"] = target["kmv"]
         if target.get("constraints"):

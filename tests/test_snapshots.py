@@ -1253,3 +1253,266 @@ def test_update_note_set_cols_is_ephemeral(spark, tmp_path):
     snapshot_commit(_df(spark, 100, 105), t, mode="append")
     assert "set_cols" not in latest_note(t)
     assert "update_where" not in latest_note(t)
+
+
+# ── partition evolution ──────────────────────────────────────────────
+# Iceberg-style spec change: the layout evolves FORWARD only — no data
+# file moves. At 100 TB, re-partitioning a table by rewrite is exactly
+# the job evolution exists to avoid; the contract here is that reads,
+# pruning, time travel and DML stay correct over the mixed layout, and
+# that the two VALUE-grouped operations (replace_partitions,
+# per-partition compaction) are spec-aware instead of silently wrong.
+
+
+def _evo_df(spark, lo, hi):
+    return spark.createDataFrame(
+        [(i, i % 3, i % 2, float(i)) for i in range(lo, hi)],
+        "id int, p1 int, p2 int, val double",
+    )
+
+
+def test_partition_spec_change_requires_evolve_flag(spark, tmp_path):
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_evo_df(spark, 0, 30), t, partition_by="p1")
+    with pytest.raises(ValueError, match="evolve_partitioning"):
+        snapshot_commit(
+            _evo_df(spark, 30, 60), t, mode="append", partition_by="p2"
+        )
+    # un-partitioning is a spec change too
+    with pytest.raises(ValueError, match="evolve_partitioning"):
+        snapshot_commit(_evo_df(spark, 30, 60), t, mode="append")
+
+
+def test_unpartitioned_to_partitioned_append_guard(spark, tmp_path):
+    """Regression for a pre-evolution hole: appending WITH a
+    partition_by to an unpartitioned table used to be silently
+    allowed, after which replace_partitions would carry the old
+    unpartitioned files wholesale — stale rows surviving in the
+    'replaced' partitions. Now it demands the evolve flag, and the
+    evolved table refuses the unsound replace."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_evo_df(spark, 0, 30), t)  # unpartitioned
+    with pytest.raises(ValueError, match="evolve_partitioning"):
+        snapshot_commit(
+            _evo_df(spark, 30, 60), t, mode="append", partition_by="p2"
+        )
+    snapshot_commit(
+        _evo_df(spark, 30, 60),
+        t,
+        mode="append",
+        partition_by="p2",
+        evolve_partitioning=True,
+    )
+    # old unpartitioned file spans p2∈{0,1} (no p2 stats recorded) —
+    # replacing p2=0 cannot be proven safe, so it must refuse
+    with pytest.raises(ValueError, match="previous partition spec"):
+        snapshot_commit(
+            _evo_df(spark, 100, 101),
+            t,
+            mode="replace_partitions",
+            partition_by="p2",
+        )
+
+
+def test_evolution_reads_prunes_and_time_travels(spark, tmp_path):
+    from group5_spark.medallion.snapshots import (
+        _entry_old_spec,
+        snapshot_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    v1 = snapshot_commit(
+        _evo_df(spark, 0, 30), t, partition_by="p1", stats_cols=["id", "p2"]
+    )
+    snapshot_commit(
+        _evo_df(spark, 30, 60),
+        t,
+        mode="append",
+        partition_by="p2",
+        evolve_partitioning=True,
+    )
+    m = snapshot_manifest(t)
+    assert m["partition_by"] == "p2"
+    assert m["partition_history"] == ["p1"]
+    old = [e for e in m["files"] if _entry_old_spec(e, "p2")]
+    new = [e for e in m["files"] if not _entry_old_spec(e, "p2")]
+    assert old and new
+    assert all(e["partition_col"] == "p1" for e in old)
+    assert all(e["partition_col"] == "p2" for e in new)
+    out = snapshot_read(spark, t)
+    # both layouts surface the FULL schema: old files reconstruct p1
+    # from dir names, new files reconstruct p2
+    assert out.count() == 60
+    assert out.select("id").distinct().count() == 60
+    assert out.filter(F.col("p2") == 1).count() == 30
+    assert out.filter(F.col("p1") == 0).count() == 20
+    # pruning on the NEW spec column: OLD-spec files prune via their
+    # typed p2 FOOTER stats (0..1 in every p1 dir ⇒ '= 5' skips
+    # them); new-spec files carry the dir-name stat as a string, so a
+    # typed probe degrades to must-read there — never wrongly pruned
+    kept, total = prune_files(t, [("p2", "=", 5)])
+    assert len(kept) == len(new)
+    assert not any("p1=" in p for p in kept)
+    # old-spec entries keep their p1 dir-name stat → p1 pruning works
+    kept, total = prune_files(t, [("p1", "=", 9)])
+    assert len(kept) < total
+    # time travel: the pre-evolution version reads under its own spec
+    assert snapshot_read(spark, t, version=v1).count() == 30
+
+
+def test_replace_partitions_stats_proven_carry_across_specs(spark, tmp_path):
+    """An old-spec file whose footer stats PROVE it has no rows in the
+    replaced partitions is carried; an overlapping one refuses."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    # day == grp: each old grp-dir holds exactly one day value
+    df1 = spark.createDataFrame(
+        [(i, i % 3, i % 3, float(i)) for i in range(30)],
+        "id int, grp int, day int, val double",
+    )
+    snapshot_commit(df1, t, partition_by="grp", stats_cols=["id", "day"])
+    df2 = spark.createDataFrame(
+        [(i, 0, 7, float(i)) for i in range(30, 40)],
+        "id int, grp int, day int, val double",
+    )
+    snapshot_commit(
+        df2, t, mode="append", partition_by="day", evolve_partitioning=True
+    )
+    # replace day=7: every old file's day-range is {0}|{1}|{2} — proven
+    # disjoint, so the replace lands and the old rows all survive
+    repl = spark.createDataFrame(
+        [(100, 0, 7, 1.0)], "id int, grp int, day int, val double"
+    )
+    snapshot_commit(repl, t, mode="replace_partitions", partition_by="day")
+    out = snapshot_read(spark, t)
+    assert out.count() == 31  # 30 originals + 1 replacement
+    assert out.filter(F.col("day") == 7).count() == 1
+    # replace day=1: old grp=1 file provably CONTAINS day=1 → refuse
+    repl2 = spark.createDataFrame(
+        [(101, 1, 1, 1.0)], "id int, grp int, day int, val double"
+    )
+    with pytest.raises(ValueError, match="previous partition spec"):
+        snapshot_commit(
+            repl2, t, mode="replace_partitions", partition_by="day"
+        )
+
+
+def test_compaction_migrates_previous_spec(spark, tmp_path):
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_partitions,
+    )
+    from group5_spark.medallion.snapshots import (
+        _entry_old_spec,
+        snapshot_manifest,
+    )
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _evo_df(spark, 0, 30), t, partition_by="p1", stats_cols=["id", "p2"]
+    )
+    snapshot_commit(
+        _evo_df(spark, 30, 60),
+        t,
+        mode="append",
+        partition_by="p2",
+        evolve_partitioning=True,
+    )
+    before = snapshot_read(spark, t).orderBy("id").collect()
+    r = compact_snapshot_partitions(
+        spark, t, target_file_bytes=1 << 30, min_files_to_compact=64
+    )
+    # only the migrate group is unhealthy (64-file threshold): the
+    # rewrite is priced at the OLD-SPEC volume, not the table's
+    assert r["partitions_compacted"] == 1
+    m = snapshot_manifest(t)
+    assert "partition_history" not in m  # layout unified → history GC'd
+    assert not any(_entry_old_spec(e, "p2") for e in m["files"])
+    assert all(
+        e["partition_col"] == "p2" for e in m["files"] if "partition" in e
+    )
+    after = snapshot_read(spark, t).orderBy("id").collect()
+    assert after == before
+    # value grouping is sound again: replace_partitions now lands
+    repl = spark.createDataFrame(
+        [(100, 0, 0, 1.0)], "id int, p1 int, p2 int, val double"
+    )
+    snapshot_commit(repl, t, mode="replace_partitions", partition_by="p2")
+    out = snapshot_read(spark, t)
+    assert out.filter(F.col("p2") == 0).count() == 1
+    assert out.filter(F.col("p2") == 1).count() == 30
+
+
+def test_merge_on_evolved_table_rewrites_under_current_spec(
+    spark, tmp_path
+):
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _evo_df(spark, 0, 30), t, partition_by="p1", stats_cols=["id", "p2"]
+    )
+    snapshot_commit(
+        _evo_df(spark, 30, 60),
+        t,
+        mode="append",
+        partition_by="p2",
+        evolve_partitioning=True,
+    )
+    # update one row from each layout generation + insert a new one
+    src = spark.createDataFrame(
+        [(5, 5 % 3, 5 % 2, 500.0), (40, 40 % 3, 40 % 2, 400.0),
+         (99, 0, 1, 999.0)],
+        "id int, p1 int, p2 int, val double",
+    )
+    snapshot_merge(spark, t, src, ["id"])
+    out = snapshot_read(spark, t)
+    assert out.count() == 61
+    got = {
+        r["id"]: r["val"]
+        for r in out.filter(F.col("id").isin(5, 40, 99)).collect()
+    }
+    assert got == {5: 500.0, 40: 400.0, 99: 999.0}
+    # rewritten + inserted files land under the CURRENT spec; any
+    # still-carried old-spec entry keeps its annotation and the
+    # manifest keeps the history while one remains
+    m = snapshot_manifest(t)
+    touched_specs = {
+        e.get("partition_col")
+        for e in m["files"]
+        if "p2=" in e["path"]
+    }
+    assert touched_specs == {"p2"}
+
+
+def test_evolution_to_unpartitioned_and_back(spark, tmp_path):
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _evo_df(spark, 0, 30), t, partition_by="p1", stats_cols=["id"]
+    )
+    snapshot_commit(
+        _evo_df(spark, 30, 60), t, mode="append", evolve_partitioning=True
+    )
+    m = snapshot_manifest(t)
+    assert "partition_by" not in m and m["partition_history"] == ["p1"]
+    out = snapshot_read(spark, t)
+    assert out.count() == 60 and out.filter(F.col("p1") == 0).count() == 20
+    # evolve back: the original p1 entries become CURRENT-spec again
+    # (their value grouping is sound under the restored spec)
+    snapshot_commit(
+        _evo_df(spark, 60, 90),
+        t,
+        mode="append",
+        partition_by="p1",
+        evolve_partitioning=True,
+    )
+    m2 = snapshot_manifest(t)
+    assert m2["partition_by"] == "p1"
+    assert snapshot_read(spark, t).count() == 90
