@@ -335,7 +335,9 @@ def run_one_eq(n: int) -> dict:
     masked_rows = snapshot_read(spark, str(clone)).count()
     masked_read_s = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
-    compact_snapshot(spark, str(clone), target_mb=256)
+    compact_snapshot(
+        spark, str(clone), target_file_bytes=256 * 1024 * 1024
+    )
     compact_s = round(time.perf_counter() - t0, 3)
     t0 = time.perf_counter()
     folded_rows = snapshot_read(spark, str(clone)).count()
