@@ -71,7 +71,7 @@ def span_dedup(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    span_words: int = 3,
+    span_words: int = 50,
 ) -> DataFrame:
     """C4-style SPAN-level exact dedup (Raffel et al. 2020 §2.2 dedup
     repeated three-sentence spans): split each document into
@@ -79,7 +79,16 @@ def span_dedup(
     segment's FIRST corpus-wide occurrence (smallest ``(id, position)``)
     and drop every other occurrence, then reassemble the survivors in
     order. Returns ``(id_col, n_spans, kept_spans, deduped_text)`` —
-    documents whose every span was seen earlier disappear entirely.
+    documents whose every span was seen earlier disappear entirely
+    (kept_spans = 0 rows are dropped); documents with NULL ``text_col``
+    pass through with ``n_spans = kept_spans = 0`` and NULL text rather
+    than silently vanishing in the explode.
+
+    The 50-word default approximates C4's three-SENTENCE span (~17
+    words/sentence in English web text). Deduping much shorter spans
+    (e.g. 3 words) removes every common trigram corpus-wide and
+    mangles natural text — divergence from that default should be
+    deliberate.
 
     This is sub-document dedup — the training-corpus complement to the
     whole-document operators above: boilerplate (headers, nav bars,
@@ -110,7 +119,8 @@ def span_dedup(
             " ", F.slice(arr, (s - 1) * span_words + 1, span_words)
         ),
     )
-    seg = df.select(
+    with_text = df.where(F.col(text_col).isNotNull())
+    seg = with_text.select(
         F.col(id_col),
         n_spans.alias("n_spans"),
         F.posexplode(spans).alias("seg", "chunk"),
@@ -122,7 +132,7 @@ def span_dedup(
         (F.col(id_col) == F.col(f"first.{id_col}"))
         & (F.col("seg") == F.col("first.seg"))
     )
-    return kept.groupBy(id_col, "n_spans").agg(
+    deduped = kept.groupBy(id_col, "n_spans").agg(
         F.count(F.lit(1)).alias("kept_spans"),
         F.concat_ws(
             " ",
@@ -132,6 +142,16 @@ def span_dedup(
             ),
         ).alias("deduped_text"),
     )
+    # NULL text can't be spanned but must not disappear: size(split(
+    # NULL)) is NULL, so posexplode above drops the row — surface it
+    # explicitly with zero spans instead
+    null_text = df.where(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("kept_spans"),
+        F.lit(None).cast("string").alias("deduped_text"),
+    )
+    return deduped.unionByName(null_text)
 
 
 def incremental_new_docs(

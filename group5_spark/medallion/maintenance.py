@@ -216,6 +216,23 @@ def _dv_commit(
 DEFAULT_TARGET_BYTES = 128 * 1024 * 1024
 
 
+class _MigrateGroupType:
+    """Sentinel key for the previous-spec migrate group in
+    :func:`compact_snapshot_partitions` — deliberately NOT a string,
+    so a real partition literally named ``__previous_spec__`` keeps
+    its own slot instead of being silently overwritten (round-6
+    ADVICE: a string key collision dropped that partition's entries
+    from the new manifest)."""
+
+    def __str__(self) -> str:  # manifest note rendering only
+        return "__previous_spec__"
+
+    __repr__ = __str__
+
+
+_MIGRATE_GROUP = _MigrateGroupType()
+
+
 def _data_files(d: Path) -> list[Path]:
     return [f for f in d.rglob("*.parquet") if f.is_file()]
 
@@ -1616,7 +1633,11 @@ def compact_snapshot_partitions(
                 fragmented[part] = (entries, needed)
         if migrate:
             nbytes = sum(int(e.get("bytes", 0)) for e in migrate)
-            fragmented["__previous_spec__"] = (
+            # non-colliding sentinel (round-6 ADVICE): a real partition
+            # literally named "__previous_spec__" must keep its own
+            # fragmented[] slot — a string key would be overwritten here
+            # and its entries neither carried nor rewritten (data loss)
+            fragmented[_MIGRATE_GROUP] = (
                 migrate,
                 max(1, math.ceil(nbytes / target_file_bytes)),
             )
@@ -1636,22 +1657,29 @@ def compact_snapshot_partitions(
             else None
         )
         pieces = []
-        for part, (entries, needed) in sorted(fragmented.items()):
+        for part, (entries, needed) in sorted(
+            fragmented.items(), key=lambda kv: str(kv[0])
+        ):
             # read_entries applies any deletion vectors: a compaction
             # that read the raw files would RESURRECT masked rows —
             # this is also how per-partition compaction FOLDS a
             # partition's DVs back into plain files
             df = snap.read_entries(spark, root, head, entries)
-            if sort_cols:
-                df = df.repartitionByRange(
-                    needed, *sort_cols
-                ).sortWithinPartitions(*sort_cols)
-            elif part == "__previous_spec__":
+            if part is _MIGRATE_GROUP:
                 # the migrate group spans MANY partition values — hash
                 # them together so the final partitionBy write emits
                 # ~needed files per value actually present, not
-                # needed × |values|
+                # needed × |values|. This wins over the generic range
+                # branch even when clustering: a repartitionByRange on
+                # sort_cols alone would spread every partition value
+                # across all `needed` tasks and re-create the blow-up.
                 df = df.repartition(needed, part_col)
+                if sort_cols:
+                    df = df.sortWithinPartitions(*sort_cols)
+            elif sort_cols:
+                df = df.repartitionByRange(
+                    needed, *sort_cols
+                ).sortWithinPartitions(*sort_cols)
             else:
                 df = df.coalesce(needed)
             pieces.append(df)

@@ -1126,9 +1126,19 @@ def _may_contain_value(stats: dict, col: str, values) -> bool:
     strings; numeric stats coerce the probe before comparing.
     Unprovable (missing stats, uncoercible) → True — the caller must
     assume overlap, mirroring ``_overlaps``'s never-wrongly-prune
-    discipline."""
+    discipline.
+
+    Hive dir names percent-escape special chars (':' → '%3A' etc. —
+    the staging scan skips its synthetic stat for the same reason),
+    so an escaped probe compared lexicographically against RAW footer
+    min/max could falsely "prove" a file disjoint and silently carry
+    stale rows through replace_partitions. Any probe still carrying a
+    '%' after arrival is therefore treated as unprovable (True):
+    correctness over pruning."""
     s = stats.get(col)
     for v in values:
+        if isinstance(v, str) and "%" in v:
+            return True  # escaped dir-name value: never provably absent
         probe = v
         lo = (s or {}).get("min")
         if (

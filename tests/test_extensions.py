@@ -862,3 +862,37 @@ def test_funnel_lsh_index_flag_preserves_dropset(spark, sf_dir, tmp_path):
     finally:
         spark.conf.unset(FUNNEL_LSH_INDEX_CONF)
     assert got == want
+
+
+def test_span_dedup_boilerplate_removed_nulls_pass_through(spark):
+    """C4-style span dedup: a repeated span keeps only its first
+    corpus-wide occurrence; NULL-text rows pass through with zero
+    spans instead of silently vanishing (round-6 ADVICE); the default
+    span is sentence-scale (50 words), not trigram-scale."""
+    import inspect
+
+    assert (
+        inspect.signature(dedup.span_dedup).parameters["span_words"].default
+        == 50
+    )
+    boiler = "all rights reserved contact us"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta eps"),
+            (2, boiler + " zeta eta theta iota kappa"),
+            (3, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.span_dedup(df, span_words=5).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    # doc 1 keeps both spans; doc 2 loses the boilerplate span
+    assert (out[1].n_spans, out[1].kept_spans) == (2, 2)
+    assert (out[2].n_spans, out[2].kept_spans) == (2, 1)
+    assert out[2].deduped_text == "zeta eta theta iota kappa"
+    # NULL text: explicit zero-span row, not a disappearance
+    assert (out[3].n_spans, out[3].kept_spans) == (0, 0)
+    assert out[3].deduped_text is None

@@ -821,3 +821,110 @@ def test_compact_snapshot_partitions_on_fragmented_clone(spark, tmp_path):
     } == before
     # the source is untouched
     assert snapshot_read(spark, src).count() == 40
+
+
+def test_partition_named_previous_spec_survives_migration(spark, tmp_path):
+    """Round-6 ADVICE (low): a real partition literally named
+    '__previous_spec__' used to collide with the migrate group's
+    string sentinel in compact_snapshot_partitions — its fragmented[]
+    slot was overwritten and its entries neither carried nor rewritten
+    (dropped from the new manifest). The sentinel is now a non-string
+    object; both groups must survive the same compaction pass."""
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_partitions,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(i, "old", float(i)) for i in range(20)],
+        "id int, grp string, val double",
+    )
+    snapshot_commit(df1, t, partition_by="grp", stats_cols=["id"])
+    # evolve to partition by `name`, with the poisoned value itself
+    # fragmented (many small appends)
+    for lo in range(0, 30, 10):
+        df2 = spark.createDataFrame(
+            [
+                (100 + lo + i, "old", float(i), "__previous_spec__")
+                for i in range(10)
+            ],
+            "id int, grp string, val double, name string",
+        )
+        snapshot_commit(
+            df2,
+            t,
+            mode="append",
+            partition_by="name",
+            **({"evolve_partitioning": True} if lo == 0 else {}),
+        )
+    before = {
+        r["id"] for r in snapshot_read(spark, t).select("id").collect()
+    }
+    assert len(before) == 50
+    r = compact_snapshot_partitions(
+        spark, t, target_file_bytes=1 << 30, min_files_to_compact=2
+    )
+    # both the migrate group AND the real '__previous_spec__' value
+    # partition compacted — two groups, zero dropped rows
+    assert r["partitions_compacted"] == 2
+    after = {
+        r["id"] for r in snapshot_read(spark, t).select("id").collect()
+    }
+    assert after == before
+
+
+def test_migrate_group_with_sort_cols_avoids_file_blowup(spark, tmp_path):
+    """Round-6 ADVICE (low): with sort_cols, the migrate group used to
+    take the generic repartitionByRange branch — each of the `needed`
+    range tasks spans many partition values, so the partitionBy write
+    emitted up to needed × |values| files. The migrate group must hash
+    by the partition column first (one file per value), sorting only
+    within partitions."""
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_partitions,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(i, i % 4, i % 3, float(i)) for i in range(4000)],
+        "id int, p1 int, p2 int, val double",
+    )
+    snapshot_commit(df1, t, partition_by="p1", stats_cols=["id"])
+    snapshot_commit(
+        spark.createDataFrame(
+            [(9000, 0, 0, 0.0)], "id int, p1 int, p2 int, val double"
+        ),
+        t,
+        mode="append",
+        partition_by="p2",
+        evolve_partitioning=True,
+    )
+    before = snapshot_read(spark, t).count()
+    # tiny target → needed >> 1 for the migrate group; only it is
+    # unhealthy (min_files_to_compact keeps value groups out)
+    r = compact_snapshot_partitions(
+        spark,
+        t,
+        target_file_bytes=8 * 1024,
+        min_files_to_compact=64,
+        sort_cols=["id"],
+    )
+    assert r["partitions_compacted"] == 1
+    m = snapshot_manifest(t)
+    migrated = [
+        e for e in m["files"] if e.get("partition_col", "p2") == "p2"
+        and e.get("seq") == m["last_seq"]
+    ]
+    # hash-by-p2 keeps one task per value: ≤ |p2 values| = 3 new files
+    # (the buggy range branch emitted needed × 3)
+    assert 0 < len(migrated) <= 3
+    assert snapshot_read(spark, t).count() == before

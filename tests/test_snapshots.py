@@ -1516,3 +1516,30 @@ def test_evolution_to_unpartitioned_and_back(spark, tmp_path):
     m2 = snapshot_manifest(t)
     assert m2["partition_by"] == "p1"
     assert snapshot_read(spark, t).count() == 90
+
+
+def test_may_contain_value_escaped_probe_is_unprovable():
+    """Round-6 ADVICE (medium): Hive dir names percent-escape special
+    chars, and '%' (0x25) sorts BELOW every digit and ':' (0x3A) — so
+    the escaped probe '... 10%3A30%3A00' compares lexicographically
+    BELOW a raw footer range that genuinely contains the raw value
+    '... 10:30:00'. Comparing raw stats against the escaped form would
+    falsely "prove" the file disjoint and silently carry stale rows
+    through replace_partitions. Any probe still carrying '%' must be
+    unprovable (True)."""
+    from group5_spark.medallion.snapshots import _may_contain_value
+
+    stats = {
+        "ts": {"min": "2024-01-01 10:00:00", "max": "2024-01-01 10:59:59"}
+    }
+    raw = "2024-01-01 10:30:00"
+    escaped = "2024-01-01 10%3A30%3A00"
+    # sanity: the raw value IS inside the range...
+    assert _may_contain_value(stats, "ts", [raw]) is True
+    # ...and the escaped form sorts below the range's min — the exact
+    # shape of the false "proof" the fix closes
+    assert escaped < stats["ts"]["min"]
+    assert _may_contain_value(stats, "ts", [escaped]) is True
+    # plain values keep real pruning power: a genuinely-outside probe
+    # without escapes is still provably absent
+    assert _may_contain_value(stats, "ts", ["2024-06-01 00:00:00"]) is False
