@@ -345,3 +345,194 @@ def test_eq_predicate_reads_still_masked(spark, tmp_path):
     )
     got = snapshot_read(spark, t, predicates=[("id", "=", 500)]).collect()
     assert len(got) == 1 and got[0]["v"] == "UP500"
+
+
+def test_eq_health_reports_rent_and_apply_health_folds(spark, tmp_path):
+    """Round-6 VERDICT #2: stacked eq sidecars are read rent (one
+    broadcast anti-join per key set on EVERY read) — table_health must
+    report them and recommend a fold, and apply_health must execute
+    it and converge."""
+    from group5_spark.medallion.maintenance import (
+        apply_health,
+        table_health,
+    )
+
+    t = _table(spark, tmp_path)
+    # insert-shaped upserts with keys OUTSIDE the base id range: the
+    # appended single-row files keep the id stats non-overlapping, so
+    # the fold recommendation is not subsumed by a clustering rewrite
+    # (apply_health deliberately skips the standalone fold when a full
+    # clustering rewrite will fold the masks anyway)
+    for i, seq in ((2000, 2), (3000, 3), (4000, 4)):
+        snapshot_eq_upsert(
+            spark, t, _batch(spark, [(i, i % 10, f"UP{i}", seq)]), ["id"]
+        )
+    expected = _rows(spark, t)
+    h = table_health(t)
+    assert h["eq_sidecars"] == 3 and h["eq_masked_keys"] == 3
+    fold_recs = [r for r in h["recommendations"] if r.startswith("fold:")]
+    assert fold_recs and "equality-delete" in fold_recs[0]
+    done = apply_health(spark, t)
+    fold_acts = [a for a in done if a["action"] == "fold_masks"]
+    assert len(fold_acts) == 1 and fold_acts[0]["executed"]
+    assert fold_acts[0]["result"]["eq_sidecars"] == 3
+    # converged: sidecars gone, data identical, second pass clean of
+    # fold/compact work (expiry of the pre-fold versions may remain)
+    m = snapshot_manifest(t)
+    assert not m.get("eq_deletes")
+    assert _rows(spark, t) == expected
+    h2 = table_health(t)
+    assert h2["eq_sidecars"] == 0
+    assert not any(
+        r.startswith(("fold:", "compact:")) for r in h2["recommendations"]
+    )
+
+
+def test_compact_snapshot_masks_carries_clean_files_by_reference(
+    spark, tmp_path
+):
+    """Round-6 VERDICT #3: the fold must be priced at the MASKED data
+    — clean files carry into the new version by reference (identical
+    path entries), only mask-bearing files are rewritten."""
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_masks,
+        snapshot_delete,
+    )
+
+    t = _table(spark, tmp_path, files=4)
+    # DV-mask a narrow id range: sub-threshold in whichever file(s)
+    # hold it, every other file stays plain
+    snapshot_delete(spark, t, [("id", "<", 30)], dv_threshold=0.9)
+    m0 = snapshot_manifest(t)
+    dv_paths = {e["path"] for e in m0["files"] if e.get("dv")}
+    clean_paths = {e["path"] for e in m0["files"] if not e.get("dv")}
+    assert dv_paths and clean_paths  # the scoping premise
+    expected = _rows(spark, t)
+    out = compact_snapshot_masks(spark, t)
+    assert out["files_folded"] == len(dv_paths)
+    assert out["files_carried"] == len(clean_paths)
+    m1 = snapshot_manifest(t)
+    new_paths = {e["path"] for e in m1["files"]}
+    # clean files carried verbatim; DV files replaced by plain rewrites
+    assert clean_paths <= new_paths
+    assert not dv_paths & new_paths
+    assert not any(e.get("dv") for e in m1["files"])
+    assert _rows(spark, t) == expected
+    # idempotent: nothing masked → no-op
+    assert compact_snapshot_masks(spark, t) == {}
+
+
+def test_compact_snapshot_masks_folds_eq_keeps_postdating_files(
+    spark, tmp_path
+):
+    """Eq coverage is sequence-scoped: files that POSTDATE every
+    sidecar (the eq batch itself, later appends) are clean and must
+    carry by reference; all pre-sidecar files rewrite and the
+    sidecars GC."""
+    from group5_spark.medallion.maintenance import compact_snapshot_masks
+
+    t = _table(spark, tmp_path, files=3)
+    snapshot_eq_upsert(
+        spark, t, _batch(spark, [(3, 3, "UP3", 2), (2000, 0, "NEW", 2)]),
+        ["id"],
+    )
+    snapshot_commit(
+        _batch(spark, [(3000, 1, "APP", 3)]), t, mode="append"
+    )
+    m0 = snapshot_manifest(t)
+    eq_seq = m0["eq_deletes"][0]["seq"]
+    pre = {e["path"] for e in m0["files"] if e.get("seq", 0) < eq_seq}
+    post = {e["path"] for e in m0["files"] if e.get("seq", 0) >= eq_seq}
+    assert len(pre) == 3 and len(post) >= 2
+    expected = _rows(spark, t)
+    out = compact_snapshot_masks(spark, t)
+    assert out["files_folded"] == len(pre)
+    assert out["files_carried"] == len(post)
+    assert out["eq_sidecars"] == 1
+    m1 = snapshot_manifest(t)
+    assert not m1.get("eq_deletes")
+    new_paths = {e["path"] for e in m1["files"]}
+    assert post <= new_paths and not pre & new_paths
+    assert _rows(spark, t) == expected
+
+
+def test_mixed_dv_then_eq_sidecar_on_same_file(spark, tmp_path):
+    """Round-6 VERDICT #5 (the one implicit interaction-matrix cell):
+    a file simultaneously DV-masked (sub-threshold delete) AND covered
+    by a LATER eq sidecar touching its surviving keys must resolve the
+    (path, dv, eq-suffix) identity consistently across all three
+    surfaces — plain reads, the change feed, and IVM."""
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_masks,
+        snapshot_delete,
+    )
+
+    t = _table(spark, tmp_path, files=2)
+    mv = str(tmp_path / "mv")
+    ivm_init(spark, t, mv, ["g"], ["seq"])
+    v1 = snapshot_manifest(t)["version"]
+    # DV: mask ids 0..29 in place (sub-threshold — files carry, masked
+    # positions in the sidecar)
+    snapshot_delete(spark, t, [("id", "<", 30)], dv_threshold=0.9)
+    m_dv = snapshot_manifest(t)
+    assert any(e.get("dv") for e in m_dv["files"])
+    # eq: LATER sidecar upserting keys that SURVIVED the DV in the
+    # same file(s) (ids 30..34) plus a fresh insert
+    snapshot_eq_upsert(
+        spark, t,
+        _batch(
+            spark,
+            [(i, i % 10, f"EQ{i}", 9) for i in range(30, 35)]
+            + [(5000, 0, "NEW", 9)],
+        ),
+        ["id"],
+    )
+    m = snapshot_manifest(t)
+    eq_seq = m["eq_deletes"][0]["seq"]
+    both = [
+        e for e in m["files"] if e.get("dv") and e.get("seq", 0) < eq_seq
+    ]
+    assert both, "premise: a file carrying a DV and covered by the eq"
+    # surface 1: the read
+    rows = _rows(spark, t)
+    assert set(rows) == ({5000} | set(range(30, 1000)))
+    assert all(rows[i] == (i % 10, f"EQ{i}", 9) for i in range(30, 35))
+    assert rows[35] == (5, "v35", 1)
+    # surface 2: change feed vs exhaustive recompute
+    ch = {
+        (r["id"], r["_change"])
+        for r in snapshot_changes(spark, t, ["id"], v_from=v1).collect()
+    }
+    full = {
+        (r["id"], r["_change"])
+        for r in snapshot_changes(
+            spark, t, ["id"], v_from=v1, files_scope="all"
+        ).collect()
+    }
+    assert ch == full
+    assert ch == (
+        {(i, "delete") for i in range(30)}
+        | {(i, "update") for i in range(30, 35)}
+        | {(5000, "insert")}
+    )
+    # surface 3: IVM ≡ full recompute
+    ivm_refresh(spark, t, mv, ["g"], ["seq"])
+    got = {
+        r["g"]: (r["sum_seq"], r["n_rows"])
+        for r in snapshot_read(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["sum_seq"], r["n_rows"])
+        for r in snapshot_read(spark, t)
+        .groupBy("g")
+        .agg(F.sum("seq").alias("sum_seq"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
+    # and the fold clears BOTH mask kinds in one pass, data intact
+    out = compact_snapshot_masks(spark, t)
+    assert out["dv_files"] >= 1 and out["eq_sidecars"] == 1
+    m2 = snapshot_manifest(t)
+    assert not m2.get("eq_deletes")
+    assert not any(e.get("dv") for e in m2["files"])
+    assert _rows(spark, t) == rows
