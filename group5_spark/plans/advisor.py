@@ -366,7 +366,30 @@ def stats_from_snapshot(
     # (physical minus masked) — planning from physical rows would
     # overestimate a heavily-masked table and demote broadcasts
     rows = sum(entry_rows(e) for e in m["files"])
+    # equality-delete masks subtract too (round-6 VERDICT #7): each
+    # sidecar hides the rows sharing its key tuples in every entry it
+    # postdates. For the CDC tables eq-upserts produce, keys are
+    # ~unique per row, so the sidecar's key count IS the masked-row
+    # estimate — clamped to the covered entries' live rows so a
+    # key set larger than the table can't go negative.
+    eq_all = m.get("eq_deletes") or []
+    if eq_all:
+        max_seq = max(d["seq"] for d in eq_all)
+        covered = sum(
+            entry_rows(e)
+            for e in m["files"]
+            if e.get("seq", 0) < max_seq
+        )
+        eq_keys = sum(int(d.get("rows", 0)) for d in eq_all)
+        rows -= min(covered, eq_keys)
     disk = sum(int(e["bytes"]) for e in m["files"])
+    # broadcast budgeting sees what a scan MATERIALIZES: masks resolve
+    # before the data crosses the wire, so a heavily-masked table's
+    # bytes scale by its live fraction — otherwise a 50%-masked dim
+    # is wrongly demoted from broadcast until someone folds it
+    physical = sum(int(e.get("rows", 0)) for e in m["files"])
+    if physical > 0 and rows < physical:
+        disk = int(disk * max(rows, 0) / physical)
     ndv = 0
     hashes: tuple = ()
     if key is not None and key in m.get("kmv", {}):

@@ -323,6 +323,7 @@ def stream_upsert_snapshot(
     bloom_cols: list[str] | None = None,
     app_id: str | None = None,
     dv_threshold: float | None = None,
+    eq_mode: bool = False,
     schema_evolution: bool = False,
 ) -> StreamingQuery:
     """Continuously upsert a change stream into a SNAPSHOT table —
@@ -362,11 +363,39 @@ def stream_upsert_snapshot(
     rewriting the file — the steady-state CDC write cost becomes ∝
     batch size even when each batch's keys scatter across large
     files. Schedule ``compact_snapshot`` to fold accumulated DVs.
+
+    ``eq_mode=True`` routes each batch through
+    :func:`maintenance.snapshot_eq_upsert` instead (Iceberg-v2
+    equality deletes): the sink appends the batch plus a key-tuple
+    sidecar and never reads, probes, or rewrites a target file —
+    commit cost O(|batch|) and INDEPENDENT of table size, the path
+    for key-scattered CDC where even DV probing reads too much. The
+    same ``(app_id, batch_id)`` replay dedup applies. Rent moves to
+    readers (one broadcast anti-join per sidecar key set) — schedule
+    :func:`maintenance.compact_snapshot_masks` (or let
+    ``apply_health`` fold on the sidecar-count recommendation);
+    a fold between batches is safe, it cannot double-apply.
+    Mutually exclusive with ``dv_threshold``.
     """
     from pyspark.sql import Window
 
     from group5_spark.medallion import snapshots as snap
-    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.maintenance import (
+        snapshot_eq_upsert,
+        snapshot_merge,
+    )
+
+    if eq_mode and dv_threshold is not None:
+        raise ValueError(
+            "eq_mode and dv_threshold are alternative merge-on-read "
+            "write paths — pass one"
+        )
+    if eq_mode and partition_by:
+        raise ValueError(
+            "eq_mode appends through snapshot_eq_upsert, which follows "
+            "the table's existing layout — partition_by is a "
+            "table-creation concern, not a per-batch one"
+        )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
@@ -385,6 +414,17 @@ def stream_upsert_snapshot(
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        if eq_mode:
+            snapshot_eq_upsert(
+                batch.sparkSession,
+                table_path,
+                deduped,
+                keys,
+                # batch already deduped to one row per key above
+                note={"app_id": app, "batch_id": batch_id},
+                schema_evolution=schema_evolution,
+            )
+            return
         snapshot_merge(
             batch.sparkSession,
             table_path,
