@@ -1752,6 +1752,7 @@ def compact_snapshot_masks(
     path: str,
     *,
     target_file_bytes: int = DEFAULT_TARGET_BYTES,
+    key_probe_limit: int = 4096,
 ) -> dict:
     """MASK-scoped fold: rewrite ONLY the file entries that carry
     merge-on-read rent — a deletion-vector sidecar, or coverage by at
@@ -1764,36 +1765,112 @@ def compact_snapshot_masks(
     stream that masks today's keys triggers a fold priced at today's
     churn.
 
+    Eq coverage is additionally SHARPENED per file (the same
+    stats+bloom economics as :func:`snapshot_merge`'s candidate
+    pruning): when the applicable sidecars' key tuples number at most
+    ``key_probe_limit``, a covered file whose footer stats/bloom PROVE
+    it contains none of them is carried by reference with its
+    sequence RE-STAMPED to this commit's — masking it was a no-op, so
+    promoting it above the sidecars changes nothing a reader sees,
+    and it stops keeping the sidecars alive. A range-clustered CDC
+    table whose eq batches touch one key region folds at the cost of
+    that region, not of every pre-sidecar file.
+
     The rewrite reads the masked entries through
     :func:`snapshots.read_entries` (DV positions anti-joined, eq key
     sets anti-joined — raw-file reads would resurrect masked rows) and
     commits them as plain files. Sidecar GC is then automatic in
     :func:`snapshots.snapshot_commit`: every carried entry's sequence
-    already postdates every sidecar (that is exactly what made it
-    clean) and rewritten entries get a fresh sequence, so no sidecar
-    masks anything and the manifest drops them all.
+    postdates every sidecar (clean ones by construction, proven ones
+    by the re-stamp) and rewritten entries get a fresh sequence, so no
+    sidecar masks anything and the manifest drops them all.
 
     Same commit discipline as the other maintenance rewrites: OCC
     under ``expected_parent`` (a racing commit retries the whole
     read-rewrite-commit), time travel intact, old files + sidecars
     reclaimed by ``snapshot_expire``. Returns ``{}`` when nothing is
-    masked, else ``{version, files_folded, files_carried, dv_files,
-    eq_sidecars, rows_masked}``.
+    masked, else ``{version, files_folded, files_carried,
+    files_restamped, dv_files, eq_sidecars, rows_masked}``.
     """
     from group5_spark.medallion import snapshots as snap
 
     root = Path(path)
     while True:
         head = snap.snapshot_manifest(path)
-        eq_all = head.get("eq_deletes") or []
+        eq_all = sorted(
+            head.get("eq_deletes") or [],
+            key=lambda d: (d["seq"], d["sidecar"]),
+        )
         max_eq_seq = max((d["seq"] for d in eq_all), default=0)
-        masked, clean = [], []
+
+        # bounded per-sidecar key probes (None = over cap, no proof):
+        # a tuple with a NULL component never equi-matches, so it masks
+        # nothing and is irrelevant to the disjointness proof
+        probes: list[list[tuple] | None] = []
+        for d in eq_all:
+            if int(d.get("rows", 0)) > key_probe_limit:
+                probes.append(None)
+                continue
+            rows = (
+                spark.read.parquet(str(root / d["sidecar"]))
+                .select(*d["keys"])
+                .distinct()
+                .collect()
+            )
+            probes.append(
+                [
+                    tuple(r)
+                    for r in rows
+                    if all(v is not None for v in r)
+                ]
+            )
+
+        def _proven_eq_clean(e: dict) -> bool:
+            es = e.get("seq", 0)
+            st = e.get("stats") or {}
+            for d, tuples in zip(eq_all, probes):
+                if d["seq"] <= es:
+                    continue
+                if tuples is None:
+                    return False
+                keys = list(d["keys"])
+                bloom_key = (
+                    snap.composite_bloom_name(keys)
+                    if len(keys) > 1
+                    else keys[0]
+                )
+                bloom = (e.get("bloom") or {}).get(bloom_key)
+                sorted_pos = [keys.index(k) for k in sorted(keys)]
+                for t in tuples:
+                    may = all(
+                        snap._overlaps(st, k, "=", v)
+                        for k, v in zip(keys, t)
+                    )
+                    if may and bloom is not None:
+                        may = snap._bloom_might_contain(
+                            bloom,
+                            t[0]
+                            if len(keys) == 1
+                            else snap._COMPOSITE_SEP.join(
+                                str(t[i]) for i in sorted_pos
+                            ),
+                        )
+                    if may:
+                        return False
+            return True
+
+        masked, clean, restamp = [], [], []
         for e in head["files"]:
-            if e.get("dv") or e.get("seq", 0) < max_eq_seq:
+            eq_covered = e.get("seq", 0) < max_eq_seq
+            if e.get("dv"):
+                masked.append(e)
+            elif eq_covered and _proven_eq_clean(e):
+                restamp.append(e)
+            elif eq_covered:
                 masked.append(e)
             else:
                 clean.append(e)
-        if not masked:
+        if not masked and not restamp:
             return {}
         nbytes = sum(int(e.get("bytes", 0)) for e in masked)
         needed = max(1, math.ceil(nbytes / target_file_bytes))
@@ -1807,17 +1884,26 @@ def compact_snapshot_masks(
             if part_col
             else df.coalesce(needed)
         )
+        # proven-disjoint entries promote ABOVE every sidecar: the
+        # commit below stamps its staged files base_last_seq + 1, and
+        # the expected_parent guard pins base == head, so this is the
+        # same value — after which no entry predates any sidecar and
+        # the commit's GC drops them all
+        carried = clean + [
+            {**e, "seq": snap._last_seq(head) + 1} for e in restamp
+        ]
         try:
             v = snap.snapshot_commit(
                 df,
                 path,
                 mode="overwrite",
-                carry_files=clean,
+                carry_files=carried,
                 expected_parent=head["version"],
                 partition_by=part_col,
                 note={
                     "compaction": "masks",
                     "files_folded": len(masked),
+                    "files_restamped": len(restamp),
                     "eq_sidecars_folded": len(eq_all),
                 },
             )
@@ -1827,6 +1913,7 @@ def compact_snapshot_masks(
             "version": v,
             "files_folded": len(masked),
             "files_carried": len(clean),
+            "files_restamped": len(restamp),
             "dv_files": sum(1 for e in masked if e.get("dv")),
             "eq_sidecars": len(eq_all),
             "rows_masked": sum(

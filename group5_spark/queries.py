@@ -7593,70 +7593,156 @@ def eq_upsert_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mask_fold_survivors",
+    """
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           SUM(CAST(o_totalprice AS DECIMAL(18,2)))::DOUBLE AS sum_total
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+      AND o_orderkey >= (SELECT MAX(o_orderkey) // 8 FROM orders)
+    GROUP BY o_orderstatus
+    """,
+)
+def mask_fold_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask-SCOPED compaction under the value gate (round 7): the 1995
+    orders land range-clustered in four files, a sub-threshold DELETE
+    masks a key sliver confined to the FIRST file (positional DV — no
+    rewrite, asserted), then :func:`compact_snapshot_masks` folds the
+    table: ONLY the DV-bearing file may be rewritten, the three clean
+    files must carry into the new version by reference (asserted on
+    manifest paths), and the folded plain-file scan must equal the
+    plain-SQL filter. At 100 TB this prices mask-fold maintenance at
+    the masked data — the churned partition of a CDC table — instead
+    of the whole table (the round-6 whole-table fold measured linear).
+    """
+    import shutil as _shutil
+
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_masks,
+        snapshot_delete,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    path = _dml_scratch("mask_fold_survivors", sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    all_orders = load_table(spark, sf_dir, "orders")
+    cut = all_orders.agg(F.max("o_orderkey")).first()[0] // 8
+    orders = all_orders.filter(F.year("o_orderdate") == 1995)
+    snapshot_commit(
+        orders.repartitionByRange(4, "o_orderkey"),
+        path,
+        stats_cols=["o_orderkey"],
+    )
+    res = snapshot_delete(
+        spark, path, [("o_orderkey", "<", cut)], dv_threshold=0.95
+    )
+    if res["files_rewritten"] or not res["files_masked"]:
+        raise RuntimeError(
+            f"DV path did not engage: {res} — the fold query gates the "
+            "mask-scoped path, not the rewrite path"
+        )
+    m0 = snapshot_manifest(path)
+    clean_paths = {e["path"] for e in m0["files"] if not e.get("dv")}
+    dv_paths = {e["path"] for e in m0["files"] if e.get("dv")}
+    if not clean_paths:
+        raise RuntimeError("premise broken: every file is masked")
+    out = compact_snapshot_masks(spark, path)
+    m1 = snapshot_manifest(path)
+    new_paths = {e["path"] for e in m1["files"]}
+    if (
+        out["files_carried"] != len(clean_paths)
+        or not clean_paths <= new_paths
+        or dv_paths & new_paths
+        or any(e.get("dv") for e in m1["files"])
+    ):
+        raise RuntimeError(
+            f"fold was not mask-scoped: {out} — clean files must carry "
+            "by reference and every DV must fold away"
+        )
+    return (
+        snapshot_read(spark, path)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast(DEC2))
+            .cast("double")
+            .alias("sum_total"),
+        )
+    )
+
+
 # The driver oracle-checks the FIRST 50 registered queries each round.
-# Cumulative driver-green evidence covers every query except the
-# rows-only-by-design sketch_scale_stats, so the round-6 window is:
-# the four NEW round-6 DML queries (never driver-checked), then ALL
-# 45 queries whose newest driver evidence is round 3 (the oldest
-# cohort), topped up with the round-4 flagship scan-agg. After this
-# round no query's newest evidence is older than round 4 (= 2 rounds
-# old). Every name below is green in tools/check_oracle.py --strict
-# (the driver-replica comparator, array-intolerant exactly like the
-# driver) before this window ships.
+# Round-7 window (VERDICT #4's ordered rotation): the NEW round-7 DML
+# query first, then sketch_scale_stats (rows-only by design, the ONE
+# query never yet driver-checked — "What's wrong" #2), then 48 of the
+# 49 queries whose newest driver evidence is round 4 (now the oldest
+# cohort). The single deferral is part_pair_affinity — it is a bench
+# HEADLINE query whose plan is re-audited in PLANS.md every round
+# (the strongest alternative evidence in the cohort) — keeping every
+# window row's newest evidence within the 3-round bound. Every name
+# below is green in tools/check_oracle.py --strict (the driver-replica
+# comparator, array-intolerant exactly like the driver) before this
+# window ships.
 _CHECK_WINDOW = [
-    # new in round 6 — never driver-checked
-    "dv_delete_survivors",
-    "merge_full_sync_status",
-    "merge_tiered_clauses",
-    "eq_upsert_survivors",
-    # newest driver evidence is round 3 — full cohort
-    "bigram_top_counts",
-    "boilerplate_ngram_fraction",
-    "brand_customer_overlap",
-    "corpus_quality_gate",
-    "crossmodal_dup_agreement",
-    "dedup_cluster_representatives",
-    "dedup_clusters",
-    "dedup_incremental_new",
-    "dq_orders_checks",
-    "embedding_norm_stats",
-    "excess_parts_suppliers",
-    "fuzzy_part_name_pairs",
-    "gap_filled_daily_revenue",
-    "global_top_orders",
-    "grouping_sets_revenue",
-    "important_stock_share",
-    "kmeans_embedding_clusters",
-    "kmv_distinct_estimate",
-    "kmv_users_by_event_type",
-    "kmv_weekly_rollup",
-    "lang_temperature_resample",
-    "latest_event_per_user",
-    "mad_order_value_by_segment",
-    "moving_avg_7d_range",
-    "multimodal_audio_features",
-    "multimodal_video_features",
-    "mv_filtered_status_revenue",
-    "mv_star_segment_revenue",
-    "nation_supply_value_share",
-    "native_session_windows",
-    "ohlc_hourly_value",
-    "ordered_funnel_users",
-    "packed_sequence_bins",
-    "per_source_doc_cap",
-    "pii_redaction_report",
-    "revenue_pareto_share",
-    "salted_segment_revenue",
-    "stats_price_quantity",
-    "text_unigram_logprob",
-    "tfidf_top_terms",
-    "trailing_7d_active_users",
-    "user_active_coverage",
-    "window_navigation_showcase",
-    "winsorized_order_stats",
-    "word_position_stats",
-    # round-4 refresher: the flagship scan-agg
-    "pricing_summary",
+    # new in round 7 — never driver-checked
+    "mask_fold_survivors",
+    # rows-only sketch query: never yet rotated into a window
+    "sketch_scale_stats",
+    # newest driver evidence is round 4 — cohort minus the deferral
+    "advisor_planned_trade_volume",
+    "conversion_rate",
+    "corpus_curation_funnel",
+    "corpus_shard_shuffle",
+    "cube_event_counts",
+    "customers_with_orders",
+    "customers_without_orders",
+    "date_functions_showcase",
+    "dedup_clusters_incremental",
+    "dedup_exact",
+    "dedup_incremental_neardup",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "doc_chunk_windows",
+    "doc_repetition_filter",
+    "dynfilter_urgent_order_revenue",
+    "embedding_int8_quantization",
+    "events_by_type_daily",
+    "except_active_ids",
+    "exists_returned_orders",
+    "histogram_weekly_percentiles",
+    "intersect_active_ids",
+    "inverted_index_postings",
+    "knn_label_vote",
+    "late_shipment_priority",
+    "min_cost_supplier",
+    "monthly_open_order_lines",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "nation_trade_volume",
+    "ntile_customer_quartiles",
+    "order_part_baskets",
+    "parts_supplier_relationship",
+    "pivot_event_matrix",
+    "recursive_trade_reach",
+    "rich_inactive_customers",
+    "scalar_subquery_pricey_parts",
+    "sim_lsh_topk",
+    "sim_topk",
+    "string_functions_showcase",
+    "text_bigram_logprob",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "top3_parts_per_brand",
+    "union_active_ids",
+    "waiting_suppliers",
 ]
 
 

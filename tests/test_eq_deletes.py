@@ -446,13 +446,19 @@ def test_compact_snapshot_masks_folds_eq_keeps_postdating_files(
     assert len(pre) == 3 and len(post) >= 2
     expected = _rows(spark, t)
     out = compact_snapshot_masks(spark, t)
-    assert out["files_folded"] == len(pre)
+    # every pre-sidecar file is either rewritten OR proven disjoint
+    # from the sidecar keys (stats/bloom) and carried re-stamped —
+    # the proof path prices the eq fold at the affected key region
+    assert out["files_folded"] + out["files_restamped"] == len(pre)
+    assert out["files_folded"] >= 1  # the file holding id=3 must fold
     assert out["files_carried"] == len(post)
     assert out["eq_sidecars"] == 1
     m1 = snapshot_manifest(t)
     assert not m1.get("eq_deletes")
     new_paths = {e["path"] for e in m1["files"]}
-    assert post <= new_paths and not pre & new_paths
+    assert post <= new_paths
+    # re-stamped survivors keep their physical path; folded ones don't
+    assert len(pre & new_paths) == out["files_restamped"]
     assert _rows(spark, t) == expected
 
 
@@ -536,3 +542,56 @@ def test_mixed_dv_then_eq_sidecar_on_same_file(spark, tmp_path):
     assert not m2.get("eq_deletes")
     assert not any(e.get("dv") for e in m2["files"])
     assert _rows(spark, t) == rows
+
+
+def test_eq_fold_restamps_proven_disjoint_files(spark, tmp_path):
+    """Eq-fold sharpening (round 7): on a range-clustered table whose
+    eq batch touches ONE key region, the fold rewrites only the files
+    that may contain the sidecar keys — every other pre-sidecar file
+    is PROVEN disjoint by its footer stats, carried by reference with
+    its sequence re-stamped above the sidecars, and the sidecars GC.
+    A fold of a 1000-file table after a one-region CDC batch is
+    priced at that region."""
+    from group5_spark.medallion.maintenance import compact_snapshot_masks
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _base(spark, 1000).repartitionByRange(4, "id"),
+        t,
+        stats_cols=["id"],
+    )
+    # keys confined to the first quarter of the range
+    snapshot_eq_upsert(
+        spark, t,
+        _batch(spark, [(i, i % 10, f"EQ{i}", 2) for i in range(10, 20)]),
+        ["id"],
+    )
+    m0 = snapshot_manifest(t)
+    pre = {e["path"] for e in m0["files"] if e.get("seq", 0) == 1}
+    assert len(pre) == 4
+    expected = _rows(spark, t)
+    out = compact_snapshot_masks(spark, t)
+    assert out["files_folded"] == 1  # only the first-quarter file
+    assert out["files_restamped"] == 3
+    m1 = snapshot_manifest(t)
+    assert not m1.get("eq_deletes")
+    assert not any(e.get("dv") for e in m1["files"])
+    new_paths = {e["path"] for e in m1["files"]}
+    assert len(pre & new_paths) == 3  # re-stamped files kept verbatim
+    # re-stamped entries now postdate everything: no entry predates
+    # the (dropped) sidecar sequence
+    assert all(
+        e.get("seq", 0) >= m0["eq_deletes"][0]["seq"] for e in m1["files"]
+    )
+    assert _rows(spark, t) == expected
+    # oversized key sets refuse the proof (no collect blow-up): a
+    # second upsert folded under a tiny probe cap rewrites instead
+    snapshot_eq_upsert(
+        spark, t,
+        _batch(spark, [(i, i % 10, f"EQ2_{i}", 3) for i in range(500, 505)]),
+        ["id"],
+    )
+    expected2 = _rows(spark, t)
+    out2 = compact_snapshot_masks(spark, t, key_probe_limit=2)
+    assert out2["files_restamped"] == 0  # cap exceeded → no proofs
+    assert _rows(spark, t) == expected2

@@ -50,3 +50,24 @@ def test_gate_catches_missing_plan_entry(tmp_path):
     # and the intact copy passes for the same audit list
     (tmp_path / "PLANS.md").write_text(real)
     assert _plan_audit_problems(tmp_path, required=[first]) == []
+
+
+def test_gate_scans_every_markdown_file(tmp_path):
+    """Round-6 VERDICT #1a: the unbacked-citation defect shipped
+    *around* the SCALE.md-only gate, in COVERAGE.md — a citation of a
+    missing key in ANY builder markdown must now fail (judge-authored
+    VERDICT.md/ADVICE.md excepted: they cite keys as instructions)."""
+    from ship_check import _scale_citation_problems
+
+    (tmp_path / "COVERAGE.md").write_text(
+        "evidence: `SCALE_TRAINOPS.json:never_recorded_key`"
+    )
+    (tmp_path / "VERDICT.md").write_text(
+        "record SCALE_TRAINOPS.json:future_key next round"
+    )
+    (tmp_path / "SCALE_TRAINOPS.json").write_text(json.dumps({"real": 1}))
+    (tmp_path / "SCALE_CURVE.json").write_text("{}")
+    problems = _scale_citation_problems(tmp_path)
+    assert len(problems) == 1
+    assert "COVERAGE.md" in problems[0]
+    assert "never_recorded_key" in problems[0]

@@ -1,0 +1,91 @@
+"""Round-6 VERDICT #1b: a measurement tool that cannot run must not
+ship — round 6's `merge_curve.py --eq` died on a TypeError on its
+first scale yet its output key was cited as recorded. Every ladder
+WORKER entrypoint (the per-scale functions the orchestrators
+subprocess out to) is exercised here in-process at toy scale
+(sf0.001, scale 1), so `pytest` itself proves each tool can produce a
+result end-to-end. Orchestrator mains (subprocess loops + JSON merge)
+stay out: they are thin drivers over these workers.
+
+The tools read BASE_SF / SCALE_ROOT from the environment at import
+time, so the fixture reloads them under a tmp scale root; the shared
+test SparkSession is kept alive through the tools' spark.stop()
+calls by a class-level no-op patch.
+"""
+
+from __future__ import annotations
+
+import importlib
+import types
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tools_env(spark, tmp_path_factory):
+    mp = pytest.MonkeyPatch()
+    root = tmp_path_factory.mktemp("toy_scale_root")
+    mp.setenv("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    mp.setenv("SPARK_GRAFT_SCALE_ROOT", str(root))
+    from pyspark.sql import SparkSession
+
+    mp.setattr(SparkSession, "stop", lambda self: None)
+
+    import tools.scale_curve as sc
+
+    importlib.reload(sc)
+    import tools.ivf_probe_curve as ic
+    import tools.merge_curve as mc
+
+    importlib.reload(mc)
+    importlib.reload(ic)
+    yield types.SimpleNamespace(sc=sc, mc=mc, ic=ic)
+    mp.undo()
+    importlib.reload(sc)
+    importlib.reload(mc)
+    importlib.reload(ic)
+
+
+def test_merge_curve_worker(tools_env):
+    out = tools_env.mc.run_one(1)
+    assert out["update_merge"]["seconds"] > 0
+    assert out["insert_only_merge"]["seconds"] > 0
+
+
+def test_merge_curve_dv_worker(tools_env):
+    out = tools_env.mc.run_one_dv(1)
+    assert out["rewrite_mode"]["bytes_written"] > 0
+    assert out["dv_mode"]["bytes_written"] > 0
+
+
+def test_merge_curve_eq_worker(tools_env):
+    """The exact round-6 failure: run_one_eq must complete through its
+    compact_snapshot fold call (the kwarg the broken tool got wrong)."""
+    out = tools_env.mc.run_one_eq(1)
+    assert out["eq_upsert"]["bytes_written"] > 0
+    assert out["compact_fold_seconds"] > 0
+
+
+def test_merge_curve_masks_worker(tools_env):
+    out = tools_env.mc.run_one_masks(1)
+    assert out["scoped_fold"]["files_folded"] >= 1
+    assert out["scoped_fold"]["files_carried"] >= 1
+    assert out["full_rewrite_fold"]["seconds"] > 0
+
+
+def test_ivf_probe_curve_worker(tools_env):
+    out = tools_env.ic.run_one(1)
+    assert out["probe_rows"] > 0 and out["probe_seconds"] > 0
+
+
+def test_scale_curve_trainops_worker(tools_env):
+    tools_env.sc.materialize(1)
+    tools_env.sc.materialize_docs(1)
+    out = tools_env.sc.run_trainops(1)
+    assert out["total"] > 0 and len(out["queries"]) > 0
+
+
+def test_scale_curve_skew_worker(tools_env):
+    tools_env.sc.materialize(1)
+    out = tools_env.sc.run_skew(1)
+    assert out  # shape probed end-to-end

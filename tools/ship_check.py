@@ -6,9 +6,11 @@ recorded, and a PLANS.md missing the newest plan-audited query. This
 checker makes both impossible to ship again:
 
 1. **Scale citations resolve.** Every ``SCALE_TRAINOPS.json:<key>`` /
-   ``SCALE_CURVE.json:<key>`` citation in SCALE.md must name a
-   top-level key that EXISTS in that JSON file — a "measured" claim
-   must point at recorded data in the same tree.
+   ``SCALE_CURVE.json:<key>`` citation in ANY tracked markdown file
+   must name a top-level key that EXISTS in that JSON file — a
+   "measured" claim must point at recorded data in the same tree.
+   (Round 7 widened this from SCALE.md-only: round 6 shipped the same
+   defect class *around* the gate, in COVERAGE.md.)
 2. **Plan audit is complete.** PLANS.md must contain a ``## <query>``
    summary section for every plan-audited query (bench HEADLINE +
    dump_plans EXTRA) — a new bench/audited query without a regenerated
@@ -26,7 +28,7 @@ import re
 import sys
 from pathlib import Path
 
-#: two citation shapes appear in SCALE.md: `SCALE_X.json:key` and
+#: two citation shapes appear in the docs: `SCALE_X.json:key` and
 #: "`SCALE_X.json` under `key`" — both must resolve
 _CITE_RE = re.compile(
     r"SCALE_(TRAINOPS|CURVE)\.json(?::`?|`?\s+under\s+`)(\w+)"
@@ -34,9 +36,6 @@ _CITE_RE = re.compile(
 
 
 def _scale_citation_problems(root: Path) -> list[str]:
-    scale_md = root / "SCALE.md"
-    if not scale_md.exists():
-        return []
     data = {}
     for name in ("TRAINOPS", "CURVE"):
         p = root / f"SCALE_{name}.json"
@@ -45,14 +44,22 @@ def _scale_citation_problems(root: Path) -> list[str]:
         except (FileNotFoundError, json.JSONDecodeError):
             data[name] = {}
     problems = []
-    for m in _CITE_RE.finditer(scale_md.read_text()):
-        which, key = m.group(1), m.group(2)
-        if key not in data[which]:
-            problems.append(
-                f"SCALE.md cites SCALE_{which}.json:{key} but the key is "
-                f"absent — record the measurement in the same commit as "
-                f"the claim"
-            )
+    # every tracked markdown file, not just SCALE.md — COVERAGE.md
+    # carried round 6's unbacked citation past the SCALE.md-only scan.
+    # VERDICT.md / ADVICE.md are JUDGE-authored (they legitimately cite
+    # keys as instructions to record next round); the gate polices the
+    # builder's own claims.
+    for md in sorted(root.glob("*.md")):
+        if md.name in ("VERDICT.md", "ADVICE.md"):
+            continue
+        for m in _CITE_RE.finditer(md.read_text()):
+            which, key = m.group(1), m.group(2)
+            if key not in data[which]:
+                problems.append(
+                    f"{md.name} cites SCALE_{which}.json:{key} but the "
+                    f"key is absent — record the measurement in the same "
+                    f"commit as the claim"
+                )
     return problems
 
 
