@@ -1450,6 +1450,10 @@ def snapshot_eq_upsert(
     lacks (appended after the table's columns, Delta autoMerge
     style); without it, extra or missing columns raise.
 
+    Partitioned tables are first-class: the batch appends under the
+    table's own Hive spec (manifest partition values recorded, so
+    partition pruning keeps working on the appended files).
+
     Returns ``{version, rows_appended, delete_keys}``.
     """
     from pyspark.sql import functions as F
@@ -1513,6 +1517,10 @@ def snapshot_eq_upsert(
             source,
             path,
             mode="append",
+            # follow the table's existing layout: a partitioned CDC
+            # table keeps Hive dirs + manifest partition values on the
+            # appended batch (the append-mode spec guard requires it)
+            partition_by=head.get("partition_by"),
             eq_add={"sidecar": eq_dir, "keys": list(keys), "rows": n_keys},
             note={"op": "eq_upsert", **(note or {})},
         )
@@ -1580,6 +1588,7 @@ def snapshot_eq_delete(
             empty,
             path,
             mode="append",
+            partition_by=head.get("partition_by"),
             eq_add={"sidecar": eq_dir, "keys": keys, "rows": n_keys},
             note={"op": "eq_delete", **(note or {})},
         )

@@ -595,3 +595,36 @@ def test_eq_fold_restamps_proven_disjoint_files(spark, tmp_path):
     out2 = compact_snapshot_masks(spark, t, key_probe_limit=2)
     assert out2["files_restamped"] == 0  # cap exceeded → no proofs
     assert _rows(spark, t) == expected2
+
+
+def test_eq_upsert_on_partitioned_table_keeps_layout(spark, tmp_path):
+    """Partitioned CDC tables (round 7): the eq writers append under
+    the table's own Hive spec — the manifest keeps partition_by, the
+    batch's entries carry partition values (manifest pruning intact),
+    reads stay exact, and the partitioned mask fold preserves the
+    layout."""
+    from group5_spark.medallion.maintenance import compact_snapshot_masks
+
+    t = str(tmp_path / "ptbl")
+    snapshot_commit(_base(spark, 1000), t, partition_by="g", stats_cols=["id"])
+    snapshot_eq_upsert(
+        spark, t,
+        _batch(spark, [(3, 3, "UP3", 2), (2000, 0, "NEW", 2)]),
+        ["id"],
+    )
+    snapshot_eq_delete(spark, t, spark.createDataFrame([(9,)], "id long"))
+    m = snapshot_manifest(t)
+    assert m["partition_by"] == "g"
+    staged = [e for e in m["files"] if e.get("seq", 0) == 2]
+    assert staged and all("partition" in e for e in staged)
+    rows = _rows(spark, t)
+    assert rows[3] == (3, "UP3", 2) and rows[2000] == (0, "NEW", 2)
+    assert 9 not in rows and len(rows) == 1000
+    # partitioned mask fold: layout and data survive, sidecars GC
+    out = compact_snapshot_masks(spark, t)
+    assert out["eq_sidecars"] == 2
+    m2 = snapshot_manifest(t)
+    assert m2["partition_by"] == "g"
+    assert not m2.get("eq_deletes")
+    assert all("partition" in e for e in m2["files"] if e.get("rows"))
+    assert _rows(spark, t) == rows

@@ -22,14 +22,22 @@ def test_check_window_first_and_oracle_gated():
     """The driver correctness-checks only the first 50 registered
     queries; every slot in that window must be oracle-gated (a
     rows-only entry there wastes a correctness slot) and the window
-    must match the explicit priority list."""
+    must match the explicit priority list. Exception: the round-6
+    VERDICT ordered the rows-only-BY-DESIGN sketch_scale_stats into
+    round 7's window (the one query with no driver row ever) — the
+    allowlist keeps accidental rows-only entries failing."""
     from group5_spark.queries import _CHECK_WINDOW
 
+    rows_only_by_design = {"sketch_scale_stats"}
     names = list(QUERIES)
     assert len(_CHECK_WINDOW) == 50
     assert names[: len(_CHECK_WINDOW)] == _CHECK_WINDOW
     assert list(entrymod.queries())[:50] == _CHECK_WINDOW
-    missing_oracle = [n for n in _CHECK_WINDOW if n not in ORACLES]
+    missing_oracle = [
+        n
+        for n in _CHECK_WINDOW
+        if n not in ORACLES and n not in rows_only_by_design
+    ]
     assert not missing_oracle, missing_oracle
 
 
