@@ -286,6 +286,26 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
             print(f"v{v:05d}: dropped constraint {args.drop!r}")
         else:
             raise SystemExit("snapshot constrain requires --add or --drop")
+    elif args.action == "fold":
+        from group5_spark.medallion.maintenance import (
+            compact_snapshot_masks,
+        )
+
+        out = compact_snapshot_masks(
+            spark,
+            args.table_path,
+            target_file_bytes=args.target_file_mb * 1024 * 1024,
+        )
+        if out:
+            print(
+                f"v{out['version']:05d}: folded {out['files_folded']} "
+                f"masked file(s) ({out['dv_files']} DV, "
+                f"{out['eq_sidecars']} eq sidecar(s)); carried "
+                f"{out['files_carried']} by reference, re-stamped "
+                f"{out['files_restamped']} proven-disjoint"
+            )
+        else:
+            print("no merge-on-read masks: nothing to fold")
     elif args.action == "heal":
         from group5_spark.medallion.maintenance import apply_health
 
@@ -372,15 +392,15 @@ def main(argv: list[str] | None = None) -> int:
         "snapshot",
         help=(
             "snapshot tables: log / show / expire / tag / drop-tag / "
-            "health / delete / clone / rollback / compact / heal / "
-            "constrain"
+            "health / delete / clone / rollback / compact / fold / "
+            "heal / constrain"
         ),
     )
     p_snap.add_argument(
         "action",
         choices=[
             "log", "show", "expire", "tag", "drop-tag", "health", "delete",
-            "clone", "rollback", "compact", "heal", "constrain",
+            "clone", "rollback", "compact", "fold", "heal", "constrain",
         ],
     )
     p_snap.add_argument("--to", default=None,
@@ -445,7 +465,7 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     snapshot_needs_spark = args.command == "snapshot" and (
-        args.action in ("show", "delete", "compact", "heal")
+        args.action in ("show", "delete", "compact", "fold", "heal")
         # adding a constraint validates existing rows (a scan); a
         # drop is pure manifest surgery and stays on the fast path
         or (args.action == "constrain" and args.add is not None)

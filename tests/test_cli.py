@@ -312,3 +312,55 @@ def test_cli_snapshot_constrain(spark, tmp_path):
     )
     assert rc == 0
     assert "constraints" not in snapshot_manifest(path)
+
+
+def test_cli_snapshot_fold(spark, tmp_path):
+    """`snapshot fold` runs the mask-scoped compaction: DV and eq
+    masks fold away, clean files carry, and a second run is a no-op.
+    Subprocess, NOT in-process main(): the fold path boots a Spark
+    session and stops it on exit (shared-JVM caveat, see
+    test_cli_snapshot_delete_where)."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import (
+        snapshot_delete,
+        snapshot_eq_delete,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    path = str(tmp_path / "cli_fold")
+    snapshot_commit(
+        spark.range(2000)
+        .select(F.col("id"), (F.col("id") % 7).alias("g"))
+        .repartitionByRange(4, "id"),
+        path,
+        stats_cols=["id"],
+    )
+    snapshot_delete(spark, path, [("id", "<", 200)], dv_threshold=0.95)
+    snapshot_eq_delete(
+        spark, path, spark.range(300, 320).select(F.col("id"))
+    )
+    assert snapshot_manifest(path).get("eq_deletes")
+
+    def fold():
+        return subprocess.run(
+            [sys.executable, "-m", "group5_spark.pipeline",
+             "--master", "local[4]",
+             "snapshot", "fold", "--table_path", path],
+            capture_output=True, text=True, cwd="/root/repo",
+        )
+
+    out = fold()
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "folded" in out.stdout and "carried" in out.stdout
+    m = snapshot_manifest(path)
+    assert not m.get("eq_deletes")
+    assert not any(e.get("dv") for e in m["files"])
+    assert snapshot_read(spark, path).count() == 2000 - 200 - 20
+    out = fold()
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "nothing to fold" in out.stdout
