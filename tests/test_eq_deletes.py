@@ -628,3 +628,47 @@ def test_eq_upsert_on_partitioned_table_keeps_layout(spark, tmp_path):
     assert not m2.get("eq_deletes")
     assert all("partition" in e for e in m2["files"] if e.get("rows"))
     assert _rows(spark, t) == rows
+
+
+def test_restamp_fold_is_invisible_to_change_feed_and_ivm(spark, tmp_path):
+    """A mask fold is logically a no-op — and that must hold through
+    the re-stamp path too: entries promoted past the sidecars change
+    their (path, dv, eq-suffix) identity without changing a row, so
+    the change feed across the fold is EMPTY and an IVM refresh stays
+    equal to a full recompute."""
+    from group5_spark.medallion.maintenance import compact_snapshot_masks
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _base(spark, 1000).repartitionByRange(4, "id"),
+        t,
+        stats_cols=["id"],
+    )
+    mv = str(tmp_path / "mv")
+    ivm_init(spark, t, mv, ["g"], ["seq"])
+    snapshot_eq_upsert(
+        spark, t,
+        _batch(spark, [(i, i % 10, f"EQ{i}", 2) for i in range(10, 20)]),
+        ["id"],
+    )
+    ivm_refresh(spark, t, mv, ["g"], ["seq"])
+    v_before = snapshot_manifest(t)["version"]
+    out = compact_snapshot_masks(spark, t)
+    assert out["files_restamped"] == 3  # the proof path engaged
+    # the fold moved no logical row: empty change feed across it
+    ch = snapshot_changes(spark, t, ["id"], v_from=v_before).collect()
+    assert ch == []
+    # and IVM across the fold still equals the full recompute
+    ivm_refresh(spark, t, mv, ["g"], ["seq"])
+    got = {
+        r["g"]: (r["sum_seq"], r["n_rows"])
+        for r in snapshot_read(spark, mv).collect()
+    }
+    want = {
+        r["g"]: (r["sum_seq"], r["n_rows"])
+        for r in snapshot_read(spark, t)
+        .groupBy("g")
+        .agg(F.sum("seq").alias("sum_seq"), F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    }
+    assert got == want
