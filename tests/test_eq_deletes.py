@@ -672,3 +672,30 @@ def test_restamp_fold_is_invisible_to_change_feed_and_ivm(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+def test_masked_read_plan_uses_broadcast_anti_joins(spark, tmp_path):
+    """100 TB plan gate: the merge-on-read scan resolves small masks
+    with BROADCAST anti-joins — a shuffled anti-join would move the
+    table to meet kilobytes of keys. Both mask kinds checked: the eq
+    key-set join and the DV positional join."""
+    from group5_spark.medallion.maintenance import snapshot_delete
+
+    t = _table(spark, tmp_path, files=2)
+    snapshot_delete(spark, t, [("id", "<", 30)], dv_threshold=0.9)
+    snapshot_eq_upsert(
+        spark, t, _batch(spark, [(3, 3, "UP", 2)]), ["id"]
+    )
+    plan = snapshot_read(spark, t)._jdf.queryExecution().executedPlan().toString()
+    n_bcast_anti = plan.count("BroadcastHashJoin") and sum(
+        1
+        for line in plan.splitlines()
+        if "LeftAnti" in line and "Broadcast" in line
+    )
+    n_shuffled_anti = sum(
+        1
+        for line in plan.splitlines()
+        if "LeftAnti" in line and "SortMergeJoin" in line
+    )
+    assert n_bcast_anti >= 2, plan[:2000]  # eq keys + DV positions
+    assert n_shuffled_anti == 0, plan[:2000]
