@@ -699,3 +699,101 @@ def test_masked_read_plan_uses_broadcast_anti_joins(spark, tmp_path):
     )
     assert n_bcast_anti >= 2, plan[:2000]  # eq keys + DV positions
     assert n_shuffled_anti == 0, plan[:2000]
+
+
+def test_mask_fold_on_partition_evolved_table(spark, tmp_path):
+    """Interaction cell: a DV-masked OLD-SPEC file (written before a
+    partition evolution) folds under the CURRENT spec, while clean
+    old-spec files carry by reference with their spec annotation and
+    the manifest's partition history intact."""
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_masks,
+        snapshot_delete,
+    )
+    from group5_spark.medallion.snapshots import _entry_old_spec
+
+    t = str(tmp_path / "tbl")
+    df1 = spark.createDataFrame(
+        [(i, i // 1000, i % 2, float(i)) for i in range(3000)],
+        "id int, p1 int, p2 int, val double",
+    ).coalesce(1)  # one 1000-row file per CONTIGUOUS p1 value: the
+    # id<100 sliver lives only in p1=0's file (10% of it — masks),
+    # leaving p1=1/p1=2 as clean old-spec files
+    snapshot_commit(df1, t, partition_by="p1", stats_cols=["id"])
+    snapshot_commit(
+        spark.createDataFrame(
+            [(9000, 0, 0, 0.0)], "id int, p1 int, p2 int, val double"
+        ),
+        t,
+        mode="append",
+        partition_by="p2",
+        evolve_partitioning=True,
+    )
+    # DV-mask a sliver confined to old-spec file(s)
+    out = snapshot_delete(spark, t, [("id", "<", 100)], dv_threshold=0.95)
+    assert out["files_masked"] >= 1 and not out["files_rewritten"]
+    m0 = snapshot_manifest(t)
+    clean_old_spec = [
+        e
+        for e in m0["files"]
+        if not e.get("dv") and _entry_old_spec(e, "p2")
+    ]
+    assert clean_old_spec, "premise: some clean old-spec files remain"
+    before = {
+        r["id"] for r in snapshot_read(spark, t).select("id").collect()
+    }
+    res = compact_snapshot_masks(spark, t)
+    assert res["files_folded"] >= 1
+    m1 = snapshot_manifest(t)
+    # rewritten rows land under the current spec; clean old-spec files
+    # carry annotated, so the spec history must survive the fold
+    assert m1["partition_by"] == "p2"
+    assert "partition_history" in m1
+    carried = {e["path"] for e in m1["files"]}
+    assert {e["path"] for e in clean_old_spec} <= carried
+    assert not any(e.get("dv") for e in m1["files"])
+    after = {
+        r["id"] for r in snapshot_read(spark, t).select("id").collect()
+    }
+    assert after == before
+    assert len(after) == 3000 - 100 + 1
+
+
+def test_apply_health_folds_then_compacts_in_one_pass(spark, tmp_path):
+    """A table that is BOTH eq-stacked and fragmented: apply_health
+    must fold the masks first (so the rent recommendation clears) and
+    then still fix fragmentation from the re-read health, converging
+    in a single call."""
+    from group5_spark.medallion.maintenance import (
+        apply_health,
+        table_health,
+    )
+
+    t = str(tmp_path / "tbl")
+    # fragmented: many tiny appends of non-overlapping id ranges (no
+    # clustering rec — ranges don't overlap)
+    for lo in range(0, 6000, 500):
+        snapshot_commit(
+            _base(spark, 6000)
+            .filter((F.col("id") >= lo) & (F.col("id") < lo + 500))
+            .coalesce(1),
+            t,
+            mode="append" if lo else "overwrite",
+            stats_cols=["id"],
+        )
+    for i, seq in ((20000, 2), (30000, 3), (40000, 4)):
+        snapshot_eq_upsert(
+            spark, t, _batch(spark, [(i, i % 10, f"N{i}", seq)]), ["id"]
+        )
+    expected = _rows(spark, t)
+    h = table_health(t)
+    assert any(r.startswith("fold:") for r in h["recommendations"])
+    assert any(r.startswith("compact:") for r in h["recommendations"])
+    done = apply_health(spark, t)
+    kinds = [a["action"] for a in done if a["executed"]]
+    assert "fold_masks" in kinds and "compact" in kinds
+    h2 = table_health(t)
+    assert not any(
+        r.startswith(("fold:", "compact:")) for r in h2["recommendations"]
+    )
+    assert _rows(spark, t) == expected
