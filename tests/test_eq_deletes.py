@@ -797,3 +797,79 @@ def test_apply_health_folds_then_compacts_in_one_pass(spark, tmp_path):
         r.startswith(("fold:", "compact:")) for r in h2["recommendations"]
     )
     assert _rows(spark, t) == expected
+
+
+def test_randomized_dml_interleaving_matches_lww_model(spark, tmp_path):
+    """Seeded randomized interleaving of every DML kind — eq upsert,
+    eq key-delete, file-pruned MERGE, DV/rewrite predicate DELETE,
+    mask-scoped fold, whole-table compaction — checked after every
+    step against a last-writer-wins dict model. One deterministic
+    sequence, so a failure replays exactly; the point is the
+    INTERLEAVINGS (eq over DV over merge over fold) no single
+    targeted test covers."""
+    import random
+
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_masks,
+        snapshot_delete,
+    )
+
+    rng = random.Random(79)
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        _base(spark, 400).repartitionByRange(3, "id"), t, stats_cols=["id"]
+    )
+    model = {i: (i % 10, f"v{i}", 1) for i in range(400)}
+    next_id = 1000
+
+    def batch_rows(n):
+        nonlocal next_id
+        rows = []
+        for _ in range(n):
+            if rng.random() < 0.6 and model:
+                k = rng.choice(sorted(model))
+            else:
+                k = next_id
+                next_id += 1
+            rows.append((k, k % 10, f"w{k}_{rng.randrange(99)}", 9))
+        # one row per key (last wins within our own list)
+        return list({r[0]: r for r in rows}.values())
+
+    for step in range(12):
+        op = rng.choice(
+            ["eq_upsert", "eq_delete", "merge", "pred_delete", "fold",
+             "compact"]
+        )
+        if op == "eq_upsert":
+            rows = batch_rows(rng.randrange(1, 6))
+            snapshot_eq_upsert(spark, t, _batch(spark, rows), ["id"])
+            model.update({r[0]: (r[1], r[2], r[3]) for r in rows})
+        elif op == "eq_delete":
+            ks = [rng.choice(sorted(model))] if model else []
+            if not ks:
+                continue
+            snapshot_eq_delete(
+                spark, t,
+                spark.createDataFrame([(k,) for k in ks], "id long"),
+            )
+            for k in ks:
+                model.pop(k, None)
+        elif op == "merge":
+            rows = batch_rows(rng.randrange(1, 6))
+            snapshot_merge(
+                spark, t, _batch(spark, rows), ["id"],
+                dv_threshold=rng.choice([None, 0.5]),
+            )
+            model.update({r[0]: (r[1], r[2], r[3]) for r in rows})
+        elif op == "pred_delete":
+            cut = rng.randrange(0, 60)
+            snapshot_delete(
+                spark, t, [("id", "<", cut)],
+                dv_threshold=rng.choice([None, 0.95]),
+            )
+            model = {k: v for k, v in model.items() if k >= cut}
+        elif op == "fold":
+            compact_snapshot_masks(spark, t)
+        else:
+            compact_snapshot(spark, t, force=True)
+        assert _rows(spark, t) == model, f"diverged at step {step}: {op}"
