@@ -89,3 +89,27 @@ def test_scale_curve_skew_worker(tools_env):
     tools_env.sc.materialize(1)
     out = tools_env.sc.run_skew(1)
     assert out  # shape probed end-to-end
+
+
+def test_scale_curve_bench_worker(tools_env):
+    tools_env.sc.materialize(1)
+    out = tools_env.sc.run_bench(1)
+    assert out["total"] > 0 and len(out["queries"]) >= 20
+
+
+def test_stream_bench_worker(tools_env, spark):
+    import importlib
+
+    import tools.stream_bench as sb
+
+    importlib.reload(sb)
+    try:
+        tools_env.sc.materialize(1)
+        tools_env.sc.materialize_docs(1)
+        built = sb.shapes(spark, str(tools_env.sc.SCALE_ROOT / "x001"))
+        assert "dedup_vs_corpus" in built  # xd001 present → full set
+        for name, build in built.items():
+            rows = sb.drain(build(), name, sb.MODES.get(name, "append"))
+            assert rows >= 0, name
+    finally:
+        importlib.reload(sb)
