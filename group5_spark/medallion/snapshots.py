@@ -1998,6 +1998,33 @@ def snapshot_expire(
     for d in root.glob("data-*"):
         if d.is_dir() and not any(d.iterdir()):
             shutil.rmtree(d)
+    # hard-crash orphans: a writer killed between staging a
+    # data-*/dv-*/eq-* dir and creating its manifest leaves bytes NO
+    # manifest references — neither the kept set (whose closure is
+    # `live`) nor a dropped one (reclaimed above). Sweep any staging
+    # dir no remaining manifest reaches, past the same grace window
+    # that protects in-flight commits.
+    referenced: set[str] = set()
+    for m in (root / _MANIFEST_DIR).glob("v*.json"):
+        try:
+            km = json.loads(m.read_text())
+        except (ValueError, json.JSONDecodeError):
+            continue
+        for e in km.get("files", []):
+            referenced.add(Path(e["path"]).parts[0])
+            if e.get("dv"):
+                referenced.add(Path(e["dv"]["sidecar"]).parts[0])
+        for d_ in km.get("eq_deletes") or []:
+            referenced.add(Path(d_["sidecar"]).parts[0])
+    for pattern in ("data-*", "dv-*", "eq-*"):
+        for d in root.glob(pattern):
+            if (
+                d.is_dir()
+                and d.name not in referenced
+                and now - d.stat().st_mtime > orphan_grace_s
+            ):
+                deleted += sum(1 for _ in d.rglob("*.parquet"))
+                shutil.rmtree(d)
     return {"versions_dropped": len(drop), "files_deleted": deleted}
 
 

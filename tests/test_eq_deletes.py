@@ -873,3 +873,34 @@ def test_randomized_dml_interleaving_matches_lww_model(spark, tmp_path):
         else:
             compact_snapshot(spark, t, force=True)
         assert _rows(spark, t) == model, f"diverged at step {step}: {op}"
+
+
+def test_expire_sweeps_hard_crash_orphan_staging_dirs(spark, tmp_path):
+    """A writer hard-killed between staging a data-/dv-/eq- dir and
+    creating its manifest leaves bytes NO manifest references; expire
+    must sweep them past the grace window — and must never touch a
+    fresh (possibly in-flight) staging dir or anything a manifest
+    reaches."""
+    import os
+    import time as _time
+
+    t = _table(spark, tmp_path)
+    snapshot_eq_upsert(spark, t, _batch(spark, [(3, 3, "UP", 2)]), ["id"])
+    expected = _rows(spark, t)
+    root = tmp_path / "t"
+    old = _time.time() - 3600
+    for name in ("data-orphan1", "dv-orphan1", "eq-orphan1"):
+        d = root / name
+        d.mkdir()
+        (d / "junk.parquet").write_bytes(b"PAR1junkPAR1")
+        os.utime(d, (old, old))
+    fresh = root / "eq-fresh"
+    fresh.mkdir()
+    (fresh / "junk.parquet").write_bytes(b"PAR1junkPAR1")
+    out = snapshot_expire(t, keep_last=2)
+    assert out["files_deleted"] >= 3
+    for name in ("data-orphan1", "dv-orphan1", "eq-orphan1"):
+        assert not (root / name).exists(), name
+    assert fresh.exists()  # inside the grace window: never raced
+    # everything any manifest references is untouched
+    assert _rows(spark, t) == expected
