@@ -788,6 +788,38 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
             f"expire: {len(orphans)} orphan manifest slot(s) from "
             f"crashed writers hold staged files until reclaimed"
         )
+    # hard-crash orphans: staging dirs (data-/dv-/eq-) NO manifest
+    # references — a writer died before claiming a manifest slot.
+    # Invisible to readers, pure disk leak; snapshot_expire sweeps
+    # them past its grace window.
+    referenced = {Path(e["path"]).parts[0] for e in files}
+    for v in all_slots:
+        try:
+            vm = _json.loads(snap._manifest_path(root, v).read_text())
+        except (OSError, ValueError):
+            continue
+        for e in vm.get("files", []):
+            referenced.add(Path(e["path"]).parts[0])
+            if e.get("dv"):
+                referenced.add(Path(e["dv"]["sidecar"]).parts[0])
+        for d in vm.get("eq_deletes") or []:
+            referenced.add(Path(d["sidecar"]).parts[0])
+    orphan_staging = [
+        d.name
+        for pat in ("data-*", "dv-*", "eq-*")
+        for d in root.glob(pat)
+        if d.is_dir()
+        and d.name not in referenced
+        # husks (no data files) are swept by the next expire free of
+        # charge; only dirs actually holding bytes are worth a rec
+        and any(d.rglob("*.parquet"))
+    ]
+    if orphan_staging:
+        recs.append(
+            f"expire: {len(orphan_staging)} orphan staging dir(s) from "
+            f"hard-killed writers leak disk until snapshot_expire "
+            f"sweeps them"
+        )
     if files and with_stats < len(files):
         recs.append(
             f"stats: {len(files) - with_stats}/{len(files)} files "
@@ -849,6 +881,7 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
         "avg_file_bytes": nbytes // len(files) if files else 0,
         "versions_retained": len(versions),
         "orphan_manifests": len(orphans),
+        "orphan_staging_dirs": len(orphan_staging),
         "stats_coverage": round(with_stats / len(files), 3) if files else 1.0,
         "dv_files": len(dv_files),
         "rows_masked": rows_masked,

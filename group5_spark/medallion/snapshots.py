@@ -2018,12 +2018,15 @@ def snapshot_expire(
             referenced.add(Path(d_["sidecar"]).parts[0])
     for pattern in ("data-*", "dv-*", "eq-*"):
         for d in root.glob(pattern):
-            if (
-                d.is_dir()
-                and d.name not in referenced
-                and now - d.stat().st_mtime > orphan_grace_s
-            ):
-                deleted += sum(1 for _ in d.rglob("*.parquet"))
+            if not d.is_dir() or d.name in referenced:
+                continue
+            n_parquet = sum(1 for _ in d.rglob("*.parquet"))
+            # a husk (no data files — e.g. only the _SUCCESS marker
+            # left after its version's files were expired) can never
+            # be an in-flight write (_SUCCESS lands last): remove
+            # immediately. Dirs still holding data wait out the grace.
+            if n_parquet == 0 or now - d.stat().st_mtime > orphan_grace_s:
+                deleted += n_parquet
                 shutil.rmtree(d)
     return {"versions_dropped": len(drop), "files_deleted": deleted}
 

@@ -904,3 +904,26 @@ def test_expire_sweeps_hard_crash_orphan_staging_dirs(spark, tmp_path):
     assert fresh.exists()  # inside the grace window: never raced
     # everything any manifest references is untouched
     assert _rows(spark, t) == expected
+
+
+def test_health_reports_hard_crash_orphan_staging_dirs(spark, tmp_path):
+    """table_health counts staging dirs no manifest references (a
+    hard-killed writer's leak) and recommends expiry; after
+    snapshot_expire sweeps them the report is clean."""
+    import os
+    import time as _time
+
+    from group5_spark.medallion.maintenance import table_health
+
+    t = _table(spark, tmp_path)
+    d = tmp_path / "t" / "eq-ghost"
+    d.mkdir()
+    (d / "junk.parquet").write_bytes(b"PAR1junkPAR1")
+    old = _time.time() - 3600
+    os.utime(d, (old, old))
+    h = table_health(t)
+    assert h["orphan_staging_dirs"] == 1
+    assert any("orphan staging" in r for r in h["recommendations"])
+    snapshot_expire(t, keep_last=1)
+    h2 = table_health(t)
+    assert h2["orphan_staging_dirs"] == 0
