@@ -717,9 +717,10 @@ def _stats_overlap_fraction(files: list[dict], col: str) -> float | None:
 
 def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> dict:
     """Metadata-only health report + maintenance recommendations for a
-    snapshot table — the nightly-ops decision input, priced at a few
-    manifest reads (no SparkSession, no data I/O; the same economics
-    as :func:`plans.advisor.stats_from_snapshot`).
+    snapshot table — the nightly-ops decision input, priced at manifest
+    reads only (one per retained version slot for the orphan-staging
+    census; no SparkSession, no data I/O — the same economics as
+    :func:`plans.advisor.stats_from_snapshot`).
 
     Checks, each with the WHY in its recommendation string:
     - **fragmentation**: file count vs ``ceil(bytes/target)`` — small
