@@ -1466,9 +1466,11 @@ def snapshot_eq_upsert(
     batch alone: commit cost is O(|batch|) and INDEPENDENT of table
     size — the true high-frequency-ingest scale path. The deferred
     cost moves to readers (one broadcast anti-join per eq commit,
-    see ``snapshots.read_entries``) until :func:`compact_snapshot`
-    folds the masks back into plain files; alternate cheap upserts
-    with periodic compaction.
+    see ``snapshots.read_entries``) until a fold returns the table to
+    plain files — :func:`compact_snapshot_masks` priced at the masked
+    data (``table_health``/``apply_health`` recommend and run it), or
+    :func:`compact_snapshot` as the whole-table form. Alternate cheap
+    upserts with periodic folds.
 
     Semantics: last-writer-wins by commit order (this commit's rows
     replace ALL earlier rows sharing a key; its own rows and later
