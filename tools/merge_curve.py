@@ -385,6 +385,7 @@ def run_one_masks(n: int) -> dict:
         compact_snapshot,
         compact_snapshot_masks,
         snapshot_delete,
+        snapshot_eq_upsert,
         snapshot_merge,
     )
     from group5_spark.medallion.snapshots import (
@@ -423,6 +424,7 @@ def run_one_masks(n: int) -> dict:
     # the first range-clustered file (whose span is ≥ 1/8 of the 1x
     # range at every scale), so the delete masks instead of rewriting
     cut = max(1, okey_max // 32)
+    stride = max(1, okey_max // (N_UPDATES * 4))
 
     def staged_bytes(path: str, version: int) -> int:
         m = snapshot_manifest(path, version)
@@ -474,6 +476,39 @@ def run_one_masks(n: int) -> dict:
     full = {"seconds": full_s}
     shutil.rmtree(clone, ignore_errors=True)
 
+    # eq-region fold: a zero-read upsert whose keys live in the 1x
+    # range (the fixed CDC batch), then the PROOF-CARRIED fold —
+    # equality coverage is table-wide by sequence, but the stats+bloom
+    # probe proves every untouched-region file disjoint from the
+    # sidecar keys, so it carries re-stamped and only the touched
+    # region rewrites
+    updates = (
+        base.filter((F.col("o_orderkey") % (4 * stride)) == 0)
+        .limit(N_UPDATES)
+        .withColumn("o_orderpriority", F.lit("9-CDC-UPDATED"))
+    )
+    inserts = base.limit(N_INSERTS).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**13)
+    )
+    batch = updates.unionByName(inserts)
+    clone = SCALE_ROOT / f"_maskfold_eqr_x{n:03d}"
+    shutil.rmtree(clone, ignore_errors=True)
+    snapshot_clone(str(tbl), str(clone))
+    snapshot_eq_upsert(spark, str(clone), batch, keys=["o_orderkey"])
+    expect_eq = snapshot_read(spark, str(clone)).count()
+    t0 = time.perf_counter()
+    res = compact_snapshot_masks(spark, str(clone))
+    eqr_s = round(time.perf_counter() - t0, 3)
+    if snapshot_read(spark, str(clone)).count() != expect_eq:
+        raise RuntimeError("eq-region fold changed row count")
+    eq_region = {
+        "seconds": eqr_s,
+        "bytes_written": staged_bytes(str(clone), res["version"]),
+        "files_folded": res["files_folded"],
+        "files_restamped": res["files_restamped"],
+    }
+    shutil.rmtree(clone, ignore_errors=True)
+
     m = snapshot_manifest(str(tbl))
     spark.stop()
     return {
@@ -482,6 +517,7 @@ def run_one_masks(n: int) -> dict:
         "table_bytes": sum(int(e["bytes"]) for e in m["files"]),
         "scoped_fold": scoped,
         "full_rewrite_fold": full,
+        "eq_region_fold": eq_region,
         "rows": expect,
     }
 
@@ -519,6 +555,9 @@ def main_masks() -> None:
         ),
         "full_rewrite_seconds_exponent": _fit_exponent(
             [(r["scale"], r["full_rewrite_fold"]["seconds"]) for r in runs]
+        ),
+        "eq_region_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["eq_region_fold"]["seconds"]) for r in runs]
         ),
     }
     path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
