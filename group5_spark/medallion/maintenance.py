@@ -1850,10 +1850,16 @@ def compact_snapshot_masks(
 
         # bounded per-sidecar key probes (None = over cap, no proof):
         # a tuple with a NULL component never equi-matches, so it masks
-        # nothing and is irrelevant to the disjointness proof
+        # nothing and is irrelevant to the disjointness proof. The cap
+        # is also CUMULATIVE across sidecars, so a pathological stack
+        # (the ops loop folds at 3) can never accumulate unbounded
+        # driver state — capped-out sidecars just lose their proof and
+        # their covered files rewrite.
         probes: list[list[tuple] | None] = []
+        collected = 0
         for d in eq_all:
-            if int(d.get("rows", 0)) > key_probe_limit:
+            n = int(d.get("rows", 0))
+            if n > key_probe_limit or collected + n > key_probe_limit * 4:
                 probes.append(None)
                 continue
             rows = (
@@ -1862,6 +1868,7 @@ def compact_snapshot_masks(
                 .distinct()
                 .collect()
             )
+            collected += len(rows)
             probes.append(
                 [
                     tuple(r)
