@@ -2021,11 +2021,18 @@ def snapshot_expire(
             if not d.is_dir() or d.name in referenced:
                 continue
             n_parquet = sum(1 for _ in d.rglob("*.parquet"))
-            # a husk (no data files — e.g. only the _SUCCESS marker
-            # left after its version's files were expired) can never
-            # be an in-flight write (_SUCCESS lands last): remove
-            # immediately. Dirs still holding data wait out the grace.
-            if n_parquet == 0 or now - d.stat().st_mtime > orphan_grace_s:
+            # a husk — _SUCCESS present but no data files (its
+            # version's files were already expired) — can never be an
+            # in-flight write (_SUCCESS lands last): remove
+            # immediately. A parquet-less dir WITHOUT _SUCCESS is NOT
+            # proof of abandonment: a racing Spark write holds only
+            # _temporary/ between job setup and its first task opening
+            # a part file, and its manifest doesn't exist yet, so it
+            # is unreferenced exactly like a crash orphan. Everything
+            # non-husk waits out the same grace window that protects
+            # in-flight commits.
+            is_husk = n_parquet == 0 and (d / "_SUCCESS").exists()
+            if is_husk or now - d.stat().st_mtime > orphan_grace_s:
                 deleted += n_parquet
                 shutil.rmtree(d)
     return {"versions_dropped": len(drop), "files_deleted": deleted}

@@ -906,6 +906,42 @@ def test_expire_sweeps_hard_crash_orphan_staging_dirs(spark, tmp_path):
     assert _rows(spark, t) == expected
 
 
+def test_expire_never_races_parquetless_inflight_staging_dir(
+    spark, tmp_path
+):
+    """Regression (round-8 ADVICE): a racing Spark write's staging dir
+    holds only _temporary/ (zero parquet files) between job setup and
+    the first task opening its part file, and its manifest does not
+    exist yet — so it is unreferenced exactly like a crash orphan. The
+    sweep must NOT fast-delete it (the old `n_parquet == 0` shortcut
+    did, failing the racing commit); only a _SUCCESS husk skips the
+    grace window, because _SUCCESS lands last and can never mark an
+    in-flight write."""
+    import os
+    import time as _time
+
+    t = _table(spark, tmp_path)
+    root = tmp_path / "t"
+    # fresh in-flight write: _temporary only, no parquet, no _SUCCESS
+    inflight = root / "data-inflight"
+    (inflight / "_temporary" / "0").mkdir(parents=True)
+    # old husk: _SUCCESS only (its version's files were expired)
+    husk = root / "data-husk"
+    husk.mkdir()
+    (husk / "_SUCCESS").touch()
+    old = _time.time() - 3600
+    os.utime(husk, (old, old))
+    # old abandoned parquet-less dir without _SUCCESS: waits out the
+    # grace like any other orphan, then goes
+    stale = root / "data-stale"
+    (stale / "_temporary").mkdir(parents=True)
+    os.utime(stale, (old, old))
+    snapshot_expire(t, keep_last=2)
+    assert inflight.exists(), "swept an in-flight write inside grace"
+    assert not husk.exists(), "_SUCCESS husk should fast-delete"
+    assert not stale.exists(), "stale orphan past grace should go"
+
+
 def test_health_reports_hard_crash_orphan_staging_dirs(spark, tmp_path):
     """table_health counts staging dirs no manifest references (a
     hard-killed writer's leak) and recommends expiry; after
