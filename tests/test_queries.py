@@ -10,6 +10,7 @@ from __future__ import annotations
 import pytest
 
 import __spark_entry__ as entrymod
+from conftest import SF_DIR
 from group5_spark.queries import ORACLES, QUERIES
 
 
@@ -22,23 +23,51 @@ def test_check_window_first_and_oracle_gated():
     """The driver correctness-checks only the first 50 registered
     queries; every slot in that window must be oracle-gated (a
     rows-only entry there wastes a correctness slot) and the window
-    must match the explicit priority list. Exception: the round-6
-    VERDICT ordered the rows-only-BY-DESIGN sketch_scale_stats into
-    round 7's window (the one query with no driver row ever) — the
-    allowlist keeps accidental rows-only entries failing."""
+    must match the explicit priority list. Since round 8 there are NO
+    rows-only exceptions: sketch_scale_stats was reworked onto the
+    deterministic KMV+histogram sketches and carries an exact oracle
+    like everything else (round-7 VERDICT #3)."""
     from group5_spark.queries import _CHECK_WINDOW
 
-    rows_only_by_design = {"sketch_scale_stats"}
     names = list(QUERIES)
     assert len(_CHECK_WINDOW) == 50
     assert names[: len(_CHECK_WINDOW)] == _CHECK_WINDOW
     assert list(entrymod.queries())[:50] == _CHECK_WINDOW
-    missing_oracle = [
-        n
-        for n in _CHECK_WINDOW
-        if n not in ORACLES and n not in rows_only_by_design
-    ]
+    missing_oracle = [n for n in _CHECK_WINDOW if n not in ORACLES]
     assert not missing_oracle, missing_oracle
+
+
+def test_every_registered_query_has_an_oracle():
+    """152/152: the full registry is exact-oracle-gated — no query
+    ships on a rows-only check any more."""
+    missing = [n for n in QUERIES if n not in ORACLES]
+    assert not missing, missing
+
+
+def test_builtin_sketches_accuracy(spark):
+    """The production approximate built-ins (HLL++
+    approx_count_distinct, approx_percentile) stay within their
+    advertised error of the exact aggregates on the test corpus —
+    the showcase that sketch_scale_stats carried before round 8 moved
+    it onto the deterministic (oracle-replayable) sketch family."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx"),
+        F.countDistinct("l_orderkey").alias("exact"),
+        F.approx_percentile(
+            "l_extendedprice", F.lit(0.5), F.lit(10000)
+        ).alias("p50_approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50_exact"),
+    ).first()
+    assert abs(row.approx - row.exact) <= 0.05 * row.exact
+    assert (
+        abs(float(row.p50_approx) - float(row.p50_exact))
+        <= 0.02 * float(row.p50_exact)
+    )
 
 
 def test_entry_runs(spark):
