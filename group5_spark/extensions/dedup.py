@@ -72,6 +72,7 @@ def span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_words: int = 50,
+    hash_keys: bool | None = None,
 ) -> DataFrame:
     """C4-style SPAN-level exact dedup (Raffel et al. 2020 §2.2 dedup
     repeated three-sentence spans): split each document into
@@ -107,10 +108,23 @@ def span_dedup(
       span occurring 10⁷ times collapses to one row per map task,
       where a row_number window would sort the whole group on a
       single reducer). Winners join back as a standard shuffled
-      equi-join; with long spans, swap the join key for
-      ``portable_hash56_sql`` to keep the shuffle 8 bytes wide.
+      equi-join.
+    - ``hash_keys`` swaps the election/join key from the span STRING
+      to ``xxhash64(span)`` — an 8-byte shuffle/sort key instead of a
+      ~300-byte one at the 50-word default, and the winners side of
+      the join carries hashes only. Default (None) auto-enables at
+      ``span_words >= 16``, where the key-width saving dominates;
+      short-span runs (e.g. the 5-word oracle query) keep exact
+      string keys so a SQL oracle can replay the election. Collision
+      note: two distinct spans sharing a 64-bit hash are elected as
+      one, dropping the later span's occurrences — expectation
+      ~n²/2⁶⁵ pairs, i.e. a handful of spans lost per ~10¹⁰ distinct
+      spans (100 TB corpus scale); acceptable for dedup (which is
+      lossy by intent), switch ``hash_keys=False`` for exactness.
     - Reassembly is one groupBy(doc) + array_sort — linear, no window.
     """
+    if hash_keys is None:
+        hash_keys = span_words >= 16
     arr = F.split(F.col(text_col), " ")
     n_spans = F.ceil(F.size(arr) / F.lit(span_words)).cast("long")
     spans = F.transform(
@@ -125,10 +139,16 @@ def span_dedup(
         n_spans.alias("n_spans"),
         F.posexplode(spans).alias("seg", "chunk"),
     )
-    firsts = seg.groupBy("chunk").agg(
+    # the election/join key: the span itself, or its 8-byte hash
+    if hash_keys:
+        seg = seg.withColumn("_ck", F.xxhash64("chunk"))
+        key = "_ck"
+    else:
+        key = "chunk"
+    firsts = seg.select(key, id_col, "seg").groupBy(key).agg(
         F.min(F.struct(id_col, "seg")).alias("first")
     )
-    kept = seg.join(firsts, "chunk").where(
+    kept = seg.join(firsts, key).where(
         (F.col(id_col) == F.col(f"first.{id_col}"))
         & (F.col("seg") == F.col("first.seg"))
     )

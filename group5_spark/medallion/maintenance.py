@@ -62,6 +62,7 @@ def _dv_commit(
     note: dict | None = None,
     stats_cols: list[str] | None = None,
     bloom_cols: list[str] | None = None,
+    carry_kmv: bool = False,
 ) -> dict:
     """The merge-on-read write half shared by every DV-mode DML
     (MERGE/DELETE/UPDATE): decide rewrite-vs-deletion-vector PER
@@ -196,6 +197,7 @@ def _dv_commit(
                 stats_cols=stats_cols,
                 bloom_cols=bloom_cols,
                 note=note,
+                carry_kmv=carry_kmv,
             )
         except snap.SnapshotConflict:
             if dv_dir is not None:
@@ -411,6 +413,7 @@ def compact_snapshot(
                     ),
                 },
                 expected_parent=manifest["version"],
+                carry_kmv=True,  # same logical rows, new layout
             )
         except snap.SnapshotConflict:
             continue  # head moved mid-rewrite; re-read and retry
@@ -648,6 +651,9 @@ def snapshot_delete(
                 out = _dv_commit(
                     spark, root, head, touched, carried, frame,
                     dv_threshold, note=note,
+                    # deletion only shrinks the key population: the
+                    # parent's NDV sketch stays a sound upper bound
+                    carry_kmv=True,
                 )
             except snap.SnapshotConflict:
                 continue
@@ -669,6 +675,7 @@ def snapshot_delete(
                 expected_parent=version,
                 partition_by=head.get("partition_by"),
                 note=note,
+                carry_kmv=True,  # deletion: NDV can only shrink
             )
         except snap.SnapshotConflict:
             continue  # a commit raced the read; re-derive on the new head
@@ -974,6 +981,11 @@ def snapshot_update(
                 out = _dv_commit(
                     spark, root, head, touched, carried, frame,
                     dv_threshold, note=note,
+                    # an UPDATE keeps every row; the sketch stays
+                    # honest unless a sketched column is rewritten
+                    carry_kmv=not (
+                        set(set_exprs) & set(head.get("kmv") or {})
+                    ),
                 )
             except snap.SnapshotConflict:
                 continue
@@ -1559,6 +1571,11 @@ def snapshot_eq_upsert(
             partition_by=head.get("partition_by"),
             eq_add={"sidecar": eq_dir, "keys": list(keys), "rows": n_keys},
             note={"op": "eq_upsert", **(note or {})},
+            # re-sketch the columns the table already tracks so the
+            # append-path merge keeps the stored NDV honest for the
+            # batch's new keys (the advisor's multiplicity estimate
+            # reads it) — one min-k pass over the BATCH, not the table
+            ndv_cols=sorted(head.get("kmv") or {}) or None,
         )
     except BaseException:
         shutil.rmtree(root / eq_dir, ignore_errors=True)
@@ -1627,6 +1644,7 @@ def snapshot_eq_delete(
             partition_by=head.get("partition_by"),
             eq_add={"sidecar": eq_dir, "keys": keys, "rows": n_keys},
             note={"op": "eq_delete", **(note or {})},
+            carry_kmv=True,  # pure mask commit: no data rows added
         )
     except BaseException:
         shutil.rmtree(root / eq_dir, ignore_errors=True)
@@ -1775,6 +1793,7 @@ def compact_snapshot_partitions(
                     "partitions": sorted(map(str, fragmented)),
                     **({"clustered_by": sorted(sort_cols)} if sort_cols else {}),
                 },
+                carry_kmv=True,  # layout migration: same logical rows
             )
         except snap.SnapshotConflict:
             continue
@@ -1958,6 +1977,9 @@ def compact_snapshot_masks(
                     "files_restamped": len(restamp),
                     "eq_sidecars_folded": len(eq_all),
                 },
+                # fold applies masks: live rows unchanged, NDV of the
+                # pre-fold sketch stays a sound upper bound
+                carry_kmv=True,
             )
         except snap.SnapshotConflict:
             continue  # head moved mid-rewrite; re-read and retry

@@ -471,6 +471,7 @@ def snapshot_commit(
     constraints: dict[str, str | None] | None = None,
     eq_add: dict | None = None,
     evolve_partitioning: bool = False,
+    carry_kmv: bool = False,
 ) -> int:
     """Write ``df`` as the next version of the table at ``path`` and
     return the new version number.
@@ -546,6 +547,18 @@ def snapshot_commit(
     stats-prove disjoint from the replaced partitions, and
     ``compact_snapshot_partitions`` migrates old-spec files into the
     current layout (after which the history annotation drops away).
+
+    ``carry_kmv``: carry the parent's stored NDV sketches into this
+    commit's manifest. For the caller to assert ONLY when the commit
+    provably does not grow the table's key population — pure mask
+    commits (DV/equality deletes), compaction/fold rewrites of the
+    same logical rows, layout migrations. Deletion makes a carried
+    sketch an upper bound on live NDV, which is the safe direction
+    for the join planner; without the flag these commits would drop
+    the sketch entirely and every post-DML plan degrades to
+    size-only advice. Commits that ADD data (append, merge, eq
+    upsert) must instead sketch their batch via ``ndv_cols`` so the
+    append-path merge keeps the sketch honest.
 
     The commit protocol is stage → claim manifest slot → claim chain
     link (the atomic commit point); a crash before the chain claim
@@ -901,6 +914,11 @@ def snapshot_commit(
             if mode in ("append", "replace_partitions") and parent
             else _head_manifest
         )
+        # carry_kmv: the caller asserts this commit doesn't grow the
+        # key population (mask/fold/migration), so the parent's sketch
+        # stays a sound NDV upper bound — see docstring
+        if carry_kmv and not table_kmv:
+            table_kmv = dict(base_m.get("kmv") or {})
         seq = _last_seq(base_m) + 1
         for e in staged:
             e["seq"] = seq

@@ -57,6 +57,15 @@ class TableStats:
     top_key: object
     top_key_rows: int
     key_hashes: tuple = ()
+    #: conservative LOWER bound on materialized bytes, backed only by
+    #: exactly-known masking (DV positions are counted per entry;
+    #: equality-delete masking is an ESTIMATE). Broadcast eligibility
+    #: uses max(bytes_est, bytes_floor): an eq-mask estimate may
+    #: shrink the join-size numbers, but it can never talk the
+    #: planner into broadcasting a table whose exactly-known bytes
+    #: don't fit — the executor-OOM direction (round-8 ADVICE). 0 =
+    #: no separate floor (runtime collect_stats measured real rows).
+    bytes_floor: int = 0
 
     @property
     def top_key_share(self) -> float:
@@ -217,15 +226,20 @@ def advise_join(
             f"(Jaccard {card['key_jaccard']:.0%}) -> "
             f"~{card['rows_est']:.0f} output rows expected"
         )
-    l_fits = left.bytes_est <= broadcast_bytes
-    r_fits = right.bytes_est <= broadcast_bytes
+    # broadcast eligibility consults the floor: the estimate may be
+    # shrunk by eq-mask guesses, the floor only by exactly-counted
+    # DV masks — a table is broadcastable only when BOTH agree it fits
+    l_bc = max(left.bytes_est, left.bytes_floor)
+    r_bc = max(right.bytes_est, right.bytes_floor)
+    l_fits = l_bc <= broadcast_bytes
+    r_fits = r_bc <= broadcast_bytes
     if l_fits or r_fits:
-        if l_fits and (not r_fits or left.bytes_est <= right.bytes_est):
-            side, st = "left", left
+        if l_fits and (not r_fits or l_bc <= r_bc):
+            side, bc = "left", l_bc
         else:
-            side, st = "right", right
+            side, bc = "right", r_bc
         reasons.append(
-            f"{side} ~{st.bytes_est >> 20} MiB <= broadcast budget "
+            f"{side} ~{bc >> 20} MiB <= broadcast budget "
             f"{broadcast_bytes >> 20} MiB"
         )
         return JoinAdvice(strategy=f"broadcast_{side}", reasons=tuple(reasons))
@@ -364,39 +378,86 @@ def stats_from_snapshot(
     m = snapshot_manifest(path, version)
     # LOGICAL rows: a deletion-vector entry contributes its live count
     # (physical minus masked) — planning from physical rows would
-    # overestimate a heavily-masked table and demote broadcasts
-    rows = sum(entry_rows(e) for e in m["files"])
-    # equality-delete masks subtract too (round-6 VERDICT #7): each
-    # sidecar hides the rows sharing its key tuples in every entry it
-    # postdates. For the CDC tables eq-upserts produce, keys are
-    # ~unique per row, so the sidecar's key count IS the masked-row
-    # estimate — clamped to the covered entries' live rows so a
-    # key set larger than the table can't go negative.
-    eq_all = m.get("eq_deletes") or []
+    # overestimate a heavily-masked table and demote broadcasts.
+    # DV masking is EXACT (positions are counted per entry).
+    rows_dv = sum(entry_rows(e) for e in m["files"])
+    rows = rows_dv
+    # equality-delete masks subtract too (round-6 VERDICT #7) — but as
+    # an ESTIMATE, bounded twice (round-8 ADVICE / round-7 VERDICT
+    # #5): per sidecar, (a) a key tuple masks the table's average
+    # rows-per-key, estimated from the stored KMV NDV of the key
+    # column (a fact table keyed by customer masks MANY rows per
+    # key, not one), with the matching-key count capped at the
+    # table's NDV; (b) the subtraction is clamped to the live rows of
+    # the entries that sidecar actually COVERS by sequence — an
+    # insert-heavy sidecar whose keys mostly match nothing can at
+    # worst zero out its covered slice, never the whole table.
+    # the head manifest's stored sketches: mask/fold/migration commits
+    # carry them forward (snapshot_commit carry_kmv), appends and eq
+    # upserts merge a batch sketch in — a manifest WITHOUT a sketch
+    # means some commit genuinely invalidated it (e.g. an unsketched
+    # append), and the estimate degrades rather than trusting it
+    kmv_all = m.get("kmv", {})
+
+    def _kmv_lookup(col: str) -> list | None:
+        return kmv_all.get(col)
+
+    eq_all = sorted(
+        m.get("eq_deletes") or [],
+        key=lambda d: (d["seq"], d["sidecar"]),
+    )
     if eq_all:
-        max_seq = max(d["seq"] for d in eq_all)
-        covered = sum(
-            entry_rows(e)
-            for e in m["files"]
-            if e.get("seq", 0) < max_seq
-        )
-        eq_keys = sum(int(d.get("rows", 0)) for d in eq_all)
-        rows -= min(covered, eq_keys)
+
+        def _key_ndv(cols: list[str]) -> float | None:
+            # tuple NDV >= each column's NDV, so the max per-column
+            # estimate lower-bounds it (conservative: higher implied
+            # multiplicity is capped by the covered clamp below)
+            ests = [
+                kmv_ndv_estimate(sk)
+                for sk in (_kmv_lookup(c) for c in cols)
+                if sk
+            ]
+            return max(ests) if ests else None
+
+        masked_total = 0.0
+        for d in eq_all:
+            covered = sum(
+                entry_rows(e)
+                for e in m["files"]
+                if e.get("seq", 0) < d["seq"]
+            )
+            keys = float(d.get("rows", 0))
+            ndv = _key_ndv(d.get("keys") or [])
+            if ndv and ndv > 0:
+                mult = max(1.0, rows_dv / ndv)
+                est = min(keys, ndv) * mult
+            else:
+                est = keys
+            masked_total += min(est, covered)
+        rows = max(0, rows_dv - int(round(masked_total)))
     disk = sum(int(e["bytes"]) for e in m["files"])
     # broadcast budgeting sees what a scan MATERIALIZES: masks resolve
     # before the data crosses the wire, so a heavily-masked table's
     # bytes scale by its live fraction — otherwise a 50%-masked dim
-    # is wrongly demoted from broadcast until someone folds it
+    # is wrongly demoted from broadcast until someone folds it. The
+    # eq share of that scaling is an estimate, so the FLOOR (what
+    # broadcast eligibility checks, see TableStats.bytes_floor)
+    # scales only by the exactly-known DV fraction — an eq-mask guess
+    # must never promote a huge table to broadcast (executor OOM).
     physical = sum(int(e.get("rows", 0)) for e in m["files"])
+    disk_floor = disk
+    if physical > 0 and rows_dv < physical:
+        disk_floor = int(disk * max(rows_dv, 0) / physical)
     if physical > 0 and rows < physical:
         disk = int(disk * max(rows, 0) / physical)
     ndv = 0
     hashes: tuple = ()
-    if key is not None and key in m.get("kmv", {}):
-        ndv = int(kmv_ndv_estimate(m["kmv"][key]))
+    key_sketch = _kmv_lookup(key) if key is not None else None
+    if key_sketch:
+        ndv = int(kmv_ndv_estimate(key_sketch))
         # carry the sketch itself: two tables' sketches estimate the
         # JOIN's key overlap and output size (estimate_join_rows)
-        hashes = tuple(m["kmv"][key])
+        hashes = tuple(key_sketch)
     return TableStats(
         rows=rows,
         bytes_est=int(disk * bytes_per_disk_byte),
@@ -404,6 +465,7 @@ def stats_from_snapshot(
         top_key=None,
         top_key_rows=0,
         key_hashes=hashes,
+        bytes_floor=int(disk_floor * bytes_per_disk_byte),
     )
 
 

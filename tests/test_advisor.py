@@ -787,3 +787,78 @@ def test_masked_table_stats_match_folded_equivalent(spark, tmp_path):
     assert masked.bytes_est <= 2 * folded.bytes_est
     after_fold = advise_join(fact, folded)
     assert before_fold.strategy == after_fold.strategy == "broadcast_right"
+
+
+def test_masked_stats_duplicate_keyed_table_plans_like_folded(
+    spark, tmp_path
+):
+    """Round-7 VERDICT #5: one eq key can mask MANY rows (a fact
+    table keyed by customer). The masked-row estimate scales each
+    sidecar key by the table's rows-per-key (from the stored KMV NDV)
+    so a duplicate-keyed table plans like its folded equivalent —
+    the 'keys ~unique per row' assumption undercounted masking 10×
+    here."""
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_masks,
+        snapshot_eq_delete,
+    )
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import advise_join, stats_from_snapshot
+
+    fact = str(tmp_path / "fact")
+    # 10,000 rows over 1,000 distinct keys: multiplicity 10
+    snapshot_commit(
+        spark.range(10_000).select(
+            (F.col("id") % 1000).alias("k"), F.rand(11).alias("w")
+        ),
+        fact,
+        stats_cols=["k"],
+        ndv_cols=["k"],
+    )
+    # eq-delete 500 of the 1,000 keys -> ~5,000 rows actually masked
+    snapshot_eq_delete(
+        spark, fact,
+        spark.range(500).select(F.col("id").alias("k")),
+    )
+    masked = stats_from_snapshot(fact, key="k")
+    compact_snapshot_masks(spark, fact)
+    folded = stats_from_snapshot(fact, key="k")
+    assert folded.rows == 5000
+    # KMV-estimated NDV carries ~±7% error at k=256; the estimate must
+    # land near the folded truth, not near the 9,500 the unique-key
+    # assumption produced
+    assert abs(masked.rows - folded.rows) <= 0.15 * folded.rows
+    big = TableStats(
+        rows=10**9, bytes_est=4000 * MB, key_ndv=10**6,
+        top_key=None, top_key_rows=0,
+    )
+    assert (
+        advise_join(big, masked).strategy
+        == advise_join(big, folded).strategy
+    )
+
+
+def test_insert_heavy_eq_sidecars_never_promote_to_broadcast():
+    """Round-8 ADVICE: insert-heavy eq-CDC stacks sidecars whose keys
+    mostly match nothing; the masked-row ESTIMATE can collapse the
+    row/byte numbers of a huge table. Broadcast eligibility must
+    consult the DV-exact bytes floor, so the guess can shrink join
+    cardinality estimates but never talk the planner into
+    broadcasting a table whose known bytes don't fit (executor OOM)."""
+    from group5_spark.plans.advisor import advise_join
+
+    # a 4 GB fact whose eq estimate (wrongly) claims 99.9% masked
+    eq_collapsed = TableStats(
+        rows=10**6,          # estimate after eq subtraction
+        bytes_est=4 * MB,    # scaled by the estimated live fraction
+        key_ndv=10**6,
+        top_key=None,
+        top_key_rows=0,
+        bytes_floor=4000 * MB,  # DV-exact: nothing provably masked
+    )
+    other = TableStats(
+        rows=10**8, bytes_est=400 * MB, key_ndv=10**6,
+        top_key=None, top_key_rows=0,
+    )
+    a = advise_join(other, eq_collapsed)
+    assert not a.strategy.startswith("broadcast"), a

@@ -896,3 +896,27 @@ def test_span_dedup_boilerplate_removed_nulls_pass_through(spark):
     # NULL text: explicit zero-span row, not a disappearance
     assert (out[3].n_spans, out[3].kept_spans) == (0, 0)
     assert out[3].deduped_text is None
+
+
+def test_span_dedup_hash_keys_equal_results_and_default(spark, sf_dir):
+    """Round-7 VERDICT #6: above the span_words threshold the
+    election/join key defaults to xxhash64(span) — an 8-byte shuffle
+    key instead of a ~300-byte string at the 50-word default — and
+    the results are identical to the exact string-keyed election on
+    the real corpus (no 64-bit collisions at test scale)."""
+    from group5_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = dedup.span_dedup(docs, span_words=20, hash_keys=False)
+    hashed = dedup.span_dedup(docs, span_words=20, hash_keys=True)
+    assert sorted(map(tuple, exact.collect())) == sorted(
+        map(tuple, hashed.collect())
+    )
+    # default routing: hash-keyed at sentence scale, exact strings at
+    # oracle scale (the 5-word driver query must stay SQL-replayable)
+    assert "xxhash64" in dedup.span_dedup(
+        docs, span_words=50
+    )._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" not in dedup.span_dedup(
+        docs, span_words=5
+    )._jdf.queryExecution().optimizedPlan().toString()

@@ -71,3 +71,38 @@ def test_gate_scans_every_markdown_file(tmp_path):
     assert len(problems) == 1
     assert "COVERAGE.md" in problems[0]
     assert "never_recorded_key" in problems[0]
+
+
+def test_gate_catches_stale_cited_literal(tmp_path):
+    """Round-7 VERDICT #1b — the third-round defect class made
+    unshippable: a paragraph citing a recorded key but quoting a
+    superseded run's numbers (the N→M and exponent shapes) must fail;
+    the same paragraph with the recorded numbers must pass."""
+    from ship_check import _literal_freshness_problems
+
+    (tmp_path / "SCALE_TRAINOPS.json").write_text(json.dumps({
+        "mask_fold": {
+            "runs": [
+                {"scale": 1, "seconds": 1.622, "bytes": 229458},
+                {"scale": 64, "seconds": 2.254, "bytes": 1159506},
+            ],
+            "seconds_exponent": 0.079,
+        }
+    }))
+    (tmp_path / "SCALE_CURVE.json").write_text("{}")
+    stale = (
+        "Measured: scoped fold 1.5→2.3 s across 64× (exponent 0.08) — "
+        "`SCALE_TRAINOPS.json:mask_fold`."
+    )
+    (tmp_path / "SCALE.md").write_text(stale)
+    problems = _literal_freshness_problems(tmp_path)
+    assert len(problems) == 1 and "'1.5'" in problems[0], problems
+    fresh = (
+        "Measured: scoped fold 1.6→2.3 s across 64× (exponent 0.08), "
+        "bytes 0.23→1.16 MB — `SCALE_TRAINOPS.json:mask_fold`."
+    )
+    (tmp_path / "SCALE.md").write_text(fresh)
+    assert _literal_freshness_problems(tmp_path) == []
+    # a paragraph with no citation is not policed (plain prose)
+    (tmp_path / "SCALE.md").write_text("grew 1.5→2.3 s somewhere")
+    assert _literal_freshness_problems(tmp_path) == []

@@ -15,6 +15,15 @@ checker makes both impossible to ship again:
    summary section for every plan-audited query (bench HEADLINE +
    dump_plans EXTRA) — a new bench/audited query without a regenerated
    PLANS.md fails the gate.
+3. **Cited literals are fresh** (round-7 VERDICT #1 — third round of
+   the citation-integrity defect class: a ladder was RE-recorded but
+   the prose kept the superseded run's numbers). In any markdown
+   paragraph that carries a scale citation, every claim-shaped
+   numeric literal — the ``N→M`` range shape and the ``exponent X``
+   shape — must match some value recorded under a key that paragraph
+   cites, within the literal's own rounding (a value may appear
+   scaled: raw, e-3/e-6/e-9 for KB/MB/GB prose, or ×100 for
+   percentages). Key existence alone no longer passes stale prose.
 
 Importable (``check(repo_root) -> list[str]`` of problems, empty when
 clean) and runnable (exit 1 with the problem list). Wired into the
@@ -63,6 +72,83 @@ def _scale_citation_problems(root: Path) -> list[str]:
     return problems
 
 
+#: claim-shaped literals the freshness check verifies: "1.6→2.3 s"
+#: ranges and "exponent 0.08" fits — the two shapes measured prose
+#: uses. Plain counts ("128 files", "64×") are not claims about a
+#: recorded value and stay unchecked.
+_RANGE_RE = re.compile(r"(\d+(?:\.\d+)?)\s*→\s*(\d+(?:\.\d+)?)")
+_EXP_RE = re.compile(r"exponents?\s+(-?\d+(?:\.\d+)?)")
+
+#: scales a recorded value may legitimately appear at in prose
+_SCALES = (1.0, 1e-3, 1e-6, 1e-9, 100.0)
+
+
+def _flatten_numbers(obj) -> list[float]:
+    out: list[float] = []
+    if isinstance(obj, bool):
+        return out
+    if isinstance(obj, (int, float)):
+        out.append(float(obj))
+    elif isinstance(obj, dict):
+        for v in obj.values():
+            out.extend(_flatten_numbers(v))
+    elif isinstance(obj, list):
+        for v in obj:
+            out.extend(_flatten_numbers(v))
+    return out
+
+
+def _literal_matches(lit: str, values: list[float]) -> bool:
+    n = float(lit)
+    decimals = len(lit.split(".")[1]) if "." in lit else 0
+    tol = 0.5 * 10 ** -decimals + 1e-9
+    return any(
+        abs(v * s - n) <= tol for v in values for s in _SCALES
+    )
+
+
+def _literal_freshness_problems(root: Path) -> list[str]:
+    data = {}
+    for name in ("TRAINOPS", "CURVE"):
+        p = root / f"SCALE_{name}.json"
+        try:
+            data[name] = json.loads(p.read_text())
+        except (FileNotFoundError, json.JSONDecodeError):
+            data[name] = {}
+    problems = []
+    for md in sorted(root.glob("*.md")):
+        if md.name in ("VERDICT.md", "ADVICE.md"):
+            continue
+        for para in re.split(r"\n\s*\n", md.read_text()):
+            cites = [
+                (which, key)
+                for which, key in _CITE_RE.findall(para)
+                if key in data[which]
+            ]
+            if not cites:
+                continue
+            values: list[float] = []
+            for which, key in cites:
+                values.extend(_flatten_numbers(data[which][key]))
+            literals = [
+                lit
+                for pair in _RANGE_RE.findall(para)
+                for lit in pair
+            ] + _EXP_RE.findall(para)
+            for lit in literals:
+                if not _literal_matches(lit, values):
+                    keys = ", ".join(
+                        f"SCALE_{w}.json:{k}" for w, k in cites
+                    )
+                    problems.append(
+                        f"{md.name}: literal {lit!r} in a paragraph "
+                        f"citing {keys} matches no recorded value — "
+                        f"the prose cites numbers the recorded run no "
+                        f"longer contains; re-sync after re-recording"
+                    )
+    return problems
+
+
 def _plan_audit_problems(
     root: Path, required: list[str] | None = None
 ) -> list[str]:
@@ -92,7 +178,11 @@ def _plan_audit_problems(
 
 def check(repo_root: str | Path | None = None) -> list[str]:
     root = Path(repo_root or Path(__file__).resolve().parent.parent)
-    return _scale_citation_problems(root) + _plan_audit_problems(root)
+    return (
+        _scale_citation_problems(root)
+        + _literal_freshness_problems(root)
+        + _plan_audit_problems(root)
+    )
 
 
 def main() -> int:
