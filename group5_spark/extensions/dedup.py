@@ -125,20 +125,7 @@ def span_dedup(
     """
     if hash_keys is None:
         hash_keys = span_words >= 16
-    arr = F.split(F.col(text_col), " ")
-    n_spans = F.ceil(F.size(arr) / F.lit(span_words)).cast("long")
-    spans = F.transform(
-        F.sequence(F.lit(1), n_spans.cast("int")),
-        lambda s: F.concat_ws(
-            " ", F.slice(arr, (s - 1) * span_words + 1, span_words)
-        ),
-    )
-    with_text = df.where(F.col(text_col).isNotNull())
-    seg = with_text.select(
-        F.col(id_col),
-        n_spans.alias("n_spans"),
-        F.posexplode(spans).alias("seg", "chunk"),
-    )
+    seg = _span_segments(df, text_col, id_col, span_words)
     # the election/join key: the span itself, or its 8-byte hash
     if hash_keys:
         seg = seg.withColumn("_ck", F.xxhash64("chunk"))
@@ -166,6 +153,110 @@ def span_dedup(
     # NULL)) is NULL, so posexplode above drops the row — surface it
     # explicitly with zero spans instead
     null_text = df.where(F.col(text_col).isNull()).select(
+        F.col(id_col),
+        F.lit(0).cast("long").alias("n_spans"),
+        F.lit(0).cast("long").alias("kept_spans"),
+        F.lit(None).cast("string").alias("deduped_text"),
+    )
+    return deduped.unionByName(null_text)
+
+
+def _span_segments(
+    df: DataFrame, text_col: str, id_col: str, span_words: int
+) -> DataFrame:
+    """One row per (doc, position, span) for non-NULL text — the
+    shared span builder (pure JVM HOFs: split → sequence → transform →
+    slice, no explode-regroup round trip, no Python)."""
+    arr = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(arr) / F.lit(span_words)).cast("long")
+    spans = F.transform(
+        F.sequence(F.lit(1), n_spans.cast("int")),
+        lambda s: F.concat_ws(
+            " ", F.slice(arr, (s - 1) * span_words + 1, span_words)
+        ),
+    )
+    return df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col),
+        n_spans.alias("n_spans"),
+        F.posexplode(spans).alias("seg", "chunk"),
+    )
+
+
+def span_index_build(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 50,
+) -> DataFrame:
+    """The corpus's distinct span fingerprints — one ``span_hash``
+    (xxhash64, 8 bytes) per distinct ``span_words``-word segment.
+
+    This is the persisted half of INCREMENTAL span dedup (the span
+    twin of ``lsh_band_buckets``): build once over the ingested
+    corpus, write as parquet, and every new crawl batch dedups
+    against the index via :func:`span_dedup_incremental` — priced at
+    the batch plus one shuffle of 8-byte hashes, never a re-scan of
+    the corpus text. Mergeable by construction: the index of a grown
+    corpus is ``union().distinct()`` of the old index and the new
+    batch's hashes, so ingestion maintains it incrementally too.
+    """
+    seg = _span_segments(df, text_col, id_col, span_words)
+    return seg.select(
+        F.xxhash64("chunk").alias("span_hash")
+    ).distinct()
+
+
+def span_dedup_incremental(
+    new_df: DataFrame,
+    span_index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 50,
+) -> DataFrame:
+    """Span-dedup a NEW batch against an already-ingested corpus: a
+    span survives only if it is absent from ``span_index`` (the
+    corpus's :func:`span_index_build` output) AND it is the batch's
+    own first occurrence. Returns the same shape as
+    :func:`span_dedup` (``id, n_spans, kept_spans, deduped_text``;
+    NULL-text rows pass through with zero spans).
+
+    Scale design: the election shuffles the batch's 8-byte span
+    hashes; the index anti-join is one shuffled equi-join whose index
+    side carries hashes only (8 bytes/span — ~0.3% of the corpus's
+    text bytes at the 50-word default), so per-batch cost is priced
+    by the batch and the INDEX, never the corpus. Collision odds as
+    in :func:`span_dedup` hash mode (~n²/2⁶⁵ — a handful of spans per
+    10¹⁰ distinct, acceptable for a lossy-by-intent dedup).
+    """
+    seg = _span_segments(new_df, text_col, id_col, span_words).withColumn(
+        "_ck", F.xxhash64("chunk")
+    )
+    firsts = seg.select("_ck", id_col, "seg").groupBy("_ck").agg(
+        F.min(F.struct(id_col, "seg")).alias("first")
+    )
+    kept = (
+        seg.join(firsts, "_ck")
+        .where(
+            (F.col(id_col) == F.col(f"first.{id_col}"))
+            & (F.col("seg") == F.col("first.seg"))
+        )
+        .join(
+            span_index.select(F.col("span_hash").alias("_ck")),
+            "_ck",
+            "left_anti",
+        )
+    )
+    deduped = kept.groupBy(id_col, "n_spans").agg(
+        F.count(F.lit(1)).alias("kept_spans"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+        ).alias("deduped_text"),
+    )
+    null_text = new_df.where(F.col(text_col).isNull()).select(
         F.col(id_col),
         F.lit(0).cast("long").alias("n_spans"),
         F.lit(0).cast("long").alias("kept_spans"),

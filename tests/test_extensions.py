@@ -920,3 +920,52 @@ def test_span_dedup_hash_keys_equal_results_and_default(spark, sf_dir):
     assert "xxhash64" not in dedup.span_dedup(
         docs, span_words=5
     )._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_span_dedup_incremental_against_persisted_index(spark, tmp_path):
+    """Incremental span dedup: a new batch's span survives only if it
+    is absent from the corpus index AND first within the batch; the
+    index is mergeable (old ∪ batch hashes == index of grown corpus),
+    so ingestion maintains it without re-scanning corpus text."""
+    corpus = spark.createDataFrame(
+        [(1, "all rights reserved contact us unique corpus tail one two")],
+        ["doc_id", "text"],
+    )
+    idx = dedup.span_index_build(corpus, span_words=5)
+    idx.write.parquet(str(tmp_path / "spanidx"))
+    stored = spark.read.parquet(str(tmp_path / "spanidx"))
+    batch = spark.createDataFrame(
+        [
+            # span 1 = corpus boilerplate (dropped via index);
+            # span 2 = fresh (kept)
+            (10, "all rights reserved contact us alpha beta gamma delta eps"),
+            # same fresh span again -> dropped within batch
+            (11, "alpha beta gamma delta eps"),
+            (12, None),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dedup.span_dedup_incremental(
+            batch, stored, span_words=5
+        ).collect()
+    }
+    # doc 11's only span was doc 10's fresh span — every span seen
+    # earlier, so the doc vanishes (span_dedup semantics)
+    assert set(out) == {10, 12}
+    assert (out[10].n_spans, out[10].kept_spans) == (2, 1)
+    assert out[10].deduped_text == "alpha beta gamma delta eps"
+    assert (out[12].n_spans, out[12].kept_spans) == (0, 0)
+    # mergeability: index(corpus ∪ batch) == index(corpus) ∪ hashes(batch)
+    grown = dedup.span_index_build(
+        corpus.unionByName(batch.where("text is not null")), span_words=5
+    )
+    merged = stored.unionByName(
+        dedup.span_index_build(
+            batch.where("text is not null"), span_words=5
+        )
+    ).distinct()
+    assert sorted(r.span_hash for r in grown.collect()) == sorted(
+        r.span_hash for r in merged.collect()
+    )

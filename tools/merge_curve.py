@@ -49,6 +49,8 @@ Usage:
     python tools/merge_curve.py --one-eq 16
     python tools/merge_curve.py --masks    # mask-scoped fold ladder
     python tools/merge_curve.py --one-masks 16
+    python tools/merge_curve.py --stream-eq  # streaming eq-CDC loop
+    python tools/merge_curve.py --one-stream-eq 16
 """
 
 from __future__ import annotations
@@ -522,6 +524,174 @@ def run_one_masks(n: int) -> dict:
     }
 
 
+def run_one_stream_eq(n: int) -> dict:
+    """Round-7 VERDICT #4: the streaming eq-CDC STEADY STATE,
+    measured. The fixed CDC batch is split into 8 micro-batch files
+    and drained through `stream_upsert_snapshot(eq_mode=True)`
+    (maxFilesPerTrigger=1 → 8 real micro-batch commits, each an
+    `snapshot_eq_upsert` that appends the slice + a key sidecar and
+    never reads a target file) against a zero-copy clone of the Nx
+    wide-file orders table. Commit seconds/batch should be FLAT in
+    table size — the 'commit cost independent of table size' claim
+    the batch ladder implied, now measured on the actual streaming
+    sink loop (planning, checkpoint, replay-dedup note, OCC commit).
+    The deferred reader rent (masked scan) and its cure (mask-scoped
+    fold) are recorded after the drain."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+    from group5_spark.medallion.maintenance import (
+        compact_snapshot_masks,
+        snapshot_merge,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_clone,
+        snapshot_manifest,
+        snapshot_read,
+    )
+    from group5_spark.streaming.jobs import stream_upsert_snapshot
+
+    materialize(n)
+    sf_dir = str(SCALE_ROOT / f"x{n:03d}")
+    tbl = SCALE_ROOT / f"_mergedvtbl_x{n:03d}"  # shared with --dv/--eq
+    spark = _spark(f"stream-eq-curve-x{n}")
+
+    if not (tbl / "_DONE").exists():
+        shutil.rmtree(tbl, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        snapshot_merge(
+            spark,
+            str(tbl),
+            orders.repartitionByRange(DV_FILES, "o_orderkey"),
+            keys=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+            validate_source_keys=False,
+        )
+        (tbl / "_DONE").touch()
+
+    base = load_table(spark, BASE_SF, "orders")
+    okey_max = base.agg(F.max("o_orderkey")).first()[0]
+    stride = max(1, okey_max // (N_UPDATES * 4))
+    updates = (
+        base.filter((F.col("o_orderkey") % (4 * stride)) == 0)
+        .limit(N_UPDATES)
+        .withColumn("o_orderpriority", F.lit("9-CDC-UPDATED"))
+    )
+    inserts = base.limit(N_INSERTS).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**13)
+    )
+    # 8 micro-batch files: the steady-state loop, not one giant batch
+    n_batches = 8
+    src = SCALE_ROOT / f"_streameq_src_x{n:03d}"
+    shutil.rmtree(src, ignore_errors=True)
+    updates.unionByName(inserts).repartition(n_batches).write.parquet(
+        str(src)
+    )
+
+    clone = SCALE_ROOT / f"_streameqtbl_clone_x{n:03d}"
+    shutil.rmtree(clone, ignore_errors=True)
+    snapshot_clone(str(tbl), str(clone))
+    schema = load_table(spark, BASE_SF, "orders").schema
+    with tempfile.TemporaryDirectory() as ckpt:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        t0 = time.perf_counter()
+        stream_upsert_snapshot(
+            stream,
+            ckpt,
+            str(clone),
+            keys=["o_orderkey"],
+            eq_mode=True,
+            app_id=f"stream-eq-x{n}",
+        )
+        drain_s = round(time.perf_counter() - t0, 3)
+    m = snapshot_manifest(str(clone))
+    commits = len(m.get("eq_deletes") or [])
+
+    t0 = time.perf_counter()
+    masked_rows = snapshot_read(spark, str(clone)).count()
+    masked_read_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    fold = compact_snapshot_masks(spark, str(clone))
+    fold_s = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    folded_rows = snapshot_read(spark, str(clone)).count()
+    folded_read_s = round(time.perf_counter() - t0, 3)
+    if folded_rows != masked_rows:
+        raise RuntimeError(
+            f"fold changed row count: {masked_rows} != {folded_rows}"
+        )
+    shutil.rmtree(clone, ignore_errors=True)
+    shutil.rmtree(src, ignore_errors=True)
+
+    tm = snapshot_manifest(str(tbl))
+    spark.stop()
+    return {
+        "scale": n,
+        "table_files": len(tm["files"]),
+        "table_bytes": sum(int(e["bytes"]) for e in tm["files"]),
+        "micro_batches": n_batches,
+        "eq_commits": commits,
+        "drain_seconds": drain_s,
+        "commit_seconds_per_batch": round(drain_s / n_batches, 3),
+        "masked_read_seconds": masked_read_s,
+        "fold_seconds": fold_s,
+        "fold_files_folded": fold["files_folded"],
+        "fold_files_carried": fold["files_carried"],
+        "folded_read_seconds": folded_read_s,
+        "rows": masked_rows,
+    }
+
+
+def main_stream_eq() -> None:
+    runs = []
+    for n in SCALES:
+        print(f"=== stream-eq scale x{n} ===", flush=True)
+        out = subprocess.run(
+            [sys.executable, __file__, "--one-stream-eq", str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [
+            l for l in out.stdout.splitlines() if l.startswith("RESULT ")
+        ][-1]
+        runs.append(json.loads(line[len("RESULT "):]))
+        print(runs[-1], flush=True)
+    rec = {
+        "method": (
+            "the fixed CDC batch (2k updates + 500 inserts) split into "
+            "8 micro-batch files and drained through "
+            "stream_upsert_snapshot(eq_mode=True) with "
+            "maxFilesPerTrigger=1 against a zero-copy clone of the Nx "
+            "wide-file orders table — 8 real snapshot_eq_upsert "
+            "commits through the streaming sink loop (planning, "
+            "checkpoint, replay-dedup note, OCC); commit seconds per "
+            "micro-batch should be flat in table size; the deferred "
+            "reader rent (masked scan) and the mask-scoped fold that "
+            "cures it are recorded after the drain"
+        ),
+        "runs": runs,
+        "commit_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["commit_seconds_per_batch"]) for r in runs]
+        ),
+        "masked_read_exponent": _fit_exponent(
+            [(r["scale"], r["masked_read_seconds"]) for r in runs]
+        ),
+        "fold_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["fold_seconds"]) for r in runs]
+        ),
+    }
+    path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
+    data = json.loads(path.read_text())
+    data["stream_eq_cdc"] = rec
+    path.write_text(json.dumps(data, indent=1))
+    print(json.dumps(rec, indent=1))
+
+
 def main_masks() -> None:
     runs = []
     for n in SCALES:
@@ -680,6 +850,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--masks":
         main_masks()
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--one-stream-eq":
+        print("RESULT " + json.dumps(run_one_stream_eq(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--stream-eq":
+        main_stream_eq()
         return
     runs = []
     for n in SCALES:
