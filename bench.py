@@ -53,7 +53,24 @@ HEADLINE = [
 ]
 
 
+def _timed_pass(spark, sf_dir: str) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        start = time.perf_counter()
+        # count() forces full execution of every operator without
+        # collecting result rows to the driver.
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - start, 4)
+    return timings
+
+
 def main() -> None:
+    repeat = 1
+    args = sys.argv[1:]
+    if "--repeat" in args:
+        repeat = int(args[args.index("--repeat") + 1])
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = create_spark_session("group5-bench")
@@ -68,28 +85,53 @@ def main() -> None:
         if name in QUERIES:
             QUERIES[name](spark, sf_dir).count()
 
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        if name not in QUERIES:
-            continue
-        start = time.perf_counter()
-        # count() forces full execution of every operator without
-        # collecting result rows to the driver.
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - start, 4)
+    # --repeat N (round-7 VERDICT #7): N timed passes, per-query
+    # MEDIAN reported, all passes written to BENCH_LOCAL.md — the
+    # variance floor that lets a verdict separate host drift from a
+    # code regression without a judge re-run (round-over-round
+    # one-shot totals swung ±13% on identical query code).
+    passes = [_timed_pass(spark, sf_dir) for _ in range(repeat)]
+    if repeat > 1:
+        timings = {
+            name: round(sorted(p[name] for p in passes)[repeat // 2], 4)
+            for name in passes[0]
+        }
+    else:
+        timings = passes[0]
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if repeat > 1:
+        totals = [round(sum(p.values()), 2) for p in passes]
+        lines = [
+            "# BENCH_LOCAL — median-of-N local bench",
+            "",
+            f"`python bench.py --repeat {repeat}` at sf{sf}: "
+            f"per-pass totals {totals} s; median-of-{repeat} "
+            f"total **{total} s** (per-query medians below). The "
+            "driver's one-shot BENCH_r{N}.json number rides ambient "
+            "host load; this median is the comparison floor for "
+            "drift-vs-regression calls.",
+            "",
+            "| query | " + " | ".join(
+                f"pass{i + 1}" for i in range(repeat)
+            ) + " | median |",
+            "|---|" + "---|" * (repeat + 1),
+        ]
+        for name in timings:
+            row = " | ".join(f"{p[name]:.3f}" for p in passes)
+            lines.append(f"| {name} | {row} | {timings[name]:.3f} |")
+        lines.append("")
+        repo = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(repo, "BENCH_LOCAL.md"), "w") as fh:
+            fh.write("\n".join(lines))
+    print(json.dumps(result))
     spark.stop()
 
 

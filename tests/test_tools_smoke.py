@@ -125,3 +125,15 @@ def test_merge_curve_stream_eq_worker(tools_env):
     assert out["commit_seconds_per_batch"] > 0
     assert out["fold_seconds"] > 0
     assert out["rows"] > 0
+
+
+def test_merge_curve_span_worker(tools_env):
+    """Round-7 VERDICT #6's ladder worker: fixed-batch incremental
+    span dedup against the persisted index, plus the hash-vs-string
+    full-corpus election agreement check, must run end to end."""
+    out = tools_env.mc.run_one_span(1)
+    assert out["index_spans"] > 0
+    assert out["fixed_batch"]["seconds"] > 0
+    assert 0 < out["fixed_batch"]["kept_docs"] <= out["fixed_batch"]["batch_docs"]
+    assert out["full_corpus"]["kept_spans"] > 0
+    assert out["full_corpus"]["hash_keyed_seconds"] > 0

@@ -648,6 +648,147 @@ def run_one_stream_eq(n: int) -> dict:
     }
 
 
+def run_one_span(n: int) -> dict:
+    """Round-7 VERDICT #6's ladder: span dedup at scale, two shapes.
+
+    (a) FIXED BATCH: a 1× crawl batch (half its docs' spans already in
+    the corpus, half fresh) dedups against the Nx corpus's PERSISTED
+    span-hash index (`span_index_build`, built untimed like any other
+    table) via `span_dedup_incremental` — per-batch seconds should
+    grow only with the 8-byte-hash index shuffle, never the corpus
+    text. (b) FULL CORPUS: `span_dedup` over the Nx corpus with
+    hash-keyed vs string-keyed election on identical input — the
+    hash swap's win grows with corpus size; both modes must agree on
+    kept_spans exactly (collision check at ladder scale)."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+    from group5_spark.extensions.dedup import (
+        span_dedup,
+        span_dedup_incremental,
+        span_index_build,
+    )
+    from tools.scale_curve import materialize_docs
+
+    SPAN = 10  # ~54-word synthetic docs -> ~6 spans/doc
+    materialize_docs(n)
+    docs_dir = str(SCALE_ROOT / f"xd{n:03d}")
+    spark = _spark(f"span-curve-x{n}")
+    docs = load_table(spark, docs_dir, "documents").select("doc_id", "text")
+
+    idx_dir = SCALE_ROOT / f"_spanidx_x{n:03d}"
+    if not (idx_dir / "_DONE").exists():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        span_index_build(docs, span_words=SPAN).repartition(
+            max(4, min(32, 2 * n))
+        ).write.parquet(str(idx_dir / "idx.parquet"))
+        (idx_dir / "_DONE").touch()
+    index = spark.read.parquet(str(idx_dir / "idx.parquet"))
+    index_spans = index.count()
+
+    # fixed 1× batch: even doc_ids re-suffix like corpus replica 0
+    # (duplicate spans), odd doc_ids get fresh words
+    base = load_table(spark, BASE_SF, "documents").select("doc_id", "text")
+    suffix = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("_0")
+    ).otherwise(F.lit("_new"))
+    batch = base.withColumn(
+        "text",
+        F.regexp_replace(
+            F.col("text"), r"(\S+)", F.concat(F.lit("$1"), suffix)
+        ),
+    ).cache()
+    batch_docs = batch.count()
+
+    span_dedup_incremental(batch, index, span_words=SPAN).count()  # warm
+    t0 = time.perf_counter()
+    batch_kept_docs = span_dedup_incremental(
+        batch, index, span_words=SPAN
+    ).count()
+    batch_s = round(time.perf_counter() - t0, 3)
+
+    def full(hash_keys: bool) -> tuple[int, float]:
+        t0 = time.perf_counter()
+        kept = (
+            span_dedup(docs, span_words=SPAN, hash_keys=hash_keys)
+            .agg(F.sum("kept_spans").alias("k"))
+            .first()["k"]
+        )
+        return int(kept), round(time.perf_counter() - t0, 3)
+
+    full(True)  # warm
+    hash_kept, hash_s = full(True)
+    string_kept, string_s = full(False)
+    if hash_kept != string_kept:
+        raise RuntimeError(
+            f"hash-keyed election diverged: {hash_kept} != {string_kept}"
+        )
+    batch.unpersist()
+    spark.stop()
+    return {
+        "scale": n,
+        "corpus_docs": n * batch_docs,
+        "index_spans": index_spans,
+        "fixed_batch": {
+            "batch_docs": batch_docs,
+            "kept_docs": batch_kept_docs,
+            "seconds": batch_s,
+        },
+        "full_corpus": {
+            "kept_spans": hash_kept,
+            "hash_keyed_seconds": hash_s,
+            "string_keyed_seconds": string_s,
+        },
+    }
+
+
+def main_span() -> None:
+    runs = []
+    for n in SCALES:
+        print(f"=== span scale x{n} ===", flush=True)
+        out = subprocess.run(
+            [sys.executable, __file__, "--one-span", str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [
+            l for l in out.stdout.splitlines() if l.startswith("RESULT ")
+        ][-1]
+        runs.append(json.loads(line[len("RESULT "):]))
+        print(runs[-1], flush=True)
+    rec = {
+        "method": (
+            "a fixed 1x crawl batch (half duplicate spans, half fresh) "
+            "span-dedups against the Nx corpus's persisted 8-byte "
+            "span-hash index via span_dedup_incremental (batch cost ∝ "
+            "batch + index hashes, never corpus text); separately, "
+            "full-corpus span_dedup timed with hash-keyed vs "
+            "string-keyed election on identical input, kept_spans "
+            "asserted equal (collision check)"
+        ),
+        "runs": runs,
+        "fixed_batch_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["fixed_batch"]["seconds"]) for r in runs]
+        ),
+        "full_hash_seconds_exponent": _fit_exponent(
+            [
+                (r["scale"], r["full_corpus"]["hash_keyed_seconds"])
+                for r in runs
+            ]
+        ),
+        "full_string_seconds_exponent": _fit_exponent(
+            [
+                (r["scale"], r["full_corpus"]["string_keyed_seconds"])
+                for r in runs
+            ]
+        ),
+    }
+    path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
+    data = json.loads(path.read_text())
+    data["fixed_batch_span_dedup"] = rec
+    path.write_text(json.dumps(data, indent=1))
+    print(json.dumps(rec, indent=1))
+
+
 def main_stream_eq() -> None:
     runs = []
     for n in SCALES:
@@ -856,6 +997,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--stream-eq":
         main_stream_eq()
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--one-span":
+        print("RESULT " + json.dumps(run_one_span(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--span":
+        main_span()
         return
     runs = []
     for n in SCALES:
