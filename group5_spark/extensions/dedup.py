@@ -182,11 +182,21 @@ def _span_segments(
     )
 
 
+def _span_hash(portable: bool) -> F.Column:
+    """The span fingerprint: xxhash64 in production (one JVM
+    intrinsic), or the portable 56-bit md5 hash when a SQL oracle on
+    another engine must replay the index bit-for-bit."""
+    if portable:
+        return F.expr(portable_hash56_sql("chunk"))
+    return F.xxhash64("chunk")
+
+
 def span_index_build(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     span_words: int = 50,
+    portable: bool = False,
 ) -> DataFrame:
     """The corpus's distinct span fingerprints — one ``span_hash``
     (xxhash64, 8 bytes) per distinct ``span_words``-word segment.
@@ -202,7 +212,7 @@ def span_index_build(
     """
     seg = _span_segments(df, text_col, id_col, span_words)
     return seg.select(
-        F.xxhash64("chunk").alias("span_hash")
+        _span_hash(portable).alias("span_hash")
     ).distinct()
 
 
@@ -212,6 +222,7 @@ def span_dedup_incremental(
     text_col: str = "text",
     id_col: str = "doc_id",
     span_words: int = 50,
+    portable: bool = False,
 ) -> DataFrame:
     """Span-dedup a NEW batch against an already-ingested corpus: a
     span survives only if it is absent from ``span_index`` (the
@@ -229,7 +240,7 @@ def span_dedup_incremental(
     10¹⁰ distinct, acceptable for a lossy-by-intent dedup).
     """
     seg = _span_segments(new_df, text_col, id_col, span_words).withColumn(
-        "_ck", F.xxhash64("chunk")
+        "_ck", _span_hash(portable)
     )
     firsts = seg.select("_ck", id_col, "seg").groupBy("_ck").agg(
         F.min(F.struct(id_col, "seg")).alias("first")

@@ -1575,7 +1575,10 @@ def snapshot_eq_upsert(
             # append-path merge keeps the stored NDV honest for the
             # batch's new keys (the advisor's multiplicity estimate
             # reads it) — one min-k pass over the BATCH, not the table
-            ndv_cols=sorted(head.get("kmv") or {}) or None,
+            ndv_cols=sorted(
+                c for c in head.get("kmv") or {} if c in source.columns
+            )
+            or None,
         )
     except BaseException:
         shutil.rmtree(root / eq_dir, ignore_errors=True)

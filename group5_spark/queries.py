@@ -7848,6 +7848,90 @@ def span_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "span_dedup_incremental_counts",
+    f"""
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND doc_id % 10 < 8
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND doc_id % 10 >= 8
+    ),
+    cw AS (SELECT doc_id, string_split(text, ' ') AS words FROM corpus),
+    cs AS (
+      SELECT array_to_string(words[(t.seg-1)*5+1 : t.seg*5], ' ')
+               AS chunk
+      FROM cw, UNNEST(
+        generate_series(1, CAST(ceil(len(words) / 5.0) AS BIGINT))
+      ) AS t(seg)
+    ),
+    cidx AS (SELECT DISTINCT {_DUCK_H56.format(x="chunk")} AS hv FROM cs),
+    bw AS (SELECT doc_id, string_split(text, ' ') AS words FROM batch),
+    bs AS (
+      SELECT doc_id,
+             CAST(ceil(len(words) / 5.0) AS BIGINT) AS n_spans,
+             t.seg AS seg,
+             array_to_string(words[(t.seg-1)*5+1 : t.seg*5], ' ')
+               AS chunk
+      FROM bw, UNNEST(
+        generate_series(1, CAST(ceil(len(words) / 5.0) AS BIGINT))
+      ) AS t(seg)
+    ),
+    bh AS (
+      SELECT doc_id, n_spans, seg,
+             {_DUCK_H56.format(x="chunk")} AS hv
+      FROM bs
+    ),
+    firsts AS (
+      SELECT doc_id, n_spans, seg, hv,
+             ROW_NUMBER() OVER (
+               PARTITION BY hv ORDER BY doc_id, seg
+             ) AS rn
+      FROM bh
+    )
+    SELECT doc_id, n_spans, COUNT(*) AS kept_spans
+    FROM firsts
+    WHERE rn = 1 AND hv NOT IN (SELECT hv FROM cidx)
+    GROUP BY doc_id, n_spans
+    """,
+)
+def span_dedup_incremental_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL span dedup (round-8 extension of
+    ``span_dedup_counts``): the corpus is docs with ``doc_id % 10 <
+    8``; the remaining 20% arrive as a new crawl batch and dedup
+    against the corpus's span-fingerprint index
+    (``extensions.dedup.span_index_build`` →
+    ``span_dedup_incremental``) — a batch span survives only if it is
+    absent from the index AND first within the batch. This is the
+    steady-state ingestion shape: per-batch cost is the batch plus
+    one shuffle of the index's 8-byte hashes, never a corpus re-scan,
+    and the index maintains itself by union-distinct. Runs in
+    portable-hash mode (md5-56) so the DuckDB oracle replays the
+    index and the election bit-for-bit; production uses xxhash64
+    (see the ladder, ``SCALE_TRAINOPS.json:fixed_batch_span_dedup``).
+    """
+    from group5_spark.extensions.dedup import (
+        span_dedup_incremental,
+        span_index_build,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .where(F.col("text").isNotNull())
+    )
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    idx = span_index_build(corpus, span_words=5, portable=True)
+    return span_dedup_incremental(
+        batch, idx, span_words=5, portable=True
+    ).select("doc_id", "n_spans", "kept_spans")
+
+
 # The driver oracle-checks the FIRST 50 registered queries each round.
 # Round-8 window (round-7 VERDICT #2's ordered rotation):
 # span_dedup_counts first (the ONLY query never driver-checked —
@@ -7857,7 +7941,7 @@ def span_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # standing `err`), then part_pair_affinity (deferred from round 7;
 # oldest evidence in the registry at round 4), then 47 of the 50
 # queries whose newest driver evidence is round 5 (the oldest
-# cohort). The three deferrals — revenue_by_nation,
+# cohort). The four deferrals — revenue_by_nation, daily_revenue,
 # shipping_priority, profit_by_nation_year — are bench HEADLINE
 # queries whose plans are re-audited in PLANS.md every round (the
 # strongest alternative evidence in the cohort); their round-5 rows
@@ -7868,11 +7952,15 @@ def span_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHECK_WINDOW = [
     # new in round 7 (post-window) — never driver-checked
     "span_dedup_counts",
+    # NEW in round 8 — goes straight into the same round's window so
+    # no query ever ships without driver evidence (the round-7 ADVICE
+    # defect class, closed at the source)
+    "span_dedup_incremental_counts",
     # reworked this round: first window pass with its exact oracle
     "sketch_scale_stats",
     # newest driver evidence is round 4 — deferred from round 7
     "part_pair_affinity",
-    # newest driver evidence is round 5 — cohort minus 3 deferrals
+    # newest driver evidence is round 5 — cohort minus 4 deferrals
     "asof_last_click_before_error",
     "avg_order_value",
     "brand_market_share",
@@ -7882,7 +7970,6 @@ _CHECK_WINDOW = [
     "contamination_check",
     "customer_order_counts",
     "customer_rfm_segments",
-    "daily_revenue",
     "dedup_embedding_cosine",
     "disjunctive_brand_revenue",
     "doc_frequency_top_words",

@@ -673,6 +673,7 @@ NLJ_ALLOWED = {
     "lang_temperature_resample",     # 1-row total/max-weight broadcasts
     "kmv_distinct_estimate",         # 1-row sketch × 1-row exact-count bcast
     "histogram_weekly_percentiles",  # 1-row (lo, width) bounds broadcast ×2
+    "sketch_scale_stats",            # 1-row (lo, width) bounds broadcast ×2
 }
 
 
