@@ -440,6 +440,64 @@ def _property_note(note: dict | None) -> dict:
     }
 
 
+def _evolved_schema_json(head_schema: dict | None, df_schema) -> dict:
+    """The manifest schema a commit that KEEPS prior files must
+    publish: the head schema's fields in their declared order, widened
+    by any column the staged batch adds (appended at the end — the
+    add-column half of Iceberg schema evolution). A batch missing a
+    table column does NOT narrow the schema — the column's bytes are
+    still live in the carried files, and ``read_entries`` surfaces
+    NULL for it from the batch's own files. A same-named column with a
+    DIFFERENT type is rejected (implicit type change corrupts silent
+    readers); nullability widens (a carried file may lack the column
+    entirely, so the union field must admit NULL whenever the two
+    sides disagree).
+    """
+    new_json = json.loads(df_schema.json())
+    if not head_schema:
+        return new_json
+    # Iceberg's legal type promotions: within the integer family and
+    # within the float family the union takes the WIDER side (parquet
+    # readers up-cast losslessly); anything else is an implicit type
+    # change and is rejected.
+    _ranks = {"byte": 0, "short": 1, "integer": 2, "long": 3}
+    _franks = {"float": 0, "double": 1}
+
+    def _widen(a, b):
+        if a == b:
+            return a
+        for fam in (_ranks, _franks):
+            if a in fam and b in fam:
+                return a if fam[a] >= fam[b] else b
+        return None
+
+    new_fields = {f["name"]: f for f in new_json["fields"]}
+    out_fields = []
+    for hf in head_schema["fields"]:
+        nf = new_fields.pop(hf["name"], None)
+        if nf is None:
+            out_fields.append(hf)
+            continue
+        wide = _widen(hf["type"], nf["type"])
+        if wide is None:
+            raise ValueError(
+                f"append changes the type of column {hf['name']!r} "
+                f"({hf['type']!r} → {nf['type']!r}); schema evolution "
+                "is widen-only — cast the batch or overwrite the table"
+            )
+        out_fields.append(
+            {
+                **hf,
+                "type": wide,
+                "nullable": hf["nullable"] or nf["nullable"],
+            }
+        )
+    out_fields.extend(
+        nf for nf in new_json["fields"] if nf["name"] in new_fields
+    )
+    return {**new_json, "fields": out_fields}
+
+
 class ConstraintViolation(Exception):
     """Raised when a commit's staged rows violate the table's CHECK
     constraints — the commit never becomes visible (staged files are
@@ -737,8 +795,27 @@ def snapshot_commit(
         if not unproven:
             return
         from pyspark.sql import functions as F
+        from pyspark.sql.types import StructType
 
-        staged_df = df.sparkSession.read.parquet(str(data_dir))
+        # read with the evolved (union) schema: a rule referencing a
+        # table column the batch doesn't carry sees NULL (SQL CHECK
+        # passes), matching how readers will see those rows — not an
+        # analysis error
+        union_schema = StructType.fromJson(
+            _evolved_schema_json(
+                _head_manifest.get("schema")
+                if pv_now
+                and (
+                    mode in ("append", "replace_partitions")
+                    or carry_files is not None
+                )
+                else None,
+                df.schema,
+            )
+        )
+        staged_df = (
+            df.sparkSession.read.schema(union_schema).parquet(str(data_dir))
+        )
         counts = staged_df.agg(
             *[
                 F.sum(
@@ -940,14 +1017,29 @@ def snapshot_commit(
             for d in carried_eq
             if any(e.get("seq", 0) < d["seq"] for e in entries)
         ]
+        # schema travels in the metadata (Iceberg-style): readers never
+        # infer from data files. Any commit that KEEPS prior files
+        # (append, replace_partitions, carry_files rewrites) publishes
+        # the widen-only UNION of the head schema and the batch — an
+        # appended column evolves cleanly (old files surface NULLs),
+        # and a batch missing a column can never narrow the table. A
+        # plain overwrite is a logical replace: its own schema stands.
+        keeps_prior = parent and (
+            mode in ("append", "replace_partitions")
+            or carry_files is not None
+        )
+        try:
+            schema_json = _evolved_schema_json(
+                base_m.get("schema") if keeps_prior else None, df.schema
+            )
+        except ValueError:
+            shutil.rmtree(data_dir, ignore_errors=True)
+            raise
         manifest = {
             "version": version,
             "parent": parent,
             "ts": time.time(),
-            # schema travels in the metadata (Iceberg-style): readers
-            # never infer from data files, and an appended column
-            # evolves cleanly — old files simply surface NULLs for it
-            "schema": json.loads(df.schema.json()),
+            "schema": schema_json,
             # writer-supplied marker (e.g. streaming batch id) — the
             # hook idempotent sinks use to recognize a durable commit
             # table-property note keys survive every same-table

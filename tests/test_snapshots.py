@@ -226,6 +226,64 @@ def test_schema_evolution_on_append(spark, tmp_path):
     assert set(snapshot_read(spark, t, version=1).columns) == {"id", "v"}
 
 
+def test_append_missing_column_never_narrows_schema(spark, tmp_path):
+    """Widen-only evolution: a batch that DROPS a column must not
+    narrow the head schema — the column's bytes are live in carried
+    files, and the batch's own rows surface NULL for it."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.createDataFrame([(1, "a", 9.5)], ["id", "v", "score"]), t
+    )
+    snapshot_commit(
+        spark.createDataFrame([(2, "b")], ["id", "v"]), t, mode="append"
+    )
+    cur = snapshot_read(spark, t)
+    assert set(cur.columns) == {"id", "v", "score"}
+    rows = {r["id"]: r["score"] for r in cur.collect()}
+    assert rows == {1: 9.5, 2: None}
+
+
+def test_append_type_change_rejected_and_staging_reclaimed(
+    spark, tmp_path
+):
+    """A same-named column with a different type is an implicit type
+    change — rejected, with the already-staged files removed so the
+    failed commit leaks nothing."""
+    import pytest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(spark.createDataFrame([(1, "a")], ["id", "v"]), t)
+    bad = spark.createDataFrame([(2, 7)], ["id", "v"])  # v: string→long
+    with pytest.raises(ValueError, match="widen-only"):
+        snapshot_commit(bad, t, mode="append")
+    root = Path(t)
+    dirs = [d for d in root.glob("data-*") if d.is_dir()]
+    assert len(dirs) == 1  # only v1's staging dir remains
+    assert snapshot_read(spark, t).count() == 1
+
+
+def test_constraint_on_column_missing_from_batch_passes_as_null(
+    spark, tmp_path
+):
+    """SQL CHECK semantics: a batch that doesn't carry a constrained
+    column validates as NULL (passes) — matching exactly what readers
+    will see for those rows — instead of failing analysis."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.createDataFrame([(1, 5.0)], ["id", "score"]),
+        t,
+        constraints={"pos_score": "score > 0"},
+    )
+    snapshot_commit(
+        spark.createDataFrame([(2,)], ["id"]), t, mode="append"
+    )
+    cur = snapshot_read(spark, t)
+    assert {r["id"]: r["score"] for r in cur.collect()} == {
+        1: 5.0,
+        2: None,
+    }
+
+
 def test_concurrent_writers_never_clobber(spark, tmp_path):
     """Optimistic concurrency: a rival claiming the next version slot
     mid-commit forces this commit onto a later slot — both manifests
