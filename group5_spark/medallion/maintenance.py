@@ -800,18 +800,27 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
     # references — a writer died before claiming a manifest slot.
     # Invisible to readers, pure disk leak; snapshot_expire sweeps
     # them past its grace window.
-    referenced = {Path(e["path"]).parts[0] for e in files}
+    referenced = {
+        ld
+        for e in files
+        if (ld := snap._root_local_dir(root, e["path"])) is not None
+    }
     for v in all_slots:
         try:
             vm = _json.loads(snap._manifest_path(root, v).read_text())
         except (OSError, ValueError):
             continue
         for e in vm.get("files", []):
-            referenced.add(Path(e["path"]).parts[0])
+            if (ld := snap._root_local_dir(root, e["path"])) is not None:
+                referenced.add(ld)
             if e.get("dv"):
-                referenced.add(Path(e["dv"]["sidecar"]).parts[0])
+                if (
+                    ld := snap._root_local_dir(root, e["dv"]["sidecar"])
+                ) is not None:
+                    referenced.add(ld)
         for d in vm.get("eq_deletes") or []:
-            referenced.add(Path(d["sidecar"]).parts[0])
+            if (ld := snap._root_local_dir(root, d["sidecar"])) is not None:
+                referenced.add(ld)
     orphan_staging = [
         d.name
         for pat in ("data-*", "dv-*", "eq-*")

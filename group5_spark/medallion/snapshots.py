@@ -430,6 +430,23 @@ _EPHEMERAL_NOTE_KEYS = frozenset({
 })
 
 
+def _root_local_dir(root: Path, p: str) -> str | None:
+    """The top-level staging dir under ``root`` that a manifest path
+    reference occupies — its first component for relative paths, the
+    first component below root for absolute paths that resolve inside
+    root (a WAP publish keeps a DV-coupled entry absolute — see
+    ``wap.py`` — and the orphan sweeps must still count its dir as
+    referenced). None for paths outside root (a clone's foreign
+    references own no local dir)."""
+    pp = Path(p)
+    if not pp.is_absolute():
+        return pp.parts[0]
+    try:
+        return pp.resolve().relative_to(root.resolve()).parts[0]
+    except ValueError:
+        return None
+
+
 def _property_note(note: dict | None) -> dict:
     """The table-property subset of a manifest note (see
     :data:`_EPHEMERAL_NOTE_KEYS`)."""
@@ -2121,11 +2138,16 @@ def snapshot_expire(
         except (ValueError, json.JSONDecodeError):
             continue
         for e in km.get("files", []):
-            referenced.add(Path(e["path"]).parts[0])
+            if (ld := _root_local_dir(root, e["path"])) is not None:
+                referenced.add(ld)
             if e.get("dv"):
-                referenced.add(Path(e["dv"]["sidecar"]).parts[0])
+                if (
+                    ld := _root_local_dir(root, e["dv"]["sidecar"])
+                ) is not None:
+                    referenced.add(ld)
         for d_ in km.get("eq_deletes") or []:
-            referenced.add(Path(d_["sidecar"]).parts[0])
+            if (ld := _root_local_dir(root, d_["sidecar"])) is not None:
+                referenced.add(ld)
     for pattern in ("data-*", "dv-*", "eq-*"):
         for d in root.glob(pattern):
             if not d.is_dir() or d.name in referenced:

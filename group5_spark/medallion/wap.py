@@ -1,0 +1,259 @@
+"""Write-Audit-Publish (WAP) — stage writes on an isolated audit
+table, validate them there, then publish the audited state to the
+main table as ONE atomic, zero-copy metadata commit.
+
+The Iceberg/Netflix WAP pattern re-expressed over this package's
+snapshot layer (the reference pipeline has no staging story at all —
+its ETL writes straight to the serving path,
+``etl_job.py`` writes CSV in place):
+
+- :func:`wap_begin` pins the main table's head with a tag (so its
+  ``snapshot_expire`` cannot reclaim files the audit still
+  references) and zero-copy clones it to the audit path — one
+  manifest write, no data bytes move, 100 TB tables branch in
+  milliseconds.
+- The writer then runs ANY sequence of normal commits against the
+  audit table: appends, MERGE, DV deletes, equality upserts,
+  compaction. Table CHECK constraints travel with the clone, so the
+  audit enforces production's rules; the auditor can additionally run
+  arbitrary queries (row counts vs yesterday, quality gates,
+  ``quality.check``) against the audit table — production readers
+  never see any of it.
+- :func:`wap_publish` atomically adopts the audit head into the main
+  table: audit-local staging dirs are RENAMED into the main root
+  (same filesystem, metadata-priced — publish cost is O(dirs), not
+  O(bytes)), inherited references are rebased back to root-relative,
+  and one metadata commit makes the audited state the new head —
+  readers switch from the pre-audit version to the audited version
+  with nothing in between. Optimistic concurrency: if the main head
+  moved since ``wap_begin``, publish raises
+  :class:`~.snapshots.SnapshotConflict` and the main table is
+  untouched (re-begin from the new head and replay the batch).
+- :func:`wap_abort` discards the audit table and releases the pin.
+
+Deletion-vector subtlety (the one non-obvious rebase rule): a DV
+sidecar's rows are keyed by the masked file's path EXACTLY as the
+masking table saw it. A DV written in the AUDIT against an inherited
+file keyed its rows on the clone's absolute path — publish must keep
+that entry's path absolute (it resolves inside the main root, and the
+orphan sweeps count such references via ``_root_local_dir``), because
+rebasing it to relative would orphan the mask and silently resurrect
+the deleted rows. Every other reference is rebased to root-relative
+so the published manifest survives a table relocation.
+
+Crash safety: publish renames dirs BEFORE the metadata commit. A
+crash in between leaves those dirs unreferenced in the main root —
+exactly the hard-crash-orphan shape ``snapshot_expire`` already
+sweeps past its grace window — and the audit table intact minus the
+moved dirs (re-begin). A commit-time conflict renames the moved dirs
+back, so a lost race leaves both tables exactly as they were.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from pathlib import Path
+
+from .snapshots import (
+    SnapshotConflict,
+    _current_version,
+    _last_seq,
+    _metadata_commit,
+    _property_note,
+    snapshot_clone,
+    snapshot_drop_tag,
+    snapshot_manifest,
+    snapshot_tag,
+)
+
+__all__ = ["wap_begin", "wap_publish", "wap_abort"]
+
+#: begin/publish bookkeeping, kept OUTSIDE the manifest chain (clone
+#: notes are ephemeral and the audit may compact its own history).
+_WAP_FILE = "_wap.json"
+
+
+def wap_begin(src_path: str, audit_path: str) -> int:
+    """Open a WAP session: pin the main head with a ``wap-<audit>``
+    tag and zero-copy clone it to ``audit_path``. Returns the audit
+    table's version (always 1). One session per audit name at a time
+    (the tag create is exclusive)."""
+    src_root = Path(src_path)
+    audit_root = Path(audit_path)
+    v = _current_version(src_root)
+    if not v:
+        raise ValueError(f"{src_path} is not a snapshot table")
+    tag = f"wap-{audit_root.name}"
+    snapshot_tag(src_path, tag, version=v)
+    try:
+        snapshot_clone(src_path, str(audit_root), version=v)
+    except BaseException:
+        snapshot_drop_tag(src_path, tag)
+        raise
+    (audit_root / _WAP_FILE).write_text(
+        json.dumps(
+            {
+                "src": str(src_root.resolve()),
+                "src_version": v,
+                "tag": tag,
+                "ts": time.time(),
+            }
+        )
+    )
+    return 1
+
+
+def _norm(src_res: Path, p: str, *, rebase_ok: bool) -> tuple[str, str | None]:
+    """Publish-time path normalization: returns ``(new_path,
+    audit_local_dir_to_move)``. Relative paths are audit-local — their
+    top-level staging dir moves into the main root and the path string
+    stays valid verbatim. Absolute paths that resolve inside the main
+    root rebase to root-relative when ``rebase_ok`` (not DV-coupled);
+    foreign absolute paths (clone-of-clone) pass through."""
+    pp = Path(p)
+    if not pp.is_absolute():
+        return p, pp.parts[0]
+    if rebase_ok:
+        try:
+            return str(pp.resolve().relative_to(src_res)), None
+        except ValueError:
+            pass
+    return p, None
+
+
+def wap_publish(
+    src_path: str, audit_path: str, *, keep_audit: bool = False
+) -> int:
+    """Atomically publish the audit table's head to the main table.
+    Returns the main table's new version. Raises
+    :class:`SnapshotConflict` (main untouched, audit intact) if the
+    main head moved since :func:`wap_begin`."""
+    src_root = Path(src_path)
+    audit_root = Path(audit_path)
+    wap_file = audit_root / _WAP_FILE
+    if not wap_file.exists():
+        raise ValueError(
+            f"{audit_path} is not a WAP audit table (no {_WAP_FILE}; "
+            "open one with wap_begin)"
+        )
+    wap = json.loads(wap_file.read_text())
+    src_res = src_root.resolve()
+    if Path(wap["src"]) != src_res:
+        raise ValueError(
+            f"audit table was opened against {wap['src']}, not {src_path}"
+        )
+    head_now = _current_version(src_root)
+    if head_now != wap["src_version"]:
+        raise SnapshotConflict(
+            f"main head moved {wap['src_version']} → {head_now} at "
+            f"{src_path} since wap_begin — re-begin and replay"
+        )
+    m = snapshot_manifest(str(audit_root))
+
+    entries: list[dict] = []
+    move: set[str] = set()
+    for e in m["files"]:
+        ne = dict(e)
+        dv = e.get("dv")
+        if dv is None:
+            ne["path"], mv = _norm(src_res, e["path"], rebase_ok=True)
+        else:
+            sc_local = not Path(dv["sidecar"]).is_absolute()
+            # an audit-written DV on an inherited file keyed its
+            # sidecar rows on the ABSOLUTE path — keep it absolute
+            # (see module docstring); every other combination rebases
+            ne["path"], mv = _norm(
+                src_res, e["path"], rebase_ok=not sc_local
+            )
+            nsc, mv2 = _norm(src_res, dv["sidecar"], rebase_ok=True)
+            ne["dv"] = dict(dv, sidecar=nsc)
+            if mv2 is not None:
+                move.add(mv2)
+        if mv is not None:
+            move.add(mv)
+        entries.append(ne)
+    eq: list[dict] = []
+    for d in m.get("eq_deletes") or []:
+        nsc, mv = _norm(src_res, d["sidecar"], rebase_ok=True)
+        if mv is not None:
+            move.add(mv)
+        eq.append(dict(d, sidecar=nsc))
+
+    moved: list[str] = []
+    try:
+        for dname in sorted(move):
+            target = src_root / dname
+            if target.exists():
+                raise FileExistsError(
+                    f"staging dir {dname} already exists under "
+                    f"{src_path} (uuid collision?) — publish aborted"
+                )
+            os.rename(audit_root / dname, target)
+            moved.append(dname)
+
+        def build(parent: int, new_version: int) -> dict:
+            if parent != wap["src_version"]:
+                raise SnapshotConflict(
+                    f"main head moved {wap['src_version']} → {parent} "
+                    f"at {src_path} during publish"
+                )
+            manifest = {
+                "version": new_version,
+                "parent": parent,
+                "ts": time.time(),
+                "schema": m.get("schema"),
+                "note": {
+                    **_property_note(m.get("note")),
+                    "op": "wap_publish",
+                    "audit_version": m["version"],
+                },
+                "files": entries,
+            }
+            for k in (
+                "partition_by",
+                "partition_history",
+                "kmv",
+                "constraints",
+            ):
+                if m.get(k):
+                    manifest[k] = m[k]
+            if eq:
+                manifest["eq_deletes"] = eq
+            # the audit inherited the main's write-sequence counter at
+            # begin and only grew it; the main head is OCC-frozen at
+            # the begin version, so the audit's counter is the max
+            manifest["last_seq"] = _last_seq(m)
+            return manifest
+
+        version = _metadata_commit(src_root, build)
+    except BaseException:
+        for dname in reversed(moved):
+            os.rename(src_root / dname, audit_root / dname)
+        raise
+    snapshot_drop_tag(src_path, wap["tag"])
+    if not keep_audit:
+        shutil.rmtree(audit_root, ignore_errors=True)
+    return version
+
+
+def wap_abort(src_path: str, audit_path: str) -> None:
+    """Discard the audit table and release the main-table pin. Safe on
+    a half-published audit (publish crashed after its dir renames):
+    the renamed dirs are unreferenced orphans in the main root and the
+    next ``snapshot_expire`` sweeps them."""
+    audit_root = Path(audit_path)
+    wap_file = audit_root / _WAP_FILE
+    tag = None
+    if wap_file.exists():
+        try:
+            wap = json.loads(wap_file.read_text())
+            if Path(wap.get("src", "")) == Path(src_path).resolve():
+                tag = wap.get("tag")
+        except (ValueError, json.JSONDecodeError):
+            pass
+    shutil.rmtree(audit_root, ignore_errors=True)
+    if tag:
+        snapshot_drop_tag(src_path, tag)

@@ -1,0 +1,197 @@
+"""Write-Audit-Publish (medallion/wap.py): stage writes on an
+isolated audit clone, validate there, publish to the main table as one
+atomic zero-copy metadata commit. The contract under test: production
+readers see the pre-audit version until the instant of publish and the
+fully-audited version after; a failed audit or lost race leaves the
+main table byte-identical; publish moves directories, never data
+bytes; and every mask written during the audit (DV, equality) keeps
+masking after publish."""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from group5_spark.medallion.maintenance import (
+    snapshot_delete,
+    snapshot_eq_upsert,
+)
+from group5_spark.medallion.snapshots import (
+    ConstraintViolation,
+    SnapshotConflict,
+    snapshot_commit,
+    snapshot_expire,
+    snapshot_read,
+    snapshot_tags,
+)
+from group5_spark.medallion.wap import wap_abort, wap_begin, wap_publish
+
+
+def _df(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id"), (F.col("id") % 5).alias("k")
+    )
+
+
+def _ids(spark, t, **kw):
+    return {r["id"] for r in snapshot_read(spark, t, **kw).collect()}
+
+
+def test_publish_appends_atomically_and_consumes_audit(spark, tmp_path):
+    src = str(tmp_path / "main")
+    audit = str(tmp_path / "audit")
+    snapshot_commit(_df(spark, 0, 50), src, stats_cols=["id"])
+    wap_begin(src, audit)
+    # the pin tag freezes the begin version against expire
+    assert snapshot_tags(src) == {"wap-audit": 1}
+    snapshot_commit(_df(spark, 50, 80), audit, mode="append")
+    # isolation: main still serves the pre-audit state
+    assert _ids(spark, src) == set(range(50))
+    v = wap_publish(src, audit)
+    assert v == 2
+    assert _ids(spark, src) == set(range(80))
+    # time travel to the pre-publish version still works
+    assert _ids(spark, src, version=1) == set(range(50))
+    # audit table is consumed, pin released
+    assert not Path(audit).exists()
+    assert snapshot_tags(src) == {}
+
+
+def test_publish_is_zero_copy(spark, tmp_path):
+    """The audited batch's parquet files MOVE (same names, no
+    rewrite); inherited files are referenced root-relative again."""
+    src, audit = str(tmp_path / "m"), str(tmp_path / "a")
+    snapshot_commit(_df(spark, 0, 50), src)
+    wap_begin(src, audit)
+    snapshot_commit(_df(spark, 50, 60), audit, mode="append")
+    staged = {
+        p.name for p in Path(audit).rglob("*.parquet")
+    } - {p.name for p in Path(src).rglob("*.parquet")}
+    assert staged  # the audit really staged new files
+    wap_publish(src, audit)
+    m = json.loads(
+        sorted((Path(src) / "_manifests").glob("v00002.json"))[0].read_text()
+    )
+    # every reference is root-relative (no DV was involved)
+    assert all(not Path(e["path"]).is_absolute() for e in m["files"])
+    # the staged file names now live under src, byte-moved not rewritten
+    src_names = {p.name for p in Path(src).rglob("*.parquet")}
+    assert staged <= src_names
+
+
+def test_constraints_travel_to_audit_and_bad_batch_never_lands(
+    spark, tmp_path
+):
+    src, audit = str(tmp_path / "m"), str(tmp_path / "a")
+    snapshot_commit(
+        _df(spark, 0, 50),
+        src,
+        constraints={"small_id": "id < 1000"},
+    )
+    wap_begin(src, audit)
+    with pytest.raises(ConstraintViolation):
+        snapshot_commit(
+            spark.range(5000, 5003).select(
+                "id", (F.col("id") % 5).alias("k")
+            ),
+            audit,
+            mode="append",
+        )
+    wap_abort(src, audit)
+    assert _ids(spark, src) == set(range(50))
+    assert snapshot_tags(src) == {}
+    assert not Path(audit).exists()
+
+
+def test_publish_conflicts_when_main_moved(spark, tmp_path):
+    src, audit = str(tmp_path / "m"), str(tmp_path / "a")
+    snapshot_commit(_df(spark, 0, 50), src)
+    wap_begin(src, audit)
+    snapshot_commit(_df(spark, 50, 60), audit, mode="append")
+    # a racing writer lands on main after begin
+    snapshot_commit(_df(spark, 900, 910), src, mode="append")
+    with pytest.raises(SnapshotConflict):
+        wap_publish(src, audit)
+    # main untouched by the failed publish; audit intact for replay
+    assert _ids(spark, src) == set(range(50)) | set(range(900, 910))
+    assert _ids(spark, audit) == set(range(60))
+    wap_abort(src, audit)
+
+
+def test_audit_dv_delete_on_inherited_file_keeps_masking(spark, tmp_path):
+    """The dangerous rebase case: a DV written IN the audit against an
+    inherited (absolute-path) file keys its sidecar rows on the
+    absolute path. Publish must not orphan that mask — the deleted
+    rows stay deleted on the main table."""
+    src, audit = str(tmp_path / "m"), str(tmp_path / "a")
+    snapshot_commit(_df(spark, 0, 50), src, stats_cols=["id"])
+    wap_begin(src, audit)
+    snapshot_delete(spark, audit, [("id", "<", 10)], dv_threshold=1.0)
+    assert _ids(spark, audit) == set(range(10, 50))
+    v = wap_publish(src, audit)
+    assert _ids(spark, src) == set(range(10, 50))
+    # and the mask survives the next append on main
+    snapshot_commit(_df(spark, 50, 55), src, mode="append")
+    assert _ids(spark, src) == set(range(10, 55))
+    # expire keeps every referenced dir (incl. the DV-coupled
+    # absolute-path entry's dir and the moved sidecar dir)
+    snapshot_expire(src, keep_last=0, orphan_grace_s=0.0)
+    assert _ids(spark, src) == set(range(10, 55)), (
+        "expire reclaimed a dir the published manifest references "
+        f"(published v{v})"
+    )
+
+
+def test_audit_eq_upsert_publishes_with_its_mask(spark, tmp_path):
+    src, audit = str(tmp_path / "m"), str(tmp_path / "a")
+    snapshot_commit(_df(spark, 0, 20), src)
+    wap_begin(src, audit)
+    batch = spark.createDataFrame(
+        [(5, 99), (100, 1)], ["id", "k"]
+    ).select(F.col("id").cast("long"), F.col("k").cast("long"))
+    snapshot_eq_upsert(spark, audit, batch, keys=["id"])
+    wap_publish(src, audit)
+    rows = {
+        r["id"]: r["k"] for r in snapshot_read(spark, src).collect()
+    }
+    assert rows[5] == 99 and rows[100] == 1 and len(rows) == 21
+    # the eq mask keeps applying through a later main-side append
+    snapshot_commit(
+        spark.createDataFrame([(200, 0)], "id long, k long"),
+        src,
+        mode="append",
+    )
+    rows = {
+        r["id"]: r["k"] for r in snapshot_read(spark, src).collect()
+    }
+    assert rows[5] == 99 and len(rows) == 22
+
+
+def test_abort_releases_pin_and_leaves_main_untouched(spark, tmp_path):
+    src, audit = str(tmp_path / "m"), str(tmp_path / "a")
+    snapshot_commit(_df(spark, 0, 30), src)
+    wap_begin(src, audit)
+    snapshot_commit(_df(spark, 30, 40), audit, mode="append")
+    wap_abort(src, audit)
+    assert _ids(spark, src) == set(range(30))
+    assert snapshot_tags(src) == {}
+    # a new session under the same audit name can begin again
+    wap_begin(src, audit)
+    wap_abort(src, audit)
+
+
+def test_begin_pin_survives_main_expire(spark, tmp_path):
+    """The wap tag anchors retention: an aggressive expire on main
+    during the audit cannot reclaim files the audit references."""
+    src, audit = str(tmp_path / "m"), str(tmp_path / "a")
+    snapshot_commit(_df(spark, 0, 30), src)
+    wap_begin(src, audit)
+    # main moves on (overwrite drops v1 from the live set)...
+    snapshot_commit(_df(spark, 500, 510), src)
+    # ...and expires aggressively; the tag keeps v1's closure
+    snapshot_expire(src, keep_last=0, orphan_grace_s=0.0)
+    assert _ids(spark, audit) == set(range(30))
+    wap_abort(src, audit)
