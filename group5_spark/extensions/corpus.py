@@ -35,6 +35,7 @@ __all__ = [
     "bigram_counts",
     "inverted_index",
     "chunk_documents",
+    "token_budget_select",
 ]
 
 
@@ -409,3 +410,74 @@ def inverted_index(
         )
     )
     return stats.join(postings, "term")
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    score_col: str = "score",
+    token_col: str = "n_tokens",
+    id_col: str = "doc_id",
+    bins: int = 256,
+) -> DataFrame:
+    """Quality-ranked selection under a token budget: keep documents
+    in ``(score DESC, id ASC)`` order while the running token total
+    stays ≤ ``budget`` — the data-mixing step that cuts a curated
+    corpus down to a training budget (highest-quality prefix, exact).
+
+    Scale design: the textbook formulation is one global window
+    cumsum — a single-task sort at any scale. Here the global order is
+    only materialized where it matters: (1) one hash aggregation bins
+    documents by score into ≤``bins`` buckets with per-bucket token
+    sums; (2) the driver walks the ≤``bins``-row histogram from the
+    top to find the BOUNDARY bucket where the cumulative crosses the
+    budget (bounded driver state, like the advisor's manifest reads);
+    (3) every document above the boundary is kept by a map-only
+    filter (no sort, no shuffle); (4) only the boundary bucket — ~1/
+    ``bins`` of the corpus — pays the exact cumsum window. Equal
+    scores always share a bucket, so bucket order is consistent with
+    the global order and the prefix this selects is bit-identical to
+    the single-window answer. Degenerate score distributions (one
+    value dominating) collapse the boundary bucket toward the whole
+    input; re-binning the boundary bucket recursively restores the
+    1/``bins`` bound — at the tested scales one level suffices.
+    """
+    bounds = df.agg(
+        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
+    ).first()
+    if bounds["lo"] is None:
+        return df.limit(0)
+    lo, hi = float(bounds["lo"]), float(bounds["hi"])
+    width = (hi - lo) / bins or 1.0
+    bin_col = F.least(
+        F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)),
+        F.lit(bins - 1),
+    ).cast("int")
+    per_bin = {
+        r["_bin"]: r["toks"]
+        for r in df.groupBy(bin_col.alias("_bin"))
+        .agg(F.sum(token_col).alias("toks"))
+        .collect()
+    }
+    cum = 0
+    boundary = None
+    for b in range(bins - 1, -1, -1):
+        t = int(per_bin.get(b, 0) or 0)
+        if cum + t <= budget:
+            cum += t
+            continue
+        boundary = b
+        break
+    if boundary is None:
+        return df  # the whole corpus fits the budget
+    kept_above = df.where(bin_col > boundary)
+    w = Window.orderBy(F.col(score_col).desc(), F.col(id_col)).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bin_kept = (
+        df.where(bin_col == boundary)
+        .withColumn("_cum", F.sum(token_col).over(w) + F.lit(cum))
+        .where(F.col("_cum") <= budget)
+        .drop("_cum")
+    )
+    return kept_above.unionByName(bin_kept)

@@ -7886,6 +7886,70 @@ def _os_path_exists(p: str) -> bool:
 
 
 @register(
+    "token_budget_corpus",
+    """
+    WITH q AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             ROUND(CAST(len(list_filter(string_split(text, ' '),
+                            x -> x IN ('the','a','of','and','is','to','in')))
+                        AS DOUBLE)
+                   / len(string_split(text, ' ')), 6) AS score
+      FROM documents WHERE text IS NOT NULL
+    ),
+    b AS (SELECT (SUM(n_tokens) * 35) // 100 AS budget FROM q),
+    r AS (
+      SELECT *, SUM(n_tokens) OVER (
+               ORDER BY score DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum
+      FROM q
+    )
+    SELECT source,
+           COUNT(*) AS n_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS kept_tokens
+    FROM r, b WHERE cum <= budget
+    GROUP BY source
+    """,
+)
+def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked token-budget cut
+    (``extensions.corpus.token_budget_select``): score every document
+    by stopword ratio, then keep the highest-quality prefix of the
+    ``(score DESC, doc_id)`` order whose running token total fits 35%
+    of the corpus — the data-mixing step that trims a curated corpus
+    to a training budget. The oracle computes the same prefix as ONE
+    global window cumsum; the engine never does — a ≤256-bucket score
+    histogram finds the boundary bucket driver-side, everything above
+    it is kept by a map-only filter, and only the boundary bucket
+    (~1/256 of the corpus) pays an exact cumsum window. The kept SET
+    is bit-identical to the global-window answer (equal scores always
+    share a bucket), which is exactly what the oracle hash verifies.
+    """
+    from group5_spark.extensions.corpus import token_budget_select
+    from group5_spark.extensions.text import quality_features
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .where(F.col("text").isNotNull())
+    )
+    q = quality_features(docs).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.col("stopword_ratio").alias("score"),
+    )
+    total = q.agg(F.sum("n_tokens")).first()[0]
+    budget = int(total) * 35 // 100
+    kept = token_budget_select(q, budget)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("kept_tokens"),
+    )
+
+
+@register(
     "span_dedup_counts",
     """
     WITH w AS (
@@ -8040,8 +8104,9 @@ def span_dedup_incremental_counts(
 # standing `err`), then part_pair_affinity (deferred from round 7;
 # oldest evidence in the registry at round 4), then 47 of the 50
 # queries whose newest driver evidence is round 5 (the oldest
-# cohort). The five deferrals — revenue_by_nation, daily_revenue,
-# shipping_priority, profit_by_nation_year, moving_avg_7d — are bench
+# cohort). The six deferrals — revenue_by_nation, daily_revenue,
+# shipping_priority, profit_by_nation_year, moving_avg_7d,
+# mtd_revenue — are bench
 # HEADLINE queries whose plans are re-audited in PLANS.md every round
 # (the strongest alternative evidence in the cohort); their round-5
 # rows stay exactly at the 3-round evidence bound and they rotate
@@ -8056,6 +8121,7 @@ _CHECK_WINDOW = [
     # defect class, closed at the source)
     "span_dedup_incremental_counts",
     "wap_publish_gate",
+    "token_budget_corpus",
     # reworked this round: first window pass with its exact oracle
     "sketch_scale_stats",
     # newest driver evidence is round 4 — deferred from round 7
@@ -8082,7 +8148,6 @@ _CHECK_WINDOW = [
     "in_subquery_big_orders",
     "large_volume_customers",
     "lead_lag_daily_revenue",
-    "mtd_revenue",
     "multimodal_decode_features",
     "order_count_distribution",
     "pct_revenue_by_segment",

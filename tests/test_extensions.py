@@ -969,3 +969,54 @@ def test_span_dedup_incremental_against_persisted_index(spark, tmp_path):
     assert sorted(r.span_hash for r in grown.collect()) == sorted(
         r.span_hash for r in merged.collect()
     )
+
+
+# ---------------------------------------------------------------------------
+# token-budget selection (corpus.token_budget_select)
+# ---------------------------------------------------------------------------
+
+
+def _naive_budget_prefix(rows, budget):
+    """Reference semantics: global (score DESC, id) order, keep while
+    the running token total stays ≤ budget."""
+    cum, kept = 0, set()
+    for r in sorted(rows, key=lambda r: (-r["score"], r["doc_id"])):
+        cum += r["n_tokens"]
+        if cum > budget:
+            break
+        kept.add(r["doc_id"])
+    return kept
+
+
+@pytest.mark.parametrize("frac", [0.0, 0.2, 0.5, 0.999, 1.0])
+def test_token_budget_select_matches_global_window(spark, frac):
+    """The histogram-pruned selection is bit-identical to the naive
+    single-window prefix — including heavy score ties (only 7 distinct
+    scores over 400 docs, every boundary bucket full of ties broken by
+    doc_id) and the all-kept / none-kept budget edges."""
+    from group5_spark.extensions.corpus import token_budget_select
+
+    rows = [
+        (i, float((i * 7 + 3) % 7) / 7.0, 1 + (i * 13) % 50)
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, score double, n_tokens int")
+    total = sum(r[2] for r in rows)
+    budget = int(total * frac)
+    got = {
+        r["doc_id"]
+        for r in token_budget_select(df, budget, bins=16).collect()
+    }
+    want = _naive_budget_prefix(
+        [dict(doc_id=i, score=s, n_tokens=t) for i, s, t in rows], budget
+    )
+    assert got == want
+
+
+def test_token_budget_select_empty_input(spark):
+    from group5_spark.extensions.corpus import token_budget_select
+
+    df = spark.createDataFrame(
+        [], "doc_id long, score double, n_tokens int"
+    )
+    assert token_budget_select(df, 100).count() == 0
