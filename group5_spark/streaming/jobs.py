@@ -539,6 +539,115 @@ def stream_dedup_vs_corpus(
     return fresh
 
 
+def stream_span_dedup(
+    docs: DataFrame,
+    checkpoint_dir: str,
+    corpus_path: str,
+    index_path: str,
+    *,
+    span_words: int = 50,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Continuous crawl ingestion with C4-style span-level dedup
+    (streaming twin of ``extensions.dedup.span_dedup_incremental``):
+    each micro-batch of documents dedups against the PERSISTED span
+    index — a span survives only if absent from every previously
+    ingested batch AND first within its own batch — then two snapshot
+    appends land atomically in sequence: the surviving documents
+    (``id, n_spans, kept_spans, deduped_text``) into ``corpus_path``,
+    and the batch's NEW span hashes into ``index_path``. All state
+    lives in the two snapshot tables; the stream itself is stateless,
+    so the watermark/state-store machinery (and its memory) never
+    enters the picture.
+
+    Exactly-once across BOTH tables: each commit records ``(app_id,
+    batch_id)`` in its manifest note and each table is checked
+    independently, so a crash BETWEEN the corpus commit and the index
+    commit replays into "skip corpus, append index" — the order
+    (corpus first) makes that safe, because the index at replay time
+    is still the pre-batch index the survivors were elected against.
+    The reverse order would be unsound: an index committed before a
+    corpus crash would dedup the replayed batch against itself and
+    silently drop it.
+
+    Per-batch cost at 100 TB: the election shuffles the batch's
+    8-byte span hashes; the index anti-join carries hashes only
+    (~0.3% of corpus text bytes at the 50-word default); the corpus
+    is never re-read. Index growth is union-by-append of hashes that
+    were PROVEN absent (the anti-join), so the table stays distinct
+    without ever running DISTINCT over itself.
+    """
+    from pathlib import Path as _Path
+
+    from group5_spark.extensions.dedup import (
+        span_dedup_incremental,
+        span_index_build,
+    )
+    from group5_spark.medallion import snapshots as snap
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        app = app_id or _checkpoint_query_id(checkpoint_dir)
+        c_done = i_done = False
+        if app is not None:
+            d = snap.last_committed_batch(corpus_path, app)
+            c_done = d is not None and d >= batch_id
+            d = snap.last_committed_batch(index_path, app)
+            i_done = d is not None and d >= batch_id
+        if c_done and i_done:
+            return
+        if snap._current_version(_Path(index_path)):
+            idx = snap.snapshot_read(spark, index_path)
+        else:
+            idx = spark.createDataFrame([], "span_hash long")
+        batch = batch.persist()
+        try:
+            if not c_done:
+                kept = span_dedup_incremental(
+                    batch,
+                    idx,
+                    text_col=text_col,
+                    id_col=id_col,
+                    span_words=span_words,
+                )
+                snap.snapshot_commit(
+                    kept.where(F.col("kept_spans") > 0),
+                    corpus_path,
+                    mode="append",
+                    note={"app_id": app, "batch_id": batch_id},
+                )
+            if not i_done:
+                new_hashes = span_index_build(
+                    batch,
+                    text_col=text_col,
+                    id_col=id_col,
+                    span_words=span_words,
+                ).join(
+                    idx.select("span_hash"), "span_hash", "left_anti"
+                )
+                snap.snapshot_commit(
+                    new_hashes,
+                    index_path,
+                    mode="append",
+                    note={"app_id": app, "batch_id": batch_id},
+                )
+        finally:
+            batch.unpersist()
+
+    query = (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def _hh_output_schema(events: DataFrame, group_col: str):
     """Output schema with the group key typed as the input types it
     (same contract as :func:`_session_output_schema` — a hard-coded

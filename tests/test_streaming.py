@@ -1358,3 +1358,123 @@ def test_stream_upsert_snapshot_eq_mode_zero_read_replay_and_fold(
         for r in snapshot_read(spark, tbl).collect()
     }
     assert got[3] == ("UP3b", 9) and len(got) == 201
+
+
+# ---------------------------------------------------------------------------
+# streaming span-level dedup against the persisted span index
+# ---------------------------------------------------------------------------
+
+
+def _emit_docs(src_dir, name, rows):
+    import json
+
+    with open(src_dir / name, "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _docs_schema():
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+
+def test_stream_span_dedup_cross_batch_and_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Cross-batch span dedup through the persisted index: batch 2's
+    re-crawl of batch 1's spans drops them even though the batches
+    never meet in one plan; a crash BETWEEN the corpus commit and the
+    index commit replays into 'skip corpus, append index' and the
+    stream converges to the same two tables."""
+    from group5_spark.medallion import snapshots as snap
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    # batch 1: two docs, doc 11 repeats doc 10's first span in-batch
+    _emit_docs(src, "b1.json", [
+        (10, "a b c d e f"),
+        (11, "a b c x y z"),
+    ])
+
+    def drain(checkpoint):
+        jobs.stream_span_dedup(
+            spark.readStream.schema(_docs_schema()).json(str(src)),
+            checkpoint, corpus, index,
+            span_words=3, app_id="crawler",
+        )
+
+    drain(ck)
+    got = {
+        r["doc_id"]: (r["kept_spans"], r["deduped_text"])
+        for r in snap.snapshot_read(spark, corpus).collect()
+    }
+    # doc 10 keeps both spans; doc 11 keeps only its second span
+    assert got[10] == (2, "a b c d e f")
+    assert got[11] == (1, "x y z")
+    n_idx = snap.snapshot_read(spark, index).count()
+    assert n_idx == 3  # {a b c, d e f, x y z}
+
+    # batch 2: a re-crawl of doc 10's content plus one new span
+    _emit_docs(src, "b2.json", [
+        (20, "a b c d e f"),        # fully duplicate → dropped
+        (21, "d e f n e w"),        # first span dup, second new
+    ])
+    drain(str(tmp_path / "ck"))  # same checkpoint dir continues
+    got = {
+        r["doc_id"]: r["kept_spans"]
+        for r in snap.snapshot_read(spark, corpus).collect()
+    }
+    assert 20 not in got and got[21] == 1 and got[10] == 2
+    assert snap.snapshot_read(spark, index).count() == 4
+    # the index stayed distinct without ever running DISTINCT on itself
+    hashes = [
+        r["span_hash"] for r in snap.snapshot_read(spark, index).collect()
+    ]
+    assert len(hashes) == len(set(hashes))
+
+    # crash between the two commits: batch 3's index append dies after
+    # the corpus commit landed...
+    _emit_docs(src, "b3.json", [(30, "q r s")])
+    real_commit = snap.snapshot_commit
+    calls = {"n": 0}
+
+    def bomb(df, path, **kw):
+        if path == index:
+            calls["n"] += 1
+            raise RuntimeError("crash before the index commit")
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(snap, "snapshot_commit", bomb)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="crash before the index"):
+        drain(ck)
+    monkeypatch.setattr(snap, "snapshot_commit", real_commit)
+    assert calls["n"] == 1
+    # ...the restart replays batch 3 (its offsets are in the WAL but
+    # the commit log never landed): the replay must skip the corpus
+    # (its (app_id, batch_id) note is durable), still append the
+    # index, and end consistent
+    drain(ck)
+    got = {
+        r["doc_id"]: r["kept_spans"]
+        for r in snap.snapshot_read(spark, corpus).collect()
+    }
+    assert got[30] == 1 and got[10] == 2  # no double-ingest of doc 30
+    assert snap.snapshot_read(spark, corpus).count() == 4
+    assert snap.snapshot_read(spark, index).count() == 5
