@@ -1528,29 +1528,39 @@ def read_entries(
         sidecars = sorted({e["dv"]["sidecar"] for e in dv_entries})
         pos = spark.read.parquet(*[str(root / s) for s in sidecars])
 
-        def _sidecar_key(e: dict) -> str:
+        def _sidecar_keys(e: dict) -> list[str]:
             # a sidecar's rows are keyed by the path form the entry had
-            # in the table that WROTE the mask. A clone absolutizes both
-            # the entry path and the sidecar path but cannot rewrite the
-            # rows inside the (immutable) sidecar — so when both are
-            # absolute, the original key is the entry path relative to
-            # the sidecar's owning table root (its parent dir). Falls
-            # back to the entry path verbatim (same-table sidecars, and
-            # clones whose source entry was already absolute).
+            # in the table that WROTE the mask — which path-rewriting
+            # metadata ops (clone, WAP publish) cannot rewrite inside
+            # the (immutable) sidecar. Every form the entry could have
+            # had is a candidate: verbatim; for a cloned pair (both
+            # absolute) the path relative to the sidecar's owning root;
+            # and for a relative entry its absolute resolution (a WAP
+            # publish rebases an entry to relative after an audit-side
+            # DV keyed its rows on the clone's absolute path). A
+            # sidecar's rows use exactly one form, so candidates never
+            # double-match.
             sc = e["dv"]["sidecar"]
             p = e["path"]
+            keys = {p}
             if Path(sc).is_absolute() and Path(p).is_absolute():
                 try:
-                    return str(Path(p).relative_to(Path(sc).parent))
+                    keys.add(str(Path(p).relative_to(Path(sc).parent)))
                 except ValueError:
-                    return p
-            return p
+                    pass
+            if not Path(p).is_absolute():
+                keys.add(str((root / p).resolve()))
+            return sorted(keys)
 
         # keymap doubles as the stale-row filter: a sidecar may list
         # positions for files a LATER commit rewrote (their entries
         # dropped the dv) — the inner join keeps only current masks
         keymap = spark.createDataFrame(
-            [(_sidecar_key(e), e["path"]) for e in dv_entries],
+            [
+                (k, e["path"])
+                for e in dv_entries
+                for k in _sidecar_keys(e)
+            ],
             "file string, _file string",
         )
         pos = pos.join(F.broadcast(keymap), "file").select(
@@ -2063,18 +2073,27 @@ def snapshot_expire(
             except (ValueError, json.JSONDecodeError):
                 ts = m.stat().st_mtime
             (drop if now - ts > orphan_grace_s else keep).append(m)
+    # the live set holds RESOLVED paths: a WAP publish can reference a
+    # file absolutely while a dropped pre-publish manifest references
+    # the same bytes relatively — comparing raw path strings would
+    # alias them apart and delete a live file
+    def _res(p: str) -> str:
+        return str((root / p).resolve())
+
     live = set()
     for m in keep:
         km = json.loads(m.read_text())
         kept_entries = km["files"]
-        live.update(e["path"] for e in kept_entries)
+        live.update(_res(e["path"]) for e in kept_entries)
         # a retained version's deletion-vector AND equality-delete
         # sidecars are part of its file closure: dropping one would
         # silently RESURRECT the masked rows for time-travel readers
         live.update(
-            e["dv"]["sidecar"] for e in kept_entries if e.get("dv")
+            _res(e["dv"]["sidecar"]) for e in kept_entries if e.get("dv")
         )
-        live.update(d["sidecar"] for d in km.get("eq_deletes") or [])
+        live.update(
+            _res(d["sidecar"]) for d in km.get("eq_deletes") or []
+        )
     deleted = 0
     for m in drop:
         try:
@@ -2090,14 +2109,14 @@ def snapshot_expire(
             # owns those bytes; its own expire reclaims them)
             if not p.resolve().is_relative_to(root.resolve()):
                 continue
-            if e["path"] not in live and p.exists():
+            if _res(e["path"]) not in live and p.exists():
                 p.unlink()
                 deleted += 1
         dropped_sidecars = [
             e["dv"]["sidecar"] for e in entries if e.get("dv")
         ] + [d["sidecar"] for d in dropped_m.get("eq_deletes") or []]
         for sc in dropped_sidecars:
-            if sc in live:
+            if _res(sc) in live:
                 continue
             sp = root / sc
             if not sp.resolve().is_relative_to(root.resolve()):

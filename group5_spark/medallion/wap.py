@@ -31,15 +31,17 @@ its ETL writes straight to the serving path,
   untouched (re-begin from the new head and replay the batch).
 - :func:`wap_abort` discards the audit table and releases the pin.
 
-Deletion-vector subtlety (the one non-obvious rebase rule): a DV
-sidecar's rows are keyed by the masked file's path EXACTLY as the
-masking table saw it. A DV written in the AUDIT against an inherited
-file keyed its rows on the clone's absolute path — publish must keep
-that entry's path absolute (it resolves inside the main root, and the
-orphan sweeps count such references via ``_root_local_dir``), because
-rebasing it to relative would orphan the mask and silently resurrect
-the deleted rows. Every other reference is rebased to root-relative
-so the published manifest survives a table relocation.
+Deletion-vector subtlety: a DV sidecar's rows are keyed by the masked
+file's path EXACTLY as the masking table saw it — a DV written in the
+AUDIT against an inherited file keyed its rows on the clone's
+absolute path, and no metadata op can rewrite the (immutable)
+sidecar. Publish still rebases EVERY main-root reference to
+root-relative (a published manifest must survive a table relocation,
+and an absolute alias for bytes that pre-publish manifests reference
+relatively must never exist — expire compares resolved paths, but the
+cleanest alias is no alias); the mask keeps masking because
+``read_entries`` matches sidecar rows under every path form the
+entry could have had (``_sidecar_keys``).
 
 Crash safety: publish renames dirs BEFORE the metadata commit. A
 crash in between leaves those dirs unreferenced in the main root —
@@ -106,22 +108,20 @@ def wap_begin(src_path: str, audit_path: str) -> int:
     return 1
 
 
-def _norm(src_res: Path, p: str, *, rebase_ok: bool) -> tuple[str, str | None]:
+def _norm(src_res: Path, p: str) -> tuple[str, str | None]:
     """Publish-time path normalization: returns ``(new_path,
     audit_local_dir_to_move)``. Relative paths are audit-local — their
     top-level staging dir moves into the main root and the path string
     stays valid verbatim. Absolute paths that resolve inside the main
-    root rebase to root-relative when ``rebase_ok`` (not DV-coupled);
-    foreign absolute paths (clone-of-clone) pass through."""
+    root rebase to root-relative; foreign absolute paths
+    (clone-of-clone) pass through."""
     pp = Path(p)
     if not pp.is_absolute():
         return p, pp.parts[0]
-    if rebase_ok:
-        try:
-            return str(pp.resolve().relative_to(src_res)), None
-        except ValueError:
-            pass
-    return p, None
+    try:
+        return str(pp.resolve().relative_to(src_res)), None
+    except ValueError:
+        return p, None
 
 
 def wap_publish(
@@ -158,17 +158,16 @@ def wap_publish(
     for e in m["files"]:
         ne = dict(e)
         dv = e.get("dv")
-        if dv is None:
-            ne["path"], mv = _norm(src_res, e["path"], rebase_ok=True)
-        else:
-            sc_local = not Path(dv["sidecar"]).is_absolute()
-            # an audit-written DV on an inherited file keyed its
-            # sidecar rows on the ABSOLUTE path — keep it absolute
-            # (see module docstring); every other combination rebases
-            ne["path"], mv = _norm(
-                src_res, e["path"], rebase_ok=not sc_local
-            )
-            nsc, mv2 = _norm(src_res, dv["sidecar"], rebase_ok=True)
+        # every main-root reference rebases to root-relative — the
+        # published manifest survives a table relocation and never
+        # aliases a file against pre-publish (relative) manifests. A
+        # DV written in the audit against an inherited file keyed its
+        # sidecar rows on the clone's ABSOLUTE path; read_entries'
+        # keymap matches masks under every path form the entry could
+        # have had (see _sidecar_keys), so the rebase is safe.
+        ne["path"], mv = _norm(src_res, e["path"])
+        if dv is not None:
+            nsc, mv2 = _norm(src_res, dv["sidecar"])
             ne["dv"] = dict(dv, sidecar=nsc)
             if mv2 is not None:
                 move.add(mv2)
@@ -177,7 +176,7 @@ def wap_publish(
         entries.append(ne)
     eq: list[dict] = []
     for d in m.get("eq_deletes") or []:
-        nsc, mv = _norm(src_res, d["sidecar"], rebase_ok=True)
+        nsc, mv = _norm(src_res, d["sidecar"])
         if mv is not None:
             move.add(mv)
         eq.append(dict(d, sidecar=nsc))
@@ -246,14 +245,15 @@ def wap_abort(src_path: str, audit_path: str) -> None:
     next ``snapshot_expire`` sweeps them."""
     audit_root = Path(audit_path)
     wap_file = audit_root / _WAP_FILE
-    tag = None
+    # the tag name is derivable from the audit basename, so a corrupt
+    # or missing _wap.json (crash mid-begin) never leaks the pin
+    tag = f"wap-{audit_root.name}"
     if wap_file.exists():
         try:
             wap = json.loads(wap_file.read_text())
             if Path(wap.get("src", "")) == Path(src_path).resolve():
-                tag = wap.get("tag")
+                tag = wap.get("tag") or tag
         except (ValueError, json.JSONDecodeError):
             pass
     shutil.rmtree(audit_root, ignore_errors=True)
-    if tag:
-        snapshot_drop_tag(src_path, tag)
+    snapshot_drop_tag(src_path, tag)

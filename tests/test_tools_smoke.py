@@ -137,3 +137,11 @@ def test_merge_curve_span_worker(tools_env):
     assert 0 < out["fixed_batch"]["kept_docs"] <= out["fixed_batch"]["batch_docs"]
     assert out["full_corpus"]["kept_spans"] > 0
     assert out["full_corpus"]["hash_keyed_seconds"] > 0
+
+
+def test_merge_curve_wap_worker(tools_env):
+    out = tools_env.mc.run_one_wap(1)
+    assert out["begin_seconds"] > 0
+    assert out["publish_seconds"] > 0
+    assert out["audit_dv_files_masked"] >= 1
+    assert out["published_rows"] > out["batch_rows"]

@@ -145,6 +145,35 @@ def test_audit_dv_delete_on_inherited_file_keeps_masking(spark, tmp_path):
     )
 
 
+def test_expire_right_after_dv_publish_deletes_nothing_live(
+    spark, tmp_path
+):
+    """Regression (round 8): the published manifest and the dropped
+    pre-publish manifest must never reference the same bytes under
+    DIFFERENT path forms — a raw string-compared live set aliased them
+    apart and an aggressive expire unlinked files the head still
+    referenced. Publish now rebases everything to relative AND expire
+    compares resolved paths."""
+    src, audit = str(tmp_path / "m"), str(tmp_path / "a")
+    snapshot_commit(_df(spark, 0, 50), src, stats_cols=["id"])
+    wap_begin(src, audit)
+    snapshot_delete(spark, audit, [("id", "<", 10)], dv_threshold=1.0)
+    wap_publish(src, audit)
+    # no alias can exist at all: every published ref is root-relative
+    m = json.loads(
+        sorted((Path(src) / "_manifests").glob("v00002.json"))[0].read_text()
+    )
+    assert all(not Path(e["path"]).is_absolute() for e in m["files"])
+    assert all(
+        not Path(e["dv"]["sidecar"]).is_absolute()
+        for e in m["files"]
+        if e.get("dv")
+    )
+    # the sharpest shape: expire IMMEDIATELY, keeping only the head
+    snapshot_expire(src, keep_last=0, orphan_grace_s=0.0)
+    assert _ids(spark, src) == set(range(10, 50))
+
+
 def test_audit_eq_upsert_publishes_with_its_mask(spark, tmp_path):
     src, audit = str(tmp_path / "m"), str(tmp_path / "a")
     snapshot_commit(_df(spark, 0, 20), src)

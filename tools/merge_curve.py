@@ -742,6 +742,132 @@ def run_one_span(n: int) -> dict:
     }
 
 
+def run_one_wap(n: int) -> dict:
+    """Round-8 WAP ladder: Write-Audit-Publish cycle cost vs main-table
+    size. Per scale: wap_begin (tag + zero-copy clone manifest), a
+    fixed 1× audit batch appended to the audit table (untimed — it's
+    the same append it would be anywhere), an audit-side DV DELETE on
+    an inherited file (the sidecar-move publish case), then
+    wap_publish (dir renames + ONE metadata commit). begin and publish
+    must stay flat as the table grows 64× — the whole point of the
+    pattern is that staging and adopting a day's data never touches
+    the table's bytes."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+    from group5_spark.medallion.maintenance import (
+        snapshot_delete,
+        snapshot_merge,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_clone,
+        snapshot_manifest,
+        snapshot_read,
+    )
+    from group5_spark.medallion.wap import wap_begin, wap_publish
+
+    materialize(n)
+    sf_dir = str(SCALE_ROOT / f"x{n:03d}")
+    tbl = SCALE_ROOT / f"_mergetbl_x{n:03d}"
+    spark = _spark(f"wap-curve-x{n}")
+
+    files = max(8, 2 * n)
+    if not (tbl / "_DONE").exists():  # shared with the merge ladder
+        shutil.rmtree(tbl, ignore_errors=True)
+        orders = load_table(spark, sf_dir, "orders")
+        snapshot_merge(
+            spark,
+            str(tbl),
+            orders.repartitionByRange(files, "o_orderkey"),
+            keys=["o_orderkey"],
+            bloom_cols=["o_orderkey"],
+            validate_source_keys=False,
+        )
+        (tbl / "_DONE").touch()
+
+    main_tbl = SCALE_ROOT / f"_waptbl_x{n:03d}"
+    shutil.rmtree(main_tbl, ignore_errors=True)
+    snapshot_clone(str(tbl), str(main_tbl))
+    audit = str(main_tbl) + "_audit"
+
+    base = load_table(spark, BASE_SF, "orders")
+    okey_max = base.agg(F.max("o_orderkey")).first()[0]
+    batch = base.limit(N_INSERTS).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.lit(10**13)
+    ).cache()
+    batch_rows = batch.count()
+
+    t0 = time.perf_counter()
+    wap_begin(str(main_tbl), audit)
+    begin_s = round(time.perf_counter() - t0, 3)
+
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    snapshot_commit(batch, audit, mode="append")  # untimed: plain append
+    del_res = snapshot_delete(
+        spark, audit, [("o_orderkey", "<", okey_max // 64)],
+        dv_threshold=1.0,
+    )
+
+    t0 = time.perf_counter()
+    v = wap_publish(str(main_tbl), audit)
+    publish_s = round(time.perf_counter() - t0, 3)
+
+    published_rows = snapshot_read(spark, str(main_tbl)).count()
+    n_files = len(snapshot_manifest(str(main_tbl))["files"])
+    batch.unpersist()
+    shutil.rmtree(main_tbl, ignore_errors=True)
+    spark.stop()
+    return {
+        "scale": n,
+        "table_files": n_files,
+        "batch_rows": batch_rows,
+        "audit_dv_files_masked": del_res.get("files_masked", 0),
+        "begin_seconds": begin_s,
+        "publish_seconds": publish_s,
+        "published_version": v,
+        "published_rows": published_rows,
+    }
+
+
+def main_wap() -> None:
+    runs = []
+    for n in SCALES:
+        print(f"=== wap scale x{n} ===", flush=True)
+        out = subprocess.run(
+            [sys.executable, __file__, "--one-wap", str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [
+            l for l in out.stdout.splitlines() if l.startswith("RESULT ")
+        ][-1]
+        runs.append(json.loads(line[len("RESULT "):]))
+        print(runs[-1], flush=True)
+    rec = {
+        "method": (
+            "per scale: wap_begin (tag + zero-copy clone manifest) on "
+            "an Nx range-clustered orders snapshot, a fixed 1x batch "
+            "appended to the audit (untimed) plus an audit DV delete "
+            "on an inherited file (the sidecar-move publish case), "
+            "then wap_publish (staging-dir renames + one metadata "
+            "commit) timed; both phases must stay flat — no table "
+            "bytes move at any scale"
+        ),
+        "runs": runs,
+        "begin_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["begin_seconds"]) for r in runs]
+        ),
+        "publish_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["publish_seconds"]) for r in runs]
+        ),
+    }
+    path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
+    data = json.loads(path.read_text())
+    data["wap_publish"] = rec
+    path.write_text(json.dumps(data, indent=1))
+    print(json.dumps(rec, indent=1))
+
+
 def main_span() -> None:
     runs = []
     for n in SCALES:
@@ -997,6 +1123,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--stream-eq":
         main_stream_eq()
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--one-wap":
+        print("RESULT " + json.dumps(run_one_wap(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--wap":
+        main_wap()
         return
     if len(sys.argv) > 2 and sys.argv[1] == "--one-span":
         print("RESULT " + json.dumps(run_one_span(int(sys.argv[2]))))
