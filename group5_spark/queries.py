@@ -7949,6 +7949,39 @@ def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pq_oracle() -> str:
+    from group5_spark.extensions.clustering import pq_oracle_sql
+
+    return pq_oracle_sql(m=4, k=8, iters=2, dim=64, k_top=10)
+
+
+@register("pq_ann_topk", _pq_oracle())
+def pq_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (``extensions.clustering.pq_train`` /
+    ``pq_topk``): 4 subspaces × 8 Lloyd-trained codewords compress
+    each 64-dim vector to 4 small codes, and the lowest-id vector's
+    top-10 neighbours come from the ADC sum of 4 lookup-table entries
+    per candidate — no full-vector math in the scan. At k=256 the
+    codes are m bytes where the raw float32 vector is 4·dim bytes
+    (~64× memory cut) — the representation that lets a 100 TB corpus's
+    ANN index live in RAM; codebooks (k·dim doubles total) ride as
+    broadcast expression literals, the scan is map-only codegen, and
+    top-k is a TakeOrderedAndProject heap. The DuckDB oracle replays
+    codebook training (per-subspace unrolled Lloyd CTEs, same
+    seed/round discipline as the k-means oracle), the query LUT, and
+    the ADC ranking exactly.
+    """
+    from group5_spark.extensions.clustering import pq_topk, pq_train
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.orderBy("vec_id").limit(1).collect()[0]
+    qv = [float(x) for x in q["embedding"]]
+    books = pq_train(emb, m=4, k=8, iters=2)
+    return pq_topk(
+        emb.where(F.col("vec_id") != q["vec_id"]), books, qv, k_top=10
+    )
+
+
 @register(
     "span_dedup_counts",
     """
@@ -8104,9 +8137,9 @@ def span_dedup_incremental_counts(
 # standing `err`), then part_pair_affinity (deferred from round 7;
 # oldest evidence in the registry at round 4), then 47 of the 50
 # queries whose newest driver evidence is round 5 (the oldest
-# cohort). The six deferrals — revenue_by_nation, daily_revenue,
+# cohort). The seven deferrals — revenue_by_nation, daily_revenue,
 # shipping_priority, profit_by_nation_year, moving_avg_7d,
-# mtd_revenue — are bench
+# mtd_revenue, yoy_revenue — are bench
 # HEADLINE queries whose plans are re-audited in PLANS.md every round
 # (the strongest alternative evidence in the cohort); their round-5
 # rows stay exactly at the 3-round evidence bound and they rotate
@@ -8122,6 +8155,7 @@ _CHECK_WINDOW = [
     "span_dedup_incremental_counts",
     "wap_publish_gate",
     "token_budget_corpus",
+    "pq_ann_topk",
     # reworked this round: first window pass with its exact oracle
     "sketch_scale_stats",
     # newest driver evidence is round 4 — deferred from round 7
@@ -8170,7 +8204,6 @@ _CHECK_WINDOW = [
     "tumbling_hourly_events",
     "unpivot_money_components",
     "variant_bronze_extract",
-    "yoy_revenue",
 ]
 
 

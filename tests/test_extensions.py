@@ -1020,3 +1020,61 @@ def test_token_budget_select_empty_input(spark):
         [], "doc_id long, score double, n_tokens int"
     )
     assert token_budget_select(df, 100).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# product quantization (clustering.pq_*)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_encode_and_topk_on_separable_clusters(spark):
+    """Synthetic 4-dim corpus with two well-separated modes per
+    2-dim subspace: PQ must (a) train codebooks of the declared
+    shape, (b) encode every vector to a code inside [0, k), giving
+    identical codes to identically-placed vectors, and (c) retrieve
+    exactly the query's own mode as the nearest neighbours under ADC."""
+    from group5_spark.extensions.clustering import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rows = []
+    for i in range(40):
+        mode = i % 2  # two modes: (0,0,0,0)-ish and (10,10,10,10)-ish
+        base = 0.0 if mode == 0 else 10.0
+        jit = (i % 5) * 0.01
+        rows.append((i, [base + jit, base - jit, base + jit, base - jit]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    books = pq_train(df, m=2, k=2, iters=2)
+    assert len(books) == 2 and all(len(b) == 2 for b in books)
+    assert all(len(cw) == 2 for b in books for cw in b)
+
+    enc = pq_encode(df, books)
+    codes = {r["vec_id"]: r["pq_codes"] for r in enc.collect()}
+    assert all(
+        0 <= c < 2 for cs in codes.values() for c in cs
+    )
+    # same mode ⇒ same code word in every subspace
+    assert codes[0] != codes[1]
+    assert codes[0] == codes[2] and codes[1] == codes[3]
+
+    # query at the zero mode: every top-10 candidate is a zero-mode id
+    top = pq_topk(df.where("vec_id != 0"), books, rows[0][1], k_top=10)
+    got = [(r["cand_id"], r["rank"]) for r in top.collect()]
+    assert len(got) == 10
+    assert all(cid % 2 == 0 for cid, _ in got)
+    assert [rk for _, rk in got] == list(range(1, 11))
+
+
+def test_pq_train_rejects_indivisible_subspaces(spark):
+    import pytest
+
+    from group5_spark.extensions.clustering import pq_train
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_train(df, m=2, k=1, iters=1)
