@@ -769,6 +769,18 @@ def snapshot_commit(
             entry["bloom"] = blooms
         staged.append(entry)
 
+    # zero-row staged files never enter the manifest: schema travels
+    # in the metadata (readers synthesize empties from it), so a
+    # rowless part file is pure scan-listing rent — a CDC stream of
+    # pure-DV deletes or empty micro-batches would otherwise litter
+    # thousands of stub entries every reader must open. The files are
+    # unlinked too (a mixed dir stays referenced by its non-empty
+    # siblings, so the sweep would never reclaim a lingering stub).
+    empty_staged = [e for e in staged if not e["rows"]]
+    for e in empty_staged:
+        (root / e["path"]).unlink(missing_ok=True)
+    staged = [e for e in staged if e["rows"]]
+
     # Table CHECK constraints (Delta-style): inherited from the head
     # manifest, updated by this commit's ``constraints`` dict (a None
     # value DROPS a rule), persisted in the new manifest so every

@@ -8131,21 +8131,24 @@ def span_dedup_incremental_counts(
 # The driver oracle-checks the FIRST 50 registered queries each round.
 # Round-8 window (round-7 VERDICT #2's ordered rotation):
 # span_dedup_counts first (the ONLY query never driver-checked —
-# registered after the round-7 window was pinned), then the reworked
-# sketch_scale_stats (now carrying an exact KMV+histogram oracle —
-# its round-7 row was rows-only by design, VERDICT #3 retires that
-# standing `err`), then part_pair_affinity (deferred from round 7;
-# oldest evidence in the registry at round 4), then 47 of the 50
-# queries whose newest driver evidence is round 5 (the oldest
-# cohort). The seven deferrals — revenue_by_nation, daily_revenue,
-# shipping_priority, profit_by_nation_year, moving_avg_7d,
-# mtd_revenue, yoy_revenue — are bench
-# HEADLINE queries whose plans are re-audited in PLANS.md every round
-# (the strongest alternative evidence in the cohort); their round-5
-# rows stay exactly at the 3-round evidence bound and they rotate
-# first in round 9. Every name below is green in tools/check_oracle.py
-# --strict (the driver-replica comparator, array-intolerant exactly
-# like the driver) before this window ships.
+# registered after the round-7 window was pinned), then the four
+# queries NEW this round (span_dedup_incremental_counts,
+# wap_publish_gate, token_budget_corpus, pq_ann_topk — new queries
+# enter their own round's window, so nothing ever ships without
+# driver evidence), then the reworked sketch_scale_stats (now
+# carrying an exact KMV+histogram oracle — its round-7 row was
+# rows-only by design, VERDICT #3 retires that standing `err`), then
+# part_pair_affinity (deferred from round 7; oldest evidence in the
+# registry at round 4), then 43 of the 50 queries whose newest driver
+# evidence is round 5 (the oldest cohort). The seven deferrals —
+# revenue_by_nation, daily_revenue, shipping_priority,
+# profit_by_nation_year, moving_avg_7d, mtd_revenue, yoy_revenue —
+# are bench HEADLINE queries whose plans are re-audited in PLANS.md
+# every round (the strongest alternative evidence in the cohort);
+# their round-5 rows stay exactly at the 3-round evidence bound and
+# they rotate first in round 9. Every name below is green in
+# tools/check_oracle.py --strict (the driver-replica comparator,
+# array-intolerant exactly like the driver) before this window ships.
 _CHECK_WINDOW = [
     # new in round 7 (post-window) — never driver-checked
     "span_dedup_counts",

@@ -399,7 +399,16 @@ def test_compact_snapshot_masks_carries_clean_files_by_reference(
         snapshot_delete,
     )
 
-    t = _table(spark, tmp_path, files=4)
+    # range-clustered so the narrow delete really is confined: with a
+    # round-robin layout every file holds low ids and nothing stays
+    # clean (pre-round-8, a zero-row stub entry staged by the pure-DV
+    # commit masqueraded as the "clean" file here)
+    t = str(tmp_path / "t")
+    snapshot_commit(
+        _base(spark, 1000).repartitionByRange(4, "id"),
+        t,
+        stats_cols=["id"],
+    )
     # DV-mask a narrow id range: sub-threshold in whichever file(s)
     # hold it, every other file stays plain
     snapshot_delete(spark, t, [("id", "<", 30)], dv_threshold=0.9)

@@ -1601,3 +1601,33 @@ def test_may_contain_value_escaped_probe_is_unprovable():
     # plain values keep real pruning power: a genuinely-outside probe
     # without escapes is still provably absent
     assert _may_contain_value(stats, "ts", ["2024-06-01 00:00:00"]) is False
+
+
+def test_zero_row_staged_files_never_enter_the_manifest(spark, tmp_path):
+    """A pure-DV delete (stages an empty frame) and an empty append
+    must not litter stub entries: schema lives in the metadata, so a
+    rowless part file is pure scan-listing rent. The commit (and its
+    note — streaming replay markers!) still lands."""
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(0, 100)
+        .select("id")
+        .repartitionByRange(4, "id"),
+        t,
+        stats_cols=["id"],
+    )
+    n0 = len(snapshot_manifest(t)["files"])
+    snapshot_delete(spark, t, [("id", "<", 3)], dv_threshold=1.0)
+    m = snapshot_manifest(t)
+    assert len(m["files"]) == n0  # masked in place, no stub appended
+    assert all(e["rows"] > 0 for e in m["files"])
+    # empty append: note recorded, zero new entries
+    empty = spark.createDataFrame([], "id long")
+    snapshot_commit(empty, t, mode="append", note={"batch_id": 7})
+    m2 = snapshot_manifest(t)
+    assert len(m2["files"]) == n0
+    assert m2["note"]["batch_id"] == 7
+    assert snapshot_read(spark, t).count() == 97
