@@ -301,3 +301,54 @@ def bigram_logprob(
             "avg_logprob"
         ),
     )
+
+
+def classifier_weights(d: int = 64, bias: float = -0.35) -> tuple[list[float], float]:
+    """A deterministic 'pretrained' linear model for the hashed-n-gram
+    scorer: weight j = ((j*37 + 11) mod 21 - 10) / 10 ∈ [-1.0, 1.0].
+    Stands in for fastText-style trained weights (training happens
+    offline; SERVING at corpus scale is the Spark problem); both
+    engines parse the same decimal literals, so scores replay
+    exactly."""
+    return [((j * 37 + 11) % 21 - 10) / 10.0 for j in range(d)], bias
+
+
+def hashed_ngram_score(
+    df: DataFrame,
+    weights: list[float],
+    bias: float,
+    text_col: str = "text",
+    out: str = "score",
+) -> DataFrame:
+    """FastText-shaped linear text classifier INFERENCE, zero UDFs:
+    features are the document's DISTINCT word unigrams+bigrams hashed
+    into ``len(weights)`` buckets (portable 56-bit hash, so a SQL
+    oracle on another engine replays the exact bucket ids); the score
+    is the bias plus the sum of the bucket weights, folded over the
+    SORTED feature list (a canonical fold order makes the IEEE sum
+    bit-identical across engines), rounded to 6.
+
+    Scale design: the weight table rides as a broadcast expression
+    literal (d doubles — a hashed linear model is kilobytes at any
+    corpus size) and the whole scorer is one map-only whole-stage-
+    codegen projection: classifying 100 TB is exactly one scan. This
+    is the quality-classifier step of a pretraining pipeline (e.g.
+    CCNet/GPT-3-style quality filtering) expressed as columnar
+    expressions rather than a per-row model call.
+    """
+    from .dedup import _shingles_sql, portable_hash56_sql
+
+    d = len(weights)
+    w_arr = "array(" + ", ".join(f"{w!r}D" for w in weights) + ")"
+    feats = (
+        f"array_sort(array_distinct(concat("
+        f"  filter(split({text_col}, ' '), x -> x != ''),"
+        f"  {_shingles_sql(text_col, 2)})))"
+    )
+    h = portable_hash56_sql("t")
+    score = (
+        f"round({bias!r}D + aggregate({feats}, 0.0D,"
+        f" (acc, t) -> acc + element_at({w_arr}, "
+        f"cast(pmod({h}, {d}) as int) + 1)), 6)"
+    )
+    return df.withColumn(out, F.expr(score))

@@ -7949,6 +7949,71 @@ def token_budget_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _classifier_oracle() -> str:
+    from group5_spark.extensions.text import classifier_weights
+
+    weights, bias = classifier_weights()
+    d = len(weights)
+    w_arr = "[" + ", ".join(f"{w!r}" for w in weights) + "]"
+    h = _DUCK_H56.format(x="t")
+    return f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             list_filter(string_split(text, ' '), x -> x != '') AS uni,
+             string_split(text, ' ') AS words
+      FROM documents WHERE text IS NOT NULL
+    ),
+    f AS (
+      SELECT doc_id, source,
+             list_sort(list_distinct(list_concat(uni,
+               list_transform(
+                 generate_series(0, greatest(len(words) - 2, 0)),
+                 i -> array_to_string(words[i+1 : i+2], ' '))
+             ))) AS feats
+      FROM w
+    )
+    SELECT doc_id, source,
+           ROUND({bias!r} + list_sum(
+             [ {w_arr}[({h} % {d}) + 1] FOR t IN feats ]), 6) AS score,
+           (ROUND({bias!r} + list_sum(
+             [ {w_arr}[({h} % {d}) + 1] FOR t IN feats ]), 6) > 0)
+             AS is_positive
+    FROM f
+    """
+
+
+@register("text_classifier_scores", _classifier_oracle())
+def text_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram linear classifier INFERENCE over the corpus
+    (``extensions.text.hashed_ngram_score``) — the CCNet/GPT-3-style
+    quality-filter step: distinct word unigrams+bigrams hash into 64
+    weight buckets (portable 56-bit hash), the document score is bias
+    + the bucket-weight sum folded over the SORTED feature list
+    (canonical fold order → bit-identical IEEE sums cross-engine).
+    Zero UDFs: the model rides as a broadcast expression literal and
+    the scorer is one map-only codegen projection — classifying
+    100 TB is exactly one scan. The DuckDB oracle replays bucket ids,
+    fold, and threshold exactly."""
+    from group5_spark.extensions.text import (
+        classifier_weights,
+        hashed_ngram_score,
+    )
+
+    weights, bias = classifier_weights()
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source", "text")
+        .where(F.col("text").isNotNull())
+    )
+    scored = hashed_ngram_score(docs, weights, bias)
+    return scored.select(
+        "doc_id",
+        "source",
+        "score",
+        (F.col("score") > 0).alias("is_positive"),
+    )
+
+
 def _pq_oracle() -> str:
     from group5_spark.extensions.clustering import pq_oracle_sql
 
@@ -8139,11 +8204,12 @@ def span_dedup_incremental_counts(
 # carrying an exact KMV+histogram oracle — its round-7 row was
 # rows-only by design, VERDICT #3 retires that standing `err`), then
 # part_pair_affinity (deferred from round 7; oldest evidence in the
-# registry at round 4), then 43 of the 50 queries whose newest driver
-# evidence is round 5 (the oldest cohort). The seven deferrals —
+# registry at round 4), then 42 of the 50 queries whose newest driver
+# evidence is round 5 (the oldest cohort). The eight deferrals —
 # revenue_by_nation, daily_revenue, shipping_priority,
-# profit_by_nation_year, moving_avg_7d, mtd_revenue, yoy_revenue —
-# are bench HEADLINE queries whose plans are re-audited in PLANS.md
+# profit_by_nation_year, moving_avg_7d, mtd_revenue, yoy_revenue,
+# running_revenue — are bench HEADLINE queries whose plans are
+# re-audited in PLANS.md
 # every round (the strongest alternative evidence in the cohort);
 # their round-5 rows stay exactly at the 3-round evidence bound and
 # they rotate first in round 9. Every name below is green in
@@ -8159,6 +8225,7 @@ _CHECK_WINDOW = [
     "wap_publish_gate",
     "token_budget_corpus",
     "pq_ann_topk",
+    "text_classifier_scores",
     # reworked this round: first window pass with its exact oracle
     "sketch_scale_stats",
     # newest driver evidence is round 4 — deferred from round 7
@@ -8193,7 +8260,6 @@ _CHECK_WINDOW = [
     "repeat_orders_within_3d",
     "returned_item_customers",
     "rollup_revenue",
-    "running_revenue",
     "sessionized_event_counts",
     "sim_ivf_topk",
     "small_quantity_revenue",

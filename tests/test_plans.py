@@ -729,3 +729,12 @@ def test_no_query_outputs_driver_unhashable_columns(spark):
         "driver-unhashable final columns (serialize arrays, cast "
         f"decimals): {offenders}"
     )
+
+
+def test_text_classifier_is_one_map_only_scan(q):
+    """The hashed-n-gram classifier must classify with ZERO exchanges:
+    the model is an expression literal, features/hash/fold are
+    codegen'd per row — scoring 100 TB is exactly one scan."""
+    df = q("text_classifier_scores")
+    I.assert_max_shuffles(df, 0)
+    assert I.has_codegen(df)

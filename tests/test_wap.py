@@ -224,3 +224,69 @@ def test_begin_pin_survives_main_expire(spark, tmp_path):
     snapshot_expire(src, keep_last=0, orphan_grace_s=0.0)
     assert _ids(spark, audit) == set(range(30))
     wap_abort(src, audit)
+
+
+def test_randomized_wap_sessions_match_model(spark, tmp_path):
+    """Seeded randomized WAP lifecycle against a set model: a sequence
+    of sessions, each staging appends and/or DV deletes on the audit,
+    randomly interleaved with MAIN-side appends. A session whose main
+    moved must conflict at publish (and abort cleanly); a session
+    whose main held still must publish its audited state atomically.
+    The model applies exactly the published sessions' effects plus the
+    main-side appends — checked after every session end. One
+    deterministic sequence, so a failure replays exactly; the point is
+    the begin/write/race/publish interleavings no targeted test
+    covers."""
+    import random
+
+    rng = random.Random(41)
+    src = str(tmp_path / "main")
+    snapshot_commit(_df(spark, 0, 100), src, stats_cols=["id"])
+    model = set(range(100))
+    next_id = 1000
+
+    for session in range(6):
+        audit = str(tmp_path / f"a{session}")
+        wap_begin(src, audit)
+        staged_adds: set[int] = set()
+        staged_dels: set[int] = set()
+        raced = False
+        for _ in range(rng.randrange(1, 4)):
+            op = rng.choice(["audit_add", "audit_del", "main_add"])
+            if op == "audit_add":
+                lo = next_id
+                next_id += rng.randrange(5, 20)
+                snapshot_commit(
+                    _df(spark, lo, next_id), audit, mode="append"
+                )
+                staged_adds |= set(range(lo, next_id))
+            elif op == "audit_del" and model:
+                cut = rng.choice(sorted(model))
+                snapshot_delete(
+                    spark, audit, [("id", "<", cut)], dv_threshold=1.0
+                )
+                staged_dels |= {
+                    i for i in (model | staged_adds) if i < cut
+                }
+                staged_adds -= staged_dels
+            elif op == "main_add":
+                lo = next_id
+                next_id += rng.randrange(5, 20)
+                snapshot_commit(
+                    _df(spark, lo, next_id), src, mode="append"
+                )
+                model |= set(range(lo, next_id))
+                raced = True
+        if raced:
+            import pytest as _pytest
+
+            with _pytest.raises(SnapshotConflict):
+                wap_publish(src, audit)
+            wap_abort(src, audit)  # audited work discarded
+        else:
+            wap_publish(src, audit)
+            model = (model - staged_dels) | staged_adds
+        assert _ids(spark, src) == model, f"diverged after session {session}"
+        from group5_spark.medallion.snapshots import snapshot_tags
+
+        assert snapshot_tags(src) == {}, "pin leaked"
