@@ -70,7 +70,12 @@ def main() -> None:
     repeat = 1
     args = sys.argv[1:]
     if "--repeat" in args:
-        repeat = int(args[args.index("--repeat") + 1])
+        i = args.index("--repeat")
+        if i + 1 >= len(args):
+            raise SystemExit("--repeat needs a pass count, e.g. --repeat 3")
+        repeat = int(args[i + 1])
+        if repeat < 1:
+            raise SystemExit(f"--repeat must be >= 1, got {repeat}")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = create_spark_session("group5-bench")
@@ -92,8 +97,13 @@ def main() -> None:
     # one-shot totals swung ±13% on identical query code).
     passes = [_timed_pass(spark, sf_dir) for _ in range(repeat)]
     if repeat > 1:
+        # (repeat - 1) // 2: exact median for odd N; for even N the
+        # LOWER middle — a timing floor must not round toward the
+        # slower pass
         timings = {
-            name: round(sorted(p[name] for p in passes)[repeat // 2], 4)
+            name: round(
+                sorted(p[name] for p in passes)[(repeat - 1) // 2], 4
+            )
             for name in passes[0]
         }
     else:

@@ -244,7 +244,6 @@ def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
-    id_col: str = "vec_id",
     out: str = "pq_codes",
 ) -> DataFrame:
     """Encode vectors to ``m`` small codes (``array<int>``, one argmin

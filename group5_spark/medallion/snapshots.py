@@ -493,7 +493,9 @@ def _evolved_schema_json(head_schema: dict | None, df_schema) -> dict:
     for hf in head_schema["fields"]:
         nf = new_fields.pop(hf["name"], None)
         if nf is None:
-            out_fields.append(hf)
+            # the batch doesn't carry this column — its own rows will
+            # surface NULL for it, so the union field must admit NULL
+            out_fields.append({**hf, "nullable": True})
             continue
         wide = _widen(hf["type"], nf["type"])
         if wide is None:
@@ -509,8 +511,11 @@ def _evolved_schema_json(head_schema: dict | None, df_schema) -> dict:
                 "nullable": hf["nullable"] or nf["nullable"],
             }
         )
+    # batch-only columns: every CARRIED file surfaces NULL for them
     out_fields.extend(
-        nf for nf in new_json["fields"] if nf["name"] in new_fields
+        {**nf, "nullable": True}
+        for nf in new_json["fields"]
+        if nf["name"] in new_fields
     )
     return {**new_json, "fields": out_fields}
 

@@ -130,7 +130,14 @@ def wap_publish(
     """Atomically publish the audit table's head to the main table.
     Returns the main table's new version. Raises
     :class:`SnapshotConflict` (main untouched, audit intact) if the
-    main head moved since :func:`wap_begin`."""
+    main head moved since :func:`wap_begin`.
+
+    ``keep_audit=True`` preserves the audit directory for forensics,
+    but publish CONSUMES the audit's data: its local staging dirs move
+    into the main root, so the kept audit is manifest-history-only —
+    reading it (or expiring it) after publish walks dangling entries.
+    Inspect it with ``snapshot_manifest``/``snapshot_versions``, never
+    ``snapshot_read``."""
     src_root = Path(src_path)
     audit_root = Path(audit_path)
     wap_file = audit_root / _WAP_FILE
@@ -191,6 +198,13 @@ def wap_publish(
                     f"{src_path} (uuid collision?) — publish aborted"
                 )
             os.rename(audit_root / dname, target)
+            # rename preserves the audit-era mtime — for any session
+            # older than the orphan grace window, the moved dir would
+            # look like an EXPIRED-grace crash orphan to a concurrent
+            # snapshot_expire during the rename→commit window. Refresh
+            # the clock so the grace window actually protects the
+            # in-flight publish.
+            os.utime(target)
             moved.append(dname)
 
         def build(parent: int, new_version: int) -> dict:

@@ -434,6 +434,18 @@ def stats_from_snapshot(
             else:
                 est = keys
             masked_total += min(est, covered)
+        # stacked/overlapping sidecars can't mask more rows than the
+        # rows ANY of them covers: without this global clamp, N
+        # sidecars over the same files sum to N× the covered rows and
+        # zero out a mostly-live table's estimate (the row count of
+        # post-sidecar entries is a hard floor on live rows)
+        max_seq = max(d["seq"] for d in eq_all)
+        covered_any = sum(
+            entry_rows(e)
+            for e in m["files"]
+            if e.get("seq", 0) < max_seq
+        )
+        masked_total = min(masked_total, covered_any)
         rows = max(0, rows_dv - int(round(masked_total)))
     disk = sum(int(e["bytes"]) for e in m["files"])
     # broadcast budgeting sees what a scan MATERIALIZES: masks resolve

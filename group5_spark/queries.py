@@ -7862,7 +7862,9 @@ def wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot_commit(batch, audit, mode="append")
     pre = {v["version"] for v in snapshot_versions(path)}
     v = wap_publish(path, audit)
-    if v != max(pre) + 1 or snapshot_tags(path) or _os_path_exists(audit):
+    from pathlib import Path as _Path
+
+    if v != max(pre) + 1 or snapshot_tags(path) or _Path(audit).exists():
         raise RuntimeError(
             f"publish was not one clean version hop: v={v}, "
             f"tags={snapshot_tags(path)}"
@@ -7877,12 +7879,6 @@ def wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_total"),
         )
     )
-
-
-def _os_path_exists(p: str) -> bool:
-    import os as _os
-
-    return _os.path.exists(p)
 
 
 @register(
@@ -8196,11 +8192,12 @@ def span_dedup_incremental_counts(
 # The driver oracle-checks the FIRST 50 registered queries each round.
 # Round-8 window (round-7 VERDICT #2's ordered rotation):
 # span_dedup_counts first (the ONLY query never driver-checked —
-# registered after the round-7 window was pinned), then the four
+# registered after the round-7 window was pinned), then the five
 # queries NEW this round (span_dedup_incremental_counts,
-# wap_publish_gate, token_budget_corpus, pq_ann_topk — new queries
-# enter their own round's window, so nothing ever ships without
-# driver evidence), then the reworked sketch_scale_stats (now
+# wap_publish_gate, token_budget_corpus, pq_ann_topk,
+# text_classifier_scores — new queries enter their own round's
+# window, so nothing ever ships without driver evidence), then the
+# reworked sketch_scale_stats (now
 # carrying an exact KMV+histogram oracle — its round-7 row was
 # rows-only by design, VERDICT #3 retires that standing `err`), then
 # part_pair_affinity (deferred from round 7; oldest evidence in the
@@ -8218,9 +8215,9 @@ def span_dedup_incremental_counts(
 _CHECK_WINDOW = [
     # new in round 7 (post-window) — never driver-checked
     "span_dedup_counts",
-    # NEW in round 8 — goes straight into the same round's window so
-    # no query ever ships without driver evidence (the round-7 ADVICE
-    # defect class, closed at the source)
+    # the five NEW round-8 queries — straight into the same round's
+    # window so no query ever ships without driver evidence (the
+    # round-7 ADVICE defect class, closed at the source)
     "span_dedup_incremental_counts",
     "wap_publish_gate",
     "token_budget_corpus",

@@ -614,8 +614,14 @@ def stream_span_dedup(
                     id_col=id_col,
                     span_words=span_words,
                 )
+                # fully-duplicate docs (spans seen, none kept) drop;
+                # NULL-text docs (n_spans = 0) are NOT duplicates and
+                # must not disappear — the span-dedup contract
+                survivors = kept.where(
+                    (F.col("kept_spans") > 0) | (F.col("n_spans") == 0)
+                )
                 snap.snapshot_commit(
-                    kept.where(F.col("kept_spans") > 0),
+                    survivors,
                     corpus_path,
                     mode="append",
                     note={"app_id": app, "batch_id": batch_id},

@@ -862,3 +862,39 @@ def test_insert_heavy_eq_sidecars_never_promote_to_broadcast():
     )
     a = advise_join(other, eq_collapsed)
     assert not a.strategy.startswith("broadcast"), a
+
+
+def test_stacked_sidecars_never_mask_more_than_covered_rows(
+    spark, tmp_path
+):
+    """Round-8 review: N stacked eq sidecars over the SAME files must
+    not sum their per-sidecar estimates past the rows any of them
+    covers — without the global clamp, five hot-key re-upsert batches
+    zeroed out a mostly-live table's row estimate even though the
+    post-sidecar entries alone prove thousands of live rows."""
+    from group5_spark.medallion.maintenance import snapshot_eq_upsert
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import stats_from_snapshot
+
+    t = str(tmp_path / "t")
+    snapshot_commit(
+        spark.range(5000).select(F.col("id").alias("k"), F.lit(1).alias("v")),
+        t,
+        stats_cols=["k"],
+        ndv_cols=["k"],
+    )
+    # five CDC batches re-upserting the SAME hot 1000 keys: each
+    # stacks a 1000-key sidecar over (almost) the same covered rows
+    for _ in range(5):
+        snapshot_eq_upsert(
+            spark, t,
+            spark.range(1000).select(
+                F.col("id").alias("k"), F.lit(2).alias("v")
+            ),
+            keys=["k"],
+        )
+    st = stats_from_snapshot(t, key="k")
+    # truth: 5000 live (old masked rows replaced by same-key rows).
+    # The estimate may overshoot the masking, but never below the
+    # final batch's own 1000 rows — and nowhere near zero.
+    assert st.rows >= 1000, st

@@ -241,6 +241,15 @@ def test_append_missing_column_never_narrows_schema(spark, tmp_path):
     assert set(cur.columns) == {"id", "v", "score"}
     rows = {r["id"]: r["score"] for r in cur.collect()}
     assert rows == {1: 9.5, 2: None}
+    # the union schema must record the truth: the batch's rows surface
+    # NULL for the missing column, so the manifest field admits NULL
+    # even if the head declared it NOT NULL
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    fields = {
+        f["name"]: f for f in snapshot_manifest(t)["schema"]["fields"]
+    }
+    assert fields["score"]["nullable"] is True
 
 
 def test_append_type_change_rejected_and_staging_reclaimed(

@@ -1405,10 +1405,12 @@ def test_stream_span_dedup_cross_batch_and_replay(
     index = str(tmp_path / "index")
     ck = str(tmp_path / "ck")
 
-    # batch 1: two docs, doc 11 repeats doc 10's first span in-batch
+    # batch 1: two docs, doc 11 repeats doc 10's first span in-batch,
+    # doc 12 has NULL text (not a duplicate — must not disappear)
     _emit_docs(src, "b1.json", [
         (10, "a b c d e f"),
         (11, "a b c x y z"),
+        (12, None),
     ])
 
     def drain(checkpoint):
@@ -1423,9 +1425,11 @@ def test_stream_span_dedup_cross_batch_and_replay(
         r["doc_id"]: (r["kept_spans"], r["deduped_text"])
         for r in snap.snapshot_read(spark, corpus).collect()
     }
-    # doc 10 keeps both spans; doc 11 keeps only its second span
+    # doc 10 keeps both spans; doc 11 keeps only its second span;
+    # the NULL-text doc survives with zero spans (span-dedup contract)
     assert got[10] == (2, "a b c d e f")
     assert got[11] == (1, "x y z")
+    assert got[12] == (0, None)
     n_idx = snap.snapshot_read(spark, index).count()
     assert n_idx == 3  # {a b c, d e f, x y z}
 
@@ -1476,5 +1480,5 @@ def test_stream_span_dedup_cross_batch_and_replay(
         for r in snap.snapshot_read(spark, corpus).collect()
     }
     assert got[30] == 1 and got[10] == 2  # no double-ingest of doc 30
-    assert snap.snapshot_read(spark, corpus).count() == 4
+    assert snap.snapshot_read(spark, corpus).count() == 5
     assert snap.snapshot_read(spark, index).count() == 5

@@ -226,6 +226,40 @@ def test_begin_pin_survives_main_expire(spark, tmp_path):
     wap_abort(src, audit)
 
 
+def test_concurrent_expire_mid_publish_cannot_reclaim_moved_dirs(
+    spark, tmp_path, monkeypatch
+):
+    """Round-8 review: rename preserves the audit-era mtime, so a WAP
+    session older than the orphan grace window would move dirs into
+    the main root that LOOK like expired-grace crash orphans during
+    the rename→commit window. Publish refreshes their clocks; an
+    expire racing exactly in that window must leave them alone."""
+    import os
+    import time
+
+    from group5_spark.medallion import wap as wap_mod
+    from group5_spark.medallion.snapshots import _metadata_commit
+
+    src, audit = str(tmp_path / "m"), str(tmp_path / "a")
+    snapshot_commit(_df(spark, 0, 30), src)
+    wap_begin(src, audit)
+    snapshot_commit(_df(spark, 30, 40), audit, mode="append")
+    # age the audit's staging dirs past any realistic grace window
+    old = time.time() - 3600
+    for d in Path(audit).glob("data-*"):
+        os.utime(d, (old, old))
+
+    def racing_commit(root, build):
+        # the worst instant: dirs moved, manifest not yet committed —
+        # a concurrent nightly expire fires with a 60 s grace window
+        snapshot_expire(src, keep_last=5, orphan_grace_s=60.0)
+        return _metadata_commit(root, build)
+
+    monkeypatch.setattr(wap_mod, "_metadata_commit", racing_commit)
+    wap_publish(src, audit)
+    assert _ids(spark, src) == set(range(40))
+
+
 def test_randomized_wap_sessions_match_model(spark, tmp_path):
     """Seeded randomized WAP lifecycle against a set model: a sequence
     of sessions, each staging appends and/or DV deletes on the audit,
