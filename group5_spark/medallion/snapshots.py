@@ -2046,7 +2046,10 @@ def snapshot_drop_constraint(path: str, name: str) -> int:
 
 
 def snapshot_expire(
-    path: str, keep_last: int = 1, orphan_grace_s: float = 300.0
+    path: str,
+    keep_last: int = 1,
+    orphan_grace_s: float = 300.0,
+    keep_since: float | None = None,
 ) -> dict:
     """Garbage-collect history: keep the published pointer's manifest
     plus the newest ``keep_last`` PUBLISHED versions, delete older
@@ -2055,6 +2058,13 @@ def snapshot_expire(
     operation that deletes data, and it never touches a file the
     retained snapshots can reach — concurrent readers of retained
     versions are safe.
+
+    ``keep_since`` adds TIME-based retention (Delta's retention
+    window / Iceberg's ``expire_snapshots(older_than)``): every
+    published version committed at or after that epoch instant is
+    retained IN ADDITION to the ``keep_last`` newest — "keep a week
+    of time travel" is ``keep_since=time.time() - 7*86400``, however
+    many commits the week held. Tags still pin regardless of age.
 
     Retention is anchored on the published LINEAGE (chain head →
     parent walk), never on filename order: a manifest outside the
@@ -2073,6 +2083,16 @@ def snapshot_expire(
     # tagged versions are pinned: a tag is a reproducibility promise,
     # so its manifest and file closure survive every expiry window
     keep_versions.update(snapshot_tags(path).values())
+    if keep_since is not None:
+        for v in lineage:
+            try:
+                ts = json.loads(
+                    _manifest_path(root, v).read_text()
+                ).get("ts", 0)
+            except (OSError, ValueError, json.JSONDecodeError):
+                continue
+            if ts >= keep_since:
+                keep_versions.add(v)
     manifests = sorted((root / _MANIFEST_DIR).glob("v*.json"))
     now = time.time()
     keep, drop = [], []

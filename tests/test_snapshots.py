@@ -1640,3 +1640,36 @@ def test_zero_row_staged_files_never_enter_the_manifest(spark, tmp_path):
     assert len(m2["files"]) == n0
     assert m2["note"]["batch_id"] == 7
     assert snapshot_read(spark, t).count() == 97
+
+
+def test_expire_keep_since_retains_the_time_window(spark, tmp_path):
+    """Time-based retention: keep_since retains every published
+    version committed at/after the instant, beyond keep_last — 'a
+    week of time travel' regardless of commit count."""
+    import json as _json
+    import time
+
+    from group5_spark.medallion.snapshots import _manifest_path
+
+    t = str(tmp_path / "tbl")
+    for i in range(4):  # v1..v4, each overwrites
+        snapshot_commit(_df(spark, i * 10, i * 10 + 10), t)
+    root = Path(t)
+    now = time.time()
+    # doctor commit times: v1/v2 are ancient, v3/v4 recent
+    for v, age in ((1, 9000), (2, 8000), (3, 10), (4, 0)):
+        p = _manifest_path(root, v)
+        m = _json.loads(p.read_text())
+        m["ts"] = now - age
+        p.write_text(_json.dumps(m))
+    out = snapshot_expire(
+        t, keep_last=1, keep_since=now - 3600, orphan_grace_s=0.0
+    )
+    assert out["versions_dropped"] == 2
+    # the window survives; ancient history is gone
+    assert snapshot_read(spark, t, version=3).count() == 10
+    assert snapshot_read(spark, t, version=4).count() == 10
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        snapshot_read(spark, t, version=1)

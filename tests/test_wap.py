@@ -324,3 +324,59 @@ def test_randomized_wap_sessions_match_model(spark, tmp_path):
         from group5_spark.medallion.snapshots import snapshot_tags
 
         assert snapshot_tags(src) == {}, "pin leaked"
+
+
+def test_wap_audit_runs_declarative_quality_gate_before_publish(
+    spark, tmp_path
+):
+    """The full WAP story with the quality module as the AUDIT step:
+    the auditor runs declarative checks against the audit table —
+    production never sees a row — and publishes only a passing state.
+    A failing batch is visible to the audit reader, caught by the
+    report, and discarded with the session."""
+    from group5_spark import quality as Q
+
+    src, audit = str(tmp_path / "m"), str(tmp_path / "a")
+    snapshot_commit(
+        spark.createDataFrame(
+            [(i, f"u{i}") for i in range(20)], "id long, user string"
+        ),
+        src,
+    )
+
+    def audit_report(path):
+        return {
+            r["check_name"]: r["passed"]
+            for r in Q.run_checks(
+                snapshot_read(spark, path),
+                [Q.not_null("user"), Q.unique("id")],
+            ).collect()
+        }
+
+    # attempt 1: a bad batch (NULL user + duplicate id) — the audit
+    # reader sees it, the gate fails, the session aborts
+    wap_begin(src, audit)
+    snapshot_commit(
+        spark.createDataFrame(
+            [(5, None), (30, "u30")], "id long, user string"
+        ),
+        audit,
+        mode="append",
+    )
+    report = audit_report(audit)
+    assert not all(report.values())
+    wap_abort(src, audit)
+    assert snapshot_read(spark, src).count() == 20  # nothing leaked
+
+    # attempt 2: the corrected batch passes the same gate and ships
+    wap_begin(src, audit)
+    snapshot_commit(
+        spark.createDataFrame(
+            [(30, "u30"), (31, "u31")], "id long, user string"
+        ),
+        audit,
+        mode="append",
+    )
+    assert all(audit_report(audit).values())
+    wap_publish(src, audit)
+    assert snapshot_read(spark, src).count() == 22
