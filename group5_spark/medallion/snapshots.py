@@ -434,10 +434,12 @@ def _root_local_dir(root: Path, p: str) -> str | None:
     """The top-level staging dir under ``root`` that a manifest path
     reference occupies — its first component for relative paths, the
     first component below root for absolute paths that resolve inside
-    root (a WAP publish keeps a DV-coupled entry absolute — see
-    ``wap.py`` — and the orphan sweeps must still count its dir as
-    referenced). None for paths outside root (a clone's foreign
-    references own no local dir)."""
+    root. The absolute branch is DEFENSIVE: a WAP publish rebases
+    every in-root reference to root-relative (see ``wap.py``), so
+    current publishes never produce absolute aliases — but pre-rebase
+    manifests and foreign clones can still carry them, and the orphan
+    sweeps must count their dirs as referenced. None for paths outside
+    root (a clone's foreign references own no local dir)."""
     pp = Path(p)
     if not pp.is_absolute():
         return pp.parts[0]

@@ -53,6 +53,7 @@ back, so a lost race leaves both tables exactly as they were.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import shutil
@@ -71,7 +72,24 @@ from .snapshots import (
     snapshot_tag,
 )
 
-__all__ = ["wap_begin", "wap_publish", "wap_abort"]
+__all__ = ["WapCleanupError", "wap_begin", "wap_publish", "wap_abort"]
+
+
+class WapCleanupError(RuntimeError):
+    """Publish SUCCEEDED (the metadata commit is durable at
+    :attr:`published_version`) but post-commit cleanup — dropping the
+    ``wap-*`` pin tag or removing the audit dir — failed. The main
+    table is live and correct; run ``wap_abort`` to finish the
+    cleanup (never re-publish)."""
+
+    def __init__(self, published_version: int, cause: BaseException):
+        self.published_version = published_version
+        super().__init__(
+            f"wap_publish committed version {published_version} but "
+            f"post-commit cleanup failed ({cause!r}) — the publish is "
+            "durable; run wap_abort to drop the lingering pin tag / "
+            "audit dir"
+        )
 
 #: begin/publish bookkeeping, kept OUTSIDE the manifest chain (clone
 #: notes are ephemeral and the audit may compact its own history).
@@ -137,7 +155,23 @@ def wap_publish(
     into the main root, so the kept audit is manifest-history-only —
     reading it (or expiring it) after publish walks dangling entries.
     Inspect it with ``snapshot_manifest``/``snapshot_versions``, never
-    ``snapshot_read``."""
+    ``snapshot_read``.
+
+    PRECONDITION: audit and main roots must live on the SAME
+    filesystem — publish's zero-copy guarantee is ``os.rename`` of the
+    staging dirs, which cannot cross a device boundary. A cross-device
+    layout fails fast with a clear error (and a clean rollback: every
+    already-moved dir renames back, main untouched) instead of an
+    opaque mid-publish OSError; fix the layout by placing the audit
+    path on the main table's mount (a WAP audit is metadata + staged
+    batches, never a data copy, so co-location costs nothing).
+
+    Post-commit cleanup (pin-tag drop, audit removal) is best-effort:
+    the publish is durable once the metadata commit lands, so a
+    cleanup failure raises :class:`WapCleanupError` carrying the
+    published version — the table is live; finish with ``wap_abort``
+    (it re-derives the tag from the audit basename) rather than
+    re-publishing."""
     src_root = Path(src_path)
     audit_root = Path(audit_path)
     wap_file = audit_root / _WAP_FILE
@@ -197,7 +231,21 @@ def wap_publish(
                     f"staging dir {dname} already exists under "
                     f"{src_path} (uuid collision?) — publish aborted"
                 )
-            os.rename(audit_root / dname, target)
+            try:
+                os.rename(audit_root / dname, target)
+            except OSError as exc:
+                if exc.errno == errno.EXDEV:
+                    raise OSError(
+                        errno.EXDEV,
+                        f"wap_publish requires audit and main on the "
+                        f"SAME filesystem: renaming staging dir "
+                        f"{dname!r} from {audit_path} into {src_path} "
+                        f"crossed a device boundary. Publish aborted "
+                        f"cleanly (main untouched, audit intact) — "
+                        f"re-begin with the audit path on the main "
+                        f"table's mount.",
+                    ) from exc
+                raise
             # rename preserves the audit-era mtime — for any session
             # older than the orphan grace window, the moved dir would
             # look like an EXPIRED-grace crash orphan to a concurrent
@@ -246,9 +294,16 @@ def wap_publish(
         for dname in reversed(moved):
             os.rename(src_root / dname, audit_root / dname)
         raise
-    snapshot_drop_tag(src_path, wap["tag"])
-    if not keep_audit:
-        shutil.rmtree(audit_root, ignore_errors=True)
+    # the commit above is the durability point — cleanup failures must
+    # report the published version, not mask it (ADVICE r8: drop_tag
+    # raising here used to leave the pin + audit lingering with no
+    # hint that the publish itself had landed)
+    try:
+        snapshot_drop_tag(src_path, wap["tag"])
+        if not keep_audit:
+            shutil.rmtree(audit_root, ignore_errors=True)
+    except BaseException as exc:
+        raise WapCleanupError(version, exc) from exc
     return version
 
 

@@ -38,8 +38,9 @@ def test_check_window_first_and_oracle_gated():
 
 
 def test_every_registered_query_has_an_oracle():
-    """152/152: the full registry is exact-oracle-gated — no query
-    ships on a rows-only check any more."""
+    """Every registered query is exact-oracle-gated — no query ships
+    on a rows-only check any more (count-free on purpose: the registry
+    grows every round)."""
     missing = [n for n in QUERIES if n not in ORACLES]
     assert not missing, missing
 

@@ -380,3 +380,86 @@ def test_wap_audit_runs_declarative_quality_gate_before_publish(
     assert all(audit_report(audit).values())
     wap_publish(src, audit)
     assert snapshot_read(spark, src).count() == 22
+
+
+def test_publish_exdev_fails_fast_with_clean_rollback(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r8 #6: a cross-device audit/main layout must fail with
+    an actionable same-filesystem message, every already-moved staging
+    dir must rename BACK, and the main table must be byte-untouched —
+    not surface a raw OSError mid-publish with dirs half-moved."""
+    import errno
+    import os
+
+    src = str(tmp_path / "main")
+    audit = str(tmp_path / "audit")
+    snapshot_commit(_df(spark, 0, 40), src, stats_cols=["id"])
+    wap_begin(src, audit)
+    # two appends → two audit-local staging dirs, so the EXDEV on the
+    # SECOND rename exercises the rollback of the first
+    snapshot_commit(_df(spark, 40, 60), audit, mode="append")
+    snapshot_commit(_df(spark, 60, 70), audit, mode="append")
+    audit_dirs_before = sorted(
+        p.name for p in Path(audit).iterdir() if p.is_dir()
+    )
+    main_entries_before = sorted(p.name for p in Path(src).iterdir())
+
+    real_rename = os.rename
+    calls = {"n": 0}
+
+    def exdev_on_second(a, b):
+        calls["n"] += 1
+        if calls["n"] == 2 and str(a).startswith(audit):
+            raise OSError(errno.EXDEV, "Invalid cross-device link")
+        return real_rename(a, b)
+
+    monkeypatch.setattr(os, "rename", exdev_on_second)
+    with pytest.raises(OSError) as ei:
+        wap_publish(src, audit)
+    assert ei.value.errno == errno.EXDEV
+    assert "SAME filesystem" in str(ei.value)
+    monkeypatch.undo()
+
+    # clean rollback: audit intact (both staging dirs back), main
+    # untouched, pin still held — a re-begin-after-relayout can replay
+    assert sorted(
+        p.name for p in Path(audit).iterdir() if p.is_dir()
+    ) == audit_dirs_before
+    assert sorted(p.name for p in Path(src).iterdir()) == main_entries_before
+    assert _ids(spark, src) == set(range(40))
+    assert snapshot_tags(src) == {"wap-audit": 1}
+    wap_abort(src, audit)
+
+
+def test_publish_cleanup_failure_reports_published_version(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r8: a drop-tag failure AFTER the metadata commit used to
+    leave the pin + audit lingering behind an opaque error; now it
+    raises WapCleanupError carrying the durable published version and
+    wap_abort finishes the cleanup."""
+    from group5_spark.medallion import wap as wap_mod
+    from group5_spark.medallion.wap import WapCleanupError
+
+    src = str(tmp_path / "main")
+    audit = str(tmp_path / "audit")
+    snapshot_commit(_df(spark, 0, 30), src, stats_cols=["id"])
+    wap_begin(src, audit)
+    snapshot_commit(_df(spark, 30, 45), audit, mode="append")
+
+    def boom(path, tag):
+        raise PermissionError(f"cannot drop {tag}")
+
+    monkeypatch.setattr(wap_mod, "snapshot_drop_tag", boom)
+    with pytest.raises(WapCleanupError) as ei:
+        wap_publish(src, audit)
+    monkeypatch.undo()
+    # the publish IS durable: version advanced, audited rows serve
+    assert ei.value.published_version == 2
+    assert "wap_abort" in str(ei.value)
+    assert _ids(spark, src) == set(range(45))
+    # the documented recovery path clears the leftovers
+    wap_abort(src, audit)
+    assert snapshot_tags(src) == {}
+    assert not Path(audit).exists()
