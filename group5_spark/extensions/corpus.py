@@ -412,6 +412,94 @@ def inverted_index(
     return stats.join(postings, "term")
 
 
+def _budget_boundary(
+    df: DataFrame,
+    budget: int,
+    score_col: str,
+    token_col: str,
+    id_col: str,
+    bins: int,
+    max_rebins: int,
+):
+    """The histogram-walk core of :func:`token_budget_select`: narrow
+    the budget boundary to a small row set WITHOUT a global sort.
+    Returns ``(above, path, cum)`` where ``above`` is the predicate
+    for rows kept outright (strictly better than the final boundary
+    bucket), ``path`` the predicate for the boundary bucket that must
+    pay the exact cumsum window (None when everything fits outright),
+    and ``cum`` the token total already committed above the bucket.
+
+    Each level runs two bounded jobs over the CURRENT bucket only
+    (a min/max/sum aggregate and a ≤``bins``-row histogram; level 0's
+    bucket is the whole input, exactly the pre-round-9 cost), then the
+    driver walks the histogram in prefix order — ``(score DESC)``
+    while the bucket spans multiple scores, switching to ``(id ASC)``
+    once the bucket is a single-score tie run, which is the same
+    global ``(score DESC, id ASC)`` order the window uses. Recursion
+    stops as soon as the bucket's token mass is ≤ ~2/``bins`` of the
+    corpus total (the documented bound), the bucket degenerates to a
+    single ``(score, id)`` point, or ``max_rebins`` levels are spent.
+    """
+    above = F.lit(False)
+    path = F.lit(True)
+    cum = 0
+    total: int | None = None
+    for level in range(max_rebins + 1):
+        cur = df.where(path)
+        st = cur.agg(
+            F.min(score_col).alias("slo"),
+            F.max(score_col).alias("shi"),
+            F.min(id_col).alias("ilo"),
+            F.max(id_col).alias("ihi"),
+            F.sum(token_col).alias("toks"),
+        ).first()
+        if st["slo"] is None:
+            return above, None, cum  # empty bucket — nothing to window
+        t_cur = int(st["toks"] or 0)
+        if total is None:
+            total = t_cur
+        if cum + t_cur <= budget:
+            # the whole (remaining) bucket fits — keep it outright
+            return above | path, None, cum + t_cur
+        if level and t_cur <= max(1, (2 * total) // bins):
+            break  # bound restored: the window input is ≤ ~2/bins
+        if float(st["slo"]) != float(st["shi"]):
+            key, asc = score_col, False
+            lo, hi = float(st["slo"]), float(st["shi"])
+        elif st["ilo"] != st["ihi"]:
+            # an all-ties score run: within it the global order is
+            # id ASC, so an id histogram narrows it the same way
+            key, asc = id_col, True
+            lo, hi = float(st["ilo"]), float(st["ihi"])
+        else:
+            break  # a single (score, id) point — indivisible
+        width = (hi - lo) / bins or 1.0
+        bin_col = F.least(
+            F.floor((F.col(key) - F.lit(lo)) / F.lit(width)),
+            F.lit(bins - 1),
+        ).cast("int")
+        per_bin = {
+            r["_bin"]: r["toks"]
+            for r in cur.groupBy(bin_col.alias("_bin"))
+            .agg(F.sum(token_col).alias("toks"))
+            .collect()
+        }
+        boundary = None
+        for b in range(bins) if asc else range(bins - 1, -1, -1):
+            t = int(per_bin.get(b, 0) or 0)
+            if cum + t <= budget:
+                cum += t
+                continue
+            boundary = b
+            break
+        if boundary is None:  # unreachable (cum+t_cur > budget) — guard
+            break
+        over = (bin_col < boundary) if asc else (bin_col > boundary)
+        above = above | (path & over)
+        path = path & (bin_col == boundary)
+    return above, path, cum
+
+
 def token_budget_select(
     df: DataFrame,
     budget: int,
@@ -419,6 +507,7 @@ def token_budget_select(
     token_col: str = "n_tokens",
     id_col: str = "doc_id",
     bins: int = 256,
+    max_rebins: int = 3,
 ) -> DataFrame:
     """Quality-ranked selection under a token budget: keep documents
     in ``(score DESC, id ASC)`` order while the running token total
@@ -433,49 +522,29 @@ def token_budget_select(
     top to find the BOUNDARY bucket where the cumulative crosses the
     budget (bounded driver state, like the advisor's manifest reads);
     (3) every document above the boundary is kept by a map-only
-    filter (no sort, no shuffle); (4) only the boundary bucket — ~1/
-    ``bins`` of the corpus — pays the exact cumsum window. Equal
-    scores always share a bucket, so bucket order is consistent with
-    the global order and the prefix this selects is bit-identical to
-    the single-window answer. Degenerate score distributions (one
-    value dominating) collapse the boundary bucket toward the whole
-    input; re-binning the boundary bucket recursively restores the
-    1/``bins`` bound — at the tested scales one level suffices.
+    filter (no sort, no shuffle); (4) only the boundary bucket pays
+    the exact cumsum window. Equal scores always share a bucket, so
+    bucket order is consistent with the global order and the prefix
+    this selects is bit-identical to the single-window answer.
+    Degenerate score distributions (one value dominating) collapse the
+    boundary bucket toward the whole input; :func:`_budget_boundary`
+    RE-BINS the boundary bucket recursively (by score while it spans
+    several, by id once it is a single tie run — the same global
+    order) until its token mass is back under ~2/``bins`` of the
+    corpus or ``max_rebins`` levels are spent, so the exact window's
+    input stays bounded even when every document scores the same.
     """
-    bounds = df.agg(
-        F.min(score_col).alias("lo"), F.max(score_col).alias("hi")
-    ).first()
-    if bounds["lo"] is None:
-        return df.limit(0)
-    lo, hi = float(bounds["lo"]), float(bounds["hi"])
-    width = (hi - lo) / bins or 1.0
-    bin_col = F.least(
-        F.floor((F.col(score_col) - F.lit(lo)) / F.lit(width)),
-        F.lit(bins - 1),
-    ).cast("int")
-    per_bin = {
-        r["_bin"]: r["toks"]
-        for r in df.groupBy(bin_col.alias("_bin"))
-        .agg(F.sum(token_col).alias("toks"))
-        .collect()
-    }
-    cum = 0
-    boundary = None
-    for b in range(bins - 1, -1, -1):
-        t = int(per_bin.get(b, 0) or 0)
-        if cum + t <= budget:
-            cum += t
-            continue
-        boundary = b
-        break
-    if boundary is None:
-        return df  # the whole corpus fits the budget
-    kept_above = df.where(bin_col > boundary)
+    above, path, cum = _budget_boundary(
+        df, budget, score_col, token_col, id_col, bins, max_rebins
+    )
+    if path is None:
+        return df.where(above)
+    kept_above = df.where(above)
     w = Window.orderBy(F.col(score_col).desc(), F.col(id_col)).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     bin_kept = (
-        df.where(bin_col == boundary)
+        df.where(path)
         .withColumn("_cum", F.sum(token_col).over(w) + F.lit(cum))
         .where(F.col("_cum") <= budget)
         .drop("_cum")
