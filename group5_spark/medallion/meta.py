@@ -6,10 +6,19 @@ The reference pipeline exposes no operational surface at all (its ETL
 writes fire-and-forget CSV); here every question an operator asks
 before acting — "what landed last night", "which files would a
 compaction touch", "how much merge-on-read rent has the CDC sink
-accumulated" — is a DataFrame over KILOBYTES of manifest JSON, never a
-data scan. Everything is driver-built from the same manifests the
-planner already reads (bounded: one dict per file entry), then handed
-to Spark so it composes with joins/filters/dashboards like any table.
+accumulated", "which partition is skewed" — is a DataFrame over
+KILOBYTES of manifest JSON, never a data scan.
+
+Two build paths, routed by manifest SIZE (round-9 VERDICT #4): small
+manifests (the overwhelmingly common case) build driver-side — one
+dict per file entry, the same parse the planner already did; a
+manifest past ``spark_manifest_bytes`` (a million-file 100 TB table
+is ~hundreds of MB of JSON) is instead parsed BY SPARK — an explicit
+subset schema + ``explode(files)``, so entry materialization happens
+executor-side and the driver never holds per-file tuples. Both paths
+return identical rows (tested), and ``snapshot_partitions_df`` is an
+aggregation OVER the files table, so it inherits the routing for
+free.
 """
 
 from __future__ import annotations
@@ -18,6 +27,7 @@ import json
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .snapshots import (
     _lineage,
@@ -26,7 +36,11 @@ from .snapshots import (
     snapshot_manifest,
 )
 
-__all__ = ["snapshot_files_df", "snapshot_history_df"]
+__all__ = [
+    "snapshot_files_df",
+    "snapshot_history_df",
+    "snapshot_partitions_df",
+]
 
 _FILES_SCHEMA = (
     "path string, bytes long, rows long, seq long, "
@@ -34,6 +48,25 @@ _FILES_SCHEMA = (
     "has_dv boolean, dv_deleted long, "
     "stats_cols array<string>, bloom_cols array<string>"
 )
+
+#: subset schema for the Spark-side manifest parse — only the fields
+#: the files table surfaces. stats values are per-column objects whose
+#: min/max types vary by column; the table only needs the KEYS, so a
+#: one-field struct subset-parses every value shape. bloom values are
+#: hex strings.
+_MANIFEST_JSON_SCHEMA = (
+    "files array<struct<"
+    "path:string, bytes:long, rows:long, seq:long, "
+    "partition:string, partition_col:string, "
+    "dv:struct<sidecar:string, deleted:long>, "
+    "stats:map<string, struct<nulls:long>>, "
+    "bloom:map<string, string>>>"
+)
+
+#: manifests above this size parse on Spark instead of the driver
+#: (~32 MiB of JSON ≈ 10⁵ file entries — the point where per-entry
+#: Python tuples stop being "kilobytes of metadata")
+_SPARK_MANIFEST_BYTES = 32 * 2**20
 
 _HISTORY_SCHEMA = (
     "version int, parent int, ts double, op string, "
@@ -44,7 +77,11 @@ _HISTORY_SCHEMA = (
 
 
 def snapshot_files_df(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    *,
+    spark_manifest_bytes: int = _SPARK_MANIFEST_BYTES,
 ) -> DataFrame:
     """One row per data-file entry of a snapshot version (Iceberg's
     ``.files``): physical identity (path, bytes, rows, write
@@ -52,24 +89,89 @@ def snapshot_files_df(
     (DV present and its masked-position count), and which columns
     carry pruning stats / bloom filters. The operator view behind
     "which files would this predicate prune" and "where does the DV
-    rent sit"."""
-    m = snapshot_manifest(path, version)
-    rows = [
-        (
-            e["path"],
-            int(e.get("bytes", 0)),
-            int(e.get("rows", 0)),
-            int(e.get("seq", 0)),
-            e.get("partition"),
-            e.get("partition_col"),
-            bool(e.get("dv")),
-            int((e.get("dv") or {}).get("deleted", 0)),
-            sorted(e.get("stats") or {}),
-            sorted(e.get("bloom") or {}),
+    rent sit".
+
+    Manifests larger than ``spark_manifest_bytes`` are parsed by
+    Spark (explicit schema + ``explode``, executor-side) instead of
+    the driver — pass ``0`` to force the Spark path, a huge value to
+    force the driver path; both return identical rows."""
+    root = Path(path)
+    v = version if version is not None else _current_version(root)
+    mp = _manifest_path(root, v)
+    if not mp.exists():
+        raise FileNotFoundError(f"no snapshot v{v} at {path}")
+    if mp.stat().st_size <= spark_manifest_bytes:
+        m = snapshot_manifest(path, v)
+        rows = [
+            (
+                e["path"],
+                int(e.get("bytes", 0)),
+                int(e.get("rows", 0)),
+                int(e.get("seq", 0)),
+                e.get("partition"),
+                e.get("partition_col"),
+                bool(e.get("dv")),
+                int((e.get("dv") or {}).get("deleted", 0)),
+                sorted(e.get("stats") or {}),
+                sorted(e.get("bloom") or {}),
+            )
+            for e in m["files"]
+        ]
+        return spark.createDataFrame(rows, _FILES_SCHEMA)
+    empty_cols = F.array().cast("array<string>")
+    return (
+        spark.read.schema(_MANIFEST_JSON_SCHEMA)
+        .option("multiLine", "true")
+        .json(str(mp))
+        .select(F.explode("files").alias("e"))
+        .select(
+            F.col("e.path").alias("path"),
+            F.coalesce(F.col("e.bytes"), F.lit(0)).alias("bytes"),
+            F.coalesce(F.col("e.rows"), F.lit(0)).alias("rows"),
+            F.coalesce(F.col("e.seq"), F.lit(0)).alias("seq"),
+            F.col("e.partition").alias("partition"),
+            F.col("e.partition_col").alias("partition_col"),
+            F.col("e.dv").isNotNull().alias("has_dv"),
+            F.coalesce(F.col("e.dv.deleted"), F.lit(0)).alias("dv_deleted"),
+            F.coalesce(
+                F.sort_array(F.map_keys("e.stats")), empty_cols
+            ).alias("stats_cols"),
+            F.coalesce(
+                F.sort_array(F.map_keys("e.bloom")), empty_cols
+            ).alias("bloom_cols"),
         )
-        for e in m["files"]
-    ]
-    return spark.createDataFrame(rows, _FILES_SCHEMA)
+    )
+
+
+def snapshot_partitions_df(
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    *,
+    spark_manifest_bytes: int = _SPARK_MANIFEST_BYTES,
+) -> DataFrame:
+    """Per-partition rollup of a snapshot version (Iceberg's
+    ``.partitions``): file count, row/byte footprint, live rows after
+    DV masking, and the merge-on-read rent (masked files + masked
+    positions) — the skew-spotting view an operator reads before
+    choosing a repartition or targeting a compaction. One row per
+    ``(partition_col, partition)``; an unpartitioned table rolls up to
+    a single row with NULL partition. Built as an aggregation over
+    :func:`snapshot_files_df`, so the million-file Spark manifest
+    path routes through automatically; cost is the manifest, never a
+    data scan."""
+    files = snapshot_files_df(
+        spark, path, version, spark_manifest_bytes=spark_manifest_bytes
+    )
+    return files.groupBy("partition_col", "partition").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("rows").alias("rows"),
+        F.sum("bytes").alias("bytes"),
+        (F.sum("rows") - F.sum("dv_deleted")).alias("live_rows"),
+        F.sum(F.col("has_dv").cast("long")).alias("dv_files"),
+        F.sum("dv_deleted").alias("dv_deleted"),
+        F.max("seq").alias("last_seq"),
+    )
 
 
 def snapshot_history_df(spark: SparkSession, path: str) -> DataFrame:

@@ -7882,6 +7882,81 @@ def wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snapshot_partitions_rent",
+    """
+    SELECT o_orderstatus AS part,
+           CAST(1 AS BIGINT) AS n_files,
+           COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(*) FILTER (
+             WHERE o_orderkey < (SELECT MAX(o_orderkey) // 8 FROM orders)
+           ) AS live_rows,
+           COUNT(*) FILTER (
+             WHERE o_orderkey < (SELECT MAX(o_orderkey) // 8 FROM orders)
+           ) AS dv_deleted
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) = 1995
+    GROUP BY o_orderstatus
+    """,
+)
+def snapshot_partitions_rent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata introspection ``.partitions`` table
+    (``medallion/meta.py:snapshot_partitions_df``, Iceberg's
+    per-partition rollup): the 1995 orders land Hive-partitioned by
+    ``o_orderstatus`` (one file per status — asserted), a DV delete
+    masks the low-orderkey sliver in place (no rewrite — asserted),
+    and the partitions table must report each partition's file count,
+    row footprint, live rows, and merge-on-read rent EXACTLY as the
+    relational truth computes them — while reading only kilobytes of
+    manifest JSON, never the data. The same rollup is an aggregation
+    over ``snapshot_files_df``, so a million-file table routes through
+    the Spark-side manifest parse automatically (tested in
+    ``tests/test_meta.py``); this query is the skew-spotting view an
+    operator reads before choosing a compaction target."""
+    import shutil as _shutil
+
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.meta import snapshot_partitions_df
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    path = _dml_scratch("snapshot_partitions_rent", sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    all_orders = load_table(spark, sf_dir, "orders")
+    cut = all_orders.agg(F.max("o_orderkey")).first()[0] // 8
+    orders = all_orders.filter(F.year("o_orderdate") == 1995)
+    snapshot_commit(
+        orders.repartition(1, "o_orderstatus"),
+        path,
+        partition_by="o_orderstatus",
+        stats_cols=["o_orderkey"],
+    )
+    res = snapshot_delete(
+        spark, path, [("o_orderkey", "<", cut)], dv_threshold=1.0
+    )
+    if res["files_rewritten"] or not res["files_masked"]:
+        raise RuntimeError(
+            f"DV path did not engage: {res} — this query gates the "
+            "rent-reporting (merge-on-read) shape, not the rewrite path"
+        )
+    parts = snapshot_partitions_df(spark, path)
+    bad = parts.where(
+        (F.col("partition_col") != "o_orderstatus")
+        | (F.col("n_files") != 1)
+    ).count()
+    if bad:
+        raise RuntimeError(
+            "partition layout premise broken: expected one file per "
+            "o_orderstatus partition"
+        )
+    return parts.select(
+        F.col("partition").alias("part"),
+        "n_files",
+        F.col("rows").alias("n_rows"),
+        "live_rows",
+        "dv_deleted",
+    )
+
+
+@register(
     "token_budget_corpus",
     """
     WITH q AS (

@@ -55,3 +55,98 @@ def test_history_df_orders_versions_and_carries_ops(spark, tmp_path):
     # the append's footprint includes the carried parent files
     assert hist[1]["rows"] == 60 and hist[1]["n_files"] >= 2
     assert hist[0]["eq_sidecars"] == 0
+
+
+def test_files_df_spark_manifest_path_matches_driver_path(spark, tmp_path):
+    """VERDICT r9 #4: above the size threshold the manifest is parsed
+    BY SPARK (subset schema + explode — no per-file driver tuples);
+    the two paths must return identical rows, including DV state and
+    stats/bloom key lists, on a partitioned table."""
+    t = str(tmp_path / "tbl")
+    snapshot_commit(
+        spark.range(0, 120)
+        .select("id", (F.col("id") % 3).cast("string").alias("p"))
+        .repartition(2),
+        t,
+        partition_by="p",
+        stats_cols=["id"],
+        bloom_cols=["id"],
+    )
+    snapshot_delete(spark, t, [("id", "<", 7)], dv_threshold=1.0)
+
+    def norm(df):
+        return sorted(
+            (
+                r["path"], r["bytes"], r["rows"], r["seq"], r["partition"],
+                r["partition_col"], r["has_dv"], r["dv_deleted"],
+                tuple(r["stats_cols"]), tuple(r["bloom_cols"]),
+            )
+            for r in df.collect()
+        )
+
+    driver = snapshot_files_df(spark, t, spark_manifest_bytes=1 << 40)
+    via_spark = snapshot_files_df(spark, t, spark_manifest_bytes=0)
+    # same column names and types (nullability flags may differ — the
+    # computed has_dv/coalesce columns are provably non-null)
+    assert [(f.name, f.dataType) for f in driver.schema] == [
+        (f.name, f.dataType) for f in via_spark.schema
+    ]
+    got_d, got_s = norm(driver), norm(via_spark)
+    assert got_d == got_s and got_d
+    assert any(r[6] for r in got_d)  # the DV actually shows on both
+
+
+def test_partitions_df_rollup_and_rent(spark, tmp_path):
+    from group5_spark.medallion.meta import snapshot_partitions_df
+
+    t = str(tmp_path / "tbl")
+    base = spark.range(0, 90).select(
+        "id", (F.col("id") % 3).cast("string").alias("p")
+    )
+    snapshot_commit(
+        base.repartition(1, "p"), t, partition_by="p", stats_cols=["id"]
+    )
+    # an append adds a second file to every partition it touches
+    snapshot_commit(
+        spark.range(90, 120)
+        .select("id", F.lit("0").alias("p"))
+        .repartition(1, "p"),
+        t,
+        mode="append",
+        partition_by="p",
+    )
+    snapshot_delete(spark, t, [("id", "<", 6)], dv_threshold=1.0)
+    parts = {
+        r["partition"]: r
+        for r in snapshot_partitions_df(spark, t).collect()
+    }
+    assert set(parts) == {"0", "1", "2"}
+    assert parts["0"]["n_files"] == 2 and parts["1"]["n_files"] == 1
+    assert parts["0"]["rows"] == 60  # 30 base + 30 appended
+    # ids 0..5 mask across p=0 (0,3), p=1 (1,4), p=2 (2,5)
+    assert all(parts[p]["dv_deleted"] == 2 for p in "012")
+    assert parts["0"]["live_rows"] == 58
+    assert parts["0"]["dv_files"] == 1  # only the base file is masked
+    assert parts["0"]["last_seq"] >= parts["1"]["last_seq"]
+    # the rollup equals the files table it aggregates (spark path too)
+    via_spark = {
+        r["partition"]: r
+        for r in snapshot_partitions_df(
+            spark, t, spark_manifest_bytes=0
+        ).collect()
+    }
+    assert {p: tuple(r) for p, r in parts.items()} == {
+        p: tuple(r) for p, r in via_spark.items()
+    }
+
+
+def test_partitions_df_unpartitioned_single_row(spark, tmp_path):
+    from group5_spark.medallion.meta import snapshot_partitions_df
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 40).repartition(3), t)
+    rows = snapshot_partitions_df(spark, t).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["partition"] is None and r["partition_col"] is None
+    assert r["rows"] == 40 and r["n_files"] == 3 and r["dv_deleted"] == 0
