@@ -313,10 +313,38 @@ def classifier_weights(d: int = 64, bias: float = -0.35) -> tuple[list[float], f
     return [((j * 37 + 11) % 21 - 10) / 10.0 for j in range(d)], bias
 
 
+def load_classifier_weights(path: str) -> tuple[list[float], float]:
+    """Load exported linear-classifier weights from a JSON file of
+    shape ``{"weights": [w0, ..., w_{d-1}], "bias": b}`` — the bridge
+    that lets a REAL offline-trained model (e.g. a fastText quality
+    classifier's hashed-bucket projection) ride the same zero-UDF
+    codegen path as the synthetic stand-in: training happens wherever
+    it happens; serving at corpus scale is one Spark scan with the
+    weights inlined as an expression literal. Floats round-trip
+    exactly (``json`` parses to IEEE doubles, ``repr`` in the SQL
+    literal preserves them), so a file-loaded model scores
+    bit-identically to the same weights passed in memory."""
+    import json as _json
+
+    with open(path) as fh:
+        model = _json.load(fh)
+    try:
+        weights = [float(w) for w in model["weights"]]
+        bias = float(model["bias"])
+    except (KeyError, TypeError, ValueError) as exc:
+        raise ValueError(
+            f"{path} is not a classifier weights file: expected JSON "
+            f'{{"weights": [...], "bias": x}} ({exc})'
+        ) from exc
+    if not weights:
+        raise ValueError(f"{path} has an empty weights vector")
+    return weights, bias
+
+
 def hashed_ngram_score(
     df: DataFrame,
-    weights: list[float],
-    bias: float,
+    weights: list[float] | str,
+    bias: float | None = None,
     text_col: str = "text",
     out: str = "score",
 ) -> DataFrame:
@@ -335,9 +363,22 @@ def hashed_ngram_score(
     is the quality-classifier step of a pretraining pipeline (e.g.
     CCNet/GPT-3-style quality filtering) expressed as columnar
     expressions rather than a per-row model call.
+
+    ``weights`` may be the in-memory list or a PATH to an exported
+    JSON weights file (``{"weights": [...], "bias": x}`` — see
+    :func:`load_classifier_weights`); with a file, ``bias`` defaults
+    to the file's value (an explicit ``bias=`` overrides it).
     """
     from .dedup import _shingles_sql, portable_hash56_sql
 
+    if isinstance(weights, str):
+        weights, file_bias = load_classifier_weights(weights)
+        if bias is None:
+            bias = file_bias
+    if bias is None:
+        raise ValueError(
+            "bias is required when weights are passed in memory"
+        )
     d = len(weights)
     w_arr = "array(" + ", ".join(f"{w!r}D" for w in weights) + ")"
     feats = (
