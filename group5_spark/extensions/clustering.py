@@ -266,6 +266,7 @@ def pq_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k_top: int = 10,
+    codes_col: str | None = None,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) top-k: the query's distance to every
     codeword is precomputed into an m×k lookup table (computed ON
@@ -273,6 +274,14 @@ def pq_topk(
     and each database vector's approximate distance is the sum of m
     table lookups at its codes — no full-vector math per row. Returns
     ``(cand_id, pq_dist, rank)``.
+
+    With ``codes_col`` the scan runs over a PERSISTED
+    :func:`pq_encode` column — m ``element_at`` lookups per row, no
+    raw-vector math and no re-encoding: the production serving path,
+    where the queryable index is m small ints per vector (the 100 TB
+    corpus's raw embeddings never load again). Without it the codes
+    are recomputed inline from ``vec_col`` (ad-hoc mode, identical
+    results — tested).
 
     Scale: the scan is map-only codegen over the (tiny) code
     expressions; top-k is ``TakeOrderedAndProject`` (per-partition
@@ -297,9 +306,12 @@ def pq_topk(
         lut = "array(" + ", ".join(
             f"{lut_row[f'l_{s}_{c}']!r}D" for c in range(len(book))
         ) + ")"
-        lookups.append(
-            f"element_at({lut}, {_pq_code_sql(v, book, s * d)} + 1)"
+        code = (
+            f"element_at({codes_col}, {s + 1})"
+            if codes_col is not None
+            else _pq_code_sql(v, book, s * d)
         )
+        lookups.append(f"element_at({lut}, {code} + 1)")
     dist = F.expr(f"round({' + '.join(lookups)}, 6)")
     top = (
         df.select(F.col(id_col).alias("cand_id"), dist.alias("pq_dist"))

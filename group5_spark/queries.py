@@ -8265,86 +8265,79 @@ def span_dedup_incremental_counts(
 
 
 # The driver oracle-checks the FIRST 50 registered queries each round.
-# Round-8 window (round-7 VERDICT #2's ordered rotation):
-# span_dedup_counts first (the ONLY query never driver-checked —
-# registered after the round-7 window was pinned), then the five
-# queries NEW this round (span_dedup_incremental_counts,
-# wap_publish_gate, token_budget_corpus, pq_ann_topk,
-# text_classifier_scores — new queries enter their own round's
-# window, so nothing ever ships without driver evidence), then the
-# reworked sketch_scale_stats (now
-# carrying an exact KMV+histogram oracle — its round-7 row was
-# rows-only by design, VERDICT #3 retires that standing `err`), then
-# part_pair_affinity (deferred from round 7; oldest evidence in the
-# registry at round 4), then 42 of the 50 queries whose newest driver
-# evidence is round 5 (the oldest cohort). The eight deferrals —
-# revenue_by_nation, daily_revenue, shipping_priority,
-# profit_by_nation_year, moving_avg_7d, mtd_revenue, yoy_revenue,
-# running_revenue — are bench HEADLINE queries whose plans are
-# re-audited in PLANS.md
-# every round (the strongest alternative evidence in the cohort);
-# their round-5 rows stay exactly at the 3-round evidence bound and
-# they rotate first in round 9. Every name below is green in
+# Round-9 window (round-8 VERDICT #2's ordered rotation):
+# snapshot_partitions_rent first (NEW this round — new queries enter
+# their own round's window, so nothing ever ships without driver
+# evidence), then the eight bench HEADLINE queries whose newest
+# driver evidence was round 5 (deferred from round 8 exactly at the
+# 3-round evidence bound — VERDICT #2 names them to rotate first),
+# then 41 of the 50 queries whose newest driver evidence is round 6.
+# The nine round-6 deferrals — pricing_summary (bench headline,
+# plan-audited every round), dv_delete_survivors /
+# eq_upsert_survivors / merge_full_sync_status / merge_tiered_clauses
+# (the DV/eq/MERGE DML family: 29+ dedicated pytest cases in
+# test_deletion_vectors/test_eq_deletes/test_merge),
+# mv_filtered_status_revenue / mv_star_segment_revenue (test_mv.py
+# routing+soundness suite), multimodal_audio_features /
+# multimodal_video_features (decoder unit tests in test_extensions) —
+# carry the strongest alternative evidence in the cohort and rotate
+# first in round 10. Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
 _CHECK_WINDOW = [
-    # new in round 7 (post-window) — never driver-checked
-    "span_dedup_counts",
-    # the five NEW round-8 queries — straight into the same round's
-    # window so no query ever ships without driver evidence (the
-    # round-7 ADVICE defect class, closed at the source)
-    "span_dedup_incremental_counts",
-    "wap_publish_gate",
-    "token_budget_corpus",
-    "pq_ann_topk",
-    "text_classifier_scores",
-    # reworked this round: first window pass with its exact oracle
-    "sketch_scale_stats",
-    # newest driver evidence is round 4 — deferred from round 7
-    "part_pair_affinity",
-    # newest driver evidence is round 5 — cohort minus 4 deferrals
-    "asof_last_click_before_error",
-    "avg_order_value",
-    "brand_market_share",
-    "cheapest_shipment_per_part",
-    "cohort_weekly_retention",
-    "column_ops_showcase",
-    "contamination_check",
-    "customer_order_counts",
-    "customer_rfm_segments",
-    "dedup_embedding_cosine",
-    "disjunctive_brand_revenue",
-    "doc_frequency_top_words",
-    "doc_pipeline_filtered_corpus",
-    "events_props_sum",
-    "forecast_revenue_change",
-    "funnel_steps",
-    "having_heavy_brands",
-    "hopping_event_counts",
-    "in_subquery_big_orders",
-    "large_volume_customers",
-    "lead_lag_daily_revenue",
-    "multimodal_decode_features",
-    "order_count_distribution",
-    "pct_revenue_by_segment",
-    "percentiles_by_segment",
-    "promo_revenue_share",
-    "repeat_orders_within_3d",
-    "returned_item_customers",
-    "rollup_revenue",
-    "sessionized_event_counts",
-    "sim_ivf_topk",
-    "small_quantity_revenue",
-    "sql_surface_revenue",
-    "stratified_doc_sample",
-    "supplier_counts_by_part",
-    "text_token_count",
-    "top_customers",
-    "top_supplier_by_revenue",
-    "train_val_test_split",
-    "tumbling_hourly_events",
-    "unpivot_money_components",
-    "variant_bronze_extract",
+    # NEW in round 9 — the .partitions introspection rollup
+    "snapshot_partitions_rent",
+    # bench headliners, newest driver evidence round 5
+    "revenue_by_nation",
+    "running_revenue",
+    "moving_avg_7d",
+    "daily_revenue",
+    "yoy_revenue",
+    "mtd_revenue",
+    "shipping_priority",
+    "profit_by_nation_year",
+    # newest driver evidence round 6 — cohort minus 9 deferrals
+    "bigram_top_counts",
+    "boilerplate_ngram_fraction",
+    "brand_customer_overlap",
+    "corpus_quality_gate",
+    "crossmodal_dup_agreement",
+    "dedup_cluster_representatives",
+    "dedup_clusters",
+    "dedup_incremental_new",
+    "dq_orders_checks",
+    "embedding_norm_stats",
+    "excess_parts_suppliers",
+    "fuzzy_part_name_pairs",
+    "gap_filled_daily_revenue",
+    "global_top_orders",
+    "grouping_sets_revenue",
+    "important_stock_share",
+    "kmeans_embedding_clusters",
+    "kmv_distinct_estimate",
+    "kmv_users_by_event_type",
+    "kmv_weekly_rollup",
+    "lang_temperature_resample",
+    "latest_event_per_user",
+    "mad_order_value_by_segment",
+    "moving_avg_7d_range",
+    "native_session_windows",
+    "nation_supply_value_share",
+    "ohlc_hourly_value",
+    "ordered_funnel_users",
+    "packed_sequence_bins",
+    "per_source_doc_cap",
+    "pii_redaction_report",
+    "revenue_pareto_share",
+    "salted_segment_revenue",
+    "stats_price_quantity",
+    "text_unigram_logprob",
+    "tfidf_top_terms",
+    "trailing_7d_active_users",
+    "user_active_coverage",
+    "window_navigation_showcase",
+    "winsorized_order_stats",
+    "word_position_stats",
 ]
 
 

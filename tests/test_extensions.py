@@ -1223,3 +1223,86 @@ def test_classifier_weights_file_rejects_malformed(tmp_path):
     empty.write_text(json.dumps({"weights": [], "bias": 0.0}))
     with _pytest.raises(ValueError, match="empty weights"):
         load_classifier_weights(str(empty))
+
+
+def test_pq_recall_vs_exact(spark):
+    """VERDICT r8 #1: PQ shipped without the recall evidence its ANN
+    siblings carry (IVF: probe 4/6/8 → recall 0.33/0.50/0.63). At the
+    production-ish (m=32, k=16) — 32 one-byte-ish codes standing in
+    for 256 raw bytes per vector — recall@10 of pq_topk against the
+    exact L2 top-10 on the sf0.1 embeddings (2,000 × 64-dim, 8
+    queries). Measured on this data: (m,k)=(8,16)→0.21, (8,32)→0.25,
+    (16,32)→0.39, (32,16)→0.54 — the assertion pins a margin below
+    the 0.54 operating point; random candidate selection would score
+    ~0.005."""
+    from group5_spark.extensions.clustering import pq_topk, pq_train
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").cache()
+    books = pq_train(emb, m=32, k=16, iters=3)
+
+    def exact_top10(qvec, qid):
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in qvec) + ")"
+        d = F.expr(
+            f"aggregate(zip_with(cast(embedding as array<double>), {arr},"
+            " (x,y)->(x-y)*(x-y)), 0.0D, (a,z)->a+z)"
+        )
+        return [
+            r["cand_id"]
+            for r in emb.select(
+                F.col("vec_id").alias("cand_id"), d.alias("d")
+            )
+            .orderBy("d", "cand_id")
+            .limit(11)
+            .collect()
+            if r["cand_id"] != qid
+        ][:10]
+
+    queries = emb.orderBy("vec_id").limit(8).collect()
+    hits = total = 0
+    for q in queries:
+        qv = [float(x) for x in q["embedding"]]
+        exact = set(exact_top10(qv, q["vec_id"]))
+        approx = {
+            r["cand_id"]
+            for r in pq_topk(emb, books, qv, k_top=11).collect()
+            if r["cand_id"] != q["vec_id"]
+        }
+        hits += len(exact & approx)
+        total += len(exact)
+    recall = hits / total
+    assert recall >= 0.40, recall
+    emb.unpersist()
+
+
+def test_pq_topk_codes_column_matches_inline_encoding(spark):
+    """The persisted-codes serving path (codes_col=) must return the
+    exact rows the inline re-encoding path returns — same ADC sums,
+    same ranks — so an encoded 100 TB index can serve queries with m
+    lookups per row and never touch raw vectors again."""
+    import random
+
+    from group5_spark.extensions.clustering import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(emb, m=4, k=4, iters=2)
+    qv = rows[0][1]
+    inline = [
+        (r["cand_id"], r["pq_dist"], r["rank"])
+        for r in pq_topk(emb, books, qv, k_top=7).collect()
+    ]
+    encoded = pq_encode(emb, books)
+    via_codes = [
+        (r["cand_id"], r["pq_dist"], r["rank"])
+        for r in pq_topk(
+            encoded, books, qv, k_top=7, codes_col="pq_codes"
+        ).collect()
+    ]
+    assert inline == via_codes and len(inline) == 7

@@ -145,3 +145,20 @@ def test_merge_curve_wap_worker(tools_env):
     assert out["publish_seconds"] > 0
     assert out["audit_dv_files_masked"] >= 1
     assert out["published_rows"] > out["batch_rows"]
+    # round-9 VERDICT #7: the lost-race retry is measured — the second
+    # audit must actually lose its publish and recover via replay
+    assert out["lost_race_retry_seconds"] > 0
+    assert out["retry_published_version"] > out["published_version"]
+
+
+def test_ivf_curve_pq_worker(tools_env):
+    """Round-9 VERDICT #1's ladder worker: train-once codebooks,
+    timed Nx encode to the persisted codes index, timed probes over
+    the PERSISTED codes, and the quality pair (id recall@10 +
+    tie-robust distance ratio) must all come out of one run."""
+    out = tools_env.ic.run_one_pq(1)
+    assert out["encode_seconds"] > 0
+    assert out["query_seconds"] > 0
+    assert 0.0 <= out["recall_at_10"] <= 1.0
+    assert out["distance_ratio"] >= 1.0 - 1e-9
+    assert out["m"] == 32 and out["k"] == 16

@@ -815,6 +815,44 @@ def run_one_wap(n: int) -> dict:
 
     published_rows = snapshot_read(spark, str(main_tbl)).count()
     n_files = len(snapshot_manifest(str(main_tbl))["files"])
+
+    # round-9 VERDICT #7: price the OCC retry. A second WAP session
+    # stages the same batch + DV delete, a concurrent writer moves the
+    # main head mid-audit, publish LOSES the race — then the timed
+    # recovery: abort, re-begin from the new head, REPLAY the audit
+    # commits, publish. This is the full cost a writer pays per lost
+    # race (abort+begin are metadata; the replay is the batch itself).
+    from group5_spark.medallion.snapshots import (
+        SnapshotConflict,
+        snapshot_commit as _commit,
+    )
+    from group5_spark.medallion.wap import wap_abort
+
+    audit2 = str(main_tbl) + "_audit2"
+    wap_begin(str(main_tbl), audit2)
+    _commit(batch, audit2, mode="append")
+    snapshot_delete(
+        spark, audit2, [("o_orderkey", "<", okey_max // 64)],
+        dv_threshold=1.0,
+    )
+    # the interfering writer (a 100-row append straight to main)
+    _commit(base.limit(100), str(main_tbl), mode="append")
+    try:
+        wap_publish(str(main_tbl), audit2)
+        raise RuntimeError("publish should have lost the race")
+    except SnapshotConflict:
+        pass
+    t0 = time.perf_counter()
+    wap_abort(str(main_tbl), audit2)
+    wap_begin(str(main_tbl), audit2)
+    _commit(batch, audit2, mode="append")
+    snapshot_delete(
+        spark, audit2, [("o_orderkey", "<", okey_max // 64)],
+        dv_threshold=1.0,
+    )
+    v_retry = wap_publish(str(main_tbl), audit2)
+    retry_s = round(time.perf_counter() - t0, 3)
+
     batch.unpersist()
     shutil.rmtree(main_tbl, ignore_errors=True)
     spark.stop()
@@ -827,6 +865,8 @@ def run_one_wap(n: int) -> dict:
         "publish_seconds": publish_s,
         "published_version": v,
         "published_rows": published_rows,
+        "lost_race_retry_seconds": retry_s,
+        "retry_published_version": v_retry,
     }
 
 
@@ -851,7 +891,12 @@ def main_wap() -> None:
             "on an inherited file (the sidecar-move publish case), "
             "then wap_publish (staging-dir renames + one metadata "
             "commit) timed; both phases must stay flat — no table "
-            "bytes move at any scale"
+            "bytes move at any scale. lost_race_retry_seconds prices "
+            "the OCC retry: a second audit (same batch + DV delete) "
+            "loses its publish to a concurrent main append, then the "
+            "timed recovery = abort + re-begin + full replay + "
+            "publish — the per-lost-race cost is the replayed batch, "
+            "never the table"
         ),
         "runs": runs,
         "begin_seconds_exponent": _fit_exponent(
@@ -859,6 +904,9 @@ def main_wap() -> None:
         ),
         "publish_seconds_exponent": _fit_exponent(
             [(r["scale"], r["publish_seconds"]) for r in runs]
+        ),
+        "lost_race_retry_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["lost_race_retry_seconds"]) for r in runs]
         ),
     }
     path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
