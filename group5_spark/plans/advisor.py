@@ -561,3 +561,105 @@ def stat_join(
     rs = right_stats if right_stats is not None else collect_stats(right, on)
     advice = advise_join(ls, rs, broadcast_bytes, skew_share, how=how)
     return planned_join(left, right, on, advice, how), advice
+
+
+@dataclass(frozen=True)
+class PartitionAdvice:
+    """One partition-health finding from :func:`advise_partitions` —
+    the same inspectability contract as :class:`JoinAdvice`: the WHAT
+    (partition + action) always travels with the WHY (measured
+    numbers vs thresholds), so a maintenance review reads decisions,
+    not folklore."""
+
+    partition: str | None
+    action: str  # 'split_or_salt' | 'compact' | 'fold_masks'
+    reasons: tuple = field(default_factory=tuple)
+
+
+def advise_partitions(
+    path: str,
+    version: int | None = None,
+    *,
+    skew_ratio: float = 4.0,
+    frag_files: int = 16,
+    frag_avg_bytes: int = 32 * 2**20,
+    mask_share: float = 0.20,
+) -> list[PartitionAdvice]:
+    """Partition-health advisor over a snapshot table's MANIFEST —
+    zero data I/O, no SparkSession (the :func:`stats_from_snapshot`
+    discipline): roll the file entries up per partition and flag the
+    three layouts that hurt at scale, each with measured reasons:
+
+    - ``split_or_salt``: a partition holding > ``skew_ratio`` × the
+      median partition's rows — the straggler task of every
+      partition-grain stage; repartition its key (salt) or split the
+      partition value.
+    - ``compact``: > ``frag_files`` files averaging under
+      ``frag_avg_bytes`` — open-file and footer overhead dominating
+      scans; target for ``maintenance.compact``.
+    - ``fold_masks``: DV-masked rows exceeding ``mask_share`` of the
+      partition — merge-on-read rent concentrated here; target for
+      ``maintenance.compact_snapshot_masks`` (the mask-scoped fold).
+
+    The driver holds one (rows, bytes, files, dv) tuple per PARTITION
+    (bounded like the advisor's other manifest reads). For tables
+    whose manifest exceeds the driver-parse comfort zone (~10⁵ file
+    entries), run the same rollup distributed via
+    ``medallion.meta.snapshot_partitions_df`` and apply these
+    thresholds as filters — the numbers are identical by
+    construction.
+    """
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    m = snapshot_manifest(path, version)
+    parts: dict[str | None, list[int]] = {}
+    for e in m["files"]:
+        rows, by = int(e.get("rows", 0)), int(e.get("bytes", 0))
+        dv = int((e.get("dv") or {}).get("deleted", 0))
+        agg = parts.setdefault(e.get("partition"), [0, 0, 0, 0])
+        agg[0] += rows
+        agg[1] += by
+        agg[2] += 1
+        agg[3] += dv
+    if not parts:
+        return []
+    med = sorted(p[0] for p in parts.values())[(len(parts) - 1) // 2]
+    out: list[PartitionAdvice] = []
+    for pv, (rows, by, files, dv) in sorted(
+        parts.items(), key=lambda kv: (kv[1][0], str(kv[0])), reverse=True
+    ):
+        if len(parts) > 1 and med and rows > skew_ratio * med:
+            out.append(
+                PartitionAdvice(
+                    pv,
+                    "split_or_salt",
+                    (
+                        f"rows={rows} > {skew_ratio}x median={med}",
+                        f"files={files}",
+                    ),
+                )
+            )
+        if files > frag_files and by // max(files, 1) < frag_avg_bytes:
+            out.append(
+                PartitionAdvice(
+                    pv,
+                    "compact",
+                    (
+                        f"files={files} > {frag_files}",
+                        f"avg_bytes={by // max(files, 1)}"
+                        f" < {frag_avg_bytes}",
+                    ),
+                )
+            )
+        if rows and dv / rows > mask_share:
+            out.append(
+                PartitionAdvice(
+                    pv,
+                    "fold_masks",
+                    (
+                        f"dv_deleted={dv} / rows={rows} ="
+                        f" {dv / rows:.3f} > {mask_share}",
+                    ),
+                )
+            )
+    return out

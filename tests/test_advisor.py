@@ -898,3 +898,94 @@ def test_stacked_sidecars_never_mask_more_than_covered_rows(
     # The estimate may overshoot the masking, but never below the
     # final batch's own 1000 rows — and nowhere near zero.
     assert st.rows >= 1000, st
+
+
+# ---------------------------------------------------------------------------
+# partition-health advisor (advise_partitions) — round 9
+# ---------------------------------------------------------------------------
+
+
+def test_advise_partitions_flags_skew_frag_and_rent(spark, tmp_path):
+    """One manifest, three unhealthy layouts: a 10x-median skewed
+    partition, a 20-small-file fragmented partition, and a partition
+    carrying >20% DV rent — each flagged with measured reasons; the
+    healthy partitions stay silent."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import advise_partitions
+
+    t = str(tmp_path / "tbl")
+    # p=hot: 4000 rows; p=frag: 400 rows in 20 files; p=a/b/c: 400 each
+    hot = spark.range(4000).select(
+        F.lit("hot").alias("p"), F.col("id"), F.lit(0).alias("grp")
+    )
+    frag = (
+        spark.range(4000, 4400)
+        .select(F.lit("frag").alias("p"), F.col("id"), F.lit(0).alias("grp"))
+        .repartition(20)
+    )
+    rest = spark.range(4400, 5600).select(
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("p"),
+        F.col("id"),
+        F.lit(0).alias("grp"),
+    )
+    snapshot_commit(
+        hot.repartition(1, "p"), t, partition_by="p", stats_cols=["id"]
+    )
+    snapshot_commit(frag, t, mode="append", partition_by="p")
+    snapshot_commit(
+        rest.repartition(1, "p"), t, mode="append", partition_by="p"
+    )
+    # 30% of partition a's rows DV-masked (ids ≡ 1 mod 3 < cutoff)
+    snapshot_delete(
+        spark, t, [("id", "<", 4760), ("id", ">=", 4400)], dv_threshold=1.0
+    )
+
+    advice = advise_partitions(t, frag_files=16, frag_avg_bytes=1 << 20)
+    by_action = {}
+    for a in advice:
+        by_action.setdefault(a.action, []).append(a)
+    assert [a.partition for a in by_action["split_or_salt"]] == ["hot"]
+    assert "4000" in by_action["split_or_salt"][0].reasons[0]
+    assert [a.partition for a in by_action["compact"]] == ["frag"]
+    assert "files=20" in by_action["compact"][0].reasons[0]
+    fold = {a.partition for a in by_action["fold_masks"]}
+    assert fold and fold <= {"a", "b", "c"}
+    for a in by_action["fold_masks"]:
+        assert "> 0.2" in a.reasons[0]
+    # silence elsewhere: no finding names a healthy partition/action pair
+    assert all(
+        a.partition != "hot" for a in by_action.get("compact", [])
+    )
+
+
+def test_advise_partitions_healthy_table_is_silent(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import advise_partitions
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(3000).select(
+        (F.col("id") % 3).cast("string").alias("p"), F.col("id")
+    )
+    snapshot_commit(df.repartition(1, "p"), t, partition_by="p")
+    assert advise_partitions(t) == []
+
+
+def test_advise_partitions_unpartitioned_single_bucket(spark, tmp_path):
+    """An unpartitioned table is one NULL-partition rollup: never
+    'skewed' against itself; fragmentation still detectable."""
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import advise_partitions
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(spark.range(500).repartition(20), t)
+    advice = advise_partitions(t, frag_files=16, frag_avg_bytes=1 << 20)
+    assert [a.action for a in advice] == ["compact"]
+    assert advice[0].partition is None

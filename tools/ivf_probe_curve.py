@@ -241,10 +241,16 @@ def main_pq() -> None:
             "codes via the ADC LUT path (timed; raw vectors never "
             "reload); quality vs the exact L2 top-10 at that scale = "
             "id recall@10 plus the tie-robust distance ratio (mean "
-            "true distance of PQ's top-10 / exact's, 1.0 perfect — the "
-            "xd replicas' 1e-3 perturbations make id ties dense at "
-            "high scales, which depresses id-recall by construction "
-            "while the ratio shows quality held)"
+            "true distance of PQ's top-10 / exact's, 1.0 perfect). "
+            "NOTE on the id-recall column: at >=16x the xd corpus's "
+            "replica construction (copies of every 1x vector at 1e-3 "
+            "perturbations) makes the exact top-10 the query's own "
+            "near-copies, which PQ retrieves trivially — recall "
+            "saturates at 1.0 by construction there; the honest "
+            "difficulty is the 1x row (0.625 on this 4-query batch; "
+            "the pinned 8-query sf0.1 test measures 0.54) and the "
+            "distance ratio is the artifact-free quality signal at "
+            "every scale"
         ),
         "runs": runs,
         "encode_seconds_exponent": _fit_exponent(
