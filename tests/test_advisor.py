@@ -989,3 +989,36 @@ def test_advise_partitions_unpartitioned_single_bucket(spark, tmp_path):
     advice = advise_partitions(t, frag_files=16, frag_avg_bytes=1 << 20)
     assert [a.action for a in advice] == ["compact"]
     assert advice[0].partition is None
+
+
+def test_advise_partitions_numbers_match_partitions_df(spark, tmp_path):
+    """The sessionless advisor and the distributed `.partitions` table
+    roll up the same manifest — their per-partition (rows, files, dv)
+    numbers must be identical, so thresholds applied to either path
+    select the same partitions."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import snapshot_delete
+    from group5_spark.medallion.meta import snapshot_partitions_df
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.plans.advisor import advise_partitions
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(2400).select(
+        (F.col("id") % 4).cast("string").alias("p"), F.col("id")
+    )
+    snapshot_commit(df.repartition(1, "p"), t, partition_by="p",
+                    stats_cols=["id"])
+    snapshot_delete(spark, t, [("id", "<", 1200)], dv_threshold=1.0)
+    rollup = {
+        r["partition"]: (r["rows"], r["n_files"], r["dv_deleted"])
+        for r in snapshot_partitions_df(spark, t).collect()
+    }
+    # drive the advisor into flagging EVERY partition for fold (50%
+    # masked) and parse its reasons back into numbers
+    advice = advise_partitions(t, mask_share=0.2)
+    assert {a.action for a in advice} == {"fold_masks"}
+    for a in advice:
+        rows, files, dv = rollup[a.partition]
+        assert f"dv_deleted={dv} / rows={rows}" in a.reasons[0]
+    assert {a.partition for a in advice} == set(rollup)
