@@ -575,3 +575,185 @@ def ivf_index_search(
     for p in parts[1:]:
         assigned = assigned.unionByName(p)
     return ivf_rank(probes, assigned, k)
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: file-pruned probes over compressed codes + exact re-rank
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NOTE_KEY = "ivfpq_params"
+
+
+def ivf_pq_index_init(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    m: int = 8,
+    k_codes: int = 16,
+    iters: int = 2,
+    hash_fn: str = "xxhash64",
+) -> int:
+    """Build the persisted IVF-PQ index — the FAISS `IVFx,PQy,refine`
+    composition over the snapshot layer: Voronoi cells for FILE-LEVEL
+    pruning (a probe reads n_probe/n_cells of the index bytes), PQ
+    codes for the in-cell scan (m small ints per vector instead of
+    full-vector math), and the raw vector riding the same row for the
+    exact re-rank of the short ADC candidate list. Returns the
+    committed version.
+
+    Metric consistency: every vector is projected to the UNIT sphere
+    before centroid sampling, cell assignment, and PQ training — on
+    unit vectors cosine and L2 order identically, so the cosine cell
+    routing, the L2 ADC, and the cosine re-rank all rank the same way
+    (zero-norm vectors are excluded; cosine is undefined for them).
+    The stored row is ``(cand_id, v RAW, cn norm, pq_codes, cell_id)``
+    — codes ~m bytes, the raw vector kept only for the re-rank read
+    of the top-``rerank`` rows. Centroids AND codebooks pin in the
+    manifest note (k·dim doubles — kilobytes at any corpus size), so
+    a probe needs one manifest read, no model table.
+    """
+    from group5_spark.extensions.clustering import pq_encode, pq_train
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    c_vec = _ivf_c_vec(corpus, id_col, vec_col)
+    base = (
+        c_vec.withColumn("cn", F.sqrt(F.expr(DOT.format(a="v", b="v"))))
+        .where(F.col("cn") > 0)
+        .withColumn("vu", F.transform(F.col("v"), lambda x: x / F.col("cn")))
+    )
+    unit = base.select("cand_id", F.col("vu").alias("v"))
+    centroids = ivf_sample_centroids(unit, n_cells, hash_fn)
+    books = pq_train(
+        base, vec_col="vu", id_col="cand_id", m=m, k=k_codes, iters=iters
+    )
+    assigned = base.withColumn(
+        "cell_id", F.array_max(_cell_scores(centroids, "vu")).getField("cell")
+    )
+    encoded = pq_encode(assigned, books, vec_col="vu", out="pq_codes")
+    final = encoded.select(
+        "cand_id", "v", "cn", "pq_codes", "cell_id"
+    ).repartition("cell_id")
+    return snapshot_commit(
+        final,
+        index_path,
+        mode="overwrite",
+        partition_by="cell_id",
+        note={
+            _IVFPQ_NOTE_KEY: {
+                "id_col": id_col,
+                "vec_col": vec_col,
+                "n_cells": n_cells,
+                "m": m,
+                "k_codes": k_codes,
+                "hash_fn": hash_fn,
+            },
+            "centroids": centroids,
+            "codebooks": books,
+            "op": "ivf_pq_index_init",
+        },
+    )
+
+
+def ivf_pq_params(
+    index_path: str, version: int | None = None
+) -> tuple[dict, list, list]:
+    """``(params, centroids, codebooks)`` pinned in the index's
+    manifest note — one manifest read, no Spark (JSON round-trips the
+    float literals exactly, like :func:`ivf_index_params`)."""
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    try:
+        note = snapshot_manifest(index_path, version).get("note") or {}
+    except FileNotFoundError:
+        note = {}
+    params = note.get(_IVFPQ_NOTE_KEY)
+    if not params:
+        raise ValueError(
+            f"{index_path} is not an IVF-PQ index table (no "
+            f"{_IVFPQ_NOTE_KEY!r} in the manifest note)"
+        )
+    return params, note["centroids"], note["codebooks"]
+
+
+def ivf_pq_topk(
+    spark,
+    index_path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 64,
+    exclude_id: int | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Top-k cosine search against the persisted IVF-PQ index, three
+    prunes deep: (1) the ``n_probe`` nearest cells are chosen DRIVER-
+    side against the pinned centroids (no Spark job — the centroid
+    table is kilobytes) and only those cells' FILES are read
+    (manifest partition pruning); (2) within the probed cells the
+    scan is pq_topk's ADC over the PERSISTED codes — m ``element_at``
+    lookups per row, no vector math — keeping the best ``rerank``
+    candidates; (3) only those ``rerank`` rows pay the exact cosine
+    (identical expression and rounding to :func:`cosine_topk`, so
+    with ``n_probe=n_cells`` and ``rerank`` ≥ the corpus this is
+    EXACTLY brute force — tested). Returns ``(cand_id, cosine,
+    rank)``.
+
+    At 100 TB: probe bytes ∝ n_probe/n_cells of m-byte codes, the
+    re-rank reads ``rerank`` raw vectors, and the model (centroids +
+    codebooks) travels as manifest metadata + expression literals.
+    """
+    import math as _math
+
+    from group5_spark.extensions.clustering import pq_topk
+    from group5_spark.medallion.snapshots import (
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    version = snapshot_manifest(index_path, version)["version"]
+    params, centroids, books = ivf_pq_params(index_path, version=version)
+    qn = _math.sqrt(_math.fsum(float(x) * float(x) for x in query_vec))
+    if qn == 0:
+        raise ValueError("cosine search is undefined for a zero vector")
+    qu = [float(x) / qn for x in query_vec]
+    scored = sorted(
+        (
+            (-_math.fsum(a * b for a, b in zip(qu, cv)), cell)
+            for cell, cv in centroids
+        ),
+    )[: max(1, n_probe)]
+    probed = sorted(cell for _, cell in scored)
+
+    parts = [
+        snapshot_read(
+            spark,
+            index_path,
+            version=version,
+            predicates=[("cell_id", "=", str(c))],
+        )
+        for c in probed
+    ]
+    pruned = parts[0]
+    for p in parts[1:]:
+        pruned = pruned.unionByName(p)
+    if exclude_id is not None:
+        pruned = pruned.where(F.col("cand_id") != exclude_id)
+
+    cand = pq_topk(
+        pruned, books, qu, id_col="cand_id", k_top=rerank,
+        codes_col="pq_codes",
+    )
+    qarr = "array(" + ", ".join(f"{float(x)!r}D" for x in query_vec) + ")"
+    cos = F.round(
+        F.expr(DOT.format(a=qarr, b="v")) / (F.lit(qn) * F.col("cn")), 6
+    )
+    w = Window.orderBy(F.col("cosine").desc(), F.col("cand_id"))
+    return (
+        pruned.join(F.broadcast(cand.select("cand_id")), "cand_id")
+        .withColumn("cosine", cos)
+        .select("cand_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

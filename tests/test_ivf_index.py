@@ -238,3 +238,100 @@ def test_index_params_survive_compaction(spark, sf_dir, tmp_path):
         for r in S.ivf_index_search(q, idx, k=5, n_probe=3).collect()
     }
     assert before == after and before
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composition (round 9): cells prune files, codes prune math,
+# re-rank restores exactness on the shortlist
+# ---------------------------------------------------------------------------
+
+
+def test_ivf_pq_probe_all_rerank_all_equals_brute_force(
+    spark, sf_dir, tmp_path
+):
+    """The exactness anchor: with every cell probed and rerank ≥ the
+    corpus, ivf_pq_topk must EQUAL cosine_topk — same cosine values
+    (identical expression + rounding), same id tie-breaks, same
+    ranks. This pins the composition's plumbing (unit-sphere
+    projection, codes round-trip, re-rank join) to the brute-force
+    truth."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    S.ivf_pq_index_init(emb, idx, n_cells=8, m=8, k_codes=8, iters=2)
+
+    q = emb.orderBy("vec_id").limit(3).collect()
+    n = emb.count()
+    for r in q:
+        qv = [float(x) for x in r["embedding"]]
+        exact = {
+            (x.cand_id, x.cosine, x.rank)
+            for x in S.cosine_topk(
+                emb, emb.where(F.col("vec_id") == r["vec_id"]), k=10
+            ).collect()
+        }
+        got = {
+            (x.cand_id, x.cosine, x.rank)
+            for x in S.ivf_pq_topk(
+                spark, idx, qv, k=10, n_probe=8, rerank=n,
+                exclude_id=r["vec_id"],
+            ).collect()
+        }
+        assert got == exact
+
+
+def test_ivf_pq_pruned_probe_recall_and_shape(spark, sf_dir, tmp_path):
+    """The production shape: probe 4/8 cells, ADC-shortlist 64, exact
+    re-rank — per-query recall@10 vs brute force must clearly beat
+    the probed-fraction floor, no self-matches, ranks dense."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    S.ivf_pq_index_init(emb, idx, n_cells=8, m=8, k_codes=8, iters=2)
+    queries = emb.orderBy("vec_id").limit(6).collect()
+    hits = total = 0
+    for r in queries:
+        qv = [float(x) for x in r["embedding"]]
+        exact = {
+            x.cand_id
+            for x in S.cosine_topk(
+                emb, emb.where(F.col("vec_id") == r["vec_id"]), k=10
+            ).collect()
+        }
+        rows = S.ivf_pq_topk(
+            spark, idx, qv, k=10, n_probe=4, rerank=64,
+            exclude_id=r["vec_id"],
+        ).collect()
+        assert [x.rank for x in rows] == list(range(1, len(rows) + 1))
+        assert all(x.cand_id != r["vec_id"] for x in rows)
+        hits += len(exact & {x.cand_id for x in rows})
+        total += len(exact)
+    assert hits / total >= 0.5, hits / total
+
+
+def test_ivf_pq_probe_reads_only_probed_cells_files(
+    spark, sf_dir, tmp_path
+):
+    """File-level pruning must survive the composition: a 2/8-cell
+    probe's plan reads strictly fewer index files than the index
+    holds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    S.ivf_pq_index_init(emb, idx, n_cells=8, m=4, k_codes=8, iters=1)
+    total_files = len(snapshot_manifest(idx)["files"])
+    qv = [float(x) for x in emb.orderBy("vec_id").first()["embedding"]]
+    out = S.ivf_pq_topk(spark, idx, qv, k=5, n_probe=2, rerank=32)
+    read_files = {f for f in out.inputFiles()}
+    assert 0 < len(read_files) < total_files
+
+
+def test_ivf_pq_guards(spark, sf_dir, tmp_path):
+    """Zero query vector refused; a non-IVFPQ snapshot table refused
+    with a pointed error."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    plain = str(tmp_path / "plain")
+    snapshot_commit(emb, plain)
+    with pytest.raises(ValueError, match="IVF-PQ"):
+        S.ivf_pq_topk(spark, plain, [1.0, 0.0])
+    idx = str(tmp_path / "ivfpq")
+    S.ivf_pq_index_init(emb, idx, n_cells=4, m=4, k_codes=4, iters=1)
+    with pytest.raises(ValueError, match="zero vector"):
+        S.ivf_pq_topk(spark, idx, [0.0] * 64)
