@@ -714,7 +714,13 @@ def ivf_pq_topk(
 
     version = snapshot_manifest(index_path, version)["version"]
     params, centroids, books = ivf_pq_params(index_path, version=version)
-    qn = _math.sqrt(_math.fsum(float(x) * float(x) for x in query_vec))
+    # plain sequential sum, NOT fsum: the re-rank divides by qn and
+    # Spark's aggregate() is a plain left fold — matching its rounding
+    # keeps the 6-dp cosine bit-identical to cosine_topk's
+    sq = 0.0
+    for x in query_vec:
+        sq += float(x) * float(x)
+    qn = _math.sqrt(sq)
     if qn == 0:
         raise ValueError("cosine search is undefined for a zero vector")
     qu = [float(x) / qn for x in query_vec]
