@@ -763,3 +763,47 @@ def ivf_pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ivf_pq_index_append(
+    new_df: DataFrame,
+    index_path: str,
+    extra_note: dict | None = None,
+) -> int:
+    """Assign + encode one new embedding batch against the index's
+    FROZEN model (centroids and codebooks both pin at init — appends
+    never retrain, so old codes stay comparable) and append it —
+    O(batch) incremental maintenance with snapshot atomicity, the
+    same contract as :func:`ivf_index_append` and the LSH index.
+    Zero-norm vectors are excluded (the init-time rule). Returns the
+    committed version."""
+    from group5_spark.extensions.clustering import pq_encode
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    params, centroids, books = ivf_pq_params(index_path)
+    c_vec = _ivf_c_vec(new_df, params["id_col"], params["vec_col"])
+    base = (
+        c_vec.withColumn("cn", F.sqrt(F.expr(DOT.format(a="v", b="v"))))
+        .where(F.col("cn") > 0)
+        .withColumn("vu", F.transform(F.col("v"), lambda x: x / F.col("cn")))
+    )
+    assigned = base.withColumn(
+        "cell_id", F.array_max(_cell_scores(centroids, "vu")).getField("cell")
+    )
+    encoded = pq_encode(assigned, books, vec_col="vu", out="pq_codes")
+    final = encoded.select(
+        "cand_id", "v", "cn", "pq_codes", "cell_id"
+    ).repartition("cell_id")
+    return snapshot_commit(
+        final,
+        index_path,
+        mode="append",
+        partition_by="cell_id",
+        note={
+            _IVFPQ_NOTE_KEY: params,
+            "centroids": centroids,
+            "codebooks": books,
+            "op": "ivf_pq_index_append",
+            **(extra_note or {}),
+        },
+    )

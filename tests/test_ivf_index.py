@@ -335,3 +335,34 @@ def test_ivf_pq_guards(spark, sf_dir, tmp_path):
     S.ivf_pq_index_init(emb, idx, n_cells=4, m=4, k_codes=4, iters=1)
     with pytest.raises(ValueError, match="zero vector"):
         S.ivf_pq_topk(spark, idx, [0.0] * 64)
+
+
+def test_ivf_pq_append_frozen_model_and_searchable(spark, sf_dir, tmp_path):
+    """Appends assign + encode against the FROZEN centroids/codebooks
+    (the model note is byte-identical across versions) and the
+    appended vectors are immediately searchable: a near-copy of the
+    query appended under a new id must come back rank-1."""
+    from group5_spark.medallion.snapshots import snapshot_manifest
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    S.ivf_pq_index_init(emb, idx, n_cells=8, m=8, k_codes=8, iters=2)
+    note1 = snapshot_manifest(idx)["note"]
+
+    q = emb.orderBy("vec_id").first()
+    qv = [float(x) for x in q["embedding"]]
+    twin_id = 10_000_000 + q["vec_id"]
+    twin = spark.createDataFrame(
+        [(twin_id, qv)], "vec_id long, embedding array<double>"
+    )
+    v2 = S.ivf_pq_index_append(twin, idx)
+    note2 = snapshot_manifest(idx)["note"]
+    assert v2 == 2
+    assert note2["centroids"] == note1["centroids"]
+    assert note2["codebooks"] == note1["codebooks"]
+
+    rows = S.ivf_pq_topk(
+        spark, idx, qv, k=3, n_probe=4, rerank=32, exclude_id=q["vec_id"]
+    ).collect()
+    assert rows and rows[0]["cand_id"] == twin_id
+    assert rows[0]["cosine"] == 1.0

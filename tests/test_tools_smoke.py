@@ -151,6 +151,17 @@ def test_merge_curve_wap_worker(tools_env):
     assert out["retry_published_version"] > out["published_version"]
 
 
+def test_ivf_curve_ivfpq_worker(tools_env):
+    """Round-9 IVF-PQ composition ladder worker: untimed coded-index
+    build, timed file-pruned + ADC + re-rank probes, timed
+    frozen-model append on a clone, and recall@10 — one run."""
+    out = tools_env.ic.run_one_ivfpq(1)
+    assert out["probe_seconds"] > 0
+    assert out["append_seconds"] > 0
+    assert 0.0 <= out["recall_at_10"] <= 1.0
+    assert out["n_cells"] == 16
+
+
 def test_ivf_curve_pq_worker(tools_env):
     """Round-9 VERDICT #1's ladder worker: train-once codebooks,
     timed Nx encode to the persisted codes index, timed probes over
