@@ -613,6 +613,13 @@ def ivf_pq_index_init(
     of the top-``rerank`` rows. Centroids AND codebooks pin in the
     manifest note (k·dim doubles — kilobytes at any corpus size), so
     a probe needs one manifest read, no model table.
+
+    Codes quantize the unit vectors directly; the classic residual
+    variant (encode ``vu − centroid[cell]``, per-probed-cell query
+    LUTs) would sharpen the ADC shortlist at the same code budget and
+    slots into this layout without a schema change — the exact
+    re-rank already caps how much shortlist quality matters at small
+    ``rerank``.
     """
     from group5_spark.extensions.clustering import pq_encode, pq_train
     from group5_spark.medallion.snapshots import snapshot_commit
