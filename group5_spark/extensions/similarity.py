@@ -594,6 +594,7 @@ def ivf_pq_index_init(
     k_codes: int = 16,
     iters: int = 2,
     hash_fn: str = "xxhash64",
+    residual: bool = False,
 ) -> int:
     """Build the persisted IVF-PQ index — the FAISS `IVFx,PQy,refine`
     composition over the snapshot layer: Voronoi cells for FILE-LEVEL
@@ -614,12 +615,25 @@ def ivf_pq_index_init(
     manifest note (k·dim doubles — kilobytes at any corpus size), so
     a probe needs one manifest read, no model table.
 
-    Codes quantize the unit vectors directly; the classic residual
-    variant (encode ``vu − centroid[cell]``, per-probed-cell query
-    LUTs) would sharpen the ADC shortlist at the same code budget and
-    slots into this layout without a schema change — the exact
-    re-rank already caps how much shortlist quality matters at small
-    ``rerank``.
+    With ``residual=True`` the codes quantize the RESIDUAL
+    ``vu − centroid[cell]`` instead of the unit vector itself — the
+    classic FAISS IVF-ADC refinement: when cells capture real cluster
+    structure, residuals are smaller than the vectors and the same
+    (m, k) code budget spends its codewords on within-cell structure
+    instead of re-describing the cell's position. Measured (pinned in
+    ``tests/test_ivf_index.py``): on a clustered corpus — the
+    realistic embedding shape — residual recall@10 beats direct at
+    the same shortlist budget (0.45 vs 0.32 at rerank=8); on a
+    near-ISOTROPIC corpus it is WORSE (high-dim vectors are nearly
+    orthogonal to any centroid, so the residual is LARGER than the
+    vector and the shared codebook spreads thinner) — which is why
+    the mode is opt-in, default off. Queries build one LUT per PROBED
+    cell against ``qu − centroid[cell]`` (n_probe × m × k literal
+    folds, kilobytes of driver math) and the per-cell shortlists
+    merge into one global top-``rerank`` by their mutually-comparable
+    ADC distances, so the shortlist budget matches direct mode
+    exactly; the exact re-rank is unchanged, and the exactness anchor
+    (probe-all + rerank-all ≡ brute force) holds in both modes.
     """
     from group5_spark.extensions.clustering import pq_encode, pq_train
     from group5_spark.medallion.snapshots import snapshot_commit
@@ -632,13 +646,20 @@ def ivf_pq_index_init(
     )
     unit = base.select("cand_id", F.col("vu").alias("v"))
     centroids = ivf_sample_centroids(unit, n_cells, hash_fn)
-    books = pq_train(
-        base, vec_col="vu", id_col="cand_id", m=m, k=k_codes, iters=iters
-    )
     assigned = base.withColumn(
         "cell_id", F.array_max(_cell_scores(centroids, "vu")).getField("cell")
     )
-    encoded = pq_encode(assigned, books, vec_col="vu", out="pq_codes")
+    code_col = "vu"
+    if residual:
+        assigned = assigned.withColumn(
+            "vr", _ivfpq_residual_col(centroids)
+        )
+        code_col = "vr"
+    books = pq_train(
+        assigned, vec_col=code_col, id_col="cand_id",
+        m=m, k=k_codes, iters=iters,
+    )
+    encoded = pq_encode(assigned, books, vec_col=code_col, out="pq_codes")
     final = encoded.select(
         "cand_id", "v", "cn", "pq_codes", "cell_id"
     ).repartition("cell_id")
@@ -655,11 +676,30 @@ def ivf_pq_index_init(
                 "m": m,
                 "k_codes": k_codes,
                 "hash_fn": hash_fn,
+                "residual": bool(residual),
             },
             "centroids": centroids,
             "codebooks": books,
             "op": "ivf_pq_index_init",
         },
+    )
+
+
+def _ivfpq_residual_col(
+    centroids: list, vu_col: str = "vu"
+) -> F.Column:
+    """``vu − centroid[cell_id]`` with the centroid table inlined as a
+    literal map — map-only, no join; n_cells × dim doubles of literals
+    (kilobytes; the same payload the manifest note already carries)."""
+    entries = ", ".join(
+        f"{int(cell)}, array("
+        + ", ".join(f"{float(x)!r}D" for x in cv)
+        + ")"
+        for cell, cv in centroids
+    )
+    return F.expr(
+        f"zip_with({vu_col}, element_at(map({entries}), cell_id),"
+        " (x, y) -> x - y)"
     )
 
 
@@ -748,16 +788,43 @@ def ivf_pq_topk(
         )
         for c in probed
     ]
+    if exclude_id is not None:
+        parts = [p.where(F.col("cand_id") != exclude_id) for p in parts]
     pruned = parts[0]
     for p in parts[1:]:
         pruned = pruned.unionByName(p)
-    if exclude_id is not None:
-        pruned = pruned.where(F.col("cand_id") != exclude_id)
 
-    cand = pq_topk(
-        pruned, books, qu, id_col="cand_id", k_top=rerank,
-        codes_col="pq_codes",
-    )
+    if params.get("residual"):
+        # residual codes are cell-relative: one LUT per PROBED cell
+        # against (qu − centroid[cell]) — still n_probe × m × k
+        # literal folds of driver math. Per-cell ADC distances all
+        # approximate the same ||qu − x||², so the per-cell lists
+        # merge into ONE global top-`rerank` shortlist: the shortlist
+        # budget is identical to direct mode, mode changes only how
+        # well the codes spend it.
+        cents = {int(cell): cv for cell, cv in centroids}
+        lists = []
+        for c, part in zip(probed, parts):
+            qr = [a - float(b) for a, b in zip(qu, cents[int(c)])]
+            lists.append(
+                pq_topk(
+                    part, books, qr, id_col="cand_id", k_top=rerank,
+                    codes_col="pq_codes",
+                ).select("cand_id", "pq_dist")
+            )
+        merged = lists[0]
+        for p in lists[1:]:
+            merged = merged.unionByName(p)
+        cand = (
+            merged.orderBy("pq_dist", "cand_id")
+            .limit(rerank)
+            .select("cand_id")
+        )
+    else:
+        cand = pq_topk(
+            pruned, books, qu, id_col="cand_id", k_top=rerank,
+            codes_col="pq_codes",
+        )
     qarr = "array(" + ", ".join(f"{float(x)!r}D" for x in query_vec) + ")"
     cos = F.round(
         F.expr(DOT.format(a=qarr, b="v")) / (F.lit(qn) * F.col("cn")), 6
@@ -797,7 +864,11 @@ def ivf_pq_index_append(
     assigned = base.withColumn(
         "cell_id", F.array_max(_cell_scores(centroids, "vu")).getField("cell")
     )
-    encoded = pq_encode(assigned, books, vec_col="vu", out="pq_codes")
+    code_col = "vu"
+    if params.get("residual"):
+        assigned = assigned.withColumn("vr", _ivfpq_residual_col(centroids))
+        code_col = "vr"
+    encoded = pq_encode(assigned, books, vec_col=code_col, out="pq_codes")
     final = encoded.select(
         "cand_id", "v", "cn", "pq_codes", "cell_id"
     ).repartition("cell_id")
