@@ -468,9 +468,15 @@ def _budget_boundary(
             lo, hi = float(st["slo"]), float(st["shi"])
         elif st["ilo"] != st["ihi"]:
             # an all-ties score run: within it the global order is
-            # id ASC, so an id histogram narrows it the same way
+            # id ASC, so an id histogram narrows it the same way —
+            # but only numeric ids can histogram; string ids (or any
+            # non-castable type) fall back to windowing the bucket
+            # as-is, the pre-re-bin behavior (ADVICE r9)
+            try:
+                lo, hi = float(st["ilo"]), float(st["ihi"])
+            except (TypeError, ValueError):
+                break
             key, asc = id_col, True
-            lo, hi = float(st["ilo"]), float(st["ihi"])
         else:
             break  # a single (score, id) point — indivisible
         width = (hi - lo) / bins or 1.0

@@ -110,7 +110,10 @@ def snapshot_files_df(
                 int(e.get("seq", 0)),
                 e.get("partition"),
                 e.get("partition_col"),
-                bool(e.get("dv")),
+                # presence, not truthiness — an empty dv object must
+                # report has_dv the same way the Spark path's
+                # isNotNull() does (ADVICE r9)
+                e.get("dv") is not None,
                 int((e.get("dv") or {}).get("deleted", 0)),
                 sorted(e.get("stats") or {}),
                 sorted(e.get("bloom") or {}),

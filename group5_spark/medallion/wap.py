@@ -302,7 +302,12 @@ def wap_publish(
         snapshot_drop_tag(src_path, wap["tag"])
         if not keep_audit:
             shutil.rmtree(audit_root, ignore_errors=True)
-    except BaseException as exc:
+    except Exception as exc:
+        # Exception, not BaseException: a KeyboardInterrupt/SystemExit
+        # during cleanup must propagate as itself, never be rewrapped
+        # into an ordinary error an `except Exception` would swallow
+        # (ADVICE r9); the published-version context only matters for
+        # ordinary failures
         raise WapCleanupError(version, exc) from exc
     return version
 

@@ -624,17 +624,20 @@ def advise_partitions(
     if not parts:
         return []
     med = sorted(p[0] for p in parts.values())[(len(parts) - 1) // 2]
+    # floor the median at 1 row so an all-rows-in-one-partition layout
+    # (median 0 — arguably the worst skew) is still flagged (ADVICE r9)
+    med_floor = max(med, 1)
     out: list[PartitionAdvice] = []
     for pv, (rows, by, files, dv) in sorted(
         parts.items(), key=lambda kv: (kv[1][0], str(kv[0])), reverse=True
     ):
-        if len(parts) > 1 and med and rows > skew_ratio * med:
+        if len(parts) > 1 and rows > skew_ratio * med_floor:
             out.append(
                 PartitionAdvice(
                     pv,
                     "split_or_salt",
                     (
-                        f"rows={rows} > {skew_ratio}x median={med}",
+                        f"rows={rows} > {skew_ratio}x median={med_floor}",
                         f"files={files}",
                     ),
                 )

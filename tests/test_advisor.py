@@ -991,6 +991,38 @@ def test_advise_partitions_unpartitioned_single_bucket(spark, tmp_path):
     assert advice[0].partition is None
 
 
+def test_advise_partitions_zero_median_still_flags_skew(spark, tmp_path):
+    """ADVICE r9: the skew check used to be skipped entirely when the
+    median partition had 0 rows — so a layout where most partitions
+    are row-empty and ONE holds everything (the worst skew) was never
+    flagged. The median is floored at 1 so it still fires."""
+    import json
+
+    from group5_spark.medallion.snapshots import _manifest_path, snapshot_commit
+    from group5_spark.plans.advisor import advise_partitions
+    from pathlib import Path
+    from pyspark.sql import functions as F
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(4000).select(
+        (F.col("id") % 5).cast("string").alias("p"), F.col("id")
+    )
+    snapshot_commit(df.repartition(1, "p"), t, partition_by="p")
+    # empty out every partition but one in the manifest (rows=0 files —
+    # e.g. a retention sweep that left tombstone-only partitions)
+    mp = _manifest_path(Path(t), 1)
+    m = json.loads(mp.read_text())
+    for e in m["files"]:
+        if e.get("partition") != "0":
+            e["rows"] = 0
+    mp.write_text(json.dumps(m))
+
+    advice = advise_partitions(t)
+    skew = [a for a in advice if a.action == "split_or_salt"]
+    assert [a.partition for a in skew] == ["0"]
+    assert "median=1" in skew[0].reasons[0]
+
+
 def test_advise_partitions_numbers_match_partitions_df(spark, tmp_path):
     """The sessionless advisor and the distributed `.partitions` table
     roll up the same manifest — their per-partition (rows, files, dv)

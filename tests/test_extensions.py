@@ -1080,6 +1080,31 @@ def test_token_budget_select_degenerate_scores_bounded_window(
     assert window_rows < n // 4
 
 
+def test_token_budget_select_string_ids_tied_scores(spark):
+    """ADVICE r9: the id-histogram branch used to float() string doc
+    ids, so a STRING-id corpus with a tied-score boundary bucket (the
+    all-equal-scores worst case) crashed with ValueError. Non-numeric
+    ids must instead fall back to the exact window on the bucket —
+    same prefix as the naive single-window answer, no crash."""
+    from group5_spark.extensions.corpus import token_budget_select
+
+    n, bins = 300, 16
+    rows = [(f"doc-{i:05d}", 0.5, 1 + (i * 13) % 50) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, score double, n_tokens int"
+    )
+    total = sum(r[2] for r in rows)
+    budget = int(total * 0.4)
+    got = {
+        r["doc_id"]
+        for r in token_budget_select(df, budget, bins=bins).collect()
+    }
+    want = _naive_budget_prefix(
+        [dict(doc_id=i, score=s, n_tokens=t) for i, s, t in rows], budget
+    )
+    assert got == want
+
+
 def test_token_budget_select_all_docs_identical_point(spark):
     """The indivisible extreme — every (score, id) pair distinct-id
     but a SINGLE doc repeated shape-wise is impossible; instead pin

@@ -96,6 +96,34 @@ def test_files_df_spark_manifest_path_matches_driver_path(spark, tmp_path):
     assert any(r[6] for r in got_d)  # the DV actually shows on both
 
 
+def test_files_df_empty_dv_object_same_on_both_paths(spark, tmp_path):
+    """ADVICE r9: the driver path keyed has_dv on truthiness
+    (bool({}) is False) while the Spark path keys on presence
+    (isNotNull), so a manifest entry carrying an EMPTY dv object broke
+    the 'identical rows' contract. Both paths must key on presence."""
+    import json
+    from pathlib import Path
+
+    from group5_spark.medallion.snapshots import _manifest_path
+
+    t = str(tmp_path / "tbl")
+    snapshot_commit(_df(spark, 0, 40).coalesce(1), t)
+    mp = _manifest_path(Path(t), 1)
+    m = json.loads(mp.read_text())
+    m["files"][0]["dv"] = {}
+    mp.write_text(json.dumps(m))
+
+    driver = snapshot_files_df(spark, t, spark_manifest_bytes=1 << 40)
+    via_spark = snapshot_files_df(spark, t, spark_manifest_bytes=0)
+    d = [(r["path"], r["has_dv"], r["dv_deleted"]) for r in driver.collect()]
+    s = [
+        (r["path"], r["has_dv"], r["dv_deleted"])
+        for r in via_spark.collect()
+    ]
+    assert sorted(d) == sorted(s)
+    assert all(r[1] for r in d) and all(r[2] == 0 for r in d)
+
+
 def test_partitions_df_rollup_and_rent(spark, tmp_path):
     from group5_spark.medallion.meta import snapshot_partitions_df
 

@@ -463,3 +463,32 @@ def test_publish_cleanup_failure_reports_published_version(
     wap_abort(src, audit)
     assert snapshot_tags(src) == {}
     assert not Path(audit).exists()
+
+
+def test_publish_cleanup_interrupt_propagates_unwrapped(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r9: cleanup used to catch BaseException and rewrap as
+    WapCleanupError (a RuntimeError), so a Ctrl-C during cleanup could
+    be swallowed by upstream `except Exception` handlers. A
+    KeyboardInterrupt must propagate as ITSELF; the publish is still
+    durable underneath it."""
+    from group5_spark.medallion import wap as wap_mod
+
+    src = str(tmp_path / "main")
+    audit = str(tmp_path / "audit")
+    snapshot_commit(_df(spark, 0, 30), src, stats_cols=["id"])
+    wap_begin(src, audit)
+    snapshot_commit(_df(spark, 30, 45), audit, mode="append")
+
+    def interrupted(path, tag):
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(wap_mod, "snapshot_drop_tag", interrupted)
+    with pytest.raises(KeyboardInterrupt):
+        wap_publish(src, audit)
+    monkeypatch.undo()
+    # the commit preceded the interrupt: the publish is durable
+    assert _ids(spark, src) == set(range(45))
+    wap_abort(src, audit)
+    assert snapshot_tags(src) == {}
