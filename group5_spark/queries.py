@@ -8265,79 +8265,79 @@ def span_dedup_incremental_counts(
 
 
 # The driver oracle-checks the FIRST 50 registered queries each round.
-# Round-9 window (round-8 VERDICT #2's ordered rotation):
-# snapshot_partitions_rent first (NEW this round — new queries enter
-# their own round's window, so nothing ever ships without driver
-# evidence), then the eight bench HEADLINE queries whose newest
-# driver evidence was round 5 (deferred from round 8 exactly at the
-# 3-round evidence bound — VERDICT #2 names them to rotate first),
-# then 41 of the 50 queries whose newest driver evidence is round 6.
-# The nine round-6 deferrals — pricing_summary (bench headline,
-# plan-audited every round), dv_delete_survivors /
-# eq_upsert_survivors / merge_full_sync_status / merge_tiered_clauses
-# (the DV/eq/MERGE DML family: 29+ dedicated pytest cases in
-# test_deletion_vectors/test_eq_deletes/test_merge),
-# mv_filtered_status_revenue / mv_star_segment_revenue (test_mv.py
-# routing+soundness suite), multimodal_audio_features /
-# multimodal_video_features (decoder unit tests in test_extensions) —
-# carry the strongest alternative evidence in the cohort and rotate
-# first in round 10. Every name below is green in
+# Round-10 window (round-9 VERDICT #1's ordered rotation): the NINE
+# queries whose newest driver evidence is round 6 rotate first — they
+# reached the 3-round evidence-age boundary, led by the flagship
+# entry() query pricing_summary — then 41 of the 49 queries whose
+# newest driver evidence is round 7. The r07 cohort is oversubscribed
+# for a 50-slot window, so eight defer to round 11, chosen for the
+# strongest alternative evidence exactly like round 9's deferral set:
+# customers_without_orders / dedup_exact / nation_trade_volume /
+# top3_parts_per_brand / waiting_suppliers (bench HEADLINERS —
+# executed and timed by the driver's bench run every round, and per
+# the round-8 convention bench-headline deferrals rotate first next
+# round), advisor_planned_trade_volume (test_advisor.py's registry
+# materialization + zero-stats-jobs suite runs it end-to-end),
+# mask_fold_survivors (the DV fold family: dedicated
+# test_maintenance/test_deletion_vectors cases), sim_topk (the ANN
+# exact baseline: recall + ladder tests in test_extensions and
+# tools-smoke run it in-process). Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
 _CHECK_WINDOW = [
-    # NEW in round 9 — the .partitions introspection rollup
-    "snapshot_partitions_rent",
-    # bench headliners, newest driver evidence round 5
-    "revenue_by_nation",
-    "running_revenue",
-    "moving_avg_7d",
-    "daily_revenue",
-    "yoy_revenue",
-    "mtd_revenue",
-    "shipping_priority",
-    "profit_by_nation_year",
-    # newest driver evidence round 6 — cohort minus 9 deferrals
-    "bigram_top_counts",
-    "boilerplate_ngram_fraction",
-    "brand_customer_overlap",
-    "corpus_quality_gate",
-    "crossmodal_dup_agreement",
-    "dedup_cluster_representatives",
-    "dedup_clusters",
-    "dedup_incremental_new",
-    "dq_orders_checks",
-    "embedding_norm_stats",
-    "excess_parts_suppliers",
-    "fuzzy_part_name_pairs",
-    "gap_filled_daily_revenue",
-    "global_top_orders",
-    "grouping_sets_revenue",
-    "important_stock_share",
-    "kmeans_embedding_clusters",
-    "kmv_distinct_estimate",
-    "kmv_users_by_event_type",
-    "kmv_weekly_rollup",
-    "lang_temperature_resample",
-    "latest_event_per_user",
-    "mad_order_value_by_segment",
-    "moving_avg_7d_range",
-    "native_session_windows",
-    "nation_supply_value_share",
-    "ohlc_hourly_value",
-    "ordered_funnel_users",
-    "packed_sequence_bins",
-    "per_source_doc_cap",
-    "pii_redaction_report",
-    "revenue_pareto_share",
-    "salted_segment_revenue",
-    "stats_price_quantity",
-    "text_unigram_logprob",
-    "tfidf_top_terms",
-    "trailing_7d_active_users",
-    "user_active_coverage",
-    "window_navigation_showcase",
-    "winsorized_order_stats",
-    "word_position_stats",
+    # newest driver evidence round 6 — the round-9 deferral set,
+    # flagship first
+    "pricing_summary",
+    "dv_delete_survivors",
+    "eq_upsert_survivors",
+    "merge_full_sync_status",
+    "merge_tiered_clauses",
+    "mv_filtered_status_revenue",
+    "mv_star_segment_revenue",
+    "multimodal_audio_features",
+    "multimodal_video_features",
+    # newest driver evidence round 7 — cohort minus 8 deferrals
+    "conversion_rate",
+    "corpus_curation_funnel",
+    "corpus_shard_shuffle",
+    "cube_event_counts",
+    "customers_with_orders",
+    "date_functions_showcase",
+    "dedup_clusters_incremental",
+    "dedup_incremental_neardup",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "doc_chunk_windows",
+    "doc_repetition_filter",
+    "dynfilter_urgent_order_revenue",
+    "embedding_int8_quantization",
+    "events_by_type_daily",
+    "except_active_ids",
+    "exists_returned_orders",
+    "histogram_weekly_percentiles",
+    "intersect_active_ids",
+    "inverted_index_postings",
+    "knn_label_vote",
+    "late_shipment_priority",
+    "min_cost_supplier",
+    "monthly_open_order_lines",
+    "multimodal_binary_meta",
+    "multimodal_frame_sample",
+    "ntile_customer_quartiles",
+    "order_part_baskets",
+    "parts_supplier_relationship",
+    "pivot_event_matrix",
+    "recursive_trade_reach",
+    "rich_inactive_customers",
+    "scalar_subquery_pricey_parts",
+    "sim_lsh_topk",
+    "string_functions_showcase",
+    "text_bigram_logprob",
+    "text_fingerprint",
+    "text_langid",
+    "text_quality",
+    "union_active_ids",
 ]
 
 
