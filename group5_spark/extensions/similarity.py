@@ -634,35 +634,26 @@ def ivf_pq_index_init(
     ADC distances, so the shortlist budget matches direct mode
     exactly; the exact re-rank is unchanged, and the exactness anchor
     (probe-all + rerank-all ≡ brute force) holds in both modes.
+
+    So callers don't have to GUESS which mode fits their corpus, init
+    measures it: the mean within-cell residual norm over the assigned
+    corpus (unit vectors, so the mean vector norm is exactly 1 and
+    the ratio is the residual norm itself — one aggregate, no second
+    model). The manifest note records it under
+    ``anisotropy: {residual_norm_ratio, recommended}`` — clustered
+    corpora (cells capture structure, residuals SMALLER than the
+    vectors) recommend ``residual``; near-isotropic corpora
+    (residual ≈ √2 · vector — nearly orthogonal to any centroid)
+    recommend ``direct``. The threshold is ``_ANISO_RESIDUAL_MAX`` —
+    strictly below 1.0, i.e. residual only when the codes genuinely
+    have less norm to describe.
     """
-    from group5_spark.extensions.clustering import pq_encode, pq_train
     from group5_spark.medallion.snapshots import snapshot_commit
 
-    c_vec = _ivf_c_vec(corpus, id_col, vec_col)
-    base = (
-        c_vec.withColumn("cn", F.sqrt(F.expr(DOT.format(a="v", b="v"))))
-        .where(F.col("cn") > 0)
-        .withColumn("vu", F.transform(F.col("v"), lambda x: x / F.col("cn")))
+    final, centroids, books, aniso = _ivfpq_build(
+        corpus, id_col, vec_col, n_cells, m, k_codes, iters, hash_fn,
+        residual,
     )
-    unit = base.select("cand_id", F.col("vu").alias("v"))
-    centroids = ivf_sample_centroids(unit, n_cells, hash_fn)
-    assigned = base.withColumn(
-        "cell_id", F.array_max(_cell_scores(centroids, "vu")).getField("cell")
-    )
-    code_col = "vu"
-    if residual:
-        assigned = assigned.withColumn(
-            "vr", _ivfpq_residual_col(centroids)
-        )
-        code_col = "vr"
-    books = pq_train(
-        assigned, vec_col=code_col, id_col="cand_id",
-        m=m, k=k_codes, iters=iters,
-    )
-    encoded = pq_encode(assigned, books, vec_col=code_col, out="pq_codes")
-    final = encoded.select(
-        "cand_id", "v", "cn", "pq_codes", "cell_id"
-    ).repartition("cell_id")
     return snapshot_commit(
         final,
         index_path,
@@ -677,10 +668,133 @@ def ivf_pq_index_init(
                 "k_codes": k_codes,
                 "hash_fn": hash_fn,
                 "residual": bool(residual),
+                "anisotropy": aniso,
             },
             "centroids": centroids,
             "codebooks": books,
             "op": "ivf_pq_index_init",
+        },
+    )
+
+
+#: recommend residual codes only when the mean within-cell residual
+#: norm is meaningfully below the (unit) vector norm — residuals must
+#: actually be smaller for the codebook to spend its codewords on
+#: within-cell structure. Isotropic corpora sit near √2 ≈ 1.41.
+_ANISO_RESIDUAL_MAX = 0.9
+
+
+def _ivfpq_build(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_cells: int,
+    m: int,
+    k_codes: int,
+    iters: int,
+    hash_fn: str,
+    residual: bool,
+):
+    """The shared model-fit + encode pipeline behind
+    :func:`ivf_pq_index_init` and :func:`ivf_pq_index_retrain`:
+    unit-project, sample centroids, assign cells, measure the
+    anisotropy ratio (one aggregate), train codebooks on the chosen
+    code column, encode. Returns
+    ``(final_df, centroids, codebooks, anisotropy)`` — the caller
+    decides the commit mode/note."""
+    from group5_spark.extensions.clustering import pq_encode, pq_train
+
+    c_vec = _ivf_c_vec(corpus, id_col, vec_col)
+    base = (
+        c_vec.withColumn("cn", F.sqrt(F.expr(DOT.format(a="v", b="v"))))
+        .where(F.col("cn") > 0)
+        .withColumn("vu", F.transform(F.col("v"), lambda x: x / F.col("cn")))
+    )
+    unit = base.select("cand_id", F.col("vu").alias("v"))
+    centroids = ivf_sample_centroids(unit, n_cells, hash_fn)
+    assigned = base.withColumn(
+        "cell_id", F.array_max(_cell_scores(centroids, "vu")).getField("cell")
+    ).withColumn("vr", _ivfpq_residual_col(centroids))
+    measured = assigned.agg(
+        F.avg(F.sqrt(F.expr(DOT.format(a="vr", b="vr"))))
+    ).first()[0]
+    ratio = None if measured is None else round(float(measured), 4)
+    aniso = {
+        "residual_norm_ratio": ratio,
+        "recommended": (
+            "residual"
+            if ratio is not None and ratio < _ANISO_RESIDUAL_MAX
+            else "direct"
+        ),
+    }
+    code_col = "vr" if residual else "vu"
+    books = pq_train(
+        assigned, vec_col=code_col, id_col="cand_id",
+        m=m, k=k_codes, iters=iters,
+    )
+    encoded = pq_encode(assigned, books, vec_col=code_col, out="pq_codes")
+    final = encoded.select(
+        "cand_id", "v", "cn", "pq_codes", "cell_id"
+    ).repartition("cell_id")
+    return final, centroids, books, aniso
+
+
+def ivf_pq_index_retrain(
+    corpus: DataFrame,
+    index_path: str,
+    n_cells: int | None = None,
+    residual: bool | None = None,
+    iters: int = 2,
+    expected_parent: int | None = None,
+) -> int:
+    """Re-train the composed index: fresh centroid sample AND fresh
+    codebooks from the current corpus, full re-assignment + re-encode
+    committed as ONE overwrite version — the missing half of the
+    frozen-model contract (:func:`ivf_pq_index_append` never
+    retrains, so a corpus that doubles leaves probe cost and code
+    quality pinned to the init-time model; this is the operation that
+    un-pins them, exactly like :func:`ivf_index_retrain` for the
+    plain IVF index).
+
+    ``n_cells=None`` keeps the current cell count — pass the √N
+    re-dial after corpus growth. ``residual=None`` keeps the current
+    code mode; pass True/False to switch modes at the natural
+    boundary (codes are retrained anyway, and the fresh
+    ``anisotropy`` measurement in the new note says which mode the
+    CURRENT corpus wants). id/vec columns, the (m, k) code budget,
+    and hash mode always carry over. ``expected_parent`` guards
+    against racing a concurrent append (SnapshotConflict → re-read,
+    retrain against the fresh corpus). Pre-retrain versions stay
+    probe-able with their own model: every version's note carries ITS
+    centroids and codebooks, and :func:`ivf_pq_topk` pins
+    ``version=`` before reading either. Returns the new version."""
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    params, _, _ = ivf_pq_params(index_path)
+    cells = n_cells if n_cells is not None else params["n_cells"]
+    res = (
+        bool(params.get("residual")) if residual is None else bool(residual)
+    )
+    final, centroids, books, aniso = _ivfpq_build(
+        corpus, params["id_col"], params["vec_col"], cells,
+        params["m"], params["k_codes"], iters, params["hash_fn"], res,
+    )
+    return snapshot_commit(
+        final,
+        index_path,
+        mode="overwrite",
+        partition_by="cell_id",
+        expected_parent=expected_parent,
+        note={
+            _IVFPQ_NOTE_KEY: {
+                **params,
+                "n_cells": cells,
+                "residual": res,
+                "anisotropy": aniso,
+            },
+            "centroids": centroids,
+            "codebooks": books,
+            "op": "ivf_pq_index_retrain",
         },
     )
 
