@@ -891,6 +891,49 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
                 f"zorder_cols= when several keys are filtered "
                 f"independently)"
             )
+    # partition-grain findings (round-10: advise_partitions wired into
+    # the ops loop) — same manifest, zero extra I/O. Each finding names
+    # the partition WITH its measured numbers so the heal loop (and a
+    # human reading `snapshot health`) acts on specifics:
+    # - compact/fold_masks map onto the executors apply_health already
+    #   drives (compact_snapshot_partitions / compact_snapshot_masks);
+    # - split_or_salt has NO safe automatic rewrite (splitting a
+    #   partition value or salting the key changes the table's layout
+    #   contract at write time), so it is surfaced as `skew:` advice —
+    #   apply_health reports it with executed=False, never acts.
+    part_findings: list[dict] = []
+    if head.get("partition_by"):
+        from group5_spark.plans.advisor import advise_partitions
+
+        for f in advise_partitions(path):
+            part_findings.append(
+                {
+                    "partition": f.partition,
+                    "action": f.action,
+                    "reasons": list(f.reasons),
+                }
+            )
+            why = "; ".join(f.reasons)
+            if f.action == "split_or_salt":
+                recs.append(
+                    f"skew: partition {f.partition!r} dominates the "
+                    f"layout ({why}) — it is the straggler task of "
+                    f"every partition-grain stage; split the partition "
+                    f"value or salt the grouping key at write time "
+                    f"(no safe automatic rewrite)"
+                )
+            elif f.action == "compact":
+                recs.append(
+                    f"compact: partition {f.partition!r} fragmented "
+                    f"({why}) — open-file and footer overhead dominate "
+                    f"its scans (compact_snapshot_partitions)"
+                )
+            elif f.action == "fold_masks":
+                recs.append(
+                    f"fold: partition {f.partition!r} mask rent ({why})"
+                    f" — merge-on-read anti-joins concentrate here "
+                    f"(compact_snapshot_masks)"
+                )
     return {
         "version": head["version"],
         "files": len(files),
@@ -906,6 +949,7 @@ def table_health(path: str, target_file_bytes: int = DEFAULT_TARGET_BYTES) -> di
         "eq_masked_keys": eq_masked_keys,
         "clustering_overlap": overlap,
         "constraints": sorted(head.get("constraints", {})),
+        "partition_findings": part_findings,
         "recommendations": recs,
     }
 
@@ -2023,6 +2067,12 @@ def apply_health(
     run without touching the table.
 
     Mapping (each action is the one the recommendation names):
+    - ``skew:`` (a partition holding a multiple of the median
+      partition's rows, from :func:`plans.advisor.advise_partitions`)
+      → REPORTED with ``executed: False`` and the measured ratio;
+      there is no safe automatic rewrite — splitting a partition
+      value or salting the grouping key changes the table's write
+      contract, a human decision;
     - ``fold:`` (DV / equality-delete mask rent) →
       :func:`compact_snapshot_masks` — priced at the masked data, not
       the table; skipped when a clustering rewrite is also due (the
@@ -2049,6 +2099,20 @@ def apply_health(
     actions: list[dict] = []
     h = table_health(path, target_file_bytes=target_file_bytes)
     recs = h["recommendations"]
+
+    # skew advisories first: report-only (see the mapping above), one
+    # record per skewed partition so the ops log carries the numbers
+    for f in h.get("partition_findings", []):
+        if f["action"] != "split_or_salt":
+            continue
+        actions.append(
+            {
+                "action": "split_or_salt",
+                "partition": f["partition"],
+                "reason": "; ".join(f["reasons"]),
+                "executed": False,
+            }
+        )
 
     cluster_recs = [r for r in recs if r.startswith("cluster:")]
     fold_recs = [r for r in recs if r.startswith("fold:")]
@@ -2133,7 +2197,10 @@ def apply_health(
     expire_recs = [r for r in recs if r.startswith("expire:")]
     # a rewrite above just added a version; expiry recommended before
     # OR made newly useful by the rewrite is handled in one pass
-    if expire_recs or (actions and not dry_run):
+    # (report-only skew advisories don't count — nothing was rewritten)
+    if expire_recs or (
+        any(a["executed"] for a in actions) and not dry_run
+    ):
         h2 = table_health(path, target_file_bytes=target_file_bytes)
         expire_now = [
             r for r in h2["recommendations"] if r.startswith("expire:")

@@ -320,6 +320,13 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
         if not done:
             print("healthy: nothing to do")
         for a in done:
+            if a["action"] == "split_or_salt":
+                # report-only: no safe automatic rewrite exists
+                print(
+                    f"advise split_or_salt on partition "
+                    f"{a['partition']!r}: {a['reason']}"
+                )
+                continue
             verb = "did" if a["executed"] else (
                 "would" if args.dry_run else "skipped (pass --expire)"
             )

@@ -264,17 +264,28 @@ def test_cli_snapshot_compact_clustering(spark, tmp_path):
 def test_cli_snapshot_heal(spark, tmp_path):
     """`snapshot heal` runs the health-recommendation loop through
     the CLI (subprocess — boots Spark); expiry stays gated behind
-    --expire."""
+    --expire; a skewed partition prints as a report-only advisory
+    (round-10: advise_partitions wired into the ops loop) while the
+    fragmented partition is actually compacted."""
+    from pyspark.sql import functions as F
+
     from group5_spark.medallion.snapshots import snapshot_commit
 
     path = str(tmp_path / "cli_heal")
-    for i in range(6):
-        snapshot_commit(
-            spark.range(i * 400, (i + 1) * 400).repartition(2),
-            path,
-            mode="append" if i else "overwrite",
-            stats_cols=["id"],
-        )
+    hot = spark.range(4000).select(F.lit("hot").alias("p"), F.col("id"))
+    frag = spark.range(4000, 4400).select(
+        F.lit("frag").alias("p"), F.col("id")
+    ).repartitionByRange(20, "id")
+    cold = spark.range(4400, 4800).select(
+        F.lit("cold").alias("p"), F.col("id")
+    )
+    snapshot_commit(
+        hot.repartition(1, "p"), path, partition_by="p", stats_cols=["id"]
+    )
+    snapshot_commit(frag, path, mode="append", partition_by="p")
+    snapshot_commit(
+        cold.repartition(1, "p"), path, mode="append", partition_by="p"
+    )
     out = subprocess.run(
         [sys.executable, "-m", "group5_spark.pipeline",
          "--master", "local[4]",
@@ -283,6 +294,8 @@ def test_cli_snapshot_heal(spark, tmp_path):
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "did cluster_compact" in out.stdout or "did compact" in out.stdout
+    assert "advise split_or_salt on partition 'hot'" in out.stdout
+    assert "rows=4000" in out.stdout
 
 
 def test_cli_snapshot_constrain(spark, tmp_path):

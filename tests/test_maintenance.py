@@ -326,6 +326,77 @@ def test_table_health_flags_fragmentation_and_heals(spark, tmp_path):
     assert "compact:" not in joined and "expire:" not in joined
 
 
+def test_partition_findings_reach_health_and_heal(spark, tmp_path):
+    """Round-10: advise_partitions wired into the ops loop. A layout
+    with one SKEWED partition (10x the median's rows) and one
+    FRAGMENTED partition (20 tiny files) -> table_health names both
+    partitions with their measured numbers; apply_health compacts the
+    fragmented one and surfaces split_or_salt as a report-only record
+    (it has no safe auto-executor — splitting a partition value or
+    salting the key is a write-contract change); a second pass
+    executes nothing (converged) while the skew advisory remains."""
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.maintenance import (
+        apply_health,
+        table_health,
+    )
+    from group5_spark.medallion.snapshots import snapshot_commit
+
+    tbl = str(tmp_path / "part_health")
+    hot = spark.range(4000).select(
+        F.lit("hot").alias("p"), F.col("id")
+    )
+    # range-partitioned so the 20 tiny files carry DISJOINT id stats —
+    # the fragmentation finding must fire, not the clustering one
+    frag = spark.range(4000, 4400).select(
+        F.lit("frag").alias("p"), F.col("id")
+    ).repartitionByRange(20, "id")
+    cold = spark.range(4400, 4800).select(
+        F.lit("cold").alias("p"), F.col("id")
+    )
+    snapshot_commit(
+        hot.repartition(1, "p"), tbl, partition_by="p",
+        stats_cols=["id"], ndv_cols=["id"],
+    )
+    snapshot_commit(frag, tbl, mode="append", partition_by="p")
+    snapshot_commit(
+        cold.repartition(1, "p"), tbl, mode="append", partition_by="p"
+    )
+
+    h = table_health(tbl)
+    by_action = {}
+    for f in h["partition_findings"]:
+        by_action.setdefault(f["action"], []).append(f)
+    assert [f["partition"] for f in by_action["split_or_salt"]] == ["hot"]
+    assert [f["partition"] for f in by_action["compact"]] == ["frag"]
+    recs = h["recommendations"]
+    skew_recs = [r for r in recs if r.startswith("skew:")]
+    assert len(skew_recs) == 1
+    assert "'hot'" in skew_recs[0] and "rows=4000" in skew_recs[0]
+    assert "no safe automatic rewrite" in skew_recs[0]
+    assert any(
+        r.startswith("compact:") and "'frag'" in r and "files=20" in r
+        for r in recs
+    )
+
+    done = apply_health(spark, tbl)
+    by_name = {a["action"]: a for a in done}
+    adv = by_name["split_or_salt"]
+    assert adv["executed"] is False and adv["partition"] == "hot"
+    assert "rows=4000" in adv["reason"]
+    compact = by_name["compact"]
+    assert compact["executed"] and compact["result"]["partitions_compacted"] == 1
+
+    h2 = table_health(tbl)
+    assert not any(
+        f["action"] == "compact" for f in h2["partition_findings"]
+    )
+    again = apply_health(spark, tbl)
+    assert [a["action"] for a in again] == ["split_or_salt"]
+    assert all(not a["executed"] for a in again)
+
+
 def test_table_health_stats_and_ndv_coverage(spark, tmp_path):
     from pyspark.sql import functions as F
 
