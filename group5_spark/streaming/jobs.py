@@ -1002,3 +1002,32 @@ def stream_ivf_index_maintenance(
     return _stream_index_maintenance(
         embeddings, index_path, checkpoint, ivf_index_append, app_id
     )
+
+
+def stream_ivf_pq_index_maintenance(
+    embeddings: DataFrame,
+    index_path: str,
+    checkpoint: str,
+    app_id: str | None = None,
+):
+    """Keep a persisted COMPOSED IVF-PQ index (extensions.similarity
+    ``ivf_pq_index_init``/``ivf_pq_index_append``) fresh from a live
+    embedding stream: each micro-batch is assigned AND PQ-encoded
+    against the index's frozen model (centroids + codebooks pin at
+    init, so streamed codes stay ADC-comparable with the resident
+    ones) and lands as one atomic cell-partitioned append —
+    ``ivf_pq_topk`` keeps file-pruning and code-scanning correctly as
+    the corpus grows. When the frozen model dilutes (corpus growth,
+    distribution drift — the manifest's ``anisotropy`` note and
+    recall monitoring say when), stop the stream, run
+    ``ivf_pq_index_retrain``, and restart: the checkpoint's
+    (app_id, batch_id) note-dedup carries across the retrain version
+    untouched.
+
+    Returns an un-started DataStreamWriter (caller picks the trigger).
+    """
+    from group5_spark.extensions.similarity import ivf_pq_index_append
+
+    return _stream_index_maintenance(
+        embeddings, index_path, checkpoint, ivf_pq_index_append, app_id
+    )

@@ -163,6 +163,76 @@ def test_stream_ivf_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
     assert len(snapshot_versions(idx)) == versions_after
 
 
+def test_stream_ivf_pq_index_maintenance_exactly_once(
+    spark, sf_dir, tmp_path
+):
+    """The composed-index mirror of the plain-IVF stream test: each
+    micro-batch is assigned AND PQ-encoded against the frozen model,
+    lands as one cell-partitioned append, becomes a probe candidate
+    through the full three-prune serving path, and a checkpoint
+    replay of the drained stream adds no versions."""
+    import json
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from group5_spark.medallion.snapshots import snapshot_versions
+    from group5_spark.streaming import jobs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.filter(F.col("vec_id") % 5 < 4)
+    streamed = emb.filter(F.col("vec_id") % 5 == 4).limit(5)
+    idx = str(tmp_path / "ivfpqidx")
+    S.ivf_pq_index_init(corpus0, idx, n_cells=8, m=4, k_codes=8)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    streamed_rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in streamed.collect()
+    ]
+    with open(src / "a.json", "w") as f:
+        for vid, vec in streamed_rows:
+            f.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_ivf_pq_index_maintenance(stream, idx, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    versions_after = len(snapshot_versions(idx))
+    assert versions_after == 2  # init + one micro-batch append
+
+    # a streamed vector must now be findable through the full serving
+    # path — probe with ITS OWN raw vector (self-id not excluded
+    # because the query vector is driver-side, not an index row probe)
+    vid0, vec0 = streamed_rows[0]
+    hits = {
+        r.cand_id
+        for r in S.ivf_pq_topk(
+            spark, idx, vec0, k=5, n_probe=8, rerank=50
+        ).collect()
+    }
+    assert vid0 in hits
+
+    # replay with the same checkpoint: nothing new, no phantom version
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_ivf_pq_index_maintenance(stream, idx, ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(snapshot_versions(idx)) == versions_after
+
+
 def test_retrain_resamples_and_old_version_stays_probeable(
     spark, sf_dir, tmp_path
 ):

@@ -116,10 +116,12 @@ def run_one_pq(n: int) -> dict:
     per-ingest cost), QUERY a fixed batch over the persisted codes via
     the ADC LUT path (timed — m element_at lookups per row, raw
     vectors never reload), and measure quality vs the exact L2 top-10
-    at that scale: id recall@10 plus the tie-robust DISTANCE RATIO
-    (mean true distance of PQ's top-10 / exact top-10's — 1.0 is
-    perfect; robust to the xd replicas' 1e-3-perturbation near-ties,
-    which make id-recall ill-posed at high scales by construction)."""
+    at that scale: id recall@10 plus the DISTANCE RATIO (mean true
+    distance of PQ's top-10 / exact top-10's — 1.0 is perfect). The
+    Nx corpus is the base 1x plus FRESH deterministic unit vectors
+    (round-10 materialize_docs), so the exact top-10 is a real
+    neighborhood at every scale and recall stays informative — the
+    old replica construction saturated it at 1.0 for >=16x."""
     import math as _math
 
     from pyspark.sql import functions as F
@@ -228,8 +230,8 @@ def run_one_ivfpq(n: int) -> dict:
     ADC prunes math, exact re-rank of the 64-row shortlist — timed)
     and a fixed 1x append batch lands on a zero-copy CLONE (frozen
     model assign+encode — timed). Quality: id recall@10 vs exact
-    cosine at that scale (the >=16x saturation note from
-    fixed_batch_pq applies here identically)."""
+    cosine at that scale, over the fresh-vector Nx corpus (see
+    run_one_pq — informative at every scale, no replica near-ties)."""
     from pyspark.sql import functions as F
 
     from group5_spark.catalog import load_table
@@ -335,9 +337,11 @@ def main_ivfpq() -> None:
             "exact cosine re-rank of the 64-row shortlist, timed) and "
             "a fixed 1x append batch lands on a zero-copy clone via "
             "the frozen model (timed). recall@10 vs exact cosine at "
-            "each scale; the >=16x saturation artifact documented on "
-            "fixed_batch_pq (replica near-ties become the exact "
-            "top-10) applies identically"
+            "each scale over the round-10 fresh-vector Nx corpus "
+            "(base 1x + deterministic fresh unit vectors, no replica "
+            "near-ties) — informative at every scale; declines as "
+            "fresh mass densifies the true neighborhood while the "
+            "probe keeps touching a shrinking file fraction"
         ),
         "runs": runs,
         "probe_seconds_exponent": _fit_exponent(
@@ -376,17 +380,13 @@ def main_pq() -> None:
             "scan) and a fixed 4-query batch probes the PERSISTED "
             "codes via the ADC LUT path (timed; raw vectors never "
             "reload); quality vs the exact L2 top-10 at that scale = "
-            "id recall@10 plus the tie-robust distance ratio (mean "
-            "true distance of PQ's top-10 / exact's, 1.0 perfect). "
-            "NOTE on the id-recall column: at >=16x the xd corpus's "
-            "replica construction (copies of every 1x vector at 1e-3 "
-            "perturbations) makes the exact top-10 the query's own "
-            "near-copies, which PQ retrieves trivially — recall "
-            "saturates at 1.0 by construction there; the honest "
-            "difficulty is the 1x row (0.625 on this 4-query batch; "
-            "the pinned 8-query sf0.1 test measures 0.54) and the "
-            "distance ratio is the artifact-free quality signal at "
-            "every scale"
+            "id recall@10 plus the distance ratio (mean true distance "
+            "of PQ's top-10 / exact's, 1.0 perfect). The Nx corpus is "
+            "the round-10 fresh-vector construction (base 1x + "
+            "deterministic fresh unit vectors — no replica near-ties), "
+            "so both quality columns are informative at every scale: "
+            "the exact top-10 is a genuine neighborhood that tightens "
+            "as N grows, the hard test for 1x-trained codebooks"
         ),
         "runs": runs,
         "encode_seconds_exponent": _fit_exponent(

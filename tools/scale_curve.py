@@ -224,8 +224,13 @@ def run_skew(n: int) -> dict:
 # not an engine property. materialize_docs() therefore suffixes every
 # word with the replica id (shingle sets become disjoint across
 # replicas: duplicate-GROUP sizes stay at their 1x values while the
-# corpus grows Nx) and nudges each replica's embeddings by a tiny
-# per-replica epsilon so ANN top-k isn't an all-ties degenerate case.
+# corpus grows Nx). Replica EMBEDDINGS are FRESH deterministic unit
+# vectors (Box-Muller over xxhash64 uniforms, L2-normalized; replica 0
+# keeps the base corpus byte-identical) — the previous 1e-3-nudge
+# construction made the exact top-10 at >=16x the query's own
+# near-copies, saturating ladder recall at 1.0 by construction
+# (round-9 VERDICT #3); fresh vectors keep recall informative at
+# every scale because the true neighborhood is a real point cloud.
 
 TRAINOPS = [
     "dedup_minhash_lsh",
@@ -246,10 +251,14 @@ TRAINOPS = [
 
 def materialize_docs(n: int) -> Path:
     """Replica-distinct documents/embeddings at N× (plus the hot-key
-    events of :func:`materialize` via symlink, for the sketch query)."""
+    events of :func:`materialize` via symlink, for the sketch query).
+
+    Marker is ``_DONE2``: the round-10 fresh-embedding construction
+    (see the block comment above TRAINOPS) must invalidate xd dirs
+    built with the old 1e-3-perturbation replicas."""
     base = materialize(n)  # ensures events exist
     out = SCALE_ROOT / f"xd{n:03d}"
-    if (out / "_DONE").exists():
+    if (out / "_DONE2").exists():
         return out
     from pyspark.sql import functions as F
 
@@ -282,17 +291,44 @@ def materialize_docs(n: int) -> Path:
 
     emb = load_table(spark, BASE_SF, "embeddings")
     vkey = emb.agg(F.max("vec_id")).first()[0] + 1
+    erep = emb.withColumn(
+        "_r", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+    ).withColumn("vec_id", F.col("vec_id") + F.col("_r") * vkey)
+    # replica 0 = the base corpus byte-identical; every other replica
+    # is a FRESH deterministic unit vector: per-element standard
+    # normals via Box-Muller over two xxhash64-derived uniforms (keyed
+    # on the replica-offset vec_id + element index, so every replica
+    # of every vector draws its own), then L2-normalized to match the
+    # base corpus's unit-norm distribution. All JVM-side expressions.
+    M = 2147483647
+
+    def _unif(tag):
+        def f(i):
+            return (
+                F.pmod(
+                    F.xxhash64(F.col("vec_id"), i, F.lit(tag)), F.lit(M)
+                ).cast("double")
+                + 1.0
+            ) / float(M + 1)
+
+        return f
+
+    u1, u2 = _unif("bm-u1"), _unif("bm-u2")
+
+    def gauss(i):
+        return F.sqrt(F.lit(-2.0) * F.log(u1(i))) * F.cos(
+            F.lit(2.0 * math.pi) * u2(i)
+        )
+
+    fresh = F.transform(F.col("embedding"), lambda x, i: gauss(i))
+    norm = F.sqrt(
+        F.aggregate(fresh, F.lit(0.0), lambda a, z: a + z * z)
+    )
+    unit = F.transform(fresh, lambda z: (z / norm).cast("float"))
     erep = (
-        emb.withColumn("_r", F.explode(F.sequence(F.lit(0), F.lit(n - 1))))
-        .withColumn("vec_id", F.col("vec_id") + F.col("_r") * vkey)
-        .withColumn(
+        erep.withColumn(
             "embedding",
-            F.transform(
-                F.col("embedding"),
-                lambda x, i: (
-                    x + F.when(i == 0, F.col("_r") * 1e-3).otherwise(0.0)
-                ).cast("float"),
-            ),
+            F.when(F.col("_r") == 0, F.col("embedding")).otherwise(unit),
         )
         .drop("_r")
         .repartition(files)
@@ -300,7 +336,7 @@ def materialize_docs(n: int) -> Path:
     erep.write.mode("overwrite").parquet(str(out / "embeddings.parquet"))
     spark.stop()
     (out / "events.parquet").symlink_to(base / "events.parquet")
-    (out / "_DONE").touch()
+    (out / "_DONE2").touch()
     return out
 
 
