@@ -315,12 +315,14 @@ def run_one_ivfpq(n: int) -> dict:
     }
 
 
-def main_ivfpq() -> None:
+def _collect(flag: str) -> list[dict]:
+    """Subprocess-per-scale worker loop shared by the orchestrators
+    (fresh JVM per scale — the bench/scale-curve methodology)."""
     runs = []
     for n in SCALES:
-        print(f"=== ivfpq scale x{n} ===", flush=True)
+        print(f"=== {flag} scale x{n} ===", flush=True)
         out = subprocess.run(
-            [sys.executable, __file__, "--one-ivfpq", str(n)],
+            [sys.executable, __file__, flag, str(n)],
             capture_output=True, text=True, check=True,
         )
         line = [
@@ -328,6 +330,14 @@ def main_ivfpq() -> None:
         ][-1]
         runs.append(json.loads(line[len("RESULT "):]))
         print(runs[-1], flush=True)
+    return runs
+
+
+def main_ivfpq() -> None:
+    record_ivfpq(_collect("--one-ivfpq"))
+
+
+def record_ivfpq(runs: list[dict]) -> None:
     rec = {
         "method": (
             "composed IVF-PQ index of the Nx corpus (cells = "
@@ -360,18 +370,10 @@ def main_ivfpq() -> None:
 
 
 def main_pq() -> None:
-    runs = []
-    for n in SCALES:
-        print(f"=== pq scale x{n} ===", flush=True)
-        out = subprocess.run(
-            [sys.executable, __file__, "--one-pq", str(n)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [
-            l for l in out.stdout.splitlines() if l.startswith("RESULT ")
-        ][-1]
-        runs.append(json.loads(line[len("RESULT "):]))
-        print(runs[-1], flush=True)
+    record_pq(_collect("--one-pq"))
+
+
+def record_pq(runs: list[dict]) -> None:
     rec = {
         "method": (
             "codebooks trained once on the 1x sample (m=32 subspaces, "
@@ -429,18 +431,10 @@ def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--ivfpq":
         main_ivfpq()
         return
-    runs = []
-    for n in SCALES:
-        print(f"=== scale x{n} ===", flush=True)
-        out = subprocess.run(
-            [sys.executable, __file__, "--one", str(n)],
-            capture_output=True, text=True, check=True,
-        )
-        line = [
-            l for l in out.stdout.splitlines() if l.startswith("RESULT ")
-        ][-1]
-        runs.append(json.loads(line[len("RESULT "):]))
-        print(runs[-1], flush=True)
+    record_ivf(_collect("--one"))
+
+
+def record_ivf(runs: list[dict]) -> None:
     rec = {
         "method": (
             "fixed 64-query probe batch + fixed 1x append batch vs the "
