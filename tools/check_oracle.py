@@ -38,7 +38,11 @@ def normalize(v):
     if v is None:
         return ("0none", "")
     if isinstance(v, Decimal):
-        return ("dec", str(v.normalize()))
+        # lenient mode is value-based: DuckDB returns DECIMAL for
+        # numeric literals/ROUND-of-decimal where Spark computes a
+        # DOUBLE of identical value — compare on the float value so
+        # only strict mode (driver-faithful) flags representation.
+        return ("f", repr(float(v)))
     if isinstance(v, bool):
         return ("b", str(v))
     if isinstance(v, float):
