@@ -953,6 +953,161 @@ def ivf_pq_topk(
     )
 
 
+def ivf_pq_search(
+    queries: DataFrame,
+    index_path: str,
+    k: int = 10,
+    n_probe: int = 4,
+    rerank: int = 64,
+    exclude_self: bool = True,
+    version: int | None = None,
+) -> DataFrame:
+    """BATCH top-k search against the persisted IVF-PQ index — the
+    composed-index sibling of :func:`ivf_index_search` (a production
+    reranker probes thousands of queries, not one driver-side
+    vector). Same three prunes as :func:`ivf_pq_topk`, expressed for
+    a query DataFrame:
+
+    1. **cells**: each query routes to its ``n_probe`` nearest cells
+       map-side against the pinned centroid literals; the UNION of
+       probed cells (collected driver-side, bounded by ``n_cells``)
+       selects which index FILES are read via manifest partition
+       pruning.
+    2. **codes**: the per-(query, cell) ADC lookup table — m×k
+       rounded subspace distances, residual-aware (``qu −
+       centroid[cell]`` when the index carries residual codes) — is
+       computed ON SPARK per probe row (|queries| × n_probe rows,
+       kilobytes) with the same ``_slice_dist_sql`` folds as
+       :func:`clustering.pq_topk`'s driver LUT, then BROADCAST into
+       the cell-pruned scan: per candidate the distance is m
+       ``element_at`` picks over the PERSISTED codes, and the
+       per-query top-``rerank`` shortlist is a rank filter
+       (WindowGroupLimit — no global sort).
+    3. **re-rank**: only shortlist rows pay the exact cosine (the
+       raw vector and norm ride the index row — no second read), with
+       :func:`cosine_topk`'s exact expression and rounding, so with
+       ``n_probe = n_cells`` and ``rerank`` ≥ the corpus the batch
+       search IS ``cosine_topk`` bit-for-bit (tested, both code
+       modes) — every approximation is the (n_probe, rerank) dials.
+
+    Zero-norm query vectors are excluded (cosine undefined — the
+    index-build rule). ``exclude_self=False`` keeps a query's own
+    index row (by id) in its results. Returns ``(query_id, cand_id,
+    cosine, rank)``.
+
+    At 100 TB: probe bytes ∝ |probed cells|/n_cells of m-byte codes,
+    the ADC join broadcasts the (queries × n_probe)-row LUT frame —
+    never shuffles the index — and the re-rank touches
+    ``rerank`` rows per query."""
+    from group5_spark.medallion.snapshots import (
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    # pin the version ONCE (see ivf_index_search: a concurrent retrain
+    # must not split params and file reads across index states)
+    try:
+        version = snapshot_manifest(index_path, version)["version"]
+    except FileNotFoundError:
+        raise ValueError(
+            f"{index_path} is not an IVF-PQ index table (no snapshot "
+            "manifest found)"
+        ) from None
+    params, centroids, books = ivf_pq_params(index_path, version=version)
+    from group5_spark.extensions.clustering import _slice_dist_sql
+
+    m = len(books)
+    d = len(books[0][0])
+    spark = queries.sparkSession
+    q = (
+        queries.withColumn("qv", _as_double(queries, params["vec_col"]))
+        .select(F.col(params["id_col"]).alias("query_id"), "qv")
+        .withColumn("qn", F.sqrt(F.expr(DOT.format(a="qv", b="qv"))))
+        .where(F.col("qn") > 0)
+        .withColumn("qu", F.transform(F.col("qv"), lambda x: x / F.col("qn")))
+    )
+    probes = (
+        q.withColumn(
+            "probe",
+            F.slice(
+                F.reverse(F.array_sort(_cell_scores(centroids, "qu"))),
+                1,
+                max(1, n_probe),
+            ),
+        )
+        .withColumn("cell_id", F.explode(F.col("probe.cell")))
+        .select("query_id", "qv", "qn", "qu", "cell_id")
+    )
+    equ = (
+        _ivfpq_residual_col(centroids, "qu")
+        if params.get("residual")
+        else F.col("qu")
+    )
+    lut_sql = "array(" + ", ".join(
+        "array(" + ", ".join(
+            _slice_dist_sql("equ", cw, s * d) for cw in book
+        ) + ")"
+        for s, book in enumerate(books)
+    ) + ")"
+    probes = (
+        probes.withColumn("equ", equ)
+        .withColumn("lut", F.expr(lut_sql))
+        .drop("equ", "qu")
+    )
+
+    cached = probes.persist()
+    try:
+        probed = sorted(
+            r["cell_id"]
+            for r in cached.select("cell_id").distinct().collect()
+        )
+    finally:
+        cached.unpersist()
+    if not probed:  # empty (or all-zero-norm) batch: right schema
+        rows = snapshot_read(spark, index_path, version=version).limit(0)
+    else:
+        parts = [
+            snapshot_read(
+                spark,
+                index_path,
+                version=version,
+                predicates=[("cell_id", "=", str(c))],
+            )
+            for c in probed
+        ]
+        rows = parts[0]
+        for p in parts[1:]:
+            rows = rows.unionByName(p)
+
+    cand = rows.join(F.broadcast(probes), on="cell_id")
+    if exclude_self:
+        cand = cand.filter(F.col("query_id") != F.col("cand_id"))
+    # same left-to-right addition chain and rounding as pq_topk's ADC
+    terms = " + ".join(
+        f"element_at(element_at(lut, {s + 1}),"
+        f" element_at(pq_codes, {s + 1}) + 1)"
+        for s in range(m)
+    )
+    w_pq = Window.partitionBy("query_id").orderBy("pq_dist", "cand_id")
+    shortlist = (
+        cand.withColumn("pq_dist", F.expr(f"round({terms}, 6)"))
+        .withColumn("_sr", F.row_number().over(w_pq))
+        .filter(F.col("_sr") <= rerank)
+    )
+    cosine = F.round(
+        F.expr(DOT.format(a="qv", b="v")) / (F.col("qn") * F.col("cn")), 6
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id")
+    )
+    return (
+        shortlist.withColumn("cosine", cosine)
+        .select("query_id", "cand_id", "cosine")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def ivf_pq_index_append(
     new_df: DataFrame,
     index_path: str,

@@ -393,6 +393,90 @@ def test_ivf_pq_probe_reads_only_probed_cells_files(
     assert 0 < len(read_files) < total_files
 
 
+def test_ivf_pq_batch_search_anchor_and_single_query_parity(
+    spark, sf_dir, tmp_path
+):
+    """The BATCH serving path (`ivf_pq_search`, query DataFrame in):
+    (1) exactness anchor — probe-all + rerank-all equals cosine_topk
+    for the whole batch BIT-FOR-BIT (values, ties, ranks); (2) at
+    pruned production dials every query's rows equal the single-query
+    ivf_pq_topk's, so batch and single-query are the same search."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    S.ivf_pq_index_init(emb, idx, n_cells=8, m=8, k_codes=8, iters=2)
+    queries = emb.orderBy("vec_id").limit(5)
+    n = emb.count()
+
+    exact = {
+        (r.query_id, r.cand_id, r.cosine, r.rank)
+        for r in S.cosine_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id, r.cosine, r.rank)
+        for r in S.ivf_pq_search(
+            queries, idx, k=10, n_probe=8, rerank=n
+        ).collect()
+    }
+    assert got == exact and got
+
+    for q in queries.collect():
+        single = {
+            (r.cand_id, r.cosine, r.rank)
+            for r in S.ivf_pq_topk(
+                spark, idx, [float(x) for x in q["embedding"]],
+                k=10, n_probe=4, rerank=32, exclude_id=q["vec_id"],
+            ).collect()
+        }
+        batch = {
+            (r.cand_id, r.cosine, r.rank)
+            for r in S.ivf_pq_search(
+                queries.where(F.col("vec_id") == q["vec_id"]),
+                idx, k=10, n_probe=4, rerank=32,
+            ).collect()
+        }
+        assert batch == single and batch
+
+
+def test_ivf_pq_batch_search_residual_mode_and_file_pruning(
+    spark, sf_dir, tmp_path
+):
+    """Residual-coded index: the batch path builds per-(query, cell)
+    LUTs against qu − centroid[cell]; the anchor must still hold for
+    a multi-query batch, and a low-n_probe batch plan must read a
+    strict subset of the index files (pruning survives the batch
+    union). An empty query batch returns an empty frame with the
+    output schema."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq_res")
+    S.ivf_pq_index_init(
+        emb, idx, n_cells=8, m=8, k_codes=8, iters=2, residual=True
+    )
+    queries = emb.orderBy("vec_id").limit(3)
+    n = emb.count()
+    exact = {
+        (r.query_id, r.cand_id, r.cosine, r.rank)
+        for r in S.cosine_topk(emb, queries, k=10).collect()
+    }
+    got = {
+        (r.query_id, r.cand_id, r.cosine, r.rank)
+        for r in S.ivf_pq_search(
+            queries, idx, k=10, n_probe=8, rerank=n
+        ).collect()
+    }
+    assert got == exact and got
+
+    total_files = len(snapshot_manifest(idx)["files"])
+    pruned = S.ivf_pq_search(
+        queries.limit(1), idx, k=5, n_probe=2, rerank=32
+    )
+    read_files = set(pruned.inputFiles())
+    assert 0 < len(read_files) < total_files
+
+    empty = S.ivf_pq_search(queries.limit(0), idx, k=5)
+    assert empty.columns == ["query_id", "cand_id", "cosine", "rank"]
+    assert empty.count() == 0
+
+
 def test_ivf_pq_guards(spark, sf_dir, tmp_path):
     """Zero query vector refused; a non-IVFPQ snapshot table refused
     with a pointed error."""
