@@ -8147,16 +8147,18 @@ def ivf_pq_exact_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     IS brute-force cosine, so the DuckDB oracle is the plain exact
     top-10. What the driver gate buys beyond the pytest anchor: the
     whole serving path — snapshot commit, manifest model round-trip,
-    partition-pruned cell reads, persisted-code ADC shortlist,
-    broadcast re-rank join — replays against an independent engine on
-    every check. Production probes dial (n_probe, rerank) DOWN from
+    partition-pruned cell reads, the BATCH search's per-(query, cell)
+    broadcast ADC LUTs over the persisted codes
+    (``similarity.ivf_pq_search`` — one DataFrame of queries, one
+    plan), and the exact re-rank — replays against an independent
+    engine on every check. Production probes dial (n_probe, rerank) DOWN from
     this exact configuration; every approximation is those two knobs,
     never plumbing."""
     import shutil as _shutil
 
     from group5_spark.extensions.similarity import (
         ivf_pq_index_init,
-        ivf_pq_topk,
+        ivf_pq_search,
     )
 
     path = _dml_scratch("ivf_pq_exact_anchor", sf_dir)
@@ -8164,15 +8166,9 @@ def ivf_pq_exact_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     n = emb.count()
     ivf_pq_index_init(emb, path, n_cells=8, m=4, k_codes=8, iters=2)
-    out = None
-    for r in emb.where(F.col("vec_id") < 3).collect():
-        res = ivf_pq_topk(
-            spark, path,
-            [float(x) for x in r["embedding"]],
-            k=10, n_probe=8, rerank=n, exclude_id=r["vec_id"],
-        ).withColumn("query_id", F.lit(int(r["vec_id"])).cast("long"))
-        out = res if out is None else out.unionByName(res)
-    return out.select("query_id", "cand_id", "cosine", "rank")
+    return ivf_pq_search(
+        emb.where(F.col("vec_id") < 3), path, k=10, n_probe=8, rerank=n
+    ).select("query_id", "cand_id", "cosine", "rank")
 
 
 @register(
