@@ -494,6 +494,149 @@ def jaccard_pairs_against(
     return cross.unionByName(internal)
 
 
+def contained_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_posting_size: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """DIRECTED containment near-dup join: every ordered pair (a, b)
+    with ``|Wa ∩ Wb| / |Wa| ≥ threshold`` (word sets), i.e. document
+    *a* is mostly inside *b* — the sub-document duplication signal
+    Jaccard structurally misses: a quote or boilerplate block embedded
+    in a much longer document has containment ~1 but Jaccard ~|a|/|b|,
+    so it never crosses a symmetric threshold and MinHash-LSH (which
+    approximates Jaccard) rarely even pairs it.
+
+    Scale path: the PPJoin/prefix-filter rule (Chaudhuri et al. 2006;
+    Xiao et al. 2008), not blocking. With each document's DISTINCT
+    words ranked rarest-first by corpus document frequency (ties by
+    word — a total order both engines can replay), any pair with
+    containment ≥ τ must share one of *a*'s first
+    ``p = |Wa| − floor(τ·|Wa|) + 1`` words (pigeonhole: at most
+    ``|Wa| − ceil(τ·|Wa|) < p`` words of *a* are absent from *b*;
+    floor rather than ceil keeps ``p`` conservative under float
+    rounding). So candidates = *a*'s rarest-``p`` PREFIX exploded and
+    equi-joined against the full postings list — the probe side
+    carries only rare words, so posting joins stay short — and only
+    candidates pay the exact intersection. Recall is EXACT by the
+    pigeonhole bound: the output equals the all-pairs formulation
+    row-for-row (the registry oracle is the naive all-pairs SQL — the
+    hash match proves the pruned plan lost nothing).
+
+    ``max_posting_size`` (opt-in, same contract as
+    :func:`cap_group_sizes`): drop postings of words more frequent
+    than the cap before the candidate join — a skew guard for
+    boilerplate corpora where even a rank-1 "rarest" word is common;
+    recall then holds only for pairs sharing a below-cap prefix word,
+    with dropped counts riding ``observation``.
+
+    Returns ``(id_a, id_b, containment)`` — directed, ``id_a`` is the
+    contained side. Empty/NULL-text documents have no words and emit
+    nothing on either side of the pair.
+    """
+    toks = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("words"),
+        )
+        .where(F.col(text_col).isNotNull())
+        .where(F.size("words") > 0)
+    )
+    exploded = toks.select(
+        "id", F.size("words").alias("n_words"), F.explode("words").alias("word")
+    )
+    wdf = exploded.groupBy("word").agg(F.count("*").alias("df"))
+    if max_posting_size is not None:
+        keep = F.col("df") <= max_posting_size
+        if observation is not None:
+            wdf = wdf.observe(
+                observation,
+                F.sum((~keep).cast("long")).alias("rows_dropped"),
+                F.count(F.lit(1)).alias("rows_seen"),
+            )
+        wdf = wdf.filter(keep)
+    ranked = exploded.join(wdf, on="word")
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("df", "word")
+    prefix_len = (
+        F.col("n_words")
+        - F.floor(F.lit(float(threshold)) * F.col("n_words"))
+        + 1
+    )
+    prefix = (
+        ranked.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= prefix_len)
+        .select(F.col("id").alias("id_a"), "word")
+    )
+    # postings derive from the SAME df-joined (and capped) frame: a
+    # capped word can never match a prefix row, so carrying it into
+    # the join would only shuffle dead rows
+    postings = ranked.select(F.col("id").alias("id_b"), "word")
+    cand = (
+        prefix.join(postings, on="word")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    a = toks.select(F.col("id").alias("id_a"), F.col("words").alias("wa"))
+    b = toks.select(F.col("id").alias("id_b"), F.col("words").alias("wb"))
+    raw = (
+        F.size(F.array_intersect(F.col("wa"), F.col("wb"))).cast("double")
+        / F.size("wa")
+    )
+    return (
+        cand.join(a, on="id_a")
+        .join(b, on="id_b")
+        .withColumn("_raw", raw)
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("containment"))
+    )
+
+
+def drop_contained(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The dedup ACTION on :func:`contained_pairs`: remove every
+    document τ-contained in a document with MORE distinct words (ties
+    broken toward the smaller id, so a mutually-contained
+    near-identical pair drops exactly one side). Returns the surviving
+    rows of ``df`` unchanged."""
+    sizes = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("_sid"),
+            F.size(
+                F.array_distinct(F.split(F.col(text_col), " "))
+            ).alias("_n"),
+        )
+    )
+    pairs = contained_pairs(df, threshold, id_col, text_col)
+    na = sizes.select(
+        F.col("_sid").alias("id_a"), F.col("_n").alias("_na")
+    )
+    nb = sizes.select(
+        F.col("_sid").alias("id_b"), F.col("_n").alias("_nb")
+    )
+    doomed = (
+        pairs.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .where(
+            (F.col("_nb") > F.col("_na"))
+            | ((F.col("_nb") == F.col("_na")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return df.join(doomed, on=id_col, how="left_anti")
+
+
 def incremental_components(
     prior_labels: DataFrame,
     new_pairs: DataFrame,

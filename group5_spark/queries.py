@@ -892,6 +892,46 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contained_doc_pairs",
+    """
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tt AS (SELECT * FROM t WHERE len(words) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / len(a.words), 6) AS containment
+    FROM tt a JOIN tt b ON a.doc_id != b.doc_id
+    WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / len(a.words) >= 0.9
+    """,
+)
+def contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIRECTED containment near-dup join
+    (``extensions.dedup.contained_pairs``): every ordered (a, b) where
+    ≥90% of a's distinct words appear in b — the sub-document
+    duplication signal (quotes, boilerplate blocks, excerpt pages)
+    that symmetric Jaccard structurally misses: a 5-word block inside
+    a 100-word page has containment 1.0 but Jaccard 0.05, and
+    MinHash-LSH approximates Jaccard so it rarely even pairs them.
+
+    Scale path is the PPJoin prefix filter, not an all-pairs join:
+    each document's words rank rarest-first by corpus document
+    frequency, and only the first ``|W| − floor(0.9·|W|) + 1`` words
+    explode into the candidate equi-join against the postings — the
+    pigeonhole bound makes recall EXACT, so the DuckDB oracle is the
+    naive all-ordered-pairs SQL and the hash match proves the pruned
+    plan lost nothing."""
+    from group5_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    return dedup.contained_pairs(docs, threshold=0.9)
+
+
+@register(
     "dedup_clusters",
     """
     WITH RECURSIVE t AS (
@@ -8334,17 +8374,22 @@ def span_dedup_incremental_counts(
 # mask_fold_survivors (the DV fold family: dedicated
 # test_maintenance/test_deletion_vectors cases), sim_topk (the ANN
 # exact baseline: recall + ladder tests in test_extensions and
-# tools-smoke run it in-process), and corpus_shard_shuffle (ninth
+# tools-smoke run it in-process), corpus_shard_shuffle (ninth
 # deferral, displaced by the NEW ivf_pq_exact_anchor — new queries
 # enter their own round's window; it keeps a dedicated
 # no-global-sort plan test and a trainops-ladder timing row every
-# ladder refresh). Every name below is green in
+# ladder refresh), and dedup_minhash_lsh (tenth deferral, displaced
+# by the NEW contained_doc_pairs; it keeps its recall-vs-exact and
+# mega-bucket-cap pytest cases, a trainops-ladder timing row, and a
+# PLANS.md audit every regeneration). Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
 _CHECK_WINDOW = [
     # NEW in round 10 — the composed IVF-PQ index through its
-    # exactness anchor (new queries enter their own round's window)
+    # exactness anchor, and the PPJoin containment near-dup join
+    # (new queries enter their own round's window)
     "ivf_pq_exact_anchor",
+    "contained_doc_pairs",
     # newest driver evidence round 6 — the round-9 deferral set,
     # flagship first
     "pricing_summary",
@@ -8365,7 +8410,6 @@ _CHECK_WINDOW = [
     "dedup_clusters_incremental",
     "dedup_incremental_neardup",
     "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
     "dedup_simhash_pairs",
     "doc_chunk_windows",
     "doc_repetition_filter",

@@ -34,6 +34,122 @@ def test_jaccard_pairs_detects_shuffled_words(spark):
     assert [(p.id_a, p.id_b, p.jaccard) for p in pairs] == [(1, 2, 1.0)]
 
 
+def test_contained_pairs_catches_subset_jaccard_misses(spark):
+    """The semantic point of containment dedup: doc 1 is a 5-word
+    block embedded verbatim in the 20-word doc 2 — containment(1→2)
+    = 1.0 while Jaccard = 5/20 = 0.25, so the symmetric join at 0.9
+    structurally misses it. The directed join must emit exactly
+    (1→2), not (2→1)."""
+    big = "the quick brown fox jumps " + " ".join(
+        f"w{i}" for i in range(15)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "b", "the quick brown fox jumps"),
+            (2, "b", big),
+            (3, "b", "entirely different words here now"),
+        ],
+        ["doc_id", "source", "text"],
+    )
+    jac = dedup.jaccard_pairs(df, "source", threshold=0.9).collect()
+    assert jac == []
+    got = [
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.contained_pairs(df, threshold=0.9).collect()
+    ]
+    assert got == [(1, 2, 1.0)]
+
+
+def test_contained_pairs_prefix_filter_equals_all_pairs(spark, sf_dir):
+    """The PPJoin prefix filter must be recall-EXACT: on the real
+    corpus the pruned operator's output equals the brute-force
+    all-ordered-pairs containment join row-for-row (ids, rounded
+    ratios). This is the same contract the registry oracle enforces
+    against DuckDB."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    got = {
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.contained_pairs(docs, threshold=0.8).collect()
+    }
+    toks = docs.select(
+        F.col("doc_id").alias("id"),
+        F.array_distinct(F.split("text", " ")).alias("words"),
+    ).where(F.size("words") > 0)
+    a = toks.select(F.col("id").alias("id_a"), F.col("words").alias("wa"))
+    b = toks.select(F.col("id").alias("id_b"), F.col("words").alias("wb"))
+    raw = (
+        F.size(F.array_intersect("wa", "wb")).cast("double") / F.size("wa")
+    )
+    brute = {
+        (r.id_a, r.id_b, r.containment)
+        for r in a.crossJoin(b)
+        .where(F.col("id_a") != F.col("id_b"))
+        .withColumn("_raw", raw)
+        .where(F.col("_raw") >= 0.8)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("containment"))
+        .collect()
+    }
+    assert got == brute and got, f"{len(got)} vs {len(brute)}"
+
+
+def test_drop_contained_keeps_superset_side(spark):
+    """drop_contained removes the CONTAINED smaller doc, keeps the
+    superset; a mutually-contained near-identical pair drops exactly
+    the larger-id side (tie rule); unrelated and NULL-text rows pass
+    through."""
+    big = "the quick brown fox jumps " + " ".join(
+        f"w{i}" for i in range(15)
+    )
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),
+            (2, big),
+            (3, "alpha beta gamma delta"),
+            (4, "beta alpha gamma delta"),  # same word set as 3
+            (5, "unrelated content entirely"),
+            (6, None),
+        ],
+        ["doc_id", "text"],
+    )
+    kept = sorted(
+        r.doc_id for r in dedup.drop_contained(df, threshold=0.9).collect()
+    )
+    # 1 contained in 2 -> 1 drops; {3,4} identical word sets -> 4
+    # (larger id) drops; 5 and the NULL-text 6 survive untouched
+    assert kept == [2, 3, 5, 6]
+
+
+def test_contained_pairs_posting_cap_observed(spark):
+    """max_posting_size drops over-frequent words from both the
+    prefix and posting sides with dropped/seen observe metrics; pairs
+    whose only shared prefix words were capped disappear (the
+    documented recall trade), everything else is untouched."""
+    from pyspark.sql import Observation
+
+    # every doc shares the word 'common' (df=4); pairs 1-2 share only
+    # rare words, so they survive a cap that kills 'common'
+    df = spark.createDataFrame(
+        [
+            (1, "common rare1 rare2 rare3"),
+            (2, "common rare1 rare2 rare3"),
+            (3, "common x1 x2 x3"),
+            (4, "common y1 y2 y3"),
+        ],
+        ["doc_id", "text"],
+    )
+    obs = Observation("cap")
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.contained_pairs(
+            df, threshold=0.9, max_posting_size=3, observation=obs
+        ).collect()
+    }
+    assert got == {(1, 2), (2, 1)}
+    assert obs.get["rows_dropped"] == 1  # only 'common' was capped
+
+
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     """LSH must recover the high-similarity pairs exact Jaccard finds."""
     docs = load_table(spark, sf_dir, "documents")
