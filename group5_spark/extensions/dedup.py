@@ -537,6 +537,21 @@ def contained_pairs(
     contained side. Empty/NULL-text documents have no words and emit
     nothing on either side of the pair.
     """
+    idx = containment_index_build(
+        df, threshold, id_col, text_col,
+        max_posting_size=max_posting_size, observation=observation,
+    )
+    # postings derive from the SAME df-joined (and capped) frame: a
+    # capped word can never match a prefix row, so carrying it into
+    # the join would only shuffle dead rows
+    cand = (
+        idx.where("is_prefix")
+        .select(F.col("id").alias("id_a"), "word")
+        .join(idx.select(F.col("id").alias("id_b"), "word"), on="word")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
     toks = (
         df.select(
             F.col(id_col).alias("id"),
@@ -544,43 +559,6 @@ def contained_pairs(
         )
         .where(F.col(text_col).isNotNull())
         .where(F.size("words") > 0)
-    )
-    exploded = toks.select(
-        "id", F.size("words").alias("n_words"), F.explode("words").alias("word")
-    )
-    wdf = exploded.groupBy("word").agg(F.count("*").alias("df"))
-    if max_posting_size is not None:
-        keep = F.col("df") <= max_posting_size
-        if observation is not None:
-            wdf = wdf.observe(
-                observation,
-                F.sum((~keep).cast("long")).alias("rows_dropped"),
-                F.count(F.lit(1)).alias("rows_seen"),
-            )
-        wdf = wdf.filter(keep)
-    ranked = exploded.join(wdf, on="word")
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("id").orderBy("df", "word")
-    prefix_len = (
-        F.col("n_words")
-        - F.floor(F.lit(float(threshold)) * F.col("n_words"))
-        + 1
-    )
-    prefix = (
-        ranked.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") <= prefix_len)
-        .select(F.col("id").alias("id_a"), "word")
-    )
-    # postings derive from the SAME df-joined (and capped) frame: a
-    # capped word can never match a prefix row, so carrying it into
-    # the join would only shuffle dead rows
-    postings = ranked.select(F.col("id").alias("id_b"), "word")
-    cand = (
-        prefix.join(postings, on="word")
-        .where(F.col("id_a") != F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
     )
     a = toks.select(F.col("id").alias("id_a"), F.col("words").alias("wa"))
     b = toks.select(F.col("id").alias("id_b"), F.col("words").alias("wb"))
@@ -635,6 +613,162 @@ def drop_contained(
         .distinct()
     )
     return df.join(doomed, on=id_col, how="left_anti")
+
+
+def containment_index_build(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_posting_size: int | None = None,
+    observation=None,
+) -> DataFrame:
+    """The persisted half of INCREMENTAL containment dedup (the
+    containment twin of :func:`span_index_build` /
+    :func:`lsh_band_buckets`): one row per (document, distinct word)
+    — ``(id, word, n_words, is_prefix)`` — where ``is_prefix`` marks
+    the document's :func:`contained_pairs` prefix (the
+    ``|W| − floor(threshold·|W|) + 1`` corpus-rarest words). Build
+    once at ingest, write as parquet; every new crawl batch probes it
+    via :func:`contained_pairs_incremental` priced by the batch plus
+    the matched postings, never a corpus text re-scan.
+
+    The prefix is valid for ANY probe threshold ≥ the build
+    ``threshold``: the pigeonhole bound holds for any
+    ``p``-word subset and ``p`` only shrinks as τ grows, so a longer
+    stored prefix stays a superset of the needed one. Verification
+    never reads text either — intersection sizes come from the
+    posting rows themselves.
+
+    ``max_posting_size`` / ``observation``: the same opt-in
+    over-frequent-word cap as :func:`contained_pairs` (which derives
+    its prefix and postings from this function) — capped words drop
+    from BOTH sides with dropped/seen observe metrics."""
+    toks = (
+        corpus.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(F.split(F.col(text_col), " ")).alias("words"),
+        )
+        .where(F.col(text_col).isNotNull())
+        .where(F.size("words") > 0)
+    )
+    exploded = toks.select(
+        "id", F.size("words").alias("n_words"),
+        F.explode("words").alias("word"),
+    )
+    wdf = exploded.groupBy("word").agg(F.count("*").alias("df"))
+    if max_posting_size is not None:
+        keep = F.col("df") <= max_posting_size
+        if observation is not None:
+            wdf = wdf.observe(
+                observation,
+                F.sum((~keep).cast("long")).alias("rows_dropped"),
+                F.count(F.lit(1)).alias("rows_seen"),
+            )
+        wdf = wdf.filter(keep)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("id").orderBy("df", "word")
+    prefix_len = (
+        F.col("n_words")
+        - F.floor(F.lit(float(threshold)) * F.col("n_words"))
+        + 1
+    )
+    return (
+        exploded.join(wdf, on="word")
+        .withColumn("_rn", F.row_number().over(w))
+        .select(
+            "id", "word", "n_words",
+            (F.col("_rn") <= prefix_len).alias("is_prefix"),
+        )
+    )
+
+
+def contained_pairs_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Containment pairs with AT LEAST ONE endpoint in ``new_df``,
+    probed against a PERSISTED :func:`containment_index_build` frame
+    (batch ids disjoint from the corpus's). Covers all three
+    directions a crawl batch creates — a new doc contained in a
+    corpus doc (quote of an old page), a corpus doc contained in a
+    new doc (new page engulfs an old one), and new-internal pairs —
+    and equals the full :func:`contained_pairs` restriction to those
+    pairs row-for-row (the registry oracle is the naive SQL over the
+    union; ``threshold`` must be ≥ the index's build threshold for
+    the stored prefixes to stay recall-complete).
+
+    Priced by the batch: candidates are (batch prefix ⋈ index
+    postings) ∪ (index prefix rows ⋈ batch postings) — rare-word
+    posting joins on both sides — and verification counts
+    intersections from the POSTING ROWS of candidate pairs (one
+    (pair, word) join-and-count per side), so neither the corpus
+    text nor its non-candidate postings are ever touched beyond the
+    word-keyed equi-joins."""
+    batch_idx = containment_index_build(
+        new_df, threshold, id_col, text_col
+    )
+    # candidates: a's prefix must hit one of b's postings (pigeonhole)
+    c_new_in_old = (
+        batch_idx.where("is_prefix")
+        .select(F.col("id").alias("id_a"), "word")
+        .join(index.select(F.col("id").alias("id_b"), "word"), on="word")
+    )
+    c_old_in_new = (
+        index.where("is_prefix")
+        .select(F.col("id").alias("id_a"), "word")
+        .join(
+            batch_idx.select(F.col("id").alias("id_b"), "word"), on="word"
+        )
+    )
+    c_new_in_new = (
+        batch_idx.where("is_prefix")
+        .select(F.col("id").alias("id_a"), "word")
+        .join(
+            batch_idx.select(F.col("id").alias("id_b"), "word"), on="word"
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+    )
+    cand = (
+        c_new_in_old.unionByName(c_old_in_new)
+        .unionByName(c_new_in_new)
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify from posting rows: |Wa ∩ Wb| = matched (pair, word) count
+    words_all = batch_idx.select("id", "word").unionByName(
+        index.select("id", "word")
+    )
+    sizes = (
+        batch_idx.select("id", "n_words")
+        .unionByName(index.select("id", "n_words"))
+        .distinct()
+    )
+    inter = (
+        cand.join(
+            words_all.select(F.col("id").alias("id_a"), "word"), on="id_a"
+        )
+        .join(
+            words_all.select(F.col("id").alias("id_b"), "word"),
+            on=["id_b", "word"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    raw = F.col("_inter").cast("double") / F.col("_na")
+    return (
+        inter.join(
+            sizes.select(F.col("id").alias("id_a"), F.col("n_words").alias("_na")),
+            on="id_a",
+        )
+        .withColumn("_raw", raw)
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("containment"))
+    )
 
 
 def incremental_components(

@@ -932,6 +932,54 @@ def contained_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contained_incremental_new",
+    """
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tt AS (SELECT * FROM t WHERE len(words) > 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+                 / len(a.words), 6) AS containment
+    FROM tt a JOIN tt b ON a.doc_id != b.doc_id
+    WHERE (a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
+      AND CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+          / len(a.words) >= 0.9
+    """,
+)
+def contained_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL containment: today's crawl batch (doc_id % 10 ≥ 8)
+    probed against the persisted containment index of the already-
+    ingested corpus (``extensions.dedup.containment_index_build`` /
+    ``contained_pairs_incremental``) — all three directions a batch
+    creates (new doc quoted from an old page, new page engulfing an
+    old doc, new-internal duplication), priced by the batch plus the
+    matched rare-word postings, with verification counted from the
+    POSTING ROWS (the corpus text is never re-read). The DuckDB
+    oracle is the naive all-ordered-pairs SQL restricted to pairs
+    with a batch endpoint — the prefix filter's pigeonhole bound
+    makes recall exact, so the hash match proves the index probe
+    equals the full join. The index is PERSISTED to parquet and read
+    back (the production shape — the probe plan references cheap file
+    scans, not a re-derivation of the corpus postings per branch)."""
+    import shutil as _shutil
+
+    from group5_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    path = _dml_scratch("contained_incremental_new", sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    dedup.containment_index_build(corpus, threshold=0.9).write.parquet(path)
+    idx = spark.read.parquet(path)
+    return dedup.contained_pairs_incremental(batch, idx, threshold=0.9)
+
+
+@register(
     "dedup_clusters",
     """
     WITH RECURSIVE t AS (
@@ -8378,18 +8426,23 @@ def span_dedup_incremental_counts(
 # deferral, displaced by the NEW ivf_pq_exact_anchor — new queries
 # enter their own round's window; it keeps a dedicated
 # no-global-sort plan test and a trainops-ladder timing row every
-# ladder refresh), and dedup_minhash_lsh (tenth deferral, displaced
+# ladder refresh), dedup_minhash_lsh (tenth deferral, displaced
 # by the NEW contained_doc_pairs; it keeps its recall-vs-exact and
 # mega-bucket-cap pytest cases, a trainops-ladder timing row, and a
-# PLANS.md audit every regeneration). Every name below is green in
+# PLANS.md audit every regeneration), and dedup_simhash_pairs
+# (eleventh deferral, displaced by the NEW contained_incremental_new;
+# it keeps a signature pytest case and a trainops-ladder timing row).
+# Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
 _CHECK_WINDOW = [
     # NEW in round 10 — the composed IVF-PQ index through its
     # exactness anchor, and the PPJoin containment near-dup join
-    # (new queries enter their own round's window)
+    # (batch + incremental-vs-persisted-index forms; new queries
+    # enter their own round's window)
     "ivf_pq_exact_anchor",
     "contained_doc_pairs",
+    "contained_incremental_new",
     # newest driver evidence round 6 — the round-9 deferral set,
     # flagship first
     "pricing_summary",
@@ -8410,7 +8463,6 @@ _CHECK_WINDOW = [
     "dedup_clusters_incremental",
     "dedup_incremental_neardup",
     "dedup_jaccard_pairs",
-    "dedup_simhash_pairs",
     "doc_chunk_windows",
     "doc_repetition_filter",
     "dynfilter_urgent_order_revenue",

@@ -150,6 +150,69 @@ def test_contained_pairs_posting_cap_observed(spark):
     assert obs.get["rows_dropped"] == 1  # only 'common' was capped
 
 
+def test_contained_pairs_incremental_matches_full_restriction(
+    spark, sf_dir
+):
+    """A crawl batch probed against the persisted containment index
+    must equal the FULL contained_pairs run on the union, restricted
+    to pairs with a batch endpoint — all three directions (new-in-old,
+    old-in-new, new-in-new), row-for-row with rounded ratios."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    )
+    corpus = docs.where(F.col("doc_id") % 10 < 8)
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    idx = dedup.containment_index_build(corpus, threshold=0.9)
+    got = {
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.contained_pairs_incremental(
+            batch, idx, threshold=0.9
+        ).collect()
+    }
+    batch_ids = {r.doc_id for r in batch.select("doc_id").collect()}
+    full = {
+        (r.id_a, r.id_b, r.containment)
+        for r in dedup.contained_pairs(docs, threshold=0.9).collect()
+        if r.id_a in batch_ids or r.id_b in batch_ids
+    }
+    assert got == full and got, f"{len(got)} vs {len(full)}"
+
+
+def test_contained_pairs_incremental_directions(spark):
+    """Toy corpus pinning each direction: the batch doc 10 engulfs
+    corpus doc 1 (old-in-new), batch doc 11 is a block of corpus doc
+    2 (new-in-old), batch docs 12/13 duplicate each other
+    (new-in-new), and corpus-internal pairs never re-emit."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),
+            (2, "one two three four five six seven eight nine ten"),
+            (3, "alpha beta gamma"),  # corpus-internal dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma plus lots of extra words here now"),
+            (11, "one two three four five six seven eight nine"),
+            (12, "x1 x2 x3 x4"),
+            (13, "x4 x3 x2 x1"),
+        ],
+        ["doc_id", "text"],
+    )
+    idx = dedup.containment_index_build(corpus, threshold=0.9)
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.contained_pairs_incremental(
+            batch, idx, threshold=0.9
+        ).collect()
+    }
+    assert (1, 10) in got and (3, 10) in got      # old-in-new
+    assert (11, 2) in got                         # new-in-old
+    assert (12, 13) in got and (13, 12) in got    # new-in-new
+    assert (1, 3) not in got and (3, 1) not in got  # corpus-internal
+
+
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     """LSH must recover the high-similarity pairs exact Jaccard finds."""
     docs = load_table(spark, sf_dir, "documents")
