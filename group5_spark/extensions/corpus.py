@@ -469,13 +469,20 @@ def _budget_boundary(
         elif st["ilo"] != st["ihi"]:
             # an all-ties score run: within it the global order is
             # id ASC, so an id histogram narrows it the same way —
-            # but only numeric ids can histogram; string ids (or any
-            # non-castable type) fall back to windowing the bucket
-            # as-is, the pre-re-bin behavior (ADVICE r9)
-            try:
-                lo, hi = float(st["ilo"]), float(st["ihi"])
-            except (TypeError, ValueError):
+            # but only a NUMERIC id COLUMN can histogram: the bin
+            # arithmetic and the driver's bin walk follow numeric
+            # order, which for a string id column diverges from the
+            # lexicographic order the exact window uses even when
+            # every value happens to parse as a number ("98" > "100"
+            # lexicographically). Checking the TYPE, not value
+            # castability, keeps all-digit string ids on the safe
+            # fall-back too (round-9 ADVICE + round-10 review):
+            # window the bucket as-is, the pre-re-bin behavior.
+            from pyspark.sql.types import NumericType
+
+            if not isinstance(df.schema[id_col].dataType, NumericType):
                 break
+            lo, hi = float(st["ilo"]), float(st["ihi"])
             key, asc = id_col, True
         else:
             break  # a single (score, id) point — indivisible

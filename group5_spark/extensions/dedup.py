@@ -534,20 +534,31 @@ def contained_pairs(
     with dropped counts riding ``observation``.
 
     Returns ``(id_a, id_b, containment)`` — directed, ``id_a`` is the
-    contained side. Empty/NULL-text documents have no words and emit
-    nothing on either side of the pair.
+    contained side. NULL-text documents emit nothing on either side.
+    Note the Jaccard-family tokenization convention this function
+    shares: ``split`` on a single space yields one empty-string token
+    for an empty text, so two all-empty documents ARE mutual
+    containment-1.0 duplicates (and :func:`drop_contained` keeps
+    exactly one of them — the curation-pipeline behavior you want for
+    empty pages); the SQL oracle's ``string_split`` agrees.
     """
     idx = containment_index_build(
         df, threshold, id_col, text_col,
         max_posting_size=max_posting_size, observation=observation,
     )
-    # postings derive from the SAME df-joined (and capped) frame: a
-    # capped word can never match a prefix row, so carrying it into
-    # the join would only shuffle dead rows
+    # candidate generation excludes capped words on BOTH sides (a
+    # capped word can never match a prefix row anyway — carrying it
+    # into the join would only shuffle dead rows); verification below
+    # reads the full word arrays, so values stay exact regardless
     cand = (
         idx.where("is_prefix")
         .select(F.col("id").alias("id_a"), "word")
-        .join(idx.select(F.col("id").alias("id_b"), "word"), on="word")
+        .join(
+            idx.where(~F.col("capped")).select(
+                F.col("id").alias("id_b"), "word"
+            ),
+            on="word",
+        )
         .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -636,14 +647,21 @@ def containment_index_build(
     The prefix is valid for ANY probe threshold ≥ the build
     ``threshold``: the pigeonhole bound holds for any
     ``p``-word subset and ``p`` only shrinks as τ grows, so a longer
-    stored prefix stays a superset of the needed one. Verification
-    never reads text either — intersection sizes come from the
-    posting rows themselves.
+    stored prefix stays a superset of the needed one — and the build
+    threshold is RECORDED in the ``build_tau`` column so
+    :func:`contained_pairs_incremental` can enforce the precondition
+    instead of trusting a docstring. Verification never reads text
+    either — intersection sizes come from the posting rows.
 
     ``max_posting_size`` / ``observation``: the same opt-in
     over-frequent-word cap as :func:`contained_pairs` (which derives
-    its prefix and postings from this function) — capped words drop
-    from BOTH sides with dropped/seen observe metrics."""
+    its prefix and postings from this function). Capped words are
+    FLAGGED (``capped`` column), not dropped: they are excluded from
+    prefixes and from candidate-generation joins — the skew the cap
+    exists to stop — but their posting rows remain, so intersection
+    counts (and therefore containment values) stay exact for every
+    pair the candidate stage does surface. Dropped/seen word counts
+    ride ``observation`` as observe metrics."""
     toks = (
         corpus.select(
             F.col(id_col).alias("id"),
@@ -657,18 +675,21 @@ def containment_index_build(
         F.explode("words").alias("word"),
     )
     wdf = exploded.groupBy("word").agg(F.count("*").alias("df"))
-    if max_posting_size is not None:
-        keep = F.col("df") <= max_posting_size
+    if max_posting_size is None:
+        wdf = wdf.withColumn("capped", F.lit(False))
+    else:
+        capped = F.col("df") > max_posting_size
         if observation is not None:
             wdf = wdf.observe(
                 observation,
-                F.sum((~keep).cast("long")).alias("rows_dropped"),
+                F.sum(capped.cast("long")).alias("rows_dropped"),
                 F.count(F.lit(1)).alias("rows_seen"),
             )
-        wdf = wdf.filter(keep)
+        wdf = wdf.withColumn("capped", capped)
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("id").orderBy("df", "word")
+    # capped words sort last so they never consume a prefix slot
+    w = Window.partitionBy("id").orderBy("capped", "df", "word")
     prefix_len = (
         F.col("n_words")
         - F.floor(F.lit(float(threshold)) * F.col("n_words"))
@@ -679,7 +700,11 @@ def containment_index_build(
         .withColumn("_rn", F.row_number().over(w))
         .select(
             "id", "word", "n_words",
-            (F.col("_rn") <= prefix_len).alias("is_prefix"),
+            ((F.col("_rn") <= prefix_len) & ~F.col("capped")).alias(
+                "is_prefix"
+            ),
+            "capped",
+            F.lit(float(threshold)).alias("build_tau"),
         )
     )
 
@@ -699,8 +724,14 @@ def contained_pairs_incremental(
     new doc (new page engulfs an old one), and new-internal pairs —
     and equals the full :func:`contained_pairs` restriction to those
     pairs row-for-row (the registry oracle is the naive SQL over the
-    union; ``threshold`` must be ≥ the index's build threshold for
-    the stored prefixes to stay recall-complete).
+    union). ``threshold`` must be ≥ the index's recorded
+    ``build_tau`` for the stored prefixes to stay recall-complete —
+    ENFORCED here (ValueError), not just documented; the index frame
+    carries its build threshold precisely so a mis-dialed probe
+    fails loudly instead of silently losing pairs. Capped index
+    words (``capped``) are excluded from candidate joins but their
+    posting rows still count toward intersections, so containment
+    VALUES are always exact.
 
     Priced by the batch: candidates are (batch prefix ⋈ index
     postings) ∪ (index prefix rows ⋈ batch postings) — rare-word
@@ -709,14 +740,27 @@ def contained_pairs_incremental(
     (pair, word) join-and-count per side), so neither the corpus
     text nor its non-candidate postings are ever touched beyond the
     word-keyed equi-joins."""
+    tau_row = index.select("build_tau").first()
+    if tau_row is not None and threshold < float(tau_row["build_tau"]):
+        raise ValueError(
+            f"probe threshold {threshold} is below the index's build "
+            f"threshold {float(tau_row['build_tau'])} — the stored "
+            f"prefixes are too short for this probe to be "
+            f"recall-complete; rebuild the index at the lower "
+            f"threshold (containment_index_build)"
+        )
     batch_idx = containment_index_build(
         new_df, threshold, id_col, text_col
     )
-    # candidates: a's prefix must hit one of b's postings (pigeonhole)
+    # candidates: a's prefix must hit one of b's UNCAPPED postings
+    # (pigeonhole; prefixes already exclude capped words)
+    open_index = index.where(~F.col("capped"))
     c_new_in_old = (
         batch_idx.where("is_prefix")
         .select(F.col("id").alias("id_a"), "word")
-        .join(index.select(F.col("id").alias("id_b"), "word"), on="word")
+        .join(
+            open_index.select(F.col("id").alias("id_b"), "word"), on="word"
+        )
     )
     c_old_in_new = (
         index.where("is_prefix")

@@ -650,31 +650,34 @@ def ivf_pq_index_init(
     """
     from group5_spark.medallion.snapshots import snapshot_commit
 
-    final, centroids, books, aniso = _ivfpq_build(
+    final, centroids, books, aniso, cached = _ivfpq_build(
         corpus, id_col, vec_col, n_cells, m, k_codes, iters, hash_fn,
         residual,
     )
-    return snapshot_commit(
-        final,
-        index_path,
-        mode="overwrite",
-        partition_by="cell_id",
-        note={
-            _IVFPQ_NOTE_KEY: {
-                "id_col": id_col,
-                "vec_col": vec_col,
-                "n_cells": n_cells,
-                "m": m,
-                "k_codes": k_codes,
-                "hash_fn": hash_fn,
-                "residual": bool(residual),
-                "anisotropy": aniso,
+    try:
+        return snapshot_commit(
+            final,
+            index_path,
+            mode="overwrite",
+            partition_by="cell_id",
+            note={
+                _IVFPQ_NOTE_KEY: {
+                    "id_col": id_col,
+                    "vec_col": vec_col,
+                    "n_cells": n_cells,
+                    "m": m,
+                    "k_codes": k_codes,
+                    "hash_fn": hash_fn,
+                    "residual": bool(residual),
+                    "anisotropy": aniso,
+                },
+                "centroids": centroids,
+                "codebooks": books,
+                "op": "ivf_pq_index_init",
             },
-            "centroids": centroids,
-            "codebooks": books,
-            "op": "ivf_pq_index_init",
-        },
-    )
+        )
+    finally:
+        cached.unpersist()
 
 
 #: recommend residual codes only when the mean within-cell residual
@@ -700,8 +703,14 @@ def _ivfpq_build(
     unit-project, sample centroids, assign cells, measure the
     anisotropy ratio (one aggregate), train codebooks on the chosen
     code column, encode. Returns
-    ``(final_df, centroids, codebooks, anisotropy)`` — the caller
-    decides the commit mode/note."""
+    ``(final_df, centroids, codebooks, anisotropy, cached)`` — the
+    caller decides the commit mode/note and MUST unpersist ``cached``
+    after its commit action (the assigned frame is persisted here so
+    the anisotropy aggregate, the Lloyd training passes, and the
+    final encode all read one materialization of the
+    unit-projection + cell-assignment pipeline instead of re-deriving
+    it per action — default MEMORY_AND_DISK, so oversized corpora
+    spill rather than recompute)."""
     from group5_spark.extensions.clustering import pq_encode, pq_train
 
     c_vec = _ivf_c_vec(corpus, id_col, vec_col)
@@ -714,7 +723,7 @@ def _ivfpq_build(
     centroids = ivf_sample_centroids(unit, n_cells, hash_fn)
     assigned = base.withColumn(
         "cell_id", F.array_max(_cell_scores(centroids, "vu")).getField("cell")
-    ).withColumn("vr", _ivfpq_residual_col(centroids))
+    ).withColumn("vr", _ivfpq_residual_col(centroids)).persist()
     measured = assigned.agg(
         F.avg(F.sqrt(F.expr(DOT.format(a="vr", b="vr"))))
     ).first()[0]
@@ -736,7 +745,7 @@ def _ivfpq_build(
     final = encoded.select(
         "cand_id", "v", "cn", "pq_codes", "cell_id"
     ).repartition("cell_id")
-    return final, centroids, books, aniso
+    return final, centroids, books, aniso, assigned
 
 
 def ivf_pq_index_retrain(
@@ -775,28 +784,31 @@ def ivf_pq_index_retrain(
     res = (
         bool(params.get("residual")) if residual is None else bool(residual)
     )
-    final, centroids, books, aniso = _ivfpq_build(
+    final, centroids, books, aniso, cached = _ivfpq_build(
         corpus, params["id_col"], params["vec_col"], cells,
         params["m"], params["k_codes"], iters, params["hash_fn"], res,
     )
-    return snapshot_commit(
-        final,
-        index_path,
-        mode="overwrite",
-        partition_by="cell_id",
-        expected_parent=expected_parent,
-        note={
-            _IVFPQ_NOTE_KEY: {
-                **params,
-                "n_cells": cells,
-                "residual": res,
-                "anisotropy": aniso,
+    try:
+        return snapshot_commit(
+            final,
+            index_path,
+            mode="overwrite",
+            partition_by="cell_id",
+            expected_parent=expected_parent,
+            note={
+                _IVFPQ_NOTE_KEY: {
+                    **params,
+                    "n_cells": cells,
+                    "residual": res,
+                    "anisotropy": aniso,
+                },
+                "centroids": centroids,
+                "codebooks": books,
+                "op": "ivf_pq_index_retrain",
             },
-            "centroids": centroids,
-            "codebooks": books,
-            "op": "ivf_pq_index_retrain",
-        },
-    )
+        )
+    finally:
+        cached.unpersist()
 
 
 def _ivfpq_residual_col(

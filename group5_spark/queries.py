@@ -8406,13 +8406,15 @@ def span_dedup_incremental_counts(
 
 
 # The driver oracle-checks the FIRST 50 registered queries each round.
-# Round-10 window (round-9 VERDICT #1's ordered rotation): the NINE
-# queries whose newest driver evidence is round 6 rotate first — they
-# reached the 3-round evidence-age boundary, led by the flagship
-# entry() query pricing_summary — then 41 of the 49 queries whose
-# newest driver evidence is round 7. The r07 cohort is oversubscribed
-# for a 50-slot window, so eight defer to round 11, chosen for the
-# strongest alternative evidence exactly like round 9's deferral set:
+# Round-10 window (round-9 VERDICT #1's ordered rotation): the THREE
+# queries NEW this round lead (new queries enter their own round's
+# window), then the NINE queries whose newest driver evidence is
+# round 6 — they reached the 3-round evidence-age boundary, led by
+# the flagship entry() query pricing_summary — then 38 of the 49
+# queries whose newest driver evidence is round 7. The r07 cohort is
+# oversubscribed for the 50-slot window, so ELEVEN defer to round 11
+# (3 + 9 + 38 = 50), chosen for the strongest alternative evidence
+# exactly like round 9's deferral set:
 # customers_without_orders / dedup_exact / nation_trade_volume /
 # top3_parts_per_brand / waiting_suppliers (bench HEADLINERS —
 # executed and timed by the driver's bench run every round, and per

@@ -213,6 +213,46 @@ def test_contained_pairs_incremental_directions(spark):
     assert (1, 3) not in got and (3, 1) not in got  # corpus-internal
 
 
+def test_contained_pairs_incremental_capped_index_exact_values(spark):
+    """Round-10 review: a capped index word must vanish from
+    CANDIDATE joins only — its posting rows still count toward
+    intersections, so containment values stay exact (not deflated by
+    the missing word), and the recall trade is confined to pairs
+    whose only shared prefix word was capped. Probing below the
+    index's recorded build threshold fails loudly."""
+    corpus = spark.createDataFrame(
+        [
+            (1, "common rare1 rare2 rare3"),
+            (2, "common s1 s2 s3"),
+            (3, "common u1 u2 u3"),
+        ],
+        ["doc_id", "text"],
+    )
+    # 'common' has df=3 > cap=2 -> flagged, never a prefix/candidate
+    idx = dedup.containment_index_build(
+        corpus, threshold=0.9, max_posting_size=2
+    )
+    batch = spark.createDataFrame(
+        [(10, "common rare1 rare2 rare3 extra words beyond here")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in dedup.contained_pairs_incremental(
+            batch, idx, threshold=0.9
+        ).collect()
+    }
+    # doc 1 (4 words, ALL in batch doc 10 including the capped
+    # 'common') pairs via its rare prefix words; the value must be
+    # the exact 4/4, not the capped-posting 3/4
+    assert got == {(1, 10): 1.0}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="build "):
+        dedup.contained_pairs_incremental(batch, idx, threshold=0.8)
+
+
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     """LSH must recover the high-similarity pairs exact Jaccard finds."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1282,6 +1322,35 @@ def test_token_budget_select_string_ids_tied_scores(spark):
         [dict(doc_id=i, score=s, n_tokens=t) for i, s, t in rows], budget
     )
     assert got == want
+
+
+def test_token_budget_select_numeric_string_ids_lexicographic(spark):
+    """Round-10 review: ALL-DIGIT string ids pass a float() probe, so
+    a value-castability check would bin the tied-score bucket
+    NUMERICALLY while the exact window (and the naive answer) orders
+    the string column LEXICOGRAPHICALLY ("100" < "2" < "98") —
+    selecting the wrong rows, or landing rows in negative bins when
+    the lexicographic min/max invert numerically. The type gate must
+    route string ids to the exact-window fallback regardless of what
+    their values parse as: prefix identical to the naive answer."""
+    from group5_spark.extensions.corpus import token_budget_select
+
+    n, bins = 300, 16
+    # variable-width digit strings: lexicographic != numeric order
+    rows = [(str(i), 0.5, 1 + (i * 13) % 50) for i in range(1, n + 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, score double, n_tokens int"
+    )
+    total = sum(r[2] for r in rows)
+    budget = int(total * 0.4)
+    got = {
+        r["doc_id"]
+        for r in token_budget_select(df, budget, bins=bins).collect()
+    }
+    want = _naive_budget_prefix(
+        [dict(doc_id=i, score=s, n_tokens=t) for i, s, t in rows], budget
+    )
+    assert got == want and got
 
 
 def test_token_budget_select_all_docs_identical_point(spark):

@@ -64,13 +64,13 @@ def run_one(n: int) -> dict:
     cells = n_cells_for(n)
 
     build_s = None
-    if not (idx / "_DONE").exists():
+    if not (idx / "_DONE2").exists():
         shutil.rmtree(idx, ignore_errors=True)
         emb = load_table(spark, sf_dir, "embeddings")
         t0 = time.perf_counter()
         ivf_index_init(emb, str(idx), n_cells=cells)
         build_s = round(time.perf_counter() - t0, 3)
-        (idx / "_DONE").touch()
+        (idx / "_DONE2").touch()
 
     base = load_table(spark, str(SCALE_ROOT / "xd001"), "embeddings")
     probe_batch = base.filter(F.col("vec_id") < 64)
@@ -252,14 +252,14 @@ def run_one_ivfpq(n: int) -> dict:
 
     corpus = load_table(spark, sf_dir, "embeddings")
     build_s = None
-    if not (idx / "_DONE").exists():
+    if not (idx / "_DONE2").exists():
         shutil.rmtree(idx, ignore_errors=True)
         t0 = time.perf_counter()
         ivf_pq_index_init(
             corpus, str(idx), n_cells=cells, m=8, k_codes=16, iters=2
         )
         build_s = round(time.perf_counter() - t0, 3)
-        (idx / "_DONE").touch()
+        (idx / "_DONE2").touch()
 
     base = load_table(spark, str(SCALE_ROOT / "xd001"), "embeddings")
     qrows = base.orderBy("vec_id").limit(4).collect()
