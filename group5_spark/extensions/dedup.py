@@ -740,14 +740,17 @@ def contained_pairs_incremental(
     (pair, word) join-and-count per side), so neither the corpus
     text nor its non-candidate postings are ever touched beyond the
     word-keyed equi-joins."""
-    tau_row = index.select("build_tau").first()
-    if tau_row is not None and threshold < float(tau_row["build_tau"]):
+    # MAX over the column: an index grown by appends (e.g. the
+    # streaming job) may carry several build generations, and every
+    # stored prefix must be long enough for this probe
+    tau_max = index.agg(F.max("build_tau")).first()[0]
+    if tau_max is not None and threshold < float(tau_max):
         raise ValueError(
             f"probe threshold {threshold} is below the index's build "
-            f"threshold {float(tau_row['build_tau'])} — the stored "
-            f"prefixes are too short for this probe to be "
-            f"recall-complete; rebuild the index at the lower "
-            f"threshold (containment_index_build)"
+            f"threshold {float(tau_max)} — the stored prefixes are "
+            f"too short for this probe to be recall-complete; rebuild "
+            f"the index at the lower threshold "
+            f"(containment_index_build)"
         )
     batch_idx = containment_index_build(
         new_df, threshold, id_col, text_col

@@ -654,6 +654,158 @@ def stream_span_dedup(
     return query
 
 
+def stream_containment_dedup(
+    docs: DataFrame,
+    checkpoint_dir: str,
+    corpus_path: str,
+    index_path: str,
+    *,
+    threshold: float = 0.9,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    app_id: str | None = None,
+) -> StreamingQuery:
+    """Continuous crawl ingestion with CONTAINMENT dedup (streaming
+    twin of ``extensions.dedup.contained_pairs_incremental``, the
+    containment sibling of :func:`stream_span_dedup`): each
+    micro-batch probes the PERSISTED prefix+postings index, drops
+    every batch document τ-contained in an already-ingested corpus
+    document (ingest-order precedence — the old page wins) or in a
+    surviving batch-mate with more distinct words (ties toward the
+    smaller id, :func:`drop_contained`'s rule, evaluated against the
+    batch as crawled), then two snapshot appends land in sequence:
+    the SURVIVING documents into ``corpus_path`` and the survivors'
+    index rows into ``index_path``. The old-in-new direction is
+    reported by the underlying probe but NOT acted on — an append
+    stream never deletes corpus rows; run :func:`drop_contained` (or
+    an eq-delete sweep) offline if engulfed old pages should retire.
+
+    All state lives in the two snapshot tables (stateless stream, no
+    state store). Exactly-once across BOTH tables via independent
+    ``(app_id, batch_id)`` notes with the corpus-first commit order:
+    a crash between the commits replays into "skip corpus, append
+    index", and the index at replay time is still the pre-batch index
+    the survivors were elected against — the same soundness argument
+    as :func:`stream_span_dedup`. Survivors' index rows rank their
+    prefixes by batch-internal document frequency; recall stays exact
+    because the pigeonhole bound holds for ANY prefix choice of the
+    right length, and ``build_tau`` rides every appended row so a
+    later mis-dialed probe still fails loudly.
+
+    Per-batch cost at 100 TB: the probe joins the batch's rare-word
+    prefixes against the index postings (and the index's prefix rows
+    against the batch's postings); verification counts matched
+    (pair, word) posting rows — the corpus text is never re-read.
+    """
+    from pathlib import Path
+
+    from group5_spark.extensions.dedup import (
+        contained_pairs_incremental,
+        containment_index_build,
+    )
+    from group5_spark.medallion import snapshots as snap
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        app = app_id or _checkpoint_query_id(checkpoint_dir)
+        c_done = i_done = False
+        if app is not None:
+            d = snap.last_committed_batch(corpus_path, app)
+            c_done = d is not None and d >= batch_id
+            d = snap.last_committed_batch(index_path, app)
+            i_done = d is not None and d >= batch_id
+        if c_done and i_done:
+            return
+        if snap._current_version(Path(index_path)):
+            idx = snap.snapshot_read(spark, index_path)
+        else:
+            # correctly-typed empty index (id type follows the batch)
+            idx = containment_index_build(
+                batch.limit(0), threshold, id_col, text_col
+            )
+        batch = batch.persist()
+        try:
+            pairs = contained_pairs_incremental(
+                batch, idx, threshold, id_col, text_col
+            )
+            batch_ids = batch.select(F.col(id_col).alias("_bid"))
+            sizes = batch.where(F.col(text_col).isNotNull()).select(
+                F.col(id_col).alias("_sid"),
+                F.size(
+                    F.array_distinct(F.split(F.col(text_col), " "))
+                ).alias("_n"),
+            )
+            # doom a batch doc contained in a CORPUS doc outright...
+            in_old = pairs.join(
+                batch_ids, pairs.id_a == F.col("_bid")
+            ).join(
+                batch_ids.withColumnRenamed("_bid", "_bid2"),
+                pairs.id_b == F.col("_bid2"),
+                "left_anti",
+            ).select(F.col("id_a").alias(id_col))
+            # ...or in a batch-mate by drop_contained's size/id rule
+            in_new = (
+                pairs.join(batch_ids, pairs.id_a == F.col("_bid"))
+                .join(
+                    batch_ids.withColumnRenamed("_bid", "_bid2"),
+                    pairs.id_b == F.col("_bid2"),
+                )
+                .join(
+                    sizes.select(
+                        F.col("_sid").alias("id_a"),
+                        F.col("_n").alias("_na"),
+                    ),
+                    on="id_a",
+                )
+                .join(
+                    sizes.select(
+                        F.col("_sid").alias("id_b"),
+                        F.col("_n").alias("_nb"),
+                    ),
+                    on="id_b",
+                )
+                .where(
+                    (F.col("_nb") > F.col("_na"))
+                    | (
+                        (F.col("_nb") == F.col("_na"))
+                        & (F.col("id_b") < F.col("id_a"))
+                    )
+                )
+                .select(F.col("id_a").alias(id_col))
+            )
+            doomed = in_old.unionByName(in_new).distinct()
+            survivors = batch.join(doomed, on=id_col, how="left_anti")
+            if not c_done:
+                snap.snapshot_commit(
+                    survivors,
+                    corpus_path,
+                    mode="append",
+                    note={"app_id": app, "batch_id": batch_id},
+                )
+            if not i_done:
+                snap.snapshot_commit(
+                    containment_index_build(
+                        survivors, threshold, id_col, text_col
+                    ),
+                    index_path,
+                    mode="append",
+                    note={"app_id": app, "batch_id": batch_id},
+                )
+        finally:
+            batch.unpersist()
+
+    query = (
+        docs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query
+
+
 def _hh_output_schema(events: DataFrame, group_col: str):
     """Output schema with the group key typed as the input types it
     (same contract as :func:`_session_output_schema` — a hard-coded

@@ -564,6 +564,45 @@ def test_ivf_pq_residual_exactness_anchor_and_append(
     assert rows[0]["cosine"] == 1.0
 
 
+def test_ivf_pq_batch_search_version_pinned_across_retrain(
+    spark, sf_dir, tmp_path
+):
+    """The batch path honors the reproducible-backfill contract: after
+    a retrain (new centroids AND codebooks, n_cells re-dial), probing
+    the PRE-retrain version with `version=` answers bit-identically to
+    the pre-retrain batch search — the old model rides the old
+    version's note, and the head answers with the new one."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfpq")
+    corpus0 = emb.filter(F.col("vec_id") % 3 == 0)
+    v1 = S.ivf_pq_index_init(corpus0, idx, n_cells=4, m=4, k_codes=8)
+    queries = emb.orderBy("vec_id").limit(3)
+    before = {
+        (r.query_id, r.cand_id, r.cosine, r.rank)
+        for r in S.ivf_pq_search(
+            queries, idx, k=5, n_probe=2, rerank=16
+        ).collect()
+    }
+    v2 = S.ivf_pq_index_retrain(emb, idx, n_cells=8)
+    assert (v1, v2) == (1, 2)
+    pinned = {
+        (r.query_id, r.cand_id, r.cosine, r.rank)
+        for r in S.ivf_pq_search(
+            queries, idx, k=5, n_probe=2, rerank=16, version=v1
+        ).collect()
+    }
+    assert pinned == before and pinned
+    # the head now answers over the full retrained corpus: non-%3
+    # vectors are findable
+    head = {
+        r.cand_id
+        for r in S.ivf_pq_search(
+            queries, idx, k=10, n_probe=8, rerank=64
+        ).collect()
+    }
+    assert any(c % 3 != 0 for c in head)
+
+
 def test_ivf_pq_residual_beats_direct_on_clustered_corpus(spark, tmp_path):
     """The claim behind the mode, pinned: on a corpus with real
     cluster structure (8 separated Gaussians — the realistic

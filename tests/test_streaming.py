@@ -1482,3 +1482,87 @@ def test_stream_span_dedup_cross_batch_and_replay(
     assert got[30] == 1 and got[10] == 2  # no double-ingest of doc 30
     assert snap.snapshot_read(spark, corpus).count() == 5
     assert snap.snapshot_read(spark, index).count() == 5
+
+def test_stream_containment_dedup_cross_batch_and_replay(
+    spark, tmp_path, monkeypatch
+):
+    """Streaming containment ingestion: batch 2's quote of a batch-1
+    page drops through the persisted prefix+postings index (the
+    batches never meet in one plan); a batch-internal engulfing pair
+    keeps only the superset side; a NULL-text doc passes through; and
+    a crash BETWEEN the corpus commit and the index commit replays
+    into 'skip corpus, append index' and converges."""
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    big = "the quick brown fox jumps " + " ".join(f"w{i}" for i in range(15))
+    # batch 1: doc 11 is a 5-word block of doc 10 (in-batch engulf —
+    # only the superset survives); doc 12 is NULL text (passes through)
+    _emit_docs(src, "b1.json", [
+        (10, big),
+        (11, "the quick brown fox jumps"),
+        (12, None),
+    ])
+
+    def drain(checkpoint):
+        jobs.stream_containment_dedup(
+            spark.readStream.schema(_docs_schema()).json(str(src)),
+            checkpoint, corpus, index,
+            threshold=0.9, app_id="crawler",
+        )
+
+    drain(ck)
+    got = {r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()}
+    assert got == {10, 12}
+    idx_ids = {
+        r["id"] for r in snap.snapshot_read(spark, index).collect()
+    }
+    assert idx_ids == {10}  # survivors' rows only; NULL doc has none
+
+    # batch 2: doc 20 re-quotes doc 10's block (cross-batch drop via
+    # the index), doc 21 is genuinely new
+    _emit_docs(src, "b2.json", [
+        (20, "the quick brown fox jumps"),
+        (21, "entirely different content here"),
+    ])
+    drain(ck)
+    got = {r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()}
+    assert got == {10, 12, 21}
+    idx_ids = {
+        r["id"] for r in snap.snapshot_read(spark, index).collect()
+    }
+    assert idx_ids == {10, 21}
+
+    # crash between the two commits on batch 3
+    _emit_docs(src, "b3.json", [(30, "brand new page content")])
+    real_commit = snap.snapshot_commit
+    calls = {"n": 0}
+
+    def bomb(df, path, **kw):
+        if path == index:
+            calls["n"] += 1
+            raise RuntimeError("crash before the index commit")
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(snap, "snapshot_commit", bomb)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="crash before the index"):
+        drain(ck)
+    monkeypatch.setattr(snap, "snapshot_commit", real_commit)
+    assert calls["n"] == 1
+    drain(ck)
+    got = sorted(
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    )
+    assert got == [10, 12, 21, 30]  # no double-ingest of doc 30
+    idx_ids = {
+        r["id"] for r in snap.snapshot_read(spark, index).collect()
+    }
+    assert idx_ids == {10, 21, 30}
