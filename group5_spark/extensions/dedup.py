@@ -549,7 +549,8 @@ def contained_pairs(
     # candidate generation excludes capped words on BOTH sides (a
     # capped word can never match a prefix row anyway — carrying it
     # into the join would only shuffle dead rows); verification below
-    # reads the full word arrays, so values stay exact regardless
+    # counts matched (pair, word) posting rows — capped words'
+    # postings still count toward intersections, so values stay exact
     cand = (
         idx.where("is_prefix")
         .select(F.col("id").alias("id_a"), "word")
@@ -563,6 +564,13 @@ def contained_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    # verify from POSTING ROWS, the same shape as
+    # contained_pairs_incremental: |Wa ∩ Wb| is the count of matched
+    # (pair, word) rows, so a fat document ships |W| narrow rows
+    # through a key-partitioned join instead of one giant array cell
+    # per candidate pair it appears in. The rows come straight from
+    # the tokenization (no window/df re-rank — verification doesn't
+    # need ranks, only membership and |Wa|).
     toks = (
         df.select(
             F.col(id_col).alias("id"),
@@ -571,15 +579,22 @@ def contained_pairs(
         .where(F.col(text_col).isNotNull())
         .where(F.size("words") > 0)
     )
-    a = toks.select(F.col("id").alias("id_a"), F.col("words").alias("wa"))
-    b = toks.select(F.col("id").alias("id_b"), F.col("words").alias("wb"))
-    raw = (
-        F.size(F.array_intersect(F.col("wa"), F.col("wb"))).cast("double")
-        / F.size("wa")
+    words = toks.select("id", F.explode("words").alias("word"))
+    sizes = toks.select("id", F.size("words").alias("_na"))
+    inter = (
+        cand.join(
+            words.select(F.col("id").alias("id_a"), "word"), on="id_a"
+        )
+        .join(
+            words.select(F.col("id").alias("id_b"), "word"),
+            on=["id_b", "word"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
     )
+    raw = F.col("_inter").cast("double") / F.col("_na")
     return (
-        cand.join(a, on="id_a")
-        .join(b, on="id_b")
+        inter.join(sizes.select(F.col("id").alias("id_a"), "_na"), on="id_a")
         .withColumn("_raw", raw)
         .filter(F.col("_raw") >= threshold)
         .select("id_a", "id_b", F.round("_raw", 6).alias("containment"))
@@ -709,54 +724,16 @@ def containment_index_build(
     )
 
 
-def contained_pairs_incremental(
-    new_df: DataFrame,
-    index: DataFrame,
-    threshold: float = 0.9,
-    id_col: str = "doc_id",
-    text_col: str = "text",
+def _containment_candidates(
+    batch_idx: DataFrame, index: DataFrame
 ) -> DataFrame:
-    """Containment pairs with AT LEAST ONE endpoint in ``new_df``,
-    probed against a PERSISTED :func:`containment_index_build` frame
-    (batch ids disjoint from the corpus's). Covers all three
-    directions a crawl batch creates — a new doc contained in a
-    corpus doc (quote of an old page), a corpus doc contained in a
-    new doc (new page engulfs an old one), and new-internal pairs —
-    and equals the full :func:`contained_pairs` restriction to those
-    pairs row-for-row (the registry oracle is the naive SQL over the
-    union). ``threshold`` must be ≥ the index's recorded
-    ``build_tau`` for the stored prefixes to stay recall-complete —
-    ENFORCED here (ValueError), not just documented; the index frame
-    carries its build threshold precisely so a mis-dialed probe
-    fails loudly instead of silently losing pairs. Capped index
-    words (``capped``) are excluded from candidate joins but their
-    posting rows still count toward intersections, so containment
-    VALUES are always exact.
-
-    Priced by the batch: candidates are (batch prefix ⋈ index
-    postings) ∪ (index prefix rows ⋈ batch postings) — rare-word
-    posting joins on both sides — and verification counts
-    intersections from the POSTING ROWS of candidate pairs (one
-    (pair, word) join-and-count per side), so neither the corpus
-    text nor its non-candidate postings are ever touched beyond the
-    word-keyed equi-joins."""
-    # MAX over the column: an index grown by appends (e.g. the
-    # streaming job) may carry several build generations, and every
-    # stored prefix must be long enough for this probe
-    tau_max = index.agg(F.max("build_tau")).first()[0]
-    if tau_max is not None and threshold < float(tau_max):
-        raise ValueError(
-            f"probe threshold {threshold} is below the index's build "
-            f"threshold {float(tau_max)} — the stored prefixes are "
-            f"too short for this probe to be recall-complete; rebuild "
-            f"the index at the lower threshold "
-            f"(containment_index_build)"
-        )
-    batch_idx = containment_index_build(
-        new_df, threshold, id_col, text_col
-    )
-    # candidates: a's prefix must hit one of b's UNCAPPED postings
-    # (pigeonhole; prefixes already exclude capped words)
+    """The three-direction candidate join behind
+    :func:`contained_pairs_incremental` (split out so the scale
+    ladder can price candidate VOLUME with the exact production
+    plan): a's prefix must hit one of b's UNCAPPED postings
+    (pigeonhole; prefixes already exclude capped words). Directions:
+    new-in-old, old-in-new, new-in-new. Returns distinct
+    ``(id_a, id_b)``."""
     open_index = index.where(~F.col("capped"))
     c_new_in_old = (
         batch_idx.where("is_prefix")
@@ -780,12 +757,105 @@ def contained_pairs_incremental(
         )
         .where(F.col("id_a") != F.col("id_b"))
     )
-    cand = (
+    return (
         c_new_in_old.unionByName(c_old_in_new)
         .unionByName(c_new_in_new)
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+def contained_pairs_incremental(
+    new_df: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    on_overlap: str = "error",
+) -> DataFrame:
+    """Containment pairs with AT LEAST ONE endpoint in ``new_df``,
+    probed against a PERSISTED :func:`containment_index_build` frame.
+    Covers all three directions a crawl batch creates — a new doc
+    contained in a corpus doc (quote of an old page), a corpus doc
+    contained in a new doc (new page engulfs an old one), and
+    new-internal pairs — and equals the full :func:`contained_pairs`
+    restriction to those pairs row-for-row (the registry oracle is
+    the naive SQL over the union). ``threshold`` must be ≥ the
+    index's recorded ``build_tau`` for the stored prefixes to stay
+    recall-complete — ENFORCED here (ValueError), not just
+    documented; the index frame carries its build threshold precisely
+    so a mis-dialed probe fails loudly instead of silently losing
+    pairs. Capped index words (``capped``) are excluded from
+    candidate joins but their posting rows still count toward
+    intersections, so containment VALUES are always exact.
+
+    Batch ids must be DISJOINT from the index's — an overlapping id
+    would put its posting rows in the verification union twice (batch
+    ∪ index), double-counting intersections (containment values up to
+    2.0, false pairs crossing the threshold). Also ENFORCED, per
+    ``on_overlap``: ``"error"`` (default) raises ValueError naming a
+    sample of the colliding ids (one id-column semi-join action —
+    the probe's equi-joins scan the index postings anyway, so the
+    check does not change the cost regime); ``"drop"`` anti-joins the
+    overlapping batch rows away LAZILY before probing (the re-crawl
+    upsert policy: the already-ingested copy wins — what
+    ``streaming.jobs.stream_containment_dedup`` wants, which enforces
+    it against the full corpus id set itself and passes ``"error"``
+    here as insurance).
+
+    Priced by the batch: candidates are (batch prefix ⋈ index
+    postings) ∪ (index prefix rows ⋈ batch postings) — rare-word
+    posting joins on both sides — and verification counts
+    intersections from the POSTING ROWS of candidate pairs (one
+    (pair, word) join-and-count per side), so neither the corpus
+    text nor its non-candidate postings are ever touched beyond the
+    word-keyed equi-joins."""
+    if on_overlap not in ("error", "drop"):
+        raise ValueError(
+            f"on_overlap must be 'error' or 'drop', got {on_overlap!r}"
+        )
+    # MAX over the column: an index grown by appends (e.g. the
+    # streaming job) may carry several build generations, and every
+    # stored prefix must be long enough for this probe
+    tau_max = index.agg(F.max("build_tau")).first()[0]
+    if tau_max is not None and threshold < float(tau_max):
+        raise ValueError(
+            f"probe threshold {threshold} is below the index's build "
+            f"threshold {float(tau_max)} — the stored prefixes are "
+            f"too short for this probe to be recall-complete; rebuild "
+            f"the index at the lower threshold "
+            f"(containment_index_build)"
+        )
+    index_ids = index.select("id").distinct()
+    if on_overlap == "drop":
+        new_df = new_df.join(
+            index_ids.select(F.col("id").alias(id_col)),
+            on=id_col,
+            how="left_anti",
+        )
+    else:
+        clash = sorted(
+            {
+                r["id"]
+                for r in new_df.select(F.col(id_col).alias("id"))
+                .distinct()
+                .join(index_ids, on="id")
+                .limit(5)
+                .collect()
+            }
+        )
+        if clash:
+            raise ValueError(
+                f"batch ids overlap the containment index's (sample: "
+                f"{clash}) — an overlapping id double-counts its "
+                f"posting rows and corrupts containment values; drop "
+                f"or re-route re-crawled ids before probing "
+                f"(on_overlap='drop' applies first-ingest-wins)"
+            )
+    batch_idx = containment_index_build(
+        new_df, threshold, id_col, text_col
+    )
+    cand = _containment_candidates(batch_idx, index)
     # verify from posting rows: |Wa ∩ Wb| = matched (pair, word) count
     words_all = batch_idx.select("id", "word").unionByName(
         index.select("id", "word")
@@ -816,6 +886,156 @@ def contained_pairs_incremental(
         .filter(F.col("_raw") >= threshold)
         .select("id_a", "id_b", F.round("_raw", 6).alias("containment"))
     )
+
+
+def containment_compact(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    new_ids: DataFrame,
+    threshold: float | None = None,
+    id_col: str = "doc_id",
+    dv_threshold: float | None = None,
+) -> dict:
+    """OFFLINE corpus compaction for containment-superseded documents
+    — the action path for the old-in-new pairs the streaming ingest
+    (:func:`streaming.jobs.stream_containment_dedup`) reports but
+    never acts on: a re-crawl that collects an EXPANDED page appends
+    the new page (it survives — it is not contained in anything) while
+    the engulfed old page sits in the corpus forever. This job retires
+    every corpus document τ-contained in one of the ``new_ids``
+    documents and keeps the containment index consistent in the same
+    run.
+
+    Everything is computed from the INDEX POSTING ROWS — the corpus
+    text is never read: candidates are (old prefix rows ⋈ new
+    documents' uncapped postings) by the same pigeonhole rule as
+    :func:`contained_pairs` (recall exact), verification counts
+    matched (pair, word) posting rows, and the doomed set is the
+    distinct contained-side ids. ``threshold`` defaults to the
+    index's recorded ``build_tau`` (max across append generations)
+    and must be ≥ it — the same enforcement as
+    :func:`contained_pairs_incremental`.
+
+    Deletion runs through the snapshot layer's MERGE
+    (``maintenance.snapshot_merge`` with WHEN MATCHED DELETE / WHEN
+    NOT MATCHED IGNORE — the id-SET sibling of
+    ``maintenance.snapshot_delete``'s scalar predicates): file-level
+    pruning from manifest min/max + bloom stats, so retiring a
+    handful of engulfed pages from a 100 TB corpus rewrites (or, with
+    ``dv_threshold``, sidecar-masks) only the files those ids live
+    in, under OCC, one commit per table. CORPUS FIRST, then index:
+    the doomed set is derived from the index, so a crash between the
+    two commits leaves a state where re-running the job recomputes
+    the SAME doomed set (its posting rows are still indexed), no-ops
+    the corpus merge, and completes the index cleanup — self-healing,
+    whereas index-first would orphan the corpus rows unfindably.
+
+    ``new_ids``: one-column DataFrame (``id_col``) naming the
+    already-ingested documents to treat as the engulfing candidates —
+    typically the ids appended since the last compaction (the
+    streaming job's recent batches). New docs are never doomed by
+    this job, only old ones contained in them. Returns ``{doomed,
+    corpus, index}`` (merge result dicts; ``doomed`` is the retired
+    doc count).
+    """
+    from group5_spark.medallion.maintenance import snapshot_merge
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    idx = snapshot_read(spark, index_path)
+    tau_max = idx.agg(F.max("build_tau")).first()[0]
+    if threshold is None:
+        if tau_max is None:
+            return {"doomed": 0, "corpus": None, "index": None}
+        threshold = float(tau_max)
+    elif tau_max is not None and threshold < float(tau_max):
+        raise ValueError(
+            f"compaction threshold {threshold} is below the index's "
+            f"build threshold {float(tau_max)} — the stored prefixes "
+            f"are too short for this probe to be recall-complete"
+        )
+    nids = new_ids.select(F.col(id_col).alias("id")).distinct()
+    new_idx = idx.join(nids, on="id", how="left_semi")
+    old_idx = idx.join(nids, on="id", how="left_anti")
+    cand = (
+        old_idx.where("is_prefix")
+        .select(F.col("id").alias("id_a"), "word")
+        .join(
+            new_idx.where(~F.col("capped")).select(
+                F.col("id").alias("id_b"), "word"
+            ),
+            on="word",
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    words = idx.select("id", "word")
+    inter = (
+        cand.join(
+            words.select(F.col("id").alias("id_a"), "word"), on="id_a"
+        )
+        .join(
+            words.select(F.col("id").alias("id_b"), "word"),
+            on=["id_b", "word"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    sizes = idx.select(
+        F.col("id").alias("id_a"), F.col("n_words").alias("_na")
+    ).distinct()
+    doomed = (
+        inter.join(sizes, on="id_a")
+        .where(F.col("_inter").cast("double") / F.col("_na") >= threshold)
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+        .persist()
+    )
+    try:
+        n_doomed = doomed.count()
+        if not n_doomed:
+            return {"doomed": 0, "corpus": None, "index": None}
+        note = {"op": "containment_compact", "threshold": threshold}
+
+        def padded(table_path: str, key: str) -> DataFrame:
+            # the merge contract wants the full table schema on the
+            # source (inserts could need it); this merge never inserts
+            # (NOT MATCHED ignore) or updates, so every non-key column
+            # is a typed NULL that is never read
+            ids = doomed.select(F.col(id_col).alias(key))
+            tbl = snapshot_read(spark, table_path).limit(0)
+            return ids.select(
+                *[
+                    F.col(key).alias(c)
+                    if c == key
+                    else F.lit(None).cast(t).alias(c)
+                    for c, t in tbl.dtypes
+                ]
+            )
+
+        corpus_res = snapshot_merge(
+            spark,
+            corpus_path,
+            padded(corpus_path, id_col),
+            keys=[id_col],
+            when_matched="delete",
+            when_not_matched="ignore",
+            dv_threshold=dv_threshold,
+            note=note,
+        )
+        index_res = snapshot_merge(
+            spark,
+            index_path,
+            padded(index_path, "id"),
+            keys=["id"],
+            when_matched="delete",
+            when_not_matched="ignore",
+            dv_threshold=dv_threshold,
+            note=note,
+        )
+    finally:
+        doomed.unpersist()
+    return {"doomed": n_doomed, "corpus": corpus_res, "index": index_res}
 
 
 def incremental_components(

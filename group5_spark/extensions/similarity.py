@@ -541,23 +541,20 @@ def ivf_index_search(
         "v", _as_double(queries, params["vec_col"])
     ).select(F.col(params["id_col"]).alias("query_id"), "v")
     # The probe frame is consumed twice: once to collect the probed-
-    # cell set, once in the rank join the caller materializes later.
-    # Persist only for the FIRST pass and unpersist immediately — a
-    # lazily-returned persisted frame can never be unpersisted by this
-    # function, and the CacheManager would hold its blocks for the
-    # session lifetime (repeated searches accumulate until eviction
-    # pressure). Cost of the trade: the returned plan re-runs the
+    # cell set (a cell_id-only projection — Catalyst prunes the rest),
+    # once in the rank join the caller materializes later. No persist:
+    # a lazily-returned persisted frame could never be unpersisted by
+    # this function (the CacheManager would hold its blocks for the
+    # session lifetime), and a persist scoped to the collect alone
+    # buys nothing — one action computes the pipeline exactly once
+    # either way. Cost of the trade: the returned plan re-runs the
     # map-only centroid scoring once; deterministic (centroids are
     # frozen at this pinned version), zero extra index I/O.
     probes = ivf_probe_cells(q_vec, centroids, n_probe)
-    cached = probes.persist()
-    try:
-        probed = sorted(
-            r["cell_id"]
-            for r in cached.select("cell_id").distinct().collect()
-        )
-    finally:
-        cached.unpersist()
+    probed = sorted(
+        r["cell_id"]
+        for r in probes.select("cell_id").distinct().collect()
+    )
     if not probed:  # empty query batch: empty result, right schema
         assigned = snapshot_read(spark, index_path, version=version).limit(0)
         return ivf_rank(probes, assigned, k)
@@ -594,7 +591,7 @@ def ivf_pq_index_init(
     k_codes: int = 16,
     iters: int = 2,
     hash_fn: str = "xxhash64",
-    residual: bool = False,
+    residual: bool | str = False,
 ) -> int:
     """Build the persisted IVF-PQ index — the FAISS `IVFx,PQy,refine`
     composition over the snapshot layer: Voronoi cells for FILE-LEVEL
@@ -647,10 +644,17 @@ def ivf_pq_index_init(
     recommend ``direct``. The threshold is ``_ANISO_RESIDUAL_MAX`` —
     strictly below 1.0, i.e. residual only when the codes genuinely
     have less norm to describe.
+
+    ``residual="auto"`` closes the loop: the chosen mode FOLLOWS that
+    measurement (the aggregate lands before codebook training, so
+    auto costs nothing extra), the note records the resolved bool
+    under ``residual`` plus ``residual_mode: "auto"``, and
+    :func:`ivf_pq_index_retrain` re-decides on every retrain of an
+    auto index. Explicit True/False forces the mode as before.
     """
     from group5_spark.medallion.snapshots import snapshot_commit
 
-    final, centroids, books, aniso, cached = _ivfpq_build(
+    final, centroids, books, aniso, res, cached = _ivfpq_build(
         corpus, id_col, vec_col, n_cells, m, k_codes, iters, hash_fn,
         residual,
     )
@@ -668,7 +672,10 @@ def ivf_pq_index_init(
                     "m": m,
                     "k_codes": k_codes,
                     "hash_fn": hash_fn,
-                    "residual": bool(residual),
+                    "residual": res,
+                    "residual_mode": (
+                        "auto" if residual == "auto" else "explicit"
+                    ),
                     "anisotropy": aniso,
                 },
                 "centroids": centroids,
@@ -696,16 +703,18 @@ def _ivfpq_build(
     k_codes: int,
     iters: int,
     hash_fn: str,
-    residual: bool,
+    residual: bool | str,
 ):
     """The shared model-fit + encode pipeline behind
     :func:`ivf_pq_index_init` and :func:`ivf_pq_index_retrain`:
     unit-project, sample centroids, assign cells, measure the
-    anisotropy ratio (one aggregate), train codebooks on the chosen
-    code column, encode. Returns
-    ``(final_df, centroids, codebooks, anisotropy, cached)`` — the
-    caller decides the commit mode/note and MUST unpersist ``cached``
-    after its commit action (the assigned frame is persisted here so
+    anisotropy ratio (one aggregate), resolve ``residual`` (a bool
+    forces the code mode; ``"auto"`` follows the measurement's
+    recommendation), train codebooks on the chosen code column,
+    encode. Returns
+    ``(final_df, centroids, codebooks, anisotropy, resolved_residual,
+    cached)`` — the caller decides the commit mode/note and MUST
+    unpersist ``cached`` after its commit action (the assigned frame is persisted here so
     the anisotropy aggregate, the Lloyd training passes, and the
     final encode all read one materialization of the
     unit-projection + cell-assignment pipeline instead of re-deriving
@@ -713,6 +722,10 @@ def _ivfpq_build(
     spill rather than recompute)."""
     from group5_spark.extensions.clustering import pq_encode, pq_train
 
+    if not isinstance(residual, bool) and residual != "auto":
+        raise ValueError(
+            f"residual must be a bool or 'auto', got {residual!r}"
+        )
     c_vec = _ivf_c_vec(corpus, id_col, vec_col)
     base = (
         c_vec.withColumn("cn", F.sqrt(F.expr(DOT.format(a="v", b="v"))))
@@ -736,7 +749,18 @@ def _ivfpq_build(
             else "direct"
         ),
     }
-    code_col = "vr" if residual else "vu"
+    # residual="auto" FOLLOWS the measurement just taken (the
+    # recommendation is computed before codebook training on purpose —
+    # one aggregate over the already-persisted assignment, so auto
+    # costs nothing extra): clustered corpora (residuals smaller than
+    # the unit vectors) train on residuals, near-isotropic ones train
+    # direct. Explicit True/False still forces the mode.
+    res = (
+        aniso["recommended"] == "residual"
+        if residual == "auto"
+        else bool(residual)
+    )
+    code_col = "vr" if res else "vu"
     books = pq_train(
         assigned, vec_col=code_col, id_col="cand_id",
         m=m, k=k_codes, iters=iters,
@@ -745,14 +769,14 @@ def _ivfpq_build(
     final = encoded.select(
         "cand_id", "v", "cn", "pq_codes", "cell_id"
     ).repartition("cell_id")
-    return final, centroids, books, aniso, assigned
+    return final, centroids, books, aniso, res, assigned
 
 
 def ivf_pq_index_retrain(
     corpus: DataFrame,
     index_path: str,
     n_cells: int | None = None,
-    residual: bool | None = None,
+    residual: bool | str | None = None,
     iters: int = 2,
     expected_parent: int | None = None,
 ) -> int:
@@ -767,7 +791,10 @@ def ivf_pq_index_retrain(
 
     ``n_cells=None`` keeps the current cell count — pass the √N
     re-dial after corpus growth. ``residual=None`` keeps the current
-    code mode; pass True/False to switch modes at the natural
+    code MODE: an ``"auto"`` index re-decides from the fresh
+    anisotropy measurement (the corpus may have gained or lost
+    cluster structure since init), an explicit index keeps its forced
+    bool; pass True/False/"auto" to switch modes at the natural
     boundary (codes are retrained anyway, and the fresh
     ``anisotropy`` measurement in the new note says which mode the
     CURRENT corpus wants). id/vec columns, the (m, k) code budget,
@@ -781,12 +808,21 @@ def ivf_pq_index_retrain(
 
     params, _, _ = ivf_pq_params(index_path)
     cells = n_cells if n_cells is not None else params["n_cells"]
-    res = (
-        bool(params.get("residual")) if residual is None else bool(residual)
-    )
-    final, centroids, books, aniso, cached = _ivfpq_build(
+    if residual is None:
+        # inherit the MODE, not just the bool: an auto index re-decides
+        # from the fresh measurement on every retrain (the corpus may
+        # have gained or lost cluster structure); an explicit index
+        # keeps its forced setting
+        req: bool | str = (
+            "auto"
+            if params.get("residual_mode") == "auto"
+            else bool(params.get("residual"))
+        )
+    else:
+        req = residual
+    final, centroids, books, aniso, res, cached = _ivfpq_build(
         corpus, params["id_col"], params["vec_col"], cells,
-        params["m"], params["k_codes"], iters, params["hash_fn"], res,
+        params["m"], params["k_codes"], iters, params["hash_fn"], req,
     )
     try:
         return snapshot_commit(
@@ -800,6 +836,9 @@ def ivf_pq_index_retrain(
                     **params,
                     "n_cells": cells,
                     "residual": res,
+                    "residual_mode": (
+                        "auto" if req == "auto" else "explicit"
+                    ),
                     "anisotropy": aniso,
                 },
                 "centroids": centroids,
@@ -1061,20 +1100,23 @@ def ivf_pq_search(
         ) + ")"
         for s, book in enumerate(books)
     ) + ")"
+    # collect the probed-cell set from the ROUTE projection, before
+    # the m×k LUT expression attaches — the collect then pays only the
+    # centroid scoring, never the LUT folds, and no persist is needed
+    # (a persist scoped to one action buys nothing, and one held past
+    # the return could never be unpersisted here — see
+    # ivf_index_search). The returned plan re-runs the map-only
+    # routing once when consumed; deterministic at this pinned
+    # version, zero extra index I/O.
+    probed = sorted(
+        r["cell_id"]
+        for r in probes.select("cell_id").distinct().collect()
+    )
     probes = (
         probes.withColumn("equ", equ)
         .withColumn("lut", F.expr(lut_sql))
         .drop("equ", "qu")
     )
-
-    cached = probes.persist()
-    try:
-        probed = sorted(
-            r["cell_id"]
-            for r in cached.select("cell_id").distinct().collect()
-        )
-    finally:
-        cached.unpersist()
     if not probed:  # empty (or all-zero-norm) batch: right schema
         rows = snapshot_read(spark, index_path, version=version).limit(0)
     else:

@@ -980,6 +980,96 @@ def contained_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "containment_compacted_corpus",
+    """
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tt AS (SELECT * FROM t WHERE len(words) > 0),
+    doomed AS (
+        SELECT DISTINCT a.doc_id
+        FROM tt a JOIN tt b
+          ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+        WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+              / len(a.words) >= 0.9
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(len(list_distinct(string_split(d.text, ' ')))
+                          AS BIGINT)
+           END AS n_words
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM doomed)
+    """,
+)
+def containment_compacted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OFFLINE containment corpus-compaction
+    (``extensions.dedup.containment_compact`` — round-10 VERDICT #2's
+    action path for the old-in-new pairs the streaming ingest reports
+    but never acts on): the full document corpus and its
+    prefix+postings index land as SNAPSHOT tables, the recent-crawl
+    ids (doc_id % 10 ≥ 8) are declared the engulfing candidates, and
+    every OLD corpus doc τ-contained in one of them is physically
+    retired from corpus AND index — two file-pruned OCC merge-deletes
+    (manifest min/max + bloom pruning, the id-set sibling of
+    ``snapshot_delete``), doomed set computed entirely from POSTING
+    ROWS (corpus text never re-read, pigeonhole recall exact). The
+    returned frame is the post-compaction corpus read back through
+    the snapshot layer; the DuckDB oracle recomputes the survivors
+    from the naive all-pairs SQL, so the hash match proves the
+    pruned, index-only, merge-deleted path retired exactly the right
+    documents and nothing else. The query raises if the compaction
+    fails to engage (no doomed docs, or doomed rows still readable in
+    either table)."""
+    import shutil as _shutil
+
+    from group5_spark.extensions import dedup
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    base = _dml_scratch("containment_compacted_corpus", sf_dir)
+    _shutil.rmtree(base, ignore_errors=True)
+    corpus_path = f"{base}/corpus"
+    index_path = f"{base}/index"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    snapshot_commit(docs.repartition(4, "doc_id"), corpus_path)
+    snapshot_commit(
+        dedup.containment_index_build(docs, threshold=0.9)
+        .repartition(4, "id"),
+        index_path,
+    )
+    new_ids = docs.select("doc_id").where(F.col("doc_id") % 10 >= 8)
+    res = dedup.containment_compact(
+        spark, corpus_path, index_path, new_ids
+    )
+    if not res["doomed"]:
+        raise RuntimeError(
+            "containment_compact did not engage — the query exists to "
+            "gate the offline retirement path"
+        )
+    after = snapshot_read(spark, corpus_path)
+    idx_after = snapshot_read(spark, index_path)
+    leftover = (
+        idx_after.select("id")
+        .join(after.select(F.col("doc_id").alias("id")), "id", "left_anti")
+        .count()
+    )
+    if leftover:
+        raise RuntimeError(
+            f"{leftover} index posting-doc ids survived their corpus "
+            "rows — the two merge-deletes disagreed"
+        )
+    n_words = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long"),
+    )
+    return after.select("doc_id", n_words.alias("n_words"))
+
+
+@register(
     "dedup_clusters",
     """
     WITH RECURSIVE t AS (
@@ -8260,6 +8350,63 @@ def ivf_pq_exact_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ivf_pq_auto_mode_anchor",
+    """
+    WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+    SELECT query_id, cand_id, cosine, rank FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               ROUND(list_cosine_similarity(q.e, c.e), 6) AS cosine,
+               ROW_NUMBER() OVER (
+                   PARTITION BY q.vec_id
+                   ORDER BY ROUND(list_cosine_similarity(q.e, c.e), 6) DESC,
+                            c.vec_id
+               ) AS rank
+        FROM v q JOIN v c ON q.vec_id != c.vec_id
+        WHERE q.vec_id >= 3 AND q.vec_id < 6
+    ) WHERE rank <= 10
+    """,
+)
+def ivf_pq_auto_mode_anchor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-10 VERDICT #4 end-to-end: the IVF-PQ index built with
+    ``residual="auto"`` — the code mode FOLLOWS the measured
+    within-cell residual-norm ratio instead of a caller guess (the
+    near-isotropic testdata embeddings must resolve to direct codes;
+    the query RAISES if the resolved mode disagrees with the recorded
+    recommendation or the mode isn't marked auto) — then served
+    through the exactness anchor: batch search with ``n_probe =
+    n_cells`` and ``rerank`` ≥ the corpus IS brute-force cosine, so
+    the DuckDB oracle is the plain exact top-10 for the three anchor
+    queries. One driver row therefore gates the auto decision, the
+    manifest round-trip of the resolved model, and the whole serving
+    path in the auto-chosen mode."""
+    import shutil as _shutil
+
+    from group5_spark.extensions.similarity import (
+        ivf_pq_index_init,
+        ivf_pq_params,
+        ivf_pq_search,
+    )
+
+    path = _dml_scratch("ivf_pq_auto_mode_anchor", sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    ivf_pq_index_init(
+        emb, path, n_cells=8, m=4, k_codes=8, iters=2, residual="auto"
+    )
+    params = ivf_pq_params(path)[0]
+    want = params["anisotropy"]["recommended"] == "residual"
+    if params["residual_mode"] != "auto" or params["residual"] is not want:
+        raise RuntimeError(
+            f"auto mode did not follow the measurement: {params}"
+        )
+    return ivf_pq_search(
+        emb.where((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)),
+        path, k=10, n_probe=8, rerank=n,
+    ).select("query_id", "cand_id", "cosine", "rank")
+
+
+@register(
     "span_dedup_counts",
     """
     WITH w AS (
@@ -8406,95 +8553,88 @@ def span_dedup_incremental_counts(
 
 
 # The driver oracle-checks the FIRST 50 registered queries each round.
-# Round-10 window (round-9 VERDICT #1's ordered rotation): the THREE
-# queries NEW this round lead (new queries enter their own round's
-# window), then the NINE queries whose newest driver evidence is
-# round 6 — they reached the 3-round evidence-age boundary, led by
-# the flagship entry() query pricing_summary — then 38 of the 49
-# queries whose newest driver evidence is round 7. The r07 cohort is
-# oversubscribed for the 50-slot window, so ELEVEN defer to round 11
-# (3 + 9 + 38 = 50), chosen for the strongest alternative evidence
-# exactly like round 9's deferral set:
-# customers_without_orders / dedup_exact / nation_trade_volume /
-# top3_parts_per_brand / waiting_suppliers (bench HEADLINERS —
-# executed and timed by the driver's bench run every round, and per
-# the round-8 convention bench-headline deferrals rotate first next
-# round), advisor_planned_trade_volume (test_advisor.py's registry
-# materialization + zero-stats-jobs suite runs it end-to-end),
-# mask_fold_survivors (the DV fold family: dedicated
-# test_maintenance/test_deletion_vectors cases), sim_topk (the ANN
-# exact baseline: recall + ladder tests in test_extensions and
-# tools-smoke run it in-process), corpus_shard_shuffle (ninth
-# deferral, displaced by the NEW ivf_pq_exact_anchor — new queries
-# enter their own round's window; it keeps a dedicated
-# no-global-sort plan test and a trainops-ladder timing row every
-# ladder refresh), dedup_minhash_lsh (tenth deferral, displaced
-# by the NEW contained_doc_pairs; it keeps its recall-vs-exact and
-# mega-bucket-cap pytest cases, a trainops-ladder timing row, and a
-# PLANS.md audit every regeneration), and dedup_simhash_pairs
-# (eleventh deferral, displaced by the NEW contained_incremental_new;
-# it keeps a signature pytest case and a trainops-ladder timing row).
+# Round-11 window (round-10 VERDICT #1's ordered rotation): the
+# ELEVEN round-10 deferrals lead — their newest driver evidence is
+# round 7, at the 3-round boundary — bench headliners first per the
+# round-8 convention (they rotate first after a deferral), then the
+# TWO queries NEW this round (new queries enter their own round's
+# window), then 37 of the 50 queries whose newest driver evidence is
+# round 8. That cohort is oversubscribed for the 50-slot window, so
+# THIRTEEN defer to round 12 (11 + 2 + 37 = 50), chosen — exactly
+# like the round-9/-10 deferral sets — for the strongest alternative
+# evidence: ALL are bench HEADLINERS, executed and timed by the
+# driver's bench run every round (top_customers,
+# customer_order_counts, funnel_steps, events_props_sum,
+# pct_revenue_by_segment, tumbling_hourly_events,
+# doc_pipeline_filtered_corpus, text_token_count,
+# large_volume_customers, repeat_orders_within_3d,
+# customer_rfm_segments, part_pair_affinity, train_val_test_split —
+# per the convention they rotate FIRST in round 12). The r08 cohort
+# carries 14 bench headliners; asof_last_click_before_error stays in
+# the window as the one that fits (the as-of join is a custom
+# operator whose only other evidence is its pytest case, so it keeps
+# the driver row and the other 13 keep their bench timing rows).
 # Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
 _CHECK_WINDOW = [
-    # NEW in round 10 — the composed IVF-PQ index through its
-    # exactness anchor, and the PPJoin containment near-dup join
-    # (batch + incremental-vs-persisted-index forms; new queries
-    # enter their own round's window)
-    "ivf_pq_exact_anchor",
-    "contained_doc_pairs",
-    "contained_incremental_new",
-    # newest driver evidence round 6 — the round-9 deferral set,
-    # flagship first
-    "pricing_summary",
-    "dv_delete_survivors",
-    "eq_upsert_survivors",
-    "merge_full_sync_status",
-    "merge_tiered_clauses",
-    "mv_filtered_status_revenue",
-    "mv_star_segment_revenue",
-    "multimodal_audio_features",
-    "multimodal_video_features",
-    # newest driver evidence round 7 — cohort minus 8 deferrals
-    "conversion_rate",
-    "corpus_curation_funnel",
-    "cube_event_counts",
-    "customers_with_orders",
-    "date_functions_showcase",
-    "dedup_clusters_incremental",
-    "dedup_incremental_neardup",
-    "dedup_jaccard_pairs",
-    "doc_chunk_windows",
-    "doc_repetition_filter",
-    "dynfilter_urgent_order_revenue",
-    "embedding_int8_quantization",
-    "events_by_type_daily",
-    "except_active_ids",
-    "exists_returned_orders",
-    "histogram_weekly_percentiles",
-    "intersect_active_ids",
-    "inverted_index_postings",
-    "knn_label_vote",
-    "late_shipment_priority",
-    "min_cost_supplier",
-    "monthly_open_order_lines",
-    "multimodal_binary_meta",
-    "multimodal_frame_sample",
-    "ntile_customer_quartiles",
-    "order_part_baskets",
-    "parts_supplier_relationship",
-    "pivot_event_matrix",
-    "recursive_trade_reach",
-    "rich_inactive_customers",
-    "scalar_subquery_pricey_parts",
-    "sim_lsh_topk",
-    "string_functions_showcase",
-    "text_bigram_logprob",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "union_active_ids",
+    # the round-10 deferral set (newest driver evidence round 7) —
+    # bench headliners first
+    "customers_without_orders",
+    "dedup_exact",
+    "nation_trade_volume",
+    "top3_parts_per_brand",
+    "waiting_suppliers",
+    "advisor_planned_trade_volume",
+    "mask_fold_survivors",
+    "sim_topk",
+    "corpus_shard_shuffle",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    # NEW in round 11 — offline containment corpus-compaction
+    # (snapshot merge-deletes gated against the naive-SQL survivor
+    # set) and the residual="auto" IVF-PQ build through the exactness
+    # anchor
+    "containment_compacted_corpus",
+    "ivf_pq_auto_mode_anchor",
+    # newest driver evidence round 8 — cohort minus the 13 deferrals
+    "asof_last_click_before_error",
+    "avg_order_value",
+    "brand_market_share",
+    "cheapest_shipment_per_part",
+    "cohort_weekly_retention",
+    "column_ops_showcase",
+    "contamination_check",
+    "dedup_embedding_cosine",
+    "disjunctive_brand_revenue",
+    "doc_frequency_top_words",
+    "forecast_revenue_change",
+    "having_heavy_brands",
+    "hopping_event_counts",
+    "in_subquery_big_orders",
+    "lead_lag_daily_revenue",
+    "multimodal_decode_features",
+    "order_count_distribution",
+    "percentiles_by_segment",
+    "pq_ann_topk",
+    "promo_revenue_share",
+    "returned_item_customers",
+    "rollup_revenue",
+    "sessionized_event_counts",
+    "sim_ivf_topk",
+    "sketch_scale_stats",
+    "small_quantity_revenue",
+    "span_dedup_counts",
+    "span_dedup_incremental_counts",
+    "sql_surface_revenue",
+    "stratified_doc_sample",
+    "supplier_counts_by_part",
+    "text_classifier_scores",
+    "token_budget_corpus",
+    "top_supplier_by_revenue",
+    "unpivot_money_components",
+    "variant_bronze_extract",
+    "wap_publish_gate",
 ]
 
 

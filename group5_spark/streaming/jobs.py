@@ -654,6 +654,31 @@ def stream_span_dedup(
     return query
 
 
+def _note_parent_version(
+    path: str, app_id: str | None, batch_id: int
+) -> int | None:
+    """The snapshot version the ORIGINAL run of streaming batch
+    ``(app_id, batch_id)`` committed ON TOP OF: walk the published
+    lineage newest-first for the commit carrying that idempotency
+    note and return its manifest ``parent``. None when that commit
+    created the table (no parent — the pre-batch state is "absent")
+    or when the note is not found (expired lineage; callers treat
+    both as "no pre-batch table")."""
+    import json as _json
+    from pathlib import Path as _Path
+
+    from group5_spark.medallion import snapshots as snap
+
+    root = _Path(path)
+    for v in snap._lineage(root, snap._current_version(root)):
+        m = _json.loads(snap._manifest_path(root, v).read_text())
+        note = m.get("note") or {}
+        if note.get("app_id") == app_id and note.get("batch_id") == batch_id:
+            parent = m.get("parent") or 0
+            return int(parent) or None  # parent 0 = created the table
+    return None
+
+
 def stream_containment_dedup(
     docs: DataFrame,
     checkpoint_dir: str,
@@ -668,17 +693,25 @@ def stream_containment_dedup(
     """Continuous crawl ingestion with CONTAINMENT dedup (streaming
     twin of ``extensions.dedup.contained_pairs_incremental``, the
     containment sibling of :func:`stream_span_dedup`): each
-    micro-batch probes the PERSISTED prefix+postings index, drops
-    every batch document τ-contained in an already-ingested corpus
-    document (ingest-order precedence — the old page wins) or in a
-    surviving batch-mate with more distinct words (ties toward the
-    smaller id, :func:`drop_contained`'s rule, evaluated against the
-    batch as crawled), then two snapshot appends land in sequence:
-    the SURVIVING documents into ``corpus_path`` and the survivors'
-    index rows into ``index_path``. The old-in-new direction is
-    reported by the underlying probe but NOT acted on — an append
-    stream never deletes corpus rows; run :func:`drop_contained` (or
-    an eq-delete sweep) offline if engulfed old pages should retire.
+    micro-batch first drops RE-CRAWLED ids (an id already in the
+    corpus — first-crawl-wins upsert, the same ingest-order
+    precedence the containment election uses; this also enforces the
+    probe's disjoint-id precondition, since index ids are a subset of
+    corpus ids), then probes the PERSISTED prefix+postings index,
+    drops every batch document τ-contained in an already-ingested
+    corpus document (ingest-order precedence — the old page wins) or
+    in a batch-mate with more distinct words (ties toward the smaller
+    id — :func:`drop_contained`'s rule, evaluated against the batch
+    AS CRAWLED: a doomed batch-mate still dooms its containees, the
+    same chain semantics as ``drop_contained`` itself), then two
+    snapshot appends land in sequence: the SURVIVING documents into
+    ``corpus_path`` and the survivors' index rows into
+    ``index_path``. The old-in-new direction is reported by the
+    underlying probe but NOT acted on inline — an append stream never
+    deletes corpus rows; run ``extensions.dedup.containment_compact``
+    offline (on a schedule, over the recently-appended ids) to retire
+    corpus pages engulfed by later crawls from BOTH tables,
+    file-pruned and OCC-committed.
 
     All state lives in the two snapshot tables (stateless stream, no
     state store). Exactly-once across BOTH tables via independent
@@ -725,10 +758,35 @@ def stream_containment_dedup(
             idx = containment_index_build(
                 batch.limit(0), threshold, id_col, text_col
             )
+        # first-crawl-wins upsert: a re-crawled id (already ingested —
+        # checked against the CORPUS id set, a superset of the index's
+        # that also covers NULL-text survivors) drops before probing,
+        # so the probe's disjoint-id precondition holds by
+        # construction and a duplicate key never lands in the corpus.
+        # On a crash replay where the corpus commit already landed
+        # (c_done), the head corpus contains THIS batch's survivors —
+        # the election must anti-join against the PRE-batch corpus
+        # (the parent of the commit carrying this (app_id, batch_id)
+        # note) or it would doom the whole batch and append an empty
+        # index generation.
+        corpus_v: int | None = None
+        have_corpus = bool(snap._current_version(Path(corpus_path)))
+        if have_corpus and c_done:
+            corpus_v = _note_parent_version(corpus_path, app, batch_id)
+            have_corpus = corpus_v is not None
+        if have_corpus:
+            batch = batch.join(
+                snap.snapshot_read(
+                    spark, corpus_path, version=corpus_v
+                ).select(id_col),
+                on=id_col,
+                how="left_anti",
+            )
         batch = batch.persist()
         try:
             pairs = contained_pairs_incremental(
-                batch, idx, threshold, id_col, text_col
+                batch, idx, threshold, id_col, text_col,
+                on_overlap="error",  # insurance; disjoint by the above
             )
             batch_ids = batch.select(F.col(id_col).alias("_bid"))
             sizes = batch.where(F.col(text_col).isNotNull()).select(

@@ -848,6 +848,58 @@ def test_ivf_pq_retrain_occ_and_mode_switch(spark, tmp_path):
     assert got == exact
 
 
+def test_ivf_pq_residual_auto_follows_measurement(spark, sf_dir, tmp_path):
+    """Round-10 VERDICT #4: residual='auto' closes the anisotropy
+    loop — a clustered corpus auto-picks residual codes, the
+    near-isotropic sf embeddings auto-pick direct, the note records
+    the resolved bool plus residual_mode='auto', a retrain of an auto
+    index RE-decides from the fresh measurement (switching the corpus
+    under it flips the mode), explicit args keep forcing, and junk
+    strings fail loudly."""
+    clustered = _clustered_corpus(spark, n_clusters=8)
+    ci = str(tmp_path / "auto_clustered")
+    S.ivf_pq_index_init(
+        clustered, ci, n_cells=8, m=8, k_codes=8, iters=1, residual="auto"
+    )
+    p = S.ivf_pq_params(ci)[0]
+    assert p["residual"] is True and p["residual_mode"] == "auto"
+    assert p["anisotropy"]["recommended"] == "residual"
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ii = str(tmp_path / "auto_iso")
+    S.ivf_pq_index_init(
+        emb, ii, n_cells=8, m=8, k_codes=8, iters=1, residual="auto"
+    )
+    p = S.ivf_pq_params(ii)[0]
+    assert p["residual"] is False and p["residual_mode"] == "auto"
+    assert p["anisotropy"]["recommended"] == "direct"
+
+    # retrain with residual=None inherits the MODE: the auto clustered
+    # index, retrained on the isotropic vectors, re-decides to direct
+    S.ivf_pq_index_retrain(emb, ci)
+    p = S.ivf_pq_params(ci)[0]
+    assert p["residual"] is False and p["residual_mode"] == "auto"
+
+    # explicit args unchanged: forced residual on the isotropic corpus
+    # stays forced through a None retrain
+    ei = str(tmp_path / "forced")
+    S.ivf_pq_index_init(
+        emb, ei, n_cells=8, m=8, k_codes=8, iters=1, residual=True
+    )
+    p = S.ivf_pq_params(ei)[0]
+    assert p["residual"] is True and p["residual_mode"] == "explicit"
+    S.ivf_pq_index_retrain(emb, ei)
+    p = S.ivf_pq_params(ei)[0]
+    assert p["residual"] is True and p["residual_mode"] == "explicit"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="auto"):
+        S.ivf_pq_index_init(
+            emb, str(tmp_path / "bad"), n_cells=8, residual="yes"
+        )
+
+
 def test_ivf_pq_anisotropy_probe_recommends_mode(spark, sf_dir, tmp_path):
     """VERDICT r9 #5: init measures the within-cell residual-norm
     ratio (one aggregate over the assigned corpus) and records a mode

@@ -1483,6 +1483,57 @@ def test_stream_span_dedup_cross_batch_and_replay(
     assert snap.snapshot_read(spark, corpus).count() == 5
     assert snap.snapshot_read(spark, index).count() == 5
 
+def test_stream_containment_recrawl_first_crawl_wins(spark, tmp_path):
+    """Round-10 ADVICE (medium): a re-crawled doc_id used to feed the
+    probe overlapping ids (silently corrupting containment values)
+    and then append a DUPLICATE corpus key. Now the batch anti-joins
+    the corpus id set first — first-crawl-wins, the same ingest-order
+    precedence the containment election uses — so the original text
+    stays, no duplicate key lands, and the NULL-text case (a survivor
+    the INDEX never saw) is covered too."""
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    _emit_docs(src, "b1.json", [
+        (40, "alpha beta gamma delta epsilon"),
+        (41, None),  # NULL-text survivor: in corpus, never in index
+    ])
+
+    def drain():
+        jobs.stream_containment_dedup(
+            spark.readStream.schema(_docs_schema()).json(str(src)),
+            ck, corpus, index, threshold=0.9, app_id="crawler",
+        )
+
+    drain()
+    # batch 2 re-crawls BOTH (new text for 40, text for the NULL 41)
+    # plus one genuinely new doc
+    _emit_docs(src, "b2.json", [
+        (40, "totally different re-crawl text"),
+        (41, "late text for the null page"),
+        (42, "a genuinely new page"),
+    ])
+    drain()
+    rows = {
+        r["doc_id"]: r["text"]
+        for r in snap.snapshot_read(spark, corpus).collect()
+    }
+    assert rows == {
+        40: "alpha beta gamma delta epsilon",  # first crawl won
+        41: None,                               # ditto, even w/o index rows
+        42: "a genuinely new page",
+    }
+    assert snap.snapshot_read(spark, corpus).count() == 3  # no dup keys
+    idx_ids = {r["id"] for r in snap.snapshot_read(spark, index).collect()}
+    assert idx_ids == {40, 42}
+
+
 def test_stream_containment_dedup_cross_batch_and_replay(
     spark, tmp_path, monkeypatch
 ):

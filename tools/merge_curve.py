@@ -51,6 +51,8 @@ Usage:
     python tools/merge_curve.py --one-masks 16
     python tools/merge_curve.py --stream-eq  # streaming eq-CDC loop
     python tools/merge_curve.py --one-stream-eq 16
+    python tools/merge_curve.py --containment  # PPJoin probe ladder
+    python tools/merge_curve.py --one-containment 16
 """
 
 from __future__ import annotations
@@ -742,6 +744,186 @@ def run_one_span(n: int) -> dict:
     }
 
 
+def run_one_containment(n: int, cap: int = 40) -> dict:
+    """Round-10 VERDICT #3's ladder: the containment (PPJoin
+    prefix-filter) probe of a FIXED 1× crawl batch against the Nx
+    corpus's PERSISTED prefix+postings index
+    (`containment_index_build` → `contained_pairs_incremental`),
+    timing seconds AND counting candidate volume — the prefix
+    filter's one scaling claim previously argued only in prose — with
+    the posting-cap variant priced alongside.
+
+    Corpus construction: the raw testdata vocabulary is 31 words
+    (every word df ≈ 0.77·corpus — pure boilerplate), which
+    degenerates ANY prefix filter, so the ladder re-suffixes every
+    word with its replica AND a doc-group tag (`_<r>g<doc_id%50>`):
+    vocabulary ×(replicas·50), per-word df ≈ group size — the
+    realistic topic-clustered profile where rare-word prefixes
+    actually prune. Batch: the 1× docs, ids offset beyond the Nx key
+    space, half duplicating replica-0 docs verbatim (their group tags
+    preserved, so they MUST pair) and half fresh (`_new` suffix —
+    zero candidates). Candidate volume should be ~FLAT in N (probe
+    words only exist in replica 0's postings); probe seconds grow
+    only with the index-postings equi-join shuffle.
+
+    The capped variant rebuilds the index with
+    ``max_posting_size=40``: within a group the 31 suffixed words
+    keep the base corpus's Zipf spread (df ≈ 5..78), so the cap
+    flags the boilerplate-heavy half while the RAREST words — the
+    ones prefixes are made of — stay open: candidates shrink, pairs
+    sharing an uncapped prefix word survive."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+    from group5_spark.extensions.dedup import (
+        _containment_candidates,
+        containment_index_build,
+        contained_pairs_incremental,
+    )
+
+    GROUPS = 50
+    CAP = cap
+    TAU = 0.9
+    spark = _spark(f"containment-curve-x{n}")
+    base = load_table(spark, BASE_SF, "documents").select("doc_id", "text")
+    dkey = base.agg(F.max("doc_id")).first()[0] + 1
+
+    def suffixed(df, rep_col):
+        tag = F.concat(
+            F.lit("$1_"), rep_col.cast("string"),
+            F.lit("g"), (F.col("doc_id") % GROUPS).cast("string"),
+        )
+        return df.withColumn(
+            "text", F.regexp_replace(F.col("text"), r"(\S+)", tag)
+        )
+
+    corpus = suffixed(
+        base.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        ),
+        F.col("_r"),
+    ).withColumn(
+        "doc_id", F.col("doc_id") + F.col("_r") * dkey
+    ).drop("_r")
+
+    idx_dir = SCALE_ROOT / f"_containidx_x{n:03d}"
+    if not (idx_dir / "_DONE").exists():
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        files = max(4, min(32, 2 * n))
+        containment_index_build(corpus, threshold=TAU).repartition(
+            files
+        ).write.parquet(str(idx_dir / "open.parquet"))
+        containment_index_build(
+            corpus, threshold=TAU, max_posting_size=CAP
+        ).repartition(files).write.parquet(str(idx_dir / "capped.parquet"))
+        (idx_dir / "_DONE").touch()
+    index = spark.read.parquet(str(idx_dir / "open.parquet"))
+    index_capped = spark.read.parquet(str(idx_dir / "capped.parquet"))
+    index_rows = index.count()
+    capped_words = (
+        index_capped.where("capped").select("word").distinct().count()
+    )
+
+    # fixed 1× batch: even doc_ids duplicate their replica-0 corpus
+    # twin verbatim (group tag from the ORIGINAL id, so it matches);
+    # odd doc_ids get a fresh `_new` vocabulary
+    batch = suffixed(
+        base,
+        F.when(F.col("doc_id") % 2 == 0, F.lit("0")).otherwise(
+            F.lit("new")
+        ),
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(n) * dkey).cache()
+    batch_docs = batch.count()
+
+    def probe(idx_df) -> tuple[int, int, float]:
+        cands = _containment_candidates(
+            containment_index_build(batch, TAU), idx_df
+        ).count()
+        contained_pairs_incremental(batch, idx_df, TAU).count()  # warm
+        t0 = _time.perf_counter()
+        pairs = contained_pairs_incremental(batch, idx_df, TAU).count()
+        return pairs, cands, round(_time.perf_counter() - t0, 3)
+
+    pairs, cands, secs = probe(index)
+    c_pairs, c_cands, c_secs = probe(index_capped)
+    batch.unpersist()
+    spark.stop()
+    return {
+        "scale": n,
+        "corpus_docs": n * batch_docs,
+        "index_rows": index_rows,
+        "fixed_batch": {
+            "batch_docs": batch_docs,
+            "pairs": pairs,
+            "candidates": cands,
+            "seconds": secs,
+        },
+        "fixed_batch_capped": {
+            "cap": CAP,
+            "capped_words": capped_words,
+            "pairs": c_pairs,
+            "candidates": c_cands,
+            "seconds": c_secs,
+        },
+    }
+
+
+def main_containment() -> None:
+    runs = []
+    for n in SCALES:
+        print(f"=== containment scale x{n} ===", flush=True)
+        out = subprocess.run(
+            [sys.executable, __file__, "--one-containment", str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [
+            l for l in out.stdout.splitlines() if l.startswith("RESULT ")
+        ][-1]
+        runs.append(json.loads(line[len("RESULT "):]))
+        print(runs[-1], flush=True)
+    rec = {
+        "method": (
+            "a fixed 1x crawl batch (half verbatim duplicates of "
+            "replica-0 docs, half fresh vocabulary) probes the Nx "
+            "corpus's persisted containment prefix+postings index via "
+            "contained_pairs_incremental (group-suffixed words — "
+            "vocab x(replicas*50) — so per-word df is the realistic "
+            "topic-clustered ~group-size, not the 31-word boilerplate "
+            "testdata profile); candidate volume and probe seconds "
+            "recorded per scale, plus the max_posting_size=40 capped "
+            "index where the boilerplate-heavy words leave the "
+            "candidate join but their postings still count toward "
+            "intersections"
+        ),
+        "runs": runs,
+        "seconds_exponent": _fit_exponent(
+            [(r["scale"], r["fixed_batch"]["seconds"]) for r in runs]
+        ),
+        "candidates_exponent": _fit_exponent(
+            [(r["scale"], r["fixed_batch"]["candidates"]) for r in runs]
+        ),
+        "capped_seconds_exponent": _fit_exponent(
+            [
+                (r["scale"], r["fixed_batch_capped"]["seconds"])
+                for r in runs
+            ]
+        ),
+        "capped_candidates_exponent": _fit_exponent(
+            [
+                (r["scale"], r["fixed_batch_capped"]["candidates"])
+                for r in runs
+            ]
+        ),
+    }
+    path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
+    data = json.loads(path.read_text())
+    data["fixed_batch_containment"] = rec
+    path.write_text(json.dumps(data, indent=1))
+    print(json.dumps(rec, indent=1))
+
+
 def run_one_wap(n: int) -> dict:
     """Round-8 WAP ladder: Write-Audit-Publish cycle cost vs main-table
     size. Per scale: wap_begin (tag + zero-copy clone manifest), a
@@ -1183,6 +1365,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--span":
         main_span()
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--one-containment":
+        print("RESULT " + json.dumps(run_one_containment(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--containment":
+        main_containment()
         return
     runs = []
     for n in SCALES:
