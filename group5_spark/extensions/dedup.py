@@ -564,13 +564,10 @@ def contained_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # verify from POSTING ROWS, the same shape as
-    # contained_pairs_incremental: |Wa ∩ Wb| is the count of matched
-    # (pair, word) rows, so a fat document ships |W| narrow rows
-    # through a key-partitioned join instead of one giant array cell
-    # per candidate pair it appears in. The rows come straight from
-    # the tokenization (no window/df re-rank — verification doesn't
-    # need ranks, only membership and |Wa|).
+    # verify from POSTING ROWS (shared :func:`_containment_verify`
+    # stage): the rows come straight from the tokenization — no
+    # window/df re-rank; verification doesn't need ranks, only
+    # membership and |Wa|
     toks = (
         df.select(
             F.col(id_col).alias("id"),
@@ -579,25 +576,11 @@ def contained_pairs(
         .where(F.col(text_col).isNotNull())
         .where(F.size("words") > 0)
     )
-    words = toks.select("id", F.explode("words").alias("word"))
-    sizes = toks.select("id", F.size("words").alias("_na"))
-    inter = (
-        cand.join(
-            words.select(F.col("id").alias("id_a"), "word"), on="id_a"
-        )
-        .join(
-            words.select(F.col("id").alias("id_b"), "word"),
-            on=["id_b", "word"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    raw = F.col("_inter").cast("double") / F.col("_na")
-    return (
-        inter.join(sizes.select(F.col("id").alias("id_a"), "_na"), on="id_a")
-        .withColumn("_raw", raw)
-        .filter(F.col("_raw") >= threshold)
-        .select("id_a", "id_b", F.round("_raw", 6).alias("containment"))
+    return _containment_verify(
+        cand,
+        toks.select("id", F.explode("words").alias("word")),
+        toks.select("id", F.size("words").alias("n_words")),
+        threshold,
     )
 
 
@@ -724,6 +707,44 @@ def containment_index_build(
     )
 
 
+def _containment_verify(
+    cand: DataFrame,
+    words: DataFrame,
+    sizes: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """The shared verification stage behind :func:`contained_pairs`,
+    :func:`contained_pairs_incremental`, and
+    :func:`containment_compact` — one pipeline, not three hand-synced
+    copies: |Wa ∩ Wb| is the count of matched (pair, word) POSTING
+    rows (``words`` = one (id, word) row per distinct word, both
+    sides' union), divided by ``sizes``' (id, n_words) for the
+    contained side, filtered on the RAW ratio and rounded only for
+    display. No document ever ships its word array through these
+    joins — a fat document is |W| narrow rows."""
+    inter = (
+        cand.join(
+            words.select(F.col("id").alias("id_a"), "word"), on="id_a"
+        )
+        .join(
+            words.select(F.col("id").alias("id_b"), "word"),
+            on=["id_b", "word"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    na = sizes.select(
+        F.col("id").alias("id_a"), F.col("n_words").alias("_na")
+    )
+    raw = F.col("_inter").cast("double") / F.col("_na")
+    return (
+        inter.join(na, on="id_a")
+        .withColumn("_raw", raw)
+        .filter(F.col("_raw") >= threshold)
+        .select("id_a", "id_b", F.round("_raw", 6).alias("containment"))
+    )
+
+
 def _containment_candidates(
     batch_idx: DataFrame, index: DataFrame
 ) -> DataFrame:
@@ -799,9 +820,10 @@ def contained_pairs_incremental(
     check does not change the cost regime); ``"drop"`` anti-joins the
     overlapping batch rows away LAZILY before probing (the re-crawl
     upsert policy: the already-ingested copy wins — what
-    ``streaming.jobs.stream_containment_dedup`` wants, which enforces
-    it against the full corpus id set itself and passes ``"error"``
-    here as insurance).
+    ``streaming.jobs.stream_containment_dedup`` wants; it enforces
+    the policy against the full corpus id set itself and passes
+    ``"drop"`` here so the invariant is re-asserted for free in the
+    probe plan instead of paying an eager check per micro-batch).
 
     Priced by the batch: candidates are (batch prefix ⋈ index
     postings) ∪ (index prefix rows ⋈ batch postings) — rare-word
@@ -857,34 +879,15 @@ def contained_pairs_incremental(
     )
     cand = _containment_candidates(batch_idx, index)
     # verify from posting rows: |Wa ∩ Wb| = matched (pair, word) count
-    words_all = batch_idx.select("id", "word").unionByName(
-        index.select("id", "word")
-    )
-    sizes = (
+    return _containment_verify(
+        cand,
+        batch_idx.select("id", "word").unionByName(
+            index.select("id", "word")
+        ),
         batch_idx.select("id", "n_words")
         .unionByName(index.select("id", "n_words"))
-        .distinct()
-    )
-    inter = (
-        cand.join(
-            words_all.select(F.col("id").alias("id_a"), "word"), on="id_a"
-        )
-        .join(
-            words_all.select(F.col("id").alias("id_b"), "word"),
-            on=["id_b", "word"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    raw = F.col("_inter").cast("double") / F.col("_na")
-    return (
-        inter.join(
-            sizes.select(F.col("id").alias("id_a"), F.col("n_words").alias("_na")),
-            on="id_a",
-        )
-        .withColumn("_raw", raw)
-        .filter(F.col("_raw") >= threshold)
-        .select("id_a", "id_b", F.round("_raw", 6).alias("containment"))
+        .distinct(),
+        threshold,
     )
 
 
@@ -892,10 +895,11 @@ def containment_compact(
     spark,
     corpus_path: str,
     index_path: str,
-    new_ids: DataFrame,
+    new_ids: DataFrame | None = None,
     threshold: float | None = None,
     id_col: str = "doc_id",
     dv_threshold: float | None = None,
+    since_version: int | None = None,
 ) -> dict:
     """OFFLINE corpus compaction for containment-superseded documents
     — the action path for the old-in-new pairs the streaming ingest
@@ -934,19 +938,59 @@ def containment_compact(
     ``new_ids``: one-column DataFrame (``id_col``) naming the
     already-ingested documents to treat as the engulfing candidates —
     typically the ids appended since the last compaction (the
-    streaming job's recent batches). New docs are never doomed by
-    this job, only old ones contained in them. Returns ``{doomed,
-    corpus, index}`` (merge result dicts; ``doomed`` is the retired
-    doc count).
+    streaming job's recent batches). For the SCHEDULED form pass
+    ``since_version=`` instead: the candidate set is then derived as
+    the corpus ids at the CURRENT head minus the ids at that version,
+    so a cron'd compaction needs no id bookkeeping of its own. The
+    version to pass is the ``head_version`` the PREVIOUS run returned
+    — the corpus snapshot its derivation actually read — NOT the
+    version its merge committed: the merge version's lineage already
+    contains any docs the stream appended concurrently during that
+    run, and seeding from it would skip them forever (their engulfed
+    old pages would never retire). ``head_version`` rides every
+    return, including the nothing-doomed early exits, precisely so
+    the scheduler always has the next seed. New docs are never doomed
+    by this job, only old ones contained in them. Returns ``{doomed,
+    head_version, corpus, index}`` (merge result dicts; ``doomed`` is
+    the retired doc count).
     """
     from group5_spark.medallion.maintenance import snapshot_merge
-    from group5_spark.medallion.snapshots import snapshot_read
+    from group5_spark.medallion.snapshots import (
+        snapshot_manifest,
+        snapshot_read,
+    )
 
+    if (new_ids is None) == (since_version is None):
+        raise ValueError(
+            "pass exactly one of new_ids= (explicit engulfing-candidate "
+            "ids) or since_version= (derive them from the corpus "
+            "versions appended since)"
+        )
+    # pin the derivation snapshot FIRST: everything at or before this
+    # version is covered by this run; the caller seeds the next run
+    # with it, so a doc appended between here and this run's merge
+    # commit lands in the NEXT run's candidate window instead of
+    # falling between the two
+    head_version = snapshot_manifest(corpus_path)["version"]
+    if new_ids is None:
+        new_ids = snapshot_read(
+            spark, corpus_path, version=head_version
+        ).select(id_col).join(
+            snapshot_read(spark, corpus_path, version=since_version)
+            .select(id_col),
+            on=id_col,
+            how="left_anti",
+        )
     idx = snapshot_read(spark, index_path)
     tau_max = idx.agg(F.max("build_tau")).first()[0]
     if threshold is None:
         if tau_max is None:
-            return {"doomed": 0, "corpus": None, "index": None}
+            return {
+                "doomed": 0,
+                "head_version": head_version,
+                "corpus": None,
+                "index": None,
+            }
         threshold = float(tau_max)
     elif tau_max is not None and threshold < float(tau_max):
         raise ValueError(
@@ -969,24 +1013,13 @@ def containment_compact(
         .select("id_a", "id_b")
         .distinct()
     )
-    words = idx.select("id", "word")
-    inter = (
-        cand.join(
-            words.select(F.col("id").alias("id_a"), "word"), on="id_a"
-        )
-        .join(
-            words.select(F.col("id").alias("id_b"), "word"),
-            on=["id_b", "word"],
-        )
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
-    )
-    sizes = idx.select(
-        F.col("id").alias("id_a"), F.col("n_words").alias("_na")
-    ).distinct()
     doomed = (
-        inter.join(sizes, on="id_a")
-        .where(F.col("_inter").cast("double") / F.col("_na") >= threshold)
+        _containment_verify(
+            cand,
+            idx.select("id", "word"),
+            idx.select("id", "n_words").distinct(),
+            threshold,
+        )
         .select(F.col("id_a").alias(id_col))
         .distinct()
         .persist()
@@ -994,8 +1027,15 @@ def containment_compact(
     try:
         n_doomed = doomed.count()
         if not n_doomed:
-            return {"doomed": 0, "corpus": None, "index": None}
+            return {
+                "doomed": 0,
+                "head_version": head_version,
+                "corpus": None,
+                "index": None,
+            }
         note = {"op": "containment_compact", "threshold": threshold}
+        if since_version is not None:
+            note["since_version"] = since_version
 
         def padded(table_path: str, key: str) -> DataFrame:
             # the merge contract wants the full table schema on the
@@ -1035,7 +1075,12 @@ def containment_compact(
         )
     finally:
         doomed.unpersist()
-    return {"doomed": n_doomed, "corpus": corpus_res, "index": index_res}
+    return {
+        "doomed": n_doomed,
+        "head_version": head_version,
+        "corpus": corpus_res,
+        "index": index_res,
+    }
 
 
 def incremental_components(

@@ -782,11 +782,31 @@ def stream_containment_dedup(
                 on=id_col,
                 how="left_anti",
             )
+        # BATCH-INTERNAL id collisions (two source files re-crawling
+        # the same page into one micro-batch) would double-count that
+        # id's posting rows exactly like a batch/index overlap — keep
+        # one row per id, deterministically (smallest text, NULLs
+        # last), so crash replays elect identically
+        from pyspark.sql import Window
+
+        w_dup = Window.partitionBy(id_col).orderBy(
+            F.col(text_col).asc_nulls_last()
+        )
+        batch = (
+            batch.withColumn("_rn", F.row_number().over(w_dup))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
         batch = batch.persist()
         try:
             pairs = contained_pairs_incremental(
                 batch, idx, threshold, id_col, text_col,
-                on_overlap="error",  # insurance; disjoint by the above
+                # disjointness holds by construction (the corpus
+                # anti-join above); "drop" re-asserts it LAZILY — a
+                # free extra anti-join folded into the probe plan —
+                # where "error" would pay an eager id-scan action
+                # every micro-batch to check an invariant
+                on_overlap="drop",
             )
             batch_ids = batch.select(F.col(id_col).alias("_bid"))
             sizes = batch.where(F.col(text_col).isNotNull()).select(

@@ -396,6 +396,62 @@ def test_containment_compact_retires_engulfed_corpus_docs(
         )
 
 
+def test_containment_compact_since_version_scheduled_form(
+    spark, tmp_path
+):
+    """The cron'd shape: pass the corpus version the LAST compaction
+    ran against and the engulfing-candidate ids derive themselves from
+    the versions appended since — no id bookkeeping in the scheduler.
+    Exactly one of new_ids/since_version must be given."""
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon"), (2, "one two three")],
+        ["doc_id", "text"],
+    )
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    v1 = snapshot_commit(old, corpus_path)
+    crawl = spark.createDataFrame(
+        [(4, "alpha beta gamma delta epsilon zeta eta theta iota kappa")],
+        ["doc_id", "text"],
+    )
+    snapshot_commit(crawl, corpus_path, mode="append")
+    snapshot_commit(
+        dedup.containment_index_build(
+            old.unionByName(crawl), threshold=0.9
+        ),
+        index_path,
+    )
+    res = dedup.containment_compact(
+        spark, corpus_path, index_path, since_version=v1
+    )
+    assert res["doomed"] == 1
+    left = {r.doc_id for r in snapshot_read(spark, corpus_path).collect()}
+    assert left == {2, 4}
+
+    # the returned head_version is the DERIVATION snapshot — seeding
+    # the next run with it finds nothing new (and is the version a
+    # scheduler must chain, NOT the merge-commit version, so docs
+    # appended concurrently with a run land in the next window)
+    res2 = dedup.containment_compact(
+        spark, corpus_path, index_path,
+        since_version=res["head_version"],
+    )
+    assert res2["doomed"] == 0 and "head_version" in res2
+
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.containment_compact(spark, corpus_path, index_path)
+    with pytest.raises(ValueError, match="exactly one"):
+        dedup.containment_compact(
+            spark, corpus_path, index_path,
+            new_ids=crawl.select("doc_id"), since_version=v1,
+        )
+
+
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     """LSH must recover the high-similarity pairs exact Jaccard finds."""
     docs = load_table(spark, sf_dir, "documents")

@@ -808,7 +808,9 @@ def run_one_containment(n: int, cap: int = 40) -> dict:
         "doc_id", F.col("doc_id") + F.col("_r") * dkey
     ).drop("_r")
 
-    idx_dir = SCALE_ROOT / f"_containidx_x{n:03d}"
+    # cap is part of the cached artifact's identity: a rerun with a
+    # different cap must rebuild, not silently reuse and mislabel
+    idx_dir = SCALE_ROOT / f"_containidx_x{n:03d}_c{CAP}"
     if not (idx_dir / "_DONE").exists():
         shutil.rmtree(idx_dir, ignore_errors=True)
         files = max(4, min(32, 2 * n))
