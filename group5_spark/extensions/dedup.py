@@ -624,6 +624,100 @@ def drop_contained(
     return df.join(doomed, on=id_col, how="left_anti")
 
 
+def drop_contained_against(
+    new_df: DataFrame,
+    index: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    on_overlap: str = "error",
+) -> DataFrame:
+    """The dedup ACTION on :func:`contained_pairs_incremental` — which
+    rows of a crawl batch SURVIVE ingestion against an already-indexed
+    corpus: a batch document drops when it is τ-contained in a CORPUS
+    document (ingest-order precedence — the old page wins, whatever
+    the sizes) or in a batch-mate with MORE distinct words (ties
+    toward the smaller id — :func:`drop_contained`'s rule, evaluated
+    against the batch AS CRAWLED: a doomed batch-mate still dooms its
+    containees, the same chain semantics). NULL-text documents pass
+    through: they have no words, containment is undefined for them,
+    and a curation pipeline must not lose pages it merely failed to
+    extract. This is the per-micro-batch election
+    ``streaming.jobs.stream_containment_dedup`` runs, exposed for
+    BATCH ingestion pipelines. Returns the surviving rows of
+    ``new_df`` unchanged.
+
+    ``on_overlap``: ``"error"`` (default) fails loudly on a batch id
+    already in the index; ``"drop"`` applies the first-ingest-wins
+    re-crawl policy END-TO-END — the overlapping batch row is neither
+    probed NOR returned (the already-ingested copy is the document of
+    record)."""
+    if on_overlap not in ("error", "drop"):
+        raise ValueError(
+            f"on_overlap must be 'error' or 'drop', got {on_overlap!r}"
+        )
+    if on_overlap == "drop":
+        # drop re-crawls from the SURVIVOR set too, not just the probe
+        # input — first-ingest-wins means the batch copy is discarded
+        new_df = new_df.join(
+            index.select(F.col("id").alias(id_col)).distinct(),
+            on=id_col,
+            how="left_anti",
+        )
+    pairs = contained_pairs_incremental(
+        new_df, index, threshold, id_col, text_col, on_overlap
+    )
+    batch_ids = new_df.select(F.col(id_col).alias("_bid"))
+    sizes = new_df.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("_sid"),
+        F.size(
+            F.array_distinct(F.split(F.col(text_col), " "))
+        ).alias("_n"),
+    )
+    # ONE classification pass over the pairs (the probe pipeline
+    # appears once in the plan — a union of per-rule branches would
+    # replicate the whole candidate+verify subtree per rule): keep
+    # pairs whose contained side is a batch doc, LEFT-mark whether the
+    # container is a batch-mate, and doom on either rule —
+    # contained-in-CORPUS (no mark) drops outright (ingest-order
+    # precedence, whatever the sizes); contained-in-batch-mate drops
+    # by drop_contained's size/id rule. _nb is non-null whenever _bid2
+    # is (a NULL-text doc never appears as a container — it has no
+    # posting rows).
+    doomed = (
+        pairs.join(batch_ids, pairs.id_a == F.col("_bid"))
+        .join(
+            batch_ids.withColumnRenamed("_bid", "_bid2"),
+            pairs.id_b == F.col("_bid2"),
+            "left",
+        )
+        .join(
+            sizes.select(
+                F.col("_sid").alias("id_a"), F.col("_n").alias("_na")
+            ),
+            on="id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("_sid").alias("id_b"), F.col("_n").alias("_nb")
+            ),
+            on="id_b",
+            how="left",
+        )
+        .where(
+            F.col("_bid2").isNull()
+            | (F.col("_nb") > F.col("_na"))
+            | (
+                (F.col("_nb") == F.col("_na"))
+                & (F.col("id_b") < F.col("id_a"))
+            )
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(doomed, on=id_col, how="left_anti")
+
+
 def containment_index_build(
     corpus: DataFrame,
     threshold: float = 0.9,

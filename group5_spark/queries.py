@@ -1070,6 +1070,67 @@ def containment_compacted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "contained_batch_survivors",
+    """
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tt AS (SELECT * FROM t WHERE len(words) > 0),
+    doomed AS (
+        SELECT DISTINCT a.doc_id
+        FROM tt a JOIN tt b
+          ON a.doc_id % 10 >= 8 AND a.doc_id != b.doc_id
+        WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+              / len(a.words) >= 0.9
+          AND (b.doc_id % 10 < 8
+               OR len(b.words) > len(a.words)
+               OR (len(b.words) = len(a.words) AND b.doc_id < a.doc_id))
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(len(list_distinct(string_split(d.text, ' ')))
+                          AS BIGINT)
+           END AS n_words
+    FROM documents d
+    WHERE d.doc_id % 10 >= 8
+      AND d.doc_id NOT IN (SELECT doc_id FROM doomed)
+    """,
+)
+def contained_batch_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment-ingestion ELECTION as a batch action
+    (``extensions.dedup.drop_contained_against`` — the per-micro-batch
+    rule ``streaming.jobs.stream_containment_dedup`` runs, exposed for
+    batch pipelines): today's crawl (doc_id % 10 ≥ 8) probed against
+    the persisted containment index of the already-ingested corpus,
+    and a batch doc SURVIVES unless it is τ-contained in a corpus doc
+    (ingest-order precedence — the old page wins whatever the sizes)
+    or in a batch-mate with more distinct words (ties toward the
+    smaller id, evaluated against the batch as crawled — chain
+    semantics). NULL-text docs pass through. The DuckDB oracle
+    replays BOTH doom rules over the naive all-pairs join, so the
+    hash match gates the election logic itself — not just the pair
+    generation the other containment queries already gate."""
+    import shutil as _shutil
+
+    from group5_spark.extensions import dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where((F.col("doc_id") % 10 < 8) & F.col("text").isNotNull())
+    batch = docs.where(F.col("doc_id") % 10 >= 8)
+    path = _dml_scratch("contained_batch_survivors", sf_dir)
+    _shutil.rmtree(path, ignore_errors=True)
+    dedup.containment_index_build(corpus, threshold=0.9).write.parquet(path)
+    idx = spark.read.parquet(path)
+    survivors = dedup.drop_contained_against(batch, idx, threshold=0.9)
+    n_words = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long"),
+    )
+    return survivors.select("doc_id", n_words.alias("n_words"))
+
+
+@register(
     "dedup_clusters",
     """
     WITH RECURSIVE t AS (
@@ -8557,23 +8618,21 @@ def span_dedup_incremental_counts(
 # ELEVEN round-10 deferrals lead — their newest driver evidence is
 # round 7, at the 3-round boundary — bench headliners first per the
 # round-8 convention (they rotate first after a deferral), then the
-# TWO queries NEW this round (new queries enter their own round's
-# window), then 37 of the 50 queries whose newest driver evidence is
+# THREE queries NEW this round (new queries enter their own round's
+# window), then 36 of the 50 queries whose newest driver evidence is
 # round 8. That cohort is oversubscribed for the 50-slot window, so
-# THIRTEEN defer to round 12 (11 + 2 + 37 = 50), chosen — exactly
+# FOURTEEN defer to round 12 (11 + 3 + 36 = 50), chosen — exactly
 # like the round-9/-10 deferral sets — for the strongest alternative
-# evidence: ALL are bench HEADLINERS, executed and timed by the
-# driver's bench run every round (top_customers,
+# evidence: ALL FOURTEEN are bench HEADLINERS, executed and timed by
+# the driver's bench run every round (top_customers,
 # customer_order_counts, funnel_steps, events_props_sum,
 # pct_revenue_by_segment, tumbling_hourly_events,
-# doc_pipeline_filtered_corpus, text_token_count,
-# large_volume_customers, repeat_orders_within_3d,
+# asof_last_click_before_error, doc_pipeline_filtered_corpus,
+# text_token_count, large_volume_customers, repeat_orders_within_3d,
 # customer_rfm_segments, part_pair_affinity, train_val_test_split —
-# per the convention they rotate FIRST in round 12). The r08 cohort
-# carries 14 bench headliners; asof_last_click_before_error stays in
-# the window as the one that fits (the as-of join is a custom
-# operator whose only other evidence is its pytest case, so it keeps
-# the driver row and the other 13 keep their bench timing rows).
+# per the convention they rotate FIRST in round 12, and each also
+# keeps its dedicated pytest coverage, e.g. the as-of join's
+# test_operators cases).
 # Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
@@ -8593,12 +8652,12 @@ _CHECK_WINDOW = [
     "dedup_simhash_pairs",
     # NEW in round 11 — offline containment corpus-compaction
     # (snapshot merge-deletes gated against the naive-SQL survivor
-    # set) and the residual="auto" IVF-PQ build through the exactness
-    # anchor
+    # set), the residual="auto" IVF-PQ build through the exactness
+    # anchor, and the containment-ingestion election as a batch action
     "containment_compacted_corpus",
     "ivf_pq_auto_mode_anchor",
-    # newest driver evidence round 8 — cohort minus the 13 deferrals
-    "asof_last_click_before_error",
+    "contained_batch_survivors",
+    # newest driver evidence round 8 — cohort minus the 14 deferrals
     "avg_order_value",
     "brand_market_share",
     "cheapest_shipment_per_part",

@@ -733,8 +733,8 @@ def stream_containment_dedup(
     from pathlib import Path
 
     from group5_spark.extensions.dedup import (
-        contained_pairs_incremental,
         containment_index_build,
+        drop_contained_against,
     )
     from group5_spark.medallion import snapshots as snap
 
@@ -799,62 +799,17 @@ def stream_containment_dedup(
         )
         batch = batch.persist()
         try:
-            pairs = contained_pairs_incremental(
+            # the election itself is `dedup.drop_contained_against` —
+            # one source of truth with the batch-pipeline action (and
+            # its own oracle-gated driver query). on_overlap="drop":
+            # disjointness holds by construction (the corpus anti-join
+            # above), so the mode's anti-join re-asserts the invariant
+            # LAZILY inside the plan where "error" would pay an eager
+            # id-scan action every micro-batch
+            survivors = drop_contained_against(
                 batch, idx, threshold, id_col, text_col,
-                # disjointness holds by construction (the corpus
-                # anti-join above); "drop" re-asserts it LAZILY — a
-                # free extra anti-join folded into the probe plan —
-                # where "error" would pay an eager id-scan action
-                # every micro-batch to check an invariant
                 on_overlap="drop",
             )
-            batch_ids = batch.select(F.col(id_col).alias("_bid"))
-            sizes = batch.where(F.col(text_col).isNotNull()).select(
-                F.col(id_col).alias("_sid"),
-                F.size(
-                    F.array_distinct(F.split(F.col(text_col), " "))
-                ).alias("_n"),
-            )
-            # doom a batch doc contained in a CORPUS doc outright...
-            in_old = pairs.join(
-                batch_ids, pairs.id_a == F.col("_bid")
-            ).join(
-                batch_ids.withColumnRenamed("_bid", "_bid2"),
-                pairs.id_b == F.col("_bid2"),
-                "left_anti",
-            ).select(F.col("id_a").alias(id_col))
-            # ...or in a batch-mate by drop_contained's size/id rule
-            in_new = (
-                pairs.join(batch_ids, pairs.id_a == F.col("_bid"))
-                .join(
-                    batch_ids.withColumnRenamed("_bid", "_bid2"),
-                    pairs.id_b == F.col("_bid2"),
-                )
-                .join(
-                    sizes.select(
-                        F.col("_sid").alias("id_a"),
-                        F.col("_n").alias("_na"),
-                    ),
-                    on="id_a",
-                )
-                .join(
-                    sizes.select(
-                        F.col("_sid").alias("id_b"),
-                        F.col("_n").alias("_nb"),
-                    ),
-                    on="id_b",
-                )
-                .where(
-                    (F.col("_nb") > F.col("_na"))
-                    | (
-                        (F.col("_nb") == F.col("_na"))
-                        & (F.col("id_b") < F.col("id_a"))
-                    )
-                )
-                .select(F.col("id_a").alias(id_col))
-            )
-            doomed = in_old.unionByName(in_new).distinct()
-            survivors = batch.join(doomed, on=id_col, how="left_anti")
             if not c_done:
                 snap.snapshot_commit(
                     survivors,

@@ -313,6 +313,52 @@ def test_contained_pairs_verify_side_carries_no_arrays(spark, sf_dir):
     assert "array_union" not in plan
 
 
+def test_drop_contained_against_election_rules(spark):
+    """The batch-ingestion election (the rule the streaming job runs,
+    exposed as `drop_contained_against`): contained-in-corpus drops
+    whatever the sizes (ingest-order precedence — even a batch doc
+    BIGGER than its corpus container survives only if not contained),
+    contained-in-a-bigger-batch-mate drops (chain semantics), NULL
+    text passes through, and on_overlap='drop' removes a re-crawled
+    id from the SURVIVORS too — first-ingest-wins end to end."""
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")],
+        ["doc_id", "text"],
+    )
+    idx = dedup.containment_index_build(corpus, threshold=0.9)
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon"),   # ⊂ corpus 1: drops
+            (11, "one two three"),                    # ⊂ batch 12: drops
+            (12, "one two three four"),               # survives
+            (13, None),                               # NULL: passes
+        ],
+        ["doc_id", "text"],
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup.drop_contained_against(
+            batch, idx, threshold=0.9
+        ).collect()
+    )
+    assert got == [12, 13]
+
+    recrawl = batch.unionByName(
+        spark.createDataFrame(
+            [(1, "totally new text for page one")], ["doc_id", "text"]
+        )
+    )
+    with pytest.raises(ValueError, match="overlap"):
+        dedup.drop_contained_against(recrawl, idx, threshold=0.9).collect()
+    got = sorted(
+        r.doc_id
+        for r in dedup.drop_contained_against(
+            recrawl, idx, threshold=0.9, on_overlap="drop"
+        ).collect()
+    )
+    assert got == [12, 13]  # the re-crawled id 1 is NOT a survivor
+
+
 def test_containment_compact_retires_engulfed_corpus_docs(
     spark, tmp_path
 ):
