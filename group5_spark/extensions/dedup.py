@@ -651,11 +651,29 @@ def drop_contained_against(
     already in the index; ``"drop"`` applies the first-ingest-wins
     re-crawl policy END-TO-END — the overlapping batch row is neither
     probed NOR returned (the already-ingested copy is the document of
-    record)."""
+    record).
+
+    BATCH-INTERNAL id collisions (two source files re-crawling the
+    same page into one batch) are resolved HERE, not left as a caller
+    precondition — a duplicated id would double-count its posting
+    rows exactly like a batch/index overlap, corrupting containment
+    values. One row per id survives, chosen deterministically
+    (smallest text, NULLs last), so replays of the same batch elect
+    identically."""
+    from pyspark.sql.window import Window as _Window
+
     if on_overlap not in ("error", "drop"):
         raise ValueError(
             f"on_overlap must be 'error' or 'drop', got {on_overlap!r}"
         )
+    w_dup = _Window.partitionBy(id_col).orderBy(
+        F.col(text_col).asc_nulls_last()
+    )
+    new_df = (
+        new_df.withColumn("_rn", F.row_number().over(w_dup))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     if on_overlap == "drop":
         # drop re-crawls from the SURVIVOR set too, not just the probe
         # input — first-ingest-wins means the batch copy is discarded
@@ -664,8 +682,12 @@ def drop_contained_against(
             on=id_col,
             how="left_anti",
         )
+    # the election never acts on old-in-new pairs (an ingestion step
+    # doesn't retire corpus docs — that's containment_compact's job),
+    # so don't generate or verify that direction at all
     pairs = contained_pairs_incremental(
-        new_df, index, threshold, id_col, text_col, on_overlap
+        new_df, index, threshold, id_col, text_col, on_overlap,
+        directions=("new_in_old", "new_in_new"),
     )
     batch_ids = new_df.select(F.col(id_col).alias("_bid"))
     sizes = new_df.where(F.col(text_col).isNotNull()).select(
@@ -839,45 +861,61 @@ def _containment_verify(
     )
 
 
+_ALL_DIRECTIONS = ("new_in_old", "old_in_new", "new_in_new")
+
+
 def _containment_candidates(
-    batch_idx: DataFrame, index: DataFrame
+    batch_idx: DataFrame,
+    index: DataFrame,
+    directions: tuple = _ALL_DIRECTIONS,
 ) -> DataFrame:
-    """The three-direction candidate join behind
-    :func:`contained_pairs_incremental` (split out so the scale
-    ladder can price candidate VOLUME with the exact production
-    plan): a's prefix must hit one of b's UNCAPPED postings
-    (pigeonhole; prefixes already exclude capped words). Directions:
-    new-in-old, old-in-new, new-in-new. Returns distinct
-    ``(id_a, id_b)``."""
-    open_index = index.where(~F.col("capped"))
-    c_new_in_old = (
-        batch_idx.where("is_prefix")
-        .select(F.col("id").alias("id_a"), "word")
-        .join(
-            open_index.select(F.col("id").alias("id_b"), "word"), on="word"
+    """The candidate join behind :func:`contained_pairs_incremental`
+    (split out so the scale ladder can price candidate VOLUME with the
+    exact production plan): a's prefix must hit one of b's UNCAPPED
+    postings (pigeonhole; prefixes already exclude capped words).
+    ``directions`` selects which of new-in-old / old-in-new /
+    new-in-new branches to generate — a caller that discards a
+    direction afterwards (the ingestion election never acts on
+    old-in-new) saves its whole candidate+verify volume by not
+    generating it. Returns distinct ``(id_a, id_b)``."""
+    branches = []
+    if "new_in_old" in directions:
+        open_index = index.where(~F.col("capped"))
+        branches.append(
+            batch_idx.where("is_prefix")
+            .select(F.col("id").alias("id_a"), "word")
+            .join(
+                open_index.select(F.col("id").alias("id_b"), "word"),
+                on="word",
+            )
         )
-    )
-    c_old_in_new = (
-        index.where("is_prefix")
-        .select(F.col("id").alias("id_a"), "word")
-        .join(
-            batch_idx.select(F.col("id").alias("id_b"), "word"), on="word"
+    if "old_in_new" in directions:
+        branches.append(
+            index.where("is_prefix")
+            .select(F.col("id").alias("id_a"), "word")
+            .join(
+                batch_idx.select(F.col("id").alias("id_b"), "word"),
+                on="word",
+            )
         )
-    )
-    c_new_in_new = (
-        batch_idx.where("is_prefix")
-        .select(F.col("id").alias("id_a"), "word")
-        .join(
-            batch_idx.select(F.col("id").alias("id_b"), "word"), on="word"
+    if "new_in_new" in directions:
+        branches.append(
+            batch_idx.where("is_prefix")
+            .select(F.col("id").alias("id_a"), "word")
+            .join(
+                batch_idx.select(F.col("id").alias("id_b"), "word"),
+                on="word",
+            )
+            .where(F.col("id_a") != F.col("id_b"))
         )
-        .where(F.col("id_a") != F.col("id_b"))
-    )
-    return (
-        c_new_in_old.unionByName(c_old_in_new)
-        .unionByName(c_new_in_new)
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    if not branches:
+        raise ValueError(
+            f"directions must name at least one of {_ALL_DIRECTIONS}"
+        )
+    cand = branches[0]
+    for b in branches[1:]:
+        cand = cand.unionByName(b)
+    return cand.select("id_a", "id_b").distinct()
 
 
 def contained_pairs_incremental(
@@ -887,6 +925,7 @@ def contained_pairs_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     on_overlap: str = "error",
+    directions: tuple = _ALL_DIRECTIONS,
 ) -> DataFrame:
     """Containment pairs with AT LEAST ONE endpoint in ``new_df``,
     probed against a PERSISTED :func:`containment_index_build` frame.
@@ -925,7 +964,11 @@ def contained_pairs_incremental(
     intersections from the POSTING ROWS of candidate pairs (one
     (pair, word) join-and-count per side), so neither the corpus
     text nor its non-candidate postings are ever touched beyond the
-    word-keyed equi-joins."""
+    word-keyed equi-joins. ``directions`` restricts which pair
+    directions are generated AND verified (default all three) — the
+    ingestion election (:func:`drop_contained_against`) never acts on
+    old-in-new, so skipping it there removes that direction's whole
+    candidate+verify volume instead of discarding it post-join."""
     if on_overlap not in ("error", "drop"):
         raise ValueError(
             f"on_overlap must be 'error' or 'drop', got {on_overlap!r}"
@@ -971,7 +1014,7 @@ def contained_pairs_incremental(
     batch_idx = containment_index_build(
         new_df, threshold, id_col, text_col
     )
-    cand = _containment_candidates(batch_idx, index)
+    cand = _containment_candidates(batch_idx, index, directions)
     # verify from posting rows: |Wa ∩ Wb| = matched (pair, word) count
     return _containment_verify(
         cand,
@@ -1043,8 +1086,17 @@ def containment_compact(
     run, and seeding from it would skip them forever (their engulfed
     old pages would never retire). ``head_version`` rides every
     return, including the nothing-doomed early exits, precisely so
-    the scheduler always has the next seed. New docs are never doomed
-    by this job, only old ones contained in them. Returns ``{doomed,
+    the scheduler always has the next seed.
+
+    Doom rules: a doc contained in a WINDOW doc it predates retires
+    outright (the container is newer); a pair WITHIN the window (an
+    old page and the expanded re-crawl that engulfs it can land in
+    the same compaction window) carries no order information, so it
+    resolves by :func:`drop_contained`'s size/id rule — more distinct
+    words wins, ties toward the smaller id, exactly one of a
+    mutually-contained pair survives. A doc contained only in
+    NON-window docs is never touched (those pairs were resolved at
+    their own ingest or compaction time). Returns ``{doomed,
     head_version, corpus, index}`` (merge result dicts; ``doomed`` is
     the retired doc count).
     """
@@ -1094,9 +1146,14 @@ def containment_compact(
         )
     nids = new_ids.select(F.col(id_col).alias("id")).distinct()
     new_idx = idx.join(nids, on="id", how="left_semi")
-    old_idx = idx.join(nids, on="id", how="left_anti")
+    # the contained side is EVERY indexed doc, not just the pre-window
+    # corpus: two docs of the SAME window (an old page and the
+    # expanded re-crawl that engulfs it, ingested hours apart but
+    # compacted together) must still resolve — excluding window ids
+    # from the contained side would leak the engulfed one forever
+    # (old-in-old pairs are never probed by any later run)
     cand = (
-        old_idx.where("is_prefix")
+        idx.where("is_prefix")
         .select(F.col("id").alias("id_a"), "word")
         .join(
             new_idx.where(~F.col("capped")).select(
@@ -1104,15 +1161,47 @@ def containment_compact(
             ),
             on="word",
         )
+        .where(F.col("id_a") != F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    pairs = _containment_verify(
+        cand,
+        idx.select("id", "word"),
+        idx.select("id", "n_words").distinct(),
+        threshold,
+    )
+    # doom rule: contained-in-a-NEWER-doc retires outright (the
+    # container is in the window, the contained doc predates it);
+    # WITHIN-window pairs carry no order information, so they resolve
+    # by drop_contained's size/id rule — the same tie-break every
+    # other containment election uses, keeping exactly one of a
+    # mutually-contained pair
+    sizes = idx.select("id", "n_words").distinct()
+    a_new = nids.select(
+        F.col("id").alias("id_a"), F.lit(True).alias("_anew")
+    )
     doomed = (
-        _containment_verify(
-            cand,
-            idx.select("id", "word"),
-            idx.select("id", "n_words").distinct(),
-            threshold,
+        pairs.join(a_new, on="id_a", how="left")
+        .join(
+            sizes.select(
+                F.col("id").alias("id_a"), F.col("n_words").alias("_na")
+            ),
+            on="id_a",
+        )
+        .join(
+            sizes.select(
+                F.col("id").alias("id_b"), F.col("n_words").alias("_nb")
+            ),
+            on="id_b",
+        )
+        .where(
+            F.col("_anew").isNull()
+            | (F.col("_nb") > F.col("_na"))
+            | (
+                (F.col("_nb") == F.col("_na"))
+                & (F.col("id_b") < F.col("id_a"))
+            )
         )
         .select(F.col("id_a").alias(id_col))
         .distinct()

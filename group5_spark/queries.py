@@ -990,9 +990,12 @@ def contained_incremental_new(spark: SparkSession, sf_dir: str) -> DataFrame:
     doomed AS (
         SELECT DISTINCT a.doc_id
         FROM tt a JOIN tt b
-          ON a.doc_id % 10 < 8 AND b.doc_id % 10 >= 8
+          ON b.doc_id % 10 >= 8 AND a.doc_id != b.doc_id
         WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
               / len(a.words) >= 0.9
+          AND (a.doc_id % 10 < 8
+               OR len(b.words) > len(a.words)
+               OR (len(b.words) = len(a.words) AND b.doc_id < a.doc_id))
     )
     SELECT d.doc_id,
            CASE WHEN d.text IS NULL THEN NULL
@@ -1010,8 +1013,11 @@ def containment_compacted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     but never acts on): the full document corpus and its
     prefix+postings index land as SNAPSHOT tables, the recent-crawl
     ids (doc_id % 10 ≥ 8) are declared the engulfing candidates, and
-    every OLD corpus doc τ-contained in one of them is physically
-    retired from corpus AND index — two file-pruned OCC merge-deletes
+    every corpus doc τ-contained in one of them is physically retired
+    from corpus AND index — old docs outright (the container is
+    newer), WITHIN-window pairs by drop_contained's size/id rule (no
+    order information inside the window) — two file-pruned OCC
+    merge-deletes
     (manifest min/max + bloom pruning, the id-set sibling of
     ``snapshot_delete``), doomed set computed entirely from POSTING
     ROWS (corpus text never re-read, pigeonhole recall exact). The

@@ -728,7 +728,12 @@ def stream_containment_dedup(
     Per-batch cost at 100 TB: the probe joins the batch's rare-word
     prefixes against the index postings (and the index's prefix rows
     against the batch's postings); verification counts matched
-    (pair, word) posting rows — the corpus text is never re-read.
+    (pair, word) posting rows — the corpus text is never re-read. The
+    re-crawl anti-join adds one column-pruned scan of the corpus ID
+    column per micro-batch — roughly |corpus| longs, an order of
+    magnitude smaller than the (id, word) posting rows the probe's
+    equi-joins already read each batch, so it never changes the cost
+    regime.
     """
     from pathlib import Path
 
@@ -782,21 +787,10 @@ def stream_containment_dedup(
                 on=id_col,
                 how="left_anti",
             )
-        # BATCH-INTERNAL id collisions (two source files re-crawling
-        # the same page into one micro-batch) would double-count that
-        # id's posting rows exactly like a batch/index overlap — keep
-        # one row per id, deterministically (smallest text, NULLs
-        # last), so crash replays elect identically
-        from pyspark.sql import Window
-
-        w_dup = Window.partitionBy(id_col).orderBy(
-            F.col(text_col).asc_nulls_last()
-        )
-        batch = (
-            batch.withColumn("_rn", F.row_number().over(w_dup))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
+        # batch-INTERNAL id collisions (two source files re-crawling
+        # one page into a micro-batch) are resolved inside the shared
+        # election (`drop_contained_against` keeps one deterministic
+        # row per id), so crash replays elect identically
         batch = batch.persist()
         try:
             # the election itself is `dedup.drop_contained_against` —

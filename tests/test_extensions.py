@@ -343,6 +343,48 @@ def test_drop_contained_against_election_rules(spark):
     )
     assert got == [12, 13]
 
+    # CHAIN semantics: A ⊂ B (9/10), B ⊂ C (18/20), but A ⊄ C (7/10
+    # < 0.9) — the election runs against the batch AS CRAWLED, so B
+    # being doomed by C must still doom A; a regression that
+    # re-evaluated containers against the survivor set would keep A
+    wA = " ".join(f"w{i}" for i in range(1, 11))                   # w1..w10
+    wB = " ".join(
+        [f"w{i}" for i in range(1, 10)] + [f"x{i}" for i in range(1, 12)]
+    )                                                              # 20 words
+    wC = " ".join(
+        [f"w{i}" for i in range(1, 8)]
+        + [f"x{i}" for i in range(1, 12)]
+        + ["y1", "y2", "y3"]
+    )                                                              # 21 words
+    chain = spark.createDataFrame(
+        [(20, wA), (21, wB), (22, wC)], ["doc_id", "text"]
+    )
+    empty_idx = dedup.containment_index_build(
+        chain.limit(0), threshold=0.9
+    )
+    got = sorted(
+        r.doc_id
+        for r in dedup.drop_contained_against(
+            chain, empty_idx, threshold=0.9
+        ).collect()
+    )
+    assert got == [22]  # B doomed by C; A doomed by the DOOMED B
+
+    # batch-internal duplicate ids resolve INSIDE the election
+    # (smallest text wins deterministically), never double-counting
+    # posting rows
+    dup = spark.createDataFrame(
+        [(30, "zz yy xx"), (30, "aa bb cc"), (31, "mm nn oo")],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r.doc_id, r.text)
+        for r in dedup.drop_contained_against(
+            dup, empty_idx, threshold=0.9
+        ).collect()
+    }
+    assert got == {(30, "aa bb cc"), (31, "mm nn oo")}
+
     recrawl = batch.unionByName(
         spark.createDataFrame(
             [(1, "totally new text for page one")], ["doc_id", "text"]
@@ -382,6 +424,7 @@ def test_containment_compact_retires_engulfed_corpus_docs(
             (4, "alpha beta gamma delta epsilon zeta "
                 "eta theta iota kappa"),                 # the later crawl
             (5, "one two"),                              # old ⊂ old 2: stays
+            (6, "alpha beta gamma delta epsilon zeta"),  # WINDOW doc ⊂ 4
         ],
         ["doc_id", "text"],
     )
@@ -391,13 +434,16 @@ def test_containment_compact_retires_engulfed_corpus_docs(
     snapshot_commit(
         dedup.containment_index_build(docs, threshold=0.9), index_path
     )
-    new_ids = spark.createDataFrame([(4,)], ["doc_id"])
+    new_ids = spark.createDataFrame([(4,), (6,)], ["doc_id"])
 
     res = dedup.containment_compact(
         spark, corpus_path, index_path, new_ids
     )
-    assert res["doomed"] == 1
-    assert res["corpus"]["deleted"] == 1
+    # doc 1 (old ⊂ window doc) retires outright; doc 6 (window doc ⊂
+    # bigger window-mate 4 — the same-window engulf: no order info,
+    # size rule decides) retires too
+    assert res["doomed"] == 2
+    assert res["corpus"]["deleted"] == 2
     assert res["index"]["deleted"] > 0
     left = {r.doc_id for r in snapshot_read(spark, corpus_path).collect()}
     assert left == {2, 3, 4, 5}  # old-in-OLD (5⊂2) is NOT compaction's job

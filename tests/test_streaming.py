@@ -1549,6 +1549,33 @@ def test_stream_containment_recrawl_first_crawl_wins(spark, tmp_path):
     assert rows == {43: "aa bb cc dd ee"}
 
 
+def test_note_parent_version_resolves_pre_batch_state(spark, tmp_path):
+    """The replay helper behind the re-crawl anti-join: walking the
+    published lineage for the commit carrying an (app_id, batch_id)
+    idempotency note and returning its PARENT — the corpus version the
+    original run elected against. A table-creating commit resolves to
+    None (pre-batch state is 'absent'), as does an unknown note."""
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.streaming.jobs import _note_parent_version
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    v1 = snapshot_commit(
+        df, path, note={"app_id": "app", "batch_id": 0}
+    )
+    v2 = snapshot_commit(
+        df, path, mode="append", note={"app_id": "app", "batch_id": 1}
+    )
+    snapshot_commit(
+        df, path, mode="append", note={"app_id": "app", "batch_id": 2}
+    )
+    assert _note_parent_version(path, "app", 0) is None  # created table
+    assert _note_parent_version(path, "app", 1) == v1
+    assert _note_parent_version(path, "app", 2) == v2
+    assert _note_parent_version(path, "app", 99) is None
+    assert _note_parent_version(path, "other", 1) is None
+
+
 def test_stream_containment_then_offline_compaction_lifecycle(
     spark, tmp_path
 ):
