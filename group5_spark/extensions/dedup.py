@@ -624,6 +624,30 @@ def drop_contained(
     return df.join(doomed, on=id_col, how="left_anti")
 
 
+def dedup_batch_ids(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One deterministic row per id — smallest ``text_col`` first,
+    NULLs last: the batch-internal collision rule of the containment
+    ingestion election (two source files re-crawling the same page
+    into one batch). Exposed so a caller that persists the batch can
+    dedup BEFORE the persist and hand
+    :func:`drop_contained_against` an already-unique frame
+    (``assume_unique_ids=True``) — otherwise the election's internal
+    dedup window re-shuffles on every subplan reference above the
+    cache."""
+    from pyspark.sql.window import Window as _Window
+
+    w = _Window.partitionBy(id_col).orderBy(
+        F.col(text_col).asc_nulls_last()
+    )
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def drop_contained_against(
     new_df: DataFrame,
     index: DataFrame,
@@ -631,6 +655,7 @@ def drop_contained_against(
     id_col: str = "doc_id",
     text_col: str = "text",
     on_overlap: str = "error",
+    assume_unique_ids: bool = False,
 ) -> DataFrame:
     """The dedup ACTION on :func:`contained_pairs_incremental` — which
     rows of a crawl batch SURVIVE ingestion against an already-indexed
@@ -658,22 +683,17 @@ def drop_contained_against(
     precondition — a duplicated id would double-count its posting
     rows exactly like a batch/index overlap, corrupting containment
     values. One row per id survives, chosen deterministically
-    (smallest text, NULLs last), so replays of the same batch elect
-    identically."""
-    from pyspark.sql.window import Window as _Window
-
+    (:func:`dedup_batch_ids` — smallest text, NULLs last), so replays
+    of the same batch elect identically. A caller that has ALREADY
+    run :func:`dedup_batch_ids` (e.g. to dedup before persisting the
+    batch, as the streaming job does) passes
+    ``assume_unique_ids=True`` and skips the window's shuffle."""
     if on_overlap not in ("error", "drop"):
         raise ValueError(
             f"on_overlap must be 'error' or 'drop', got {on_overlap!r}"
         )
-    w_dup = _Window.partitionBy(id_col).orderBy(
-        F.col(text_col).asc_nulls_last()
-    )
-    new_df = (
-        new_df.withColumn("_rn", F.row_number().over(w_dup))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    if not assume_unique_ids:
+        new_df = dedup_batch_ids(new_df, id_col, text_col)
     if on_overlap == "drop":
         # drop re-crawls from the SURVIVOR set too, not just the probe
         # input — first-ingest-wins means the batch copy is discarded
@@ -878,6 +898,14 @@ def _containment_candidates(
     direction afterwards (the ingestion election never acts on
     old-in-new) saves its whole candidate+verify volume by not
     generating it. Returns distinct ``(id_a, id_b)``."""
+    unknown = [d for d in directions if d not in _ALL_DIRECTIONS]
+    if unknown or isinstance(directions, str):
+        raise ValueError(
+            f"unknown directions {unknown or [directions]} — pass a "
+            f"tuple of names from {_ALL_DIRECTIONS} (a misspelled name "
+            "would silently lose pairs; a bare string would "
+            "substring-match)"
+        )
     branches = []
     if "new_in_old" in directions:
         open_index = index.where(~F.col("capped"))

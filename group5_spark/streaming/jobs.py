@@ -706,10 +706,12 @@ def stream_containment_dedup(
     same chain semantics as ``drop_contained`` itself), then two
     snapshot appends land in sequence: the SURVIVING documents into
     ``corpus_path`` and the survivors' index rows into
-    ``index_path``. The old-in-new direction is reported by the
-    underlying probe but NOT acted on inline — an append stream never
-    deletes corpus rows; run ``extensions.dedup.containment_compact``
-    offline (on a schedule, over the recently-appended ids) to retire
+    ``index_path``. The old-in-new direction is NOT generated in this
+    path at all (the election never acts on it, so its candidate and
+    verification volume is skipped outright — ``directions=`` on the
+    probe): an append stream never deletes corpus rows; run
+    ``extensions.dedup.containment_compact`` offline (on a schedule,
+    over the recently-appended ids via ``since_version=``) to retire
     corpus pages engulfed by later crawls from BOTH tables,
     file-pruned and OCC-committed.
 
@@ -739,6 +741,7 @@ def stream_containment_dedup(
 
     from group5_spark.extensions.dedup import (
         containment_index_build,
+        dedup_batch_ids,
         drop_contained_against,
     )
     from group5_spark.medallion import snapshots as snap
@@ -788,10 +791,11 @@ def stream_containment_dedup(
                 how="left_anti",
             )
         # batch-INTERNAL id collisions (two source files re-crawling
-        # one page into a micro-batch) are resolved inside the shared
-        # election (`drop_contained_against` keeps one deterministic
-        # row per id), so crash replays elect identically
-        batch = batch.persist()
+        # one page into a micro-batch) resolve via the election's own
+        # rule, applied BEFORE the persist so the dedup window
+        # shuffles once per micro-batch instead of once per subplan
+        # reference above the cache; crash replays elect identically
+        batch = dedup_batch_ids(batch, id_col, text_col).persist()
         try:
             # the election itself is `dedup.drop_contained_against` —
             # one source of truth with the batch-pipeline action (and
@@ -799,10 +803,11 @@ def stream_containment_dedup(
             # disjointness holds by construction (the corpus anti-join
             # above), so the mode's anti-join re-asserts the invariant
             # LAZILY inside the plan where "error" would pay an eager
-            # id-scan action every micro-batch
+            # id-scan action every micro-batch; assume_unique_ids:
+            # the dedup already ran above the persist
             survivors = drop_contained_against(
                 batch, idx, threshold, id_col, text_col,
-                on_overlap="drop",
+                on_overlap="drop", assume_unique_ids=True,
             )
             if not c_done:
                 snap.snapshot_commit(
