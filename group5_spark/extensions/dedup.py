@@ -628,18 +628,42 @@ def dedup_batch_ids(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
     """One deterministic row per id — smallest ``text_col`` first,
-    NULLs last: the batch-internal collision rule of the containment
-    ingestion election (two source files re-crawling the same page
-    into one batch). Exposed so a caller that persists the batch can
-    dedup BEFORE the persist and hand
+    NULLs last, ties broken by every REMAINING orderable column (so a
+    duplicated id carrying byte-identical text but different metadata
+    still resolves to the same physical row on every replay — the
+    round-11 ADVICE case: without the tie-break, row_number picked an
+    arbitrary row and replays could persist different non-text column
+    values to the corpus). Columns of non-orderable types (maps,
+    nested maps) are excluded from the tie-break; rows identical on
+    every orderable column AND differing only in a map column remain
+    an arbitrary-but-harmless pick among equals the election treats
+    identically. This is the batch-internal collision rule of the
+    containment ingestion election (two source files re-crawling the
+    same page into one batch). Exposed so a caller that persists the
+    batch can dedup BEFORE the persist and hand
     :func:`drop_contained_against` an already-unique frame
     (``assume_unique_ids=True``) — otherwise the election's internal
     dedup window re-shuffles on every subplan reference above the
     cache."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
     from pyspark.sql.window import Window as _Window
 
+    def orderable(dt) -> bool:
+        if isinstance(dt, MapType):
+            return False
+        if isinstance(dt, ArrayType):
+            return orderable(dt.elementType)
+        if isinstance(dt, StructType):
+            return all(orderable(f.dataType) for f in dt.fields)
+        return True
+
+    tiebreak = [
+        F.col(f.name).asc_nulls_last()
+        for f in df.schema.fields
+        if f.name not in (id_col, text_col) and orderable(f.dataType)
+    ]
     w = _Window.partitionBy(id_col).orderBy(
-        F.col(text_col).asc_nulls_last()
+        F.col(text_col).asc_nulls_last(), *tiebreak
     )
     return (
         df.withColumn("_rn", F.row_number().over(w))
@@ -673,10 +697,13 @@ def drop_contained_against(
     ``new_df`` unchanged.
 
     ``on_overlap``: ``"error"`` (default) fails loudly on a batch id
-    already in the index; ``"drop"`` applies the first-ingest-wins
-    re-crawl policy END-TO-END — the overlapping batch row is neither
-    probed NOR returned (the already-ingested copy is the document of
-    record).
+    already in the index (an EAGER check — see
+    :func:`contained_pairs_incremental`); ``"drop"`` applies the
+    first-ingest-wins re-crawl policy END-TO-END — the overlapping
+    batch row is neither probed NOR returned (the already-ingested
+    copy is the document of record); ``"unchecked"`` skips the check
+    for callers that established disjointness out-of-band (explicit
+    opt-out — an actual overlap silently corrupts the election).
 
     BATCH-INTERNAL id collisions (two source files re-crawling the
     same page into one batch) are resolved HERE, not left as a caller
@@ -688,9 +715,10 @@ def drop_contained_against(
     run :func:`dedup_batch_ids` (e.g. to dedup before persisting the
     batch, as the streaming job does) passes
     ``assume_unique_ids=True`` and skips the window's shuffle."""
-    if on_overlap not in ("error", "drop"):
+    if on_overlap not in ("error", "drop", "unchecked"):
         raise ValueError(
-            f"on_overlap must be 'error' or 'drop', got {on_overlap!r}"
+            f"on_overlap must be 'error', 'drop', or 'unchecked', "
+            f"got {on_overlap!r}"
         )
     if not assume_unique_ids:
         new_df = dedup_batch_ids(new_df, id_col, text_col)
@@ -976,15 +1004,25 @@ def contained_pairs_incremental(
     ∪ index), double-counting intersections (containment values up to
     2.0, false pairs crossing the threshold). Also ENFORCED, per
     ``on_overlap``: ``"error"`` (default) raises ValueError naming a
-    sample of the colliding ids (one id-column semi-join action —
-    the probe's equi-joins scan the index postings anyway, so the
-    check does not change the cost regime); ``"drop"`` anti-joins the
-    overlapping batch rows away LAZILY before probing (the re-crawl
-    upsert policy: the already-ingested copy wins — what
+    sample of the colliding ids — NOTE this mode runs an EAGER Spark
+    action (distinct + semi-join + limit collect) at call time, in an
+    otherwise fully-lazy function: the check must decide before the
+    plan is handed back, and the id-column semi-join it pays is an
+    order below the posting joins the probe runs anyway. Callers that
+    build plans speculatively or probe in a tight loop have two lazy
+    alternatives: ``"drop"`` anti-joins the overlapping batch rows
+    away INSIDE the returned plan (the re-crawl upsert policy: the
+    already-ingested copy wins — what
     ``streaming.jobs.stream_containment_dedup`` wants; it enforces
     the policy against the full corpus id set itself and passes
     ``"drop"`` here so the invariant is re-asserted for free in the
-    probe plan instead of paying an eager check per micro-batch).
+    probe plan instead of paying an eager check per micro-batch), and
+    ``"unchecked"`` skips the check entirely for callers that have
+    ALREADY established disjointness out-of-band (the scale ladder
+    builds its batch ids from a reserved range; a caller that just
+    anti-joined the batch itself) — with ``"unchecked"`` an
+    overlapping id silently corrupts containment values, so it is an
+    explicit opt-out, never a default.
 
     Priced by the batch: candidates are (batch prefix ⋈ index
     postings) ∪ (index prefix rows ⋈ batch postings) — rare-word
@@ -997,9 +1035,10 @@ def contained_pairs_incremental(
     ingestion election (:func:`drop_contained_against`) never acts on
     old-in-new, so skipping it there removes that direction's whole
     candidate+verify volume instead of discarding it post-join."""
-    if on_overlap not in ("error", "drop"):
+    if on_overlap not in ("error", "drop", "unchecked"):
         raise ValueError(
-            f"on_overlap must be 'error' or 'drop', got {on_overlap!r}"
+            f"on_overlap must be 'error', 'drop', or 'unchecked', "
+            f"got {on_overlap!r}"
         )
     # MAX over the column: an index grown by appends (e.g. the
     # streaming job) may carry several build generations, and every
@@ -1020,7 +1059,7 @@ def contained_pairs_incremental(
             on=id_col,
             how="left_anti",
         )
-    else:
+    elif on_overlap == "error":
         clash = sorted(
             {
                 r["id"]

@@ -654,16 +654,19 @@ def stream_span_dedup(
     return query
 
 
-def _note_parent_version(
+def _note_versions(
     path: str, app_id: str | None, batch_id: int
-) -> int | None:
+) -> tuple[int, int | None] | None:
     """The snapshot version the ORIGINAL run of streaming batch
-    ``(app_id, batch_id)`` committed ON TOP OF: walk the published
-    lineage newest-first for the commit carrying that idempotency
-    note and return its manifest ``parent``. None when that commit
-    created the table (no parent — the pre-batch state is "absent")
-    or when the note is not found (expired lineage; callers treat
-    both as "no pre-batch table")."""
+    ``(app_id, batch_id)`` committed, and its parent: walk the
+    published lineage newest-first for the commit carrying that
+    idempotency note and return ``(version, parent)`` — parent None
+    when that commit created the table (the pre-batch state is
+    "absent"). None when the note is not found at all (expired
+    lineage) — DISTINCT from the created-the-table case, so a caller
+    that needs the note (a crash replay reconstructing what that
+    commit persisted) can fail loudly instead of silently treating a
+    lost note as an empty pre-batch table."""
     import json as _json
     from pathlib import Path as _Path
 
@@ -674,9 +677,22 @@ def _note_parent_version(
         m = _json.loads(snap._manifest_path(root, v).read_text())
         note = m.get("note") or {}
         if note.get("app_id") == app_id and note.get("batch_id") == batch_id:
-            parent = m.get("parent") or 0
-            return int(parent) or None  # parent 0 = created the table
+            parent = int(m.get("parent") or 0)
+            return int(v), parent or None  # parent 0 = created the table
     return None
+
+
+def _note_parent_version(
+    path: str, app_id: str | None, batch_id: int
+) -> int | None:
+    """The snapshot version the ORIGINAL run of streaming batch
+    ``(app_id, batch_id)`` committed ON TOP OF (see
+    :func:`_note_versions`). None when that commit created the table
+    (no parent — the pre-batch state is "absent") or when the note is
+    not found (expired lineage); use :func:`_note_versions` where
+    those two cases must not be conflated."""
+    found = _note_versions(path, app_id, batch_id)
+    return found[1] if found else None
 
 
 def stream_containment_dedup(
@@ -719,9 +735,16 @@ def stream_containment_dedup(
     state store). Exactly-once across BOTH tables via independent
     ``(app_id, batch_id)`` notes with the corpus-first commit order:
     a crash between the commits replays into "skip corpus, append
-    index", and the index at replay time is still the pre-batch index
-    the survivors were elected against — the same soundness argument
-    as :func:`stream_span_dedup`. Survivors' index rows rank their
+    index", and the missing index generation is rebuilt from the
+    corpus VERSION-DIFF of the batch's own committed note — never by
+    re-running the election, because an offline
+    ``containment_compact`` (or any other committed action) may have
+    mutated the head tables between crash and replay, and a
+    re-election against mutated state could persist a different
+    survivor set than the corpus already holds. The diff replays the
+    committed survivors bit-for-bit; if the note has expired from the
+    lineage the replay raises instead of guessing (a silent re-ingest
+    would double-count posting rows). Survivors' index rows rank their
     prefixes by batch-internal document frequency; recall stays exact
     because the pigeonhole bound holds for ANY prefix choice of the
     right length, and ``build_tau`` rides every appended row so a
@@ -759,6 +782,58 @@ def stream_containment_dedup(
             i_done = d is not None and d >= batch_id
         if c_done and i_done:
             return
+        if c_done:
+            # corpus-first commit order means the only reachable
+            # half-state is "corpus landed, index didn't" — and the
+            # committed corpus VERSION-DIFF of this batch's own note
+            # IS the survivor set. Rebuild the index generation from
+            # that diff instead of RE-RUNNING the election: an
+            # offline containment_compact (or any other committed
+            # action) may have mutated the head corpus/index between
+            # crash and replay, and a re-election against mutated
+            # state could persist a DIFFERENT survivor set, appending
+            # index ids that outlive their corpus rows. The diff
+            # replays the original survivors bit-for-bit whatever ran
+            # in between. If the note is no longer in the lineage
+            # (expired between crash and replay), fail LOUDLY
+            # (round-11 ADVICE): silently re-electing would re-ingest
+            # re-crawled ids and double-count their posting rows,
+            # corrupting later containment values past 1.0.
+            found = _note_versions(corpus_path, app, batch_id)
+            if found is None:
+                raise RuntimeError(
+                    f"containment replay: a corpus commit for batch "
+                    f"{batch_id} (app {app!r}) is recorded but its "
+                    f"idempotency note is no longer in the published "
+                    f"lineage (expired between crash and replay?) — "
+                    f"cannot reconstruct the committed survivor set. "
+                    f"Restore the lineage, or rebuild the missing "
+                    f"index generation offline "
+                    f"(containment_index_build over the docs the "
+                    f"index lacks) and advance the index's "
+                    f"(app_id, batch_id) note"
+                )
+            note_v, parent_v = found
+            survivors = snap.snapshot_read(
+                spark, corpus_path, version=note_v
+            )
+            if parent_v is not None:
+                survivors = survivors.join(
+                    snap.snapshot_read(
+                        spark, corpus_path, version=parent_v
+                    ).select(id_col),
+                    on=id_col,
+                    how="left_anti",
+                )
+            snap.snapshot_commit(
+                containment_index_build(
+                    survivors, threshold, id_col, text_col
+                ),
+                index_path,
+                mode="append",
+                note={"app_id": app, "batch_id": batch_id},
+            )
+            return
         if snap._current_version(Path(index_path)):
             idx = snap.snapshot_read(spark, index_path)
         else:
@@ -771,22 +846,9 @@ def stream_containment_dedup(
         # that also covers NULL-text survivors) drops before probing,
         # so the probe's disjoint-id precondition holds by
         # construction and a duplicate key never lands in the corpus.
-        # On a crash replay where the corpus commit already landed
-        # (c_done), the head corpus contains THIS batch's survivors —
-        # the election must anti-join against the PRE-batch corpus
-        # (the parent of the commit carrying this (app_id, batch_id)
-        # note) or it would doom the whole batch and append an empty
-        # index generation.
-        corpus_v: int | None = None
-        have_corpus = bool(snap._current_version(Path(corpus_path)))
-        if have_corpus and c_done:
-            corpus_v = _note_parent_version(corpus_path, app, batch_id)
-            have_corpus = corpus_v is not None
-        if have_corpus:
+        if snap._current_version(Path(corpus_path)):
             batch = batch.join(
-                snap.snapshot_read(
-                    spark, corpus_path, version=corpus_v
-                ).select(id_col),
+                snap.snapshot_read(spark, corpus_path).select(id_col),
                 on=id_col,
                 how="left_anti",
             )
@@ -809,13 +871,14 @@ def stream_containment_dedup(
                 batch, idx, threshold, id_col, text_col,
                 on_overlap="drop", assume_unique_ids=True,
             )
-            if not c_done:
-                snap.snapshot_commit(
-                    survivors,
-                    corpus_path,
-                    mode="append",
-                    note={"app_id": app, "batch_id": batch_id},
-                )
+            # c_done is always False here (the replay branch above
+            # returned) — this is the normal corpus-first double commit
+            snap.snapshot_commit(
+                survivors,
+                corpus_path,
+                mode="append",
+                note={"app_id": app, "batch_id": batch_id},
+            )
             if not i_done:
                 snap.snapshot_commit(
                     containment_index_build(

@@ -1728,3 +1728,167 @@ def test_stream_containment_dedup_cross_batch_and_replay(
         r["id"] for r in snap.snapshot_read(spark, index).collect()
     }
     assert idx_ids == {10, 21, 30}
+
+
+def test_stream_containment_replay_after_compaction(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 VERDICT #4's adversarial case: a crash lands BETWEEN
+    the corpus commit and the index commit, and an offline
+    `containment_compact` runs BEFORE the replay (a cron'd compaction
+    doesn't know a stream crashed). The replay must not re-run the
+    election against the now-mutated head tables — it rebuilds the
+    missing index generation from the corpus VERSION-DIFF of the
+    batch's own committed note, so the index rows it appends are
+    exactly the survivors the corpus already holds, and the final
+    corpus/index id sets agree."""
+    from group5_spark.extensions.dedup import containment_compact
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        jobs.stream_containment_dedup(
+            spark.readStream.schema(_docs_schema()).json(str(src)),
+            ck, corpus, index, threshold=0.9, app_id="crawler",
+        )
+
+    _emit_docs(src, "b1.json", [
+        (50, "alpha beta gamma delta epsilon"),
+        (51, "one two three four five"),
+    ])
+    drain()
+    v_seed = snap.snapshot_manifest(corpus)["version"]
+    # batch 2: doc 60 ENGULFS doc 50 (old-in-new — the stream reports
+    # but never acts; 50 is now a superseded page awaiting compaction)
+    _emit_docs(src, "b2.json", [
+        (60, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ])
+    drain()
+
+    # batch 3 crashes between the two commits: corpus gets {71} (70
+    # is a quote of 50/60 and drops at election), index gets nothing
+    _emit_docs(src, "b3.json", [
+        (70, "alpha beta gamma delta epsilon"),
+        (71, "completely unrelated fresh words"),
+    ])
+    real_commit = snap.snapshot_commit
+
+    def bomb(df, path, **kw):
+        if path == index:
+            raise RuntimeError("crash before the index commit")
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(snap, "snapshot_commit", bomb)
+    with pytest.raises(Exception, match="crash before the index"):
+        drain()
+    monkeypatch.setattr(snap, "snapshot_commit", real_commit)
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {50, 51, 60, 71}
+    assert {
+        r["id"] for r in snap.snapshot_read(spark, index).collect()
+    } == {50, 51, 60}  # batch 3's index generation is missing
+
+    # the cron'd compaction runs before anyone notices the crash:
+    # doc 60 engulfed doc 50 -> 50 retires from corpus AND index
+    res = containment_compact(spark, corpus, index, since_version=v_seed)
+    assert res["doomed"] == 1
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {51, 60, 71}
+
+    # replay: the version-diff rebuild appends exactly batch 3's
+    # committed survivors ({71}) to the index — never re-electing
+    # against the compacted head — and the tables converge
+    drain()
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {51, 60, 71}
+    assert {
+        r["id"] for r in snap.snapshot_read(spark, index).collect()
+    } == {51, 60, 71}
+    # no orphaned index ids (the corruption the diff-replay prevents)
+    orphans = (
+        snap.snapshot_read(spark, index)
+        .select("id")
+        .join(
+            snap.snapshot_read(spark, corpus).select(
+                F.col("doc_id").alias("id")
+            ),
+            "id",
+            "left_anti",
+        )
+        .count()
+    )
+    assert orphans == 0
+
+
+def test_stream_containment_replay_missing_note_raises(
+    spark, tmp_path, monkeypatch
+):
+    """Round-11 ADVICE (low): when the corpus commit for a crashed
+    batch is recorded (c_done) but its idempotency note is gone from
+    the lineage (expired between crash and replay), the replay used
+    to silently skip the re-crawl anti-join — re-elected re-crawls
+    would append duplicate index postings whose double-counted rows
+    corrupt later containment values. It must fail loudly instead."""
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        jobs.stream_containment_dedup(
+            spark.readStream.schema(_docs_schema()).json(str(src)),
+            ck, corpus, index, threshold=0.9, app_id="crawler",
+        )
+
+    _emit_docs(src, "b1.json", [(10, "alpha beta gamma delta")])
+    drain()
+    _emit_docs(src, "b2.json", [(11, "one two three four")])
+    real_commit = snap.snapshot_commit
+
+    def bomb(df, path, **kw):
+        if path == index:
+            raise RuntimeError("crash before the index commit")
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(snap, "snapshot_commit", bomb)
+    with pytest.raises(Exception, match="crash before the index"):
+        drain()
+    monkeypatch.setattr(snap, "snapshot_commit", real_commit)
+
+    # simulate the note expiring while c_done stays true: strip the
+    # crashed batch's note from its manifest, and land a LATER note
+    # from the same app (last_committed_batch keys on max batch id,
+    # so the replay still sees the corpus commit as done — exactly
+    # the divergence the round-11 ADVICE called out)
+    import json as _json
+    from pathlib import Path as _Path
+
+    root = _Path(corpus)
+    head = snap._current_version(root)
+    mpath = snap._manifest_path(root, head)
+    m = _json.loads(mpath.read_text())
+    assert (m.get("note") or {}).get("batch_id") == 1
+    del m["note"]
+    mpath.write_text(_json.dumps(m))
+    snap.snapshot_commit(
+        spark.createDataFrame([], _docs_schema()),
+        corpus,
+        mode="append",
+        note={"app_id": "crawler", "batch_id": 7},
+    )
+
+    with pytest.raises(Exception, match="idempotency note is no longer"):
+        drain()
