@@ -1333,6 +1333,119 @@ def containment_compact(
     }
 
 
+DEFAULT_COMPACTION_SEED_TAG = "containment-compaction-seed"
+
+
+def containment_compact_scheduled(
+    spark,
+    corpus_path: str,
+    index_path: str,
+    seed_tag: str = DEFAULT_COMPACTION_SEED_TAG,
+    threshold: float | None = None,
+    id_col: str = "doc_id",
+    dv_threshold: float | None = None,
+    bootstrap: str = "full",
+) -> dict:
+    """ZERO-BOOKKEEPING scheduled form of :func:`containment_compact`
+    (round-11 VERDICT #2): the ``since_version=`` seed the next run
+    needs is persisted as a snapshot TAG on the corpus table itself,
+    so a cron line is literally
+    ``pipeline.py snapshot compact-containment --table_path <corpus>
+    --index-path <index>`` with no state of its own. Tags are the
+    right store for the seed — a tag IS a persisted name→version ref,
+    and :func:`medallion.snapshots.snapshot_expire` always keeps a
+    tagged manifest and its file closure, so retention can never
+    delete the very version the next compaction must diff against.
+
+    Each run: read the seed tag → run
+    ``containment_compact(since_version=seed)`` (candidates = corpus
+    ids at the current head minus the ids at the seed — everything the
+    stream appended since the last run) → move the tag to the
+    ``head_version`` the run pinned. The tag moves on EVERY run,
+    including nothing-doomed ones (``head_version`` rides every
+    return precisely for this), so idle periods don't re-scan old
+    windows. Crash-safety: the tag moves only AFTER both merge
+    commits; a crash anywhere re-runs with the old seed, recomputes a
+    superset window, finds the already-retired docs gone from the
+    index (no posting rows — they can't be re-doomed and can't doom
+    others), retires whatever the crashed run missed, and THEN
+    advances the tag — idempotent, self-healing, same argument as the
+    corpus-first commit order inside :func:`containment_compact`.
+
+    First run (no seed tag yet), per ``bootstrap``: ``"full"``
+    (default) treats the ENTIRE corpus as the candidate window — a
+    one-time full containment election (within-window size/id rule
+    everywhere) that clears any engulfed pages accumulated before the
+    schedule existed; ``"skip"`` plants the tag at the current head
+    without compacting — for deployments that started the schedule
+    with the stream and know no old-in-new debt exists. Returns the
+    :func:`containment_compact` dict plus ``{"seed": <previous seed
+    version or None>, "bootstrap": <mode or None>}``. A corpus table
+    that doesn't exist yet returns ``{"doomed": 0, "head_version":
+    None, ...}`` without planting a tag (the cron may fire before the
+    stream's first commit)."""
+    from pathlib import Path as _Path
+
+    from group5_spark.medallion.snapshots import (
+        _current_version,
+        snapshot_read,
+        snapshot_tag,
+        snapshot_tags,
+    )
+
+    if bootstrap not in ("full", "skip"):
+        raise ValueError(
+            f"bootstrap must be 'full' or 'skip', got {bootstrap!r}"
+        )
+    if not _current_version(_Path(corpus_path)):
+        return {
+            "doomed": 0,
+            "head_version": None,
+            "corpus": None,
+            "index": None,
+            "seed": None,
+            "bootstrap": None,
+        }
+    seed = snapshot_tags(corpus_path).get(seed_tag)
+    if seed is None:
+        if bootstrap == "skip":
+            head = snapshot_tag(corpus_path, seed_tag, overwrite=False)
+            return {
+                "doomed": 0,
+                "head_version": head,
+                "corpus": None,
+                "index": None,
+                "seed": None,
+                "bootstrap": "skip",
+            }
+        res = containment_compact(
+            spark,
+            corpus_path,
+            index_path,
+            new_ids=snapshot_read(spark, corpus_path).select(id_col),
+            threshold=threshold,
+            id_col=id_col,
+            dv_threshold=dv_threshold,
+        )
+        res["bootstrap"] = "full"
+    else:
+        res = containment_compact(
+            spark,
+            corpus_path,
+            index_path,
+            threshold=threshold,
+            id_col=id_col,
+            dv_threshold=dv_threshold,
+            since_version=seed,
+        )
+        res["bootstrap"] = None
+    snapshot_tag(
+        corpus_path, seed_tag, version=res["head_version"], overwrite=True
+    )
+    res["seed"] = seed
+    return res
+
+
 def incremental_components(
     prior_labels: DataFrame,
     new_pairs: DataFrame,

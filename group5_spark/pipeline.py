@@ -236,6 +236,43 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
             f"rewrote {out['files_rewritten']} file(s), carried "
             f"{out['files_carried']} untouched"
         )
+    elif args.action == "compact-containment":
+        from group5_spark.extensions.dedup import (
+            containment_compact_scheduled,
+        )
+
+        if not args.index_path:
+            raise SystemExit(
+                "snapshot compact-containment requires --index-path "
+                "<containment index table>"
+            )
+        out = containment_compact_scheduled(
+            spark,
+            args.table_path,
+            args.index_path,
+            seed_tag=args.seed_tag,
+            threshold=args.threshold,
+            bootstrap=args.bootstrap,
+        )
+        if out["head_version"] is None:
+            print("corpus table does not exist yet — nothing to compact")
+        elif out["bootstrap"] == "skip":
+            print(
+                f"bootstrap: seed tag planted at "
+                f"v{out['head_version']:05d}, nothing compacted"
+            )
+        else:
+            pfx = "bootstrap (full corpus): " if out["bootstrap"] else ""
+            window = (
+                f"window v{out['seed']:05d}..v{out['head_version']:05d}"
+                if out["seed"] is not None
+                else f"head v{out['head_version']:05d}"
+            )
+            print(
+                f"{pfx}{window}: retired {out['doomed']} engulfed "
+                f"doc(s) from corpus and index; seed tag -> "
+                f"v{out['head_version']:05d}"
+            )
     elif args.action == "compact":
         from group5_spark.medallion.maintenance import (
             compact_snapshot,
@@ -400,7 +437,7 @@ def main(argv: list[str] | None = None) -> int:
         help=(
             "snapshot tables: log / show / expire / tag / drop-tag / "
             "health / delete / clone / rollback / compact / fold / "
-            "heal / constrain"
+            "heal / constrain / compact-containment"
         ),
     )
     p_snap.add_argument(
@@ -408,8 +445,23 @@ def main(argv: list[str] | None = None) -> int:
         choices=[
             "log", "show", "expire", "tag", "drop-tag", "health", "delete",
             "clone", "rollback", "compact", "fold", "heal", "constrain",
+            "compact-containment",
         ],
     )
+    p_snap.add_argument("--index-path", default=None,
+                        help="compact-containment: the containment "
+                        "index snapshot table (table_path = corpus)")
+    p_snap.add_argument("--seed-tag", default="containment-compaction-seed",
+                        help="compact-containment: corpus tag holding "
+                        "the since_version seed")
+    p_snap.add_argument("--threshold", type=float, default=None,
+                        help="compact-containment: containment tau "
+                        "(default: the index's recorded build_tau)")
+    p_snap.add_argument("--bootstrap", default="full",
+                        choices=["full", "skip"],
+                        help="compact-containment first run: 'full' "
+                        "elects over the whole corpus, 'skip' plants "
+                        "the seed at head without compacting")
     p_snap.add_argument("--to", default=None,
                         help="clone destination table path")
     p_snap.add_argument("--sort_col", action="append", default=[],
@@ -472,7 +524,10 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     snapshot_needs_spark = args.command == "snapshot" and (
-        args.action in ("show", "delete", "compact", "fold", "heal")
+        args.action in (
+            "show", "delete", "compact", "fold", "heal",
+            "compact-containment",
+        )
         # adding a constraint validates existing rows (a scan); a
         # drop is pure manifest surgery and stays on the fast path
         or (args.action == "constrain" and args.add is not None)

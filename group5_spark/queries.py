@@ -1076,6 +1076,117 @@ def containment_compacted_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "containment_scheduled_survivors",
+    """
+    WITH t AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')) AS words
+        FROM documents WHERE text IS NOT NULL
+    ),
+    tt AS (SELECT * FROM t WHERE len(words) > 0),
+    doomed AS (
+        SELECT DISTINCT a.doc_id
+        FROM tt a JOIN tt b
+          ON b.doc_id % 10 >= 8 AND a.doc_id != b.doc_id
+        WHERE CAST(len(list_intersect(a.words, b.words)) AS DOUBLE)
+              / len(a.words) >= 0.9
+          AND (a.doc_id % 10 < 8
+               OR len(b.words) > len(a.words)
+               OR (len(b.words) = len(a.words) AND b.doc_id < a.doc_id))
+    )
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(len(list_distinct(string_split(d.text, ' ')))
+                          AS BIGINT)
+           END AS n_words
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM doomed)
+    """,
+)
+def containment_scheduled_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCHEDULED containment compaction end-to-end
+    (``extensions.dedup.containment_compact_scheduled`` — round-11
+    VERDICT #2's zero-bookkeeping ops wiring, also exposed as
+    ``pipeline.py snapshot compact-containment``): the since_version
+    seed lives as a snapshot TAG on the corpus table, so each cron
+    run derives its candidate window purely from persisted state.
+    Here the first run plants the seed (``bootstrap="skip"``) on the
+    pre-crawl corpus (doc_id % 10 < 8), the recent crawl
+    (doc_id % 10 ≥ 8) lands as snapshot APPENDS to corpus and index,
+    and the second run — given NOTHING but the two table paths —
+    resolves the window from the tag, retires every engulfed page,
+    and advances the seed. The returned frame is the post-compaction
+    corpus; the DuckDB oracle recomputes the survivors from the naive
+    all-pairs SQL with the same window, so the hash match proves the
+    TAG-derived window equals the explicit-new_ids one
+    (``containment_compacted_corpus``'s path) besides gating the doom
+    rules themselves. Raises if the seed round-trip breaks (seed
+    not planted, not advanced, or window empty)."""
+    import shutil as _shutil
+
+    from group5_spark.extensions import dedup
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_tags,
+    )
+
+    base = _dml_scratch("containment_scheduled_survivors", sf_dir)
+    _shutil.rmtree(base, ignore_errors=True)
+    corpus_path = f"{base}/corpus"
+    index_path = f"{base}/index"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.where(F.col("doc_id") % 10 < 8)
+    new = docs.where(F.col("doc_id") % 10 >= 8)
+    snapshot_commit(old.repartition(4, "doc_id"), corpus_path)
+    snapshot_commit(
+        dedup.containment_index_build(old, threshold=0.9)
+        .repartition(4, "id"),
+        index_path,
+    )
+    res0 = dedup.containment_compact_scheduled(
+        spark, corpus_path, index_path, bootstrap="skip"
+    )
+    if res0["bootstrap"] != "skip" or res0["head_version"] is None:
+        raise RuntimeError("seed tag was not planted on the first run")
+    # the crawl lands (the stream's steady state, replayed as batch
+    # appends); its docs can only engulf — old-in-new debt accrues
+    snapshot_commit(
+        new.repartition(4, "doc_id"), corpus_path, mode="append"
+    )
+    snapshot_commit(
+        dedup.containment_index_build(new, threshold=0.9)
+        .repartition(4, "id"),
+        index_path,
+        mode="append",
+    )
+    res = dedup.containment_compact_scheduled(spark, corpus_path, index_path)
+    if res["seed"] != res0["head_version"]:
+        raise RuntimeError(
+            f"window seed {res['seed']} is not the planted tag "
+            f"{res0['head_version']} — the round-trip broke"
+        )
+    if not res["doomed"]:
+        raise RuntimeError(
+            "scheduled compaction did not engage — the query exists "
+            "to gate the tag-derived window"
+        )
+    seed_now = snapshot_tags(corpus_path).get(
+        dedup.DEFAULT_COMPACTION_SEED_TAG
+    )
+    if seed_now != res["head_version"]:
+        raise RuntimeError(
+            f"seed tag did not advance to the pinned head "
+            f"({seed_now} != {res['head_version']})"
+        )
+    after = snapshot_read(spark, corpus_path)
+    n_words = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long"),
+    )
+    return after.select("doc_id", n_words.alias("n_words"))
+
+
+@register(
     "contained_batch_survivors",
     """
     WITH t AS (
@@ -8620,86 +8731,89 @@ def span_dedup_incremental_counts(
 
 
 # The driver oracle-checks the FIRST 50 registered queries each round.
-# Round-11 window (round-10 VERDICT #1's ordered rotation): the
-# ELEVEN round-10 deferrals lead — their newest driver evidence is
-# round 7, at the 3-round boundary — bench headliners first per the
-# round-8 convention (they rotate first after a deferral), then the
-# THREE queries NEW this round (new queries enter their own round's
-# window), then 36 of the 50 queries whose newest driver evidence is
-# round 8. That cohort is oversubscribed for the 50-slot window, so
-# FOURTEEN defer to round 12 (11 + 3 + 36 = 50), chosen — exactly
-# like the round-9/-10 deferral sets — for the strongest alternative
-# evidence: ALL FOURTEEN are bench HEADLINERS, executed and timed by
-# the driver's bench run every round (top_customers,
-# customer_order_counts, funnel_steps, events_props_sum,
-# pct_revenue_by_segment, tumbling_hourly_events,
-# asof_last_click_before_error, doc_pipeline_filtered_corpus,
-# text_token_count, large_volume_customers, repeat_orders_within_3d,
-# customer_rfm_segments, part_pair_affinity, train_val_test_split —
-# per the convention they rotate FIRST in round 12, and each also
-# keeps its dedicated pytest coverage, e.g. the as-of join's
-# test_operators cases).
+# Round-12 window (round-11 VERDICT #1's ordered rotation): the
+# FOURTEEN round-11 deferrals lead — their newest driver evidence is
+# round 8, at the 3-round boundary; all fourteen are bench headliners,
+# which per the round-8 convention rotate first after a deferral —
+# then the ONE query new this round (new queries enter their own
+# round's window), then 35 of the 50 queries whose newest driver
+# evidence is round 9. That cohort is oversubscribed for the 50-slot
+# window, so FIFTEEN defer to round 13 (14 + 1 + 35 = 50), chosen —
+# exactly like the round-9/-10/-11 deferral sets — for the strongest
+# alternative evidence: EIGHT are bench headliners executed and timed
+# by the driver every round (daily_revenue, moving_avg_7d,
+# mtd_revenue, profit_by_nation_year, revenue_by_nation,
+# running_revenue, shipping_priority, yoy_revenue — per the
+# convention they rotate FIRST in round 13), and the other seven
+# each carry a dedicated pytest reference AND an in-window family
+# sibling exercising the same operator path
+# (kmv_users_by_event_type + kmv_weekly_rollup — kmv_distinct_estimate
+# stays in-window; dedup_cluster_representatives — dedup_clusters
+# stays; tfidf_top_terms + boilerplate_ngram_fraction —
+# bigram_top_counts stays; crossmodal_dup_agreement —
+# multimodal_decode_features was green in r11; salted_segment_revenue
+# — the salting plan is asserted in test_plans).
 # Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
 _CHECK_WINDOW = [
-    # the round-10 deferral set (newest driver evidence round 7) —
-    # bench headliners first
-    "customers_without_orders",
-    "dedup_exact",
-    "nation_trade_volume",
-    "top3_parts_per_brand",
-    "waiting_suppliers",
-    "advisor_planned_trade_volume",
-    "mask_fold_survivors",
-    "sim_topk",
-    "corpus_shard_shuffle",
-    "dedup_minhash_lsh",
-    "dedup_simhash_pairs",
-    # NEW in round 11 — offline containment corpus-compaction
-    # (snapshot merge-deletes gated against the naive-SQL survivor
-    # set), the residual="auto" IVF-PQ build through the exactness
-    # anchor, and the containment-ingestion election as a batch action
-    "containment_compacted_corpus",
-    "ivf_pq_auto_mode_anchor",
-    "contained_batch_survivors",
-    # newest driver evidence round 8 — cohort minus the 14 deferrals
-    "avg_order_value",
-    "brand_market_share",
-    "cheapest_shipment_per_part",
-    "cohort_weekly_retention",
-    "column_ops_showcase",
-    "contamination_check",
-    "dedup_embedding_cosine",
-    "disjunctive_brand_revenue",
-    "doc_frequency_top_words",
-    "forecast_revenue_change",
-    "having_heavy_brands",
-    "hopping_event_counts",
-    "in_subquery_big_orders",
-    "lead_lag_daily_revenue",
-    "multimodal_decode_features",
-    "order_count_distribution",
-    "percentiles_by_segment",
-    "pq_ann_topk",
-    "promo_revenue_share",
-    "returned_item_customers",
-    "rollup_revenue",
-    "sessionized_event_counts",
-    "sim_ivf_topk",
-    "sketch_scale_stats",
-    "small_quantity_revenue",
-    "span_dedup_counts",
-    "span_dedup_incremental_counts",
-    "sql_surface_revenue",
-    "stratified_doc_sample",
-    "supplier_counts_by_part",
-    "text_classifier_scores",
-    "token_budget_corpus",
-    "top_supplier_by_revenue",
-    "unpivot_money_components",
-    "variant_bronze_extract",
-    "wap_publish_gate",
+    # the round-11 deferral set (newest driver evidence round 8) —
+    # all fourteen are bench headliners
+    "top_customers",
+    "customer_order_counts",
+    "funnel_steps",
+    "events_props_sum",
+    "pct_revenue_by_segment",
+    "tumbling_hourly_events",
+    "asof_last_click_before_error",
+    "doc_pipeline_filtered_corpus",
+    "text_token_count",
+    "large_volume_customers",
+    "repeat_orders_within_3d",
+    "customer_rfm_segments",
+    "part_pair_affinity",
+    "train_val_test_split",
+    # NEW in round 12 — the scheduled containment compaction
+    # end-to-end (seed tag planted, window derived from the tag,
+    # engulfed pages retired, seed advanced), oracle = the naive
+    # all-pairs survivor SQL
+    "containment_scheduled_survivors",
+    # newest driver evidence round 9 — cohort minus the 15 deferrals
+    "bigram_top_counts",
+    "brand_customer_overlap",
+    "corpus_quality_gate",
+    "dedup_clusters",
+    "dedup_incremental_new",
+    "dq_orders_checks",
+    "embedding_norm_stats",
+    "excess_parts_suppliers",
+    "fuzzy_part_name_pairs",
+    "gap_filled_daily_revenue",
+    "global_top_orders",
+    "grouping_sets_revenue",
+    "important_stock_share",
+    "kmeans_embedding_clusters",
+    "kmv_distinct_estimate",
+    "lang_temperature_resample",
+    "latest_event_per_user",
+    "mad_order_value_by_segment",
+    "moving_avg_7d_range",
+    "nation_supply_value_share",
+    "native_session_windows",
+    "ohlc_hourly_value",
+    "ordered_funnel_users",
+    "packed_sequence_bins",
+    "per_source_doc_cap",
+    "pii_redaction_report",
+    "revenue_pareto_share",
+    "snapshot_partitions_rent",
+    "stats_price_quantity",
+    "text_unigram_logprob",
+    "trailing_7d_active_users",
+    "user_active_coverage",
+    "window_navigation_showcase",
+    "winsorized_order_stats",
+    "word_position_stats",
 ]
 
 

@@ -377,3 +377,69 @@ def test_cli_snapshot_fold(spark, tmp_path):
     out = fold()
     assert out.returncode == 0, out.stderr[-2000:]
     assert "nothing to fold" in out.stdout
+
+
+def test_cli_snapshot_compact_containment(spark, tmp_path):
+    """The cron-facing surface of the scheduled containment
+    compaction (round-11 VERDICT #2): one CLI line per run, zero
+    caller-side bookkeeping — the since_version seed rides a corpus
+    tag. First run bootstraps (full-corpus election, retires the
+    pre-existing engulfed page, plants the tag); second run scans
+    only the empty window and advances the tag."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from group5_spark.extensions.dedup import (
+        DEFAULT_COMPACTION_SEED_TAG,
+        containment_index_build,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+        snapshot_tags,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),  # engulfed by 2
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally unrelated page words"),
+        ],
+        ["doc_id", "text"],
+    )
+    snapshot_commit(docs, corpus, stats_cols=["doc_id"])
+    snapshot_commit(
+        containment_index_build(docs, threshold=0.9),
+        index,
+        stats_cols=["id"],
+    )
+
+    cmd = [sys.executable, "-m", "group5_spark.pipeline",
+           "--master", "local[4]",
+           "snapshot", "compact-containment",
+           "--table_path", corpus, "--index-path", index]
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "bootstrap (full corpus)" in out.stdout
+    assert "retired 1 engulfed doc" in out.stdout
+    assert {
+        r["doc_id"] for r in snapshot_read(spark, corpus).collect()
+    } == {2, 3}
+    assert snapshot_read(spark, index).where("id = 1").count() == 0
+    seed1 = snapshot_tags(corpus)[DEFAULT_COMPACTION_SEED_TAG]
+
+    out = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "retired 0 engulfed doc" in out.stdout
+    assert f"window v{seed1:05d}" in out.stdout
+    assert snapshot_tags(corpus)[DEFAULT_COMPACTION_SEED_TAG] >= seed1
+
+    # missing --index-path fails with a usage error, not a traceback
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline",
+         "snapshot", "compact-containment", "--table_path", corpus],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode != 0
+    assert "requires --index-path" in out.stderr

@@ -1892,3 +1892,99 @@ def test_stream_containment_replay_missing_note_raises(
 
     with pytest.raises(Exception, match="idempotency note is no longer"):
         drain()
+
+
+def test_containment_compaction_scheduled_zero_bookkeeping(
+    spark, tmp_path
+):
+    """Round-11 VERDICT #2: the scheduled compaction keeps its own
+    since_version seed as a snapshot TAG on the corpus, so a cron'd
+    deployment carries no bookkeeping. Two scheduled runs with a
+    stream append between them retire exactly the newly-engulfed
+    docs, the seed advances on every run (including nothing-doomed
+    ones), and retention can't drop the seed version (tags anchor
+    expiry)."""
+    from group5_spark.extensions.dedup import (
+        DEFAULT_COMPACTION_SEED_TAG,
+        containment_compact_scheduled,
+    )
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    # cron fires before the stream's first commit: graceful no-op,
+    # no tag planted
+    res = containment_compact_scheduled(spark, corpus, index)
+    assert res == {
+        "doomed": 0, "head_version": None, "corpus": None,
+        "index": None, "seed": None, "bootstrap": None,
+    }
+    assert snap.snapshot_tags(corpus) == {}
+
+    def drain():
+        jobs.stream_containment_dedup(
+            spark.readStream.schema(_docs_schema()).json(str(src)),
+            ck, corpus, index, threshold=0.9, app_id="crawler",
+        )
+
+    _emit_docs(src, "b1.json", [
+        (50, "alpha beta gamma delta epsilon"),
+        (51, "one two three four five"),
+    ])
+    drain()
+    # run 1: bootstrap (no seed tag yet) — full-corpus election, no
+    # engulfed pages yet, tag planted at the pinned head
+    res1 = containment_compact_scheduled(spark, corpus, index)
+    assert res1["bootstrap"] == "full" and res1["doomed"] == 0
+    assert res1["seed"] is None
+    tags = snap.snapshot_tags(corpus)
+    assert tags[DEFAULT_COMPACTION_SEED_TAG] == res1["head_version"]
+
+    # the stream appends a crawl that ENGULFS doc 50
+    _emit_docs(src, "b2.json", [
+        (60, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ])
+    drain()
+    # run 2: derives the window from the seed tag alone and retires
+    # exactly the newly-engulfed doc from corpus AND index
+    res2 = containment_compact_scheduled(spark, corpus, index)
+    assert res2["bootstrap"] is None
+    assert res2["seed"] == res1["head_version"]
+    assert res2["doomed"] == 1
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {51, 60}
+    assert snap.snapshot_read(spark, index).where("id = 50").count() == 0
+    tags = snap.snapshot_tags(corpus)
+    assert tags[DEFAULT_COMPACTION_SEED_TAG] == res2["head_version"]
+    assert res2["head_version"] > res1["head_version"]
+
+    # run 3: idle window — dooms nothing but still advances the seed
+    # past its own merge commits, so run 4 won't re-scan them
+    res3 = containment_compact_scheduled(spark, corpus, index)
+    assert res3["doomed"] == 0
+    assert res3["seed"] == res2["head_version"]
+    assert res3["head_version"] >= res2["head_version"]
+    assert (
+        snap.snapshot_tags(corpus)[DEFAULT_COMPACTION_SEED_TAG]
+        == res3["head_version"]
+    )
+
+    # retention keeps the seed version alive: expire to 1 version,
+    # then a post-expire scheduled run still resolves its window
+    snap.snapshot_expire(corpus, keep_last=1)
+    _emit_docs(src, "b3.json", [
+        (70, "one two three four five six seven eight nine ten"),
+    ])
+    drain()
+    res4 = containment_compact_scheduled(spark, corpus, index)
+    assert res4["seed"] == res3["head_version"]
+    assert res4["doomed"] == 1  # doc 51 engulfed by 70
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {60, 70}

@@ -872,9 +872,12 @@ def run_one_containment(n: int, cap: int = 40) -> dict:
     }
 
 
-def main_containment() -> None:
+def main_containment(scales: list[int] | None = None) -> None:
+    # round-11 VERDICT #3: run the containment ladder one doubling
+    # past the other batch families' 64x — the postings shuffle is
+    # widest here, so 128x is where a super-linear term would show
     runs = []
-    for n in SCALES:
+    for n in scales or SCALES + [128]:
         print(f"=== containment scale x{n} ===", flush=True)
         out = subprocess.run(
             [sys.executable, __file__, "--one-containment", str(n)],
@@ -1372,7 +1375,9 @@ def main() -> None:
         print("RESULT " + json.dumps(run_one_containment(int(sys.argv[2]))))
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--containment":
-        main_containment()
+        main_containment(
+            [int(a) for a in sys.argv[2:]] or None
+        )
         return
     runs = []
     for n in SCALES:
