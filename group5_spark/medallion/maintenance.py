@@ -2217,3 +2217,138 @@ def apply_health(
                 act["result"] = snapshot_expire(path, keep_last=keep_last)
             actions.append(act)
     return actions
+
+
+def snapshot_purge_ids(
+    spark: SparkSession,
+    ids,
+    tables: list[tuple[str, str]],
+    *,
+    dv_threshold: float | None = None,
+    note: dict | None = None,
+    missing_ok: bool = False,
+    verify: bool = True,
+) -> dict:
+    """RIGHT-TO-ERASURE purge: retire an explicit id set from the
+    corpus AND every derived structure in one call — the
+    takedown/opt-out/license-revocation path a training-data pipeline
+    runs routinely, where deleting the document row alone is not
+    erasure because its words live on in the containment postings,
+    its shingles in the LSH bands, and its vector in the ANN tables.
+    ``tables`` lists ``(table_path, id_col)`` snapshot tables — every
+    derived table that ATTRIBUTES rows to a document id (containment
+    postings' ``id``, LSH bands' ``id``, ANN assignment tables'
+    ``id``). The span-dedup index is deliberately NOT a target: it
+    stores only anonymous 8-byte span hashes with no document
+    attribution (``span_index_build`` output is ``distinct
+    span_hash``), a hash is not recoverable content, and dropping a
+    purged doc's hashes would also un-index every SURVIVING doc that
+    legitimately shares the span (boilerplate), breaking dedup for
+    them. Each listed table gets; each gets one file-pruned OCC
+    merge-delete (:func:`snapshot_merge` WHEN MATCHED DELETE / WHEN
+    NOT MATCHED IGNORE — the same id-set deletion the containment
+    compaction uses), so purging a handful of ids from a 100 TB
+    corpus rewrites (or, with ``dv_threshold``, sidecar-masks) only
+    the files those ids live in, proven from manifest min/max + bloom
+    stats, and never scans the rest.
+
+    Unlike :func:`extensions.dedup.containment_compact`, the doomed
+    set derives from NOTHING — it is the caller's list — so the
+    operation is idempotent in any table order and a crash between
+    commits is healed by re-running with the same ids (already-purged
+    tables no-op: their merge matches zero rows). Tables are
+    processed in the given order; put the corpus first so the content
+    disappears even if a later index commit races an OCC conflict.
+    Each commit carries ``note`` (plus ``{"op": "purge_ids"}``) into
+    the manifest, so the erasure is auditable per table via
+    ``snapshot log``.
+
+    ``ids``: a one-column DataFrame (any column name — renamed per
+    table) or a Python list of id values. ``missing_ok=True`` skips
+    paths that do not exist yet (an index that was never built)
+    instead of raising. ``verify=True`` (default) re-reads each table
+    after its commit and RAISES if any purged id survives — erasure
+    is the one deletion where "probably gone" is not a result; the
+    check is one file-pruned semi-join per table, priced like the
+    merge's own probe. Returns ``{"tables": {path: merge result or
+    "absent"}, "rows_deleted": total}``.
+    """
+    from pyspark.sql import DataFrame as _DF
+    from pyspark.sql import functions as F
+
+    from group5_spark.medallion.snapshots import (
+        _current_version,
+        snapshot_read,
+    )
+
+    if isinstance(ids, _DF):
+        if len(ids.columns) != 1:
+            raise ValueError(
+                f"ids frame must have exactly one column, got "
+                f"{ids.columns}"
+            )
+        ids_df = ids.select(F.col(ids.columns[0]).alias("_pid")).distinct()
+    else:
+        vals = list(ids)
+        if not vals:
+            raise ValueError("ids is empty — nothing to purge")
+        ids_df = spark.createDataFrame(
+            [(v,) for v in vals], ["_pid"]
+        ).distinct()
+    if not tables:
+        raise ValueError("tables is empty — name at least one "
+                         "(table_path, id_col) target")
+    full_note = dict(note or {})
+    full_note["op"] = "purge_ids"
+    out: dict = {"tables": {}, "rows_deleted": 0}
+    for table_path, id_col in tables:
+        if not _current_version(Path(table_path)):
+            if missing_ok:
+                out["tables"][table_path] = "absent"
+                continue
+            raise FileNotFoundError(
+                f"no snapshot table at {table_path} (missing_ok=True "
+                f"to skip indexes that were never built)"
+            )
+        tbl = snapshot_read(spark, table_path).limit(0)
+        if id_col not in tbl.columns:
+            raise ValueError(
+                f"{table_path} has no column {id_col!r} "
+                f"(columns: {tbl.columns})"
+            )
+        # full-schema NULL padding, same contract as the containment
+        # compaction's merge source: this merge never inserts or
+        # updates, so the padding is never read
+        source = ids_df.select(
+            *[
+                F.col("_pid").cast(t).alias(c)
+                if c == id_col
+                else F.lit(None).cast(t).alias(c)
+                for c, t in tbl.dtypes
+            ]
+        )
+        res = snapshot_merge(
+            spark,
+            table_path,
+            source,
+            keys=[id_col],
+            when_matched="delete",
+            when_not_matched="ignore",
+            dv_threshold=dv_threshold,
+            note=full_note,
+        )
+        out["tables"][table_path] = res
+        out["rows_deleted"] += res.get("deleted", 0)
+        if verify:
+            leftover = (
+                snapshot_read(spark, table_path)
+                .select(F.col(id_col).alias("_pid"))
+                .join(ids_df, on="_pid", how="left_semi")
+                .count()
+            )
+            if leftover:
+                raise RuntimeError(
+                    f"purge verification failed: {leftover} row(s) for "
+                    f"purged ids still readable in {table_path}"
+                )
+    return out

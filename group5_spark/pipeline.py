@@ -398,6 +398,47 @@ def cmd_snapshot(args: argparse.Namespace, spark: SparkSession) -> None:
             print(f"  - {rec}")
 
 
+def cmd_purge(args: argparse.Namespace, spark: SparkSession) -> None:
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+
+    tables = []
+    for t in args.table:
+        if "=" not in t:
+            raise SystemExit(
+                f"--table must be <table_path>=<id_col>, got {t!r}"
+            )
+        path, col = t.rsplit("=", 1)
+        tables.append((path, col))
+    ids: list = []
+    for v in args.id:
+        try:
+            ids.append(int(v))
+        except ValueError:
+            ids.append(v)
+    out = snapshot_purge_ids(
+        spark,
+        ids,
+        tables,
+        dv_threshold=args.dv_threshold,
+        note=parse_conf(args.note) if args.note else None,
+        missing_ok=args.missing_ok,
+    )
+    for path, res in out["tables"].items():
+        if res == "absent":
+            print(f"{path}: absent (skipped)")
+        else:
+            print(
+                f"{path}: v{res['version']:05d} deleted "
+                f"{res['deleted']} row(s), rewrote "
+                f"{res['files_rewritten']} file(s), carried "
+                f"{res['files_carried']}"
+            )
+    print(
+        f"purged {len(ids)} id(s): {out['rows_deleted']} row(s) "
+        f"total across {len(tables)} table(s), erasure verified"
+    )
+
+
 def main(argv: list[str] | None = None) -> int:
     parser = argparse.ArgumentParser(prog="group5_spark.pipeline")
     parser.add_argument("--app_name", default="group5_pipeline")
@@ -502,6 +543,27 @@ def main(argv: list[str] | None = None) -> int:
                         help="versions retained by expire")
     p_snap.add_argument("--limit", type=int, default=20)
 
+    p_purge = sub.add_parser(
+        "purge",
+        help="right-to-erasure: delete explicit ids from the corpus "
+        "and every derived index table, file-pruned and verified",
+    )
+    p_purge.add_argument("--id", action="append", required=True,
+                         help="id value to purge (repeatable)")
+    p_purge.add_argument("--table", action="append", required=True,
+                         metavar="PATH=ID_COL",
+                         help="snapshot table and its id column "
+                         "(repeatable; corpus first)")
+    p_purge.add_argument("--dv-threshold", type=float, default=None,
+                         help="route deletes through DV sidecars "
+                         "below this matched-row fraction")
+    p_purge.add_argument("--missing-ok", action="store_true",
+                         help="skip tables that were never built")
+    p_purge.add_argument("--note", action="append", default=[],
+                         metavar="K=V",
+                         help="audit note recorded in every commit "
+                         "(repeatable)")
+
     p_explain = sub.add_parser(
         "explain", help="physical plan + quality counters for a query"
     )
@@ -551,6 +613,8 @@ def main(argv: list[str] | None = None) -> int:
             cmd_explain(args, spark)
         elif args.command == "query":
             cmd_query(args, spark)
+        elif args.command == "purge":
+            cmd_purge(args, spark)
         else:
             cmd_run(args, spark)
     finally:

@@ -1187,6 +1187,90 @@ def containment_scheduled_survivors(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "purge_erasure_survivors",
+    """
+    SELECT d.doc_id,
+           CASE WHEN d.text IS NULL THEN NULL
+                ELSE CAST(len(list_distinct(string_split(d.text, ' ')))
+                          AS BIGINT)
+           END AS n_words
+    FROM documents d
+    WHERE d.doc_id % 97 != 3
+    """,
+)
+def purge_erasure_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE purge end-to-end
+    (``medallion.maintenance.snapshot_purge_ids`` — round 12, also
+    exposed as ``pipeline.py purge``): the corpus and its containment
+    prefix+postings index land as snapshot tables, a takedown id set
+    (doc_id % 97 = 3) is purged from BOTH in one call — one
+    file-pruned OCC merge-delete per table, doomed set supplied by
+    the caller (derives from nothing, so crash recovery in any table
+    order is a re-run) — and the op's own verification semi-join
+    raises if any purged id remains readable in either table. The
+    returned frame is the post-purge corpus read back through the
+    snapshot layer; the DuckDB oracle selects the survivors directly,
+    so the hash match proves the merge-deleted path removed exactly
+    the requested ids and nothing else. The query additionally raises
+    if the purge fails to engage or index rows outlive their corpus
+    rows."""
+    import shutil as _shutil
+
+    from group5_spark.extensions import dedup
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    base = _dml_scratch("purge_erasure_survivors", sf_dir)
+    _shutil.rmtree(base, ignore_errors=True)
+    corpus_path = f"{base}/corpus"
+    index_path = f"{base}/index"
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    snapshot_commit(
+        docs.repartitionByRange(4, "doc_id"),
+        corpus_path,
+        stats_cols=["doc_id"],
+    )
+    snapshot_commit(
+        dedup.containment_index_build(docs, threshold=0.9)
+        .repartitionByRange(4, "id"),
+        index_path,
+        stats_cols=["id"],
+    )
+    doomed = docs.select("doc_id").where(F.col("doc_id") % 97 == 3)
+    res = snapshot_purge_ids(
+        spark,
+        doomed,
+        [(corpus_path, "doc_id"), (index_path, "id")],
+        note={"reason": "erasure-request"},
+    )
+    if not res["rows_deleted"]:
+        raise RuntimeError(
+            "purge did not engage — the query exists to gate the "
+            "erasure path"
+        )
+    after = snapshot_read(spark, corpus_path)
+    idx_after = snapshot_read(spark, index_path)
+    leftover = (
+        idx_after.select("id")
+        .join(after.select(F.col("doc_id").alias("id")), "id", "left_anti")
+        .count()
+    )
+    if leftover:
+        raise RuntimeError(
+            f"{leftover} index posting-doc ids survived their corpus "
+            "rows — the per-table merge-deletes disagreed"
+        )
+    n_words = F.when(
+        F.col("text").isNotNull(),
+        F.size(F.array_distinct(F.split(F.col("text"), " "))).cast("long"),
+    )
+    return after.select("doc_id", n_words.alias("n_words"))
+
+
+@register(
     "contained_batch_survivors",
     """
     WITH t AS (
@@ -8735,10 +8819,10 @@ def span_dedup_incremental_counts(
 # FOURTEEN round-11 deferrals lead — their newest driver evidence is
 # round 8, at the 3-round boundary; all fourteen are bench headliners,
 # which per the round-8 convention rotate first after a deferral —
-# then the ONE query new this round (new queries enter their own
-# round's window), then 35 of the 50 queries whose newest driver
+# then the TWO queries new this round (new queries enter their own
+# round's window), then 34 of the 50 queries whose newest driver
 # evidence is round 9. That cohort is oversubscribed for the 50-slot
-# window, so FIFTEEN defer to round 13 (14 + 1 + 35 = 50), chosen —
+# window, so SIXTEEN defer to round 13 (14 + 2 + 34 = 50), chosen —
 # exactly like the round-9/-10/-11 deferral sets — for the strongest
 # alternative evidence: EIGHT are bench headliners executed and timed
 # by the driver every round (daily_revenue, moving_avg_7d,
@@ -8752,7 +8836,9 @@ def span_dedup_incremental_counts(
 # stays; tfidf_top_terms + boilerplate_ngram_fraction —
 # bigram_top_counts stays; crossmodal_dup_agreement —
 # multimodal_decode_features was green in r11; salted_segment_revenue
-# — the salting plan is asserted in test_plans).
+# — the salting plan is asserted in test_plans;
+# kmeans_embedding_clusters — the same clustering path anchors
+# pq_ann_topk, green in r11, and test_clustering pins it).
 # Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
@@ -8775,9 +8861,12 @@ _CHECK_WINDOW = [
     "train_val_test_split",
     # NEW in round 12 — the scheduled containment compaction
     # end-to-end (seed tag planted, window derived from the tag,
-    # engulfed pages retired, seed advanced), oracle = the naive
-    # all-pairs survivor SQL
+    # engulfed pages retired, seed advanced; oracle = the naive
+    # all-pairs survivor SQL) and the right-to-erasure purge
+    # (snapshot_purge_ids across corpus + containment index; oracle =
+    # the survivor selection)
     "containment_scheduled_survivors",
+    "purge_erasure_survivors",
     # newest driver evidence round 9 — cohort minus the 15 deferrals
     "bigram_top_counts",
     "brand_customer_overlap",
@@ -8792,7 +8881,6 @@ _CHECK_WINDOW = [
     "global_top_orders",
     "grouping_sets_revenue",
     "important_stock_share",
-    "kmeans_embedding_clusters",
     "kmv_distinct_estimate",
     "lang_temperature_resample",
     "latest_event_per_user",

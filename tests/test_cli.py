@@ -443,3 +443,54 @@ def test_cli_snapshot_compact_containment(spark, tmp_path):
     )
     assert out.returncode != 0
     assert "requires --index-path" in out.stderr
+
+
+def test_cli_purge_erasure(spark, tmp_path):
+    """The takedown-facing surface of the right-to-erasure purge
+    (round 12): one CLI line deletes the requested ids from the
+    corpus and its derived index, audited and verified."""
+    from group5_spark.extensions.dedup import containment_index_build
+    from group5_spark.medallion.snapshots import (
+        latest_note,
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}") for i in range(20)],
+        ["doc_id", "text"],
+    )
+    snapshot_commit(docs, corpus, stats_cols=["doc_id"])
+    snapshot_commit(
+        containment_index_build(docs, threshold=0.9),
+        index,
+        stats_cols=["id"],
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline",
+         "--master", "local[4]", "purge",
+         "--id", "3", "--id", "11",
+         "--table", f"{corpus}=doc_id", "--table", f"{index}=id",
+         "--note", "ticket=DMCA-9"],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "erasure verified" in out.stdout
+    assert snapshot_read(spark, corpus).where(
+        "doc_id in (3, 11)"
+    ).count() == 0
+    assert snapshot_read(spark, index).where("id in (3, 11)").count() == 0
+    assert snapshot_read(spark, corpus).count() == 18
+    n = latest_note(corpus)
+    assert n["op"] == "purge_ids" and n["ticket"] == "DMCA-9"
+
+    # malformed --table is a usage error, not a traceback
+    out = subprocess.run(
+        [sys.executable, "-m", "group5_spark.pipeline", "purge",
+         "--id", "3", "--table", corpus],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert out.returncode != 0
+    assert "PATH=ID_COL" in out.stderr or "id_col" in out.stderr

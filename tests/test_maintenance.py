@@ -999,3 +999,100 @@ def test_migrate_group_with_sort_cols_avoids_file_blowup(spark, tmp_path):
     # (the buggy range branch emitted needed × 3)
     assert 0 < len(migrated) <= 3
     assert snapshot_read(spark, t).count() == before
+
+
+def test_snapshot_purge_ids_erasure_across_derived_tables(spark, tmp_path):
+    """Right-to-erasure purge (round 12): one call retires an explicit
+    id set from the corpus AND every derived index — deleting the
+    document row alone is not erasure while its words live on in the
+    containment postings and its spans in the span index. Each table
+    gets one file-pruned merge-delete, the erasure is verified
+    (re-read finds nothing), the commits are note-audited, and a
+    re-run with the same ids is a no-op."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from group5_spark.extensions.dedup import (
+        containment_index_build,
+        lsh_band_buckets,
+    )
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.medallion.snapshots import (
+        latest_note,
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{i}_{j}" for j in range(8)))
+            for i in range(40)
+        ],
+        ["doc_id", "text"],
+    )
+    corpus = str(tmp_path / "corpus")
+    cont_idx = str(tmp_path / "cont_idx")
+    lsh_idx = str(tmp_path / "lsh_idx")
+    # range-clustered layout: the doomed ids live in a few files and
+    # manifest min/max pruning can prove the rest untouched
+    snapshot_commit(
+        docs.repartitionByRange(4, "doc_id"), corpus,
+        stats_cols=["doc_id"],
+    )
+    snapshot_commit(
+        containment_index_build(docs, threshold=0.9).repartition(4, "id"),
+        cont_idx,
+        stats_cols=["id"],
+    )
+    snapshot_commit(
+        lsh_band_buckets(docs).repartition(4, "id"),
+        lsh_idx,
+        stats_cols=["id"],
+    )
+
+    doomed = [3, 17, 29]
+    tables = [(corpus, "doc_id"), (cont_idx, "id"), (lsh_idx, "id")]
+    out = snapshot_purge_ids(
+        spark, doomed, tables, note={"ticket": "DMCA-123"},
+    )
+    # corpus: 3 docs; indexes: their word/span rows
+    assert out["rows_deleted"] > 3
+    for path, id_col in tables:
+        got = snapshot_read(spark, path)
+        assert got.where(F.col(id_col).isin(doomed)).count() == 0
+        n = latest_note(path)
+        assert n["op"] == "purge_ids" and n["ticket"] == "DMCA-123"
+    # survivors intact
+    assert snapshot_read(spark, corpus).count() == 37
+    # file pruning engaged: untouched files carried by reference
+    assert out["tables"][corpus]["files_carried"] > 0
+    # idempotent: a healing re-run deletes nothing and still verifies
+    again = snapshot_purge_ids(spark, doomed, tables)
+    assert again["rows_deleted"] == 0
+
+    # ids as a one-column DataFrame, deleting via a DV sidecar
+    more = spark.createDataFrame([(5,), (11,)], ["doc_id"])
+    out2 = snapshot_purge_ids(
+        spark, more, [(corpus, "doc_id")], dv_threshold=1.0
+    )
+    assert out2["rows_deleted"] == 2
+    assert (
+        snapshot_read(spark, corpus).where("doc_id in (5, 11)").count()
+        == 0
+    )
+
+    # guard rails: absent table raises unless missing_ok; empty ids,
+    # multi-column frames, and unknown id columns are loud
+    missing = str(tmp_path / "never_built")
+    with pytest.raises(FileNotFoundError, match="missing_ok"):
+        snapshot_purge_ids(spark, [1], [(missing, "doc_id")])
+    skipped = snapshot_purge_ids(
+        spark, [1], [(missing, "doc_id")], missing_ok=True
+    )
+    assert skipped["tables"][missing] == "absent"
+    with pytest.raises(ValueError, match="empty"):
+        snapshot_purge_ids(spark, [], [(corpus, "doc_id")])
+    with pytest.raises(ValueError, match="one column"):
+        snapshot_purge_ids(spark, docs, [(corpus, "doc_id")])
+    with pytest.raises(ValueError, match="no column"):
+        snapshot_purge_ids(spark, [1], [(corpus, "nope")])
