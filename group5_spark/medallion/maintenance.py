@@ -2228,6 +2228,7 @@ def snapshot_purge_ids(
     note: dict | None = None,
     missing_ok: bool = False,
     verify: bool = True,
+    denylist_path: str | None = None,
 ) -> dict:
     """RIGHT-TO-ERASURE purge: retire an explicit id set from the
     corpus AND every derived structure in one call — the
@@ -2270,8 +2271,22 @@ def snapshot_purge_ids(
     after its commit and RAISES if any purged id survives — erasure
     is the one deletion where "probably gone" is not a result; the
     check is one file-pruned semi-join per table, priced like the
-    merge's own probe. Returns ``{"tables": {path: merge result or
-    "absent"}, "rows_deleted": total}``.
+    merge's own probe.
+
+    ``denylist_path``: deleting the rows alone does not keep a
+    takedown TAKEN DOWN — the id is gone from the corpus, so a later
+    re-crawl of the same page sails past the stream's
+    first-crawl-wins anti-join and re-ingests the very content that
+    was just erased. Passing a denylist table path appends the purged
+    ids (with the audit note as ``reason``) to a persisted
+    suppression list that
+    :func:`streaming.jobs.stream_containment_dedup` (via its own
+    ``denylist_path=``) anti-joins every micro-batch against, so the
+    erasure survives re-crawls. Appended AFTER the deletes and only
+    for ids not already listed; a crash before the append is healed
+    by the re-run like everything else here. Returns ``{"tables":
+    {path: merge result or "absent"}, "rows_deleted": total,
+    "denylisted": n or None}``.
     """
     from pyspark.sql import DataFrame as _DF
     from pyspark.sql import functions as F
@@ -2351,4 +2366,25 @@ def snapshot_purge_ids(
                     f"purge verification failed: {leftover} row(s) for "
                     f"purged ids still readable in {table_path}"
                 )
+    out["denylisted"] = None
+    if denylist_path is not None:
+        import json as _json
+
+        from group5_spark.medallion.snapshots import snapshot_commit
+
+        fresh = ids_df.select(F.col("_pid").alias("id")).withColumn(
+            "reason", F.lit(_json.dumps(note or {}))
+        )
+        if _current_version(Path(denylist_path)):
+            fresh = fresh.join(
+                snapshot_read(spark, denylist_path).select("id"),
+                on="id",
+                how="left_anti",
+            )
+        n_fresh = fresh.count()
+        if n_fresh:
+            snapshot_commit(
+                fresh, denylist_path, mode="append", note=full_note
+            )
+        out["denylisted"] = n_fresh
     return out

@@ -422,6 +422,7 @@ def cmd_purge(args: argparse.Namespace, spark: SparkSession) -> None:
         dv_threshold=args.dv_threshold,
         note=parse_conf(args.note) if args.note else None,
         missing_ok=args.missing_ok,
+        denylist_path=args.denylist,
     )
     for path, res in out["tables"].items():
         if res == "absent":
@@ -433,6 +434,11 @@ def cmd_purge(args: argparse.Namespace, spark: SparkSession) -> None:
                 f"{res['files_rewritten']} file(s), carried "
                 f"{res['files_carried']}"
             )
+    if out["denylisted"] is not None:
+        print(
+            f"{args.denylist}: {out['denylisted']} id(s) added to the "
+            f"suppression list (re-crawls stay erased)"
+        )
     print(
         f"purged {len(ids)} id(s): {out['rows_deleted']} row(s) "
         f"total across {len(tables)} table(s), erasure verified"
@@ -559,6 +565,11 @@ def main(argv: list[str] | None = None) -> int:
                          "below this matched-row fraction")
     p_purge.add_argument("--missing-ok", action="store_true",
                          help="skip tables that were never built")
+    p_purge.add_argument("--denylist", default=None,
+                         help="suppression table to append the purged "
+                         "ids to (the ingest stream anti-joins it, so "
+                         "a re-crawl of the taken-down page stays "
+                         "erased)")
     p_purge.add_argument("--note", action="append", default=[],
                          metavar="K=V",
                          help="audit note recorded in every commit "

@@ -705,6 +705,7 @@ def stream_containment_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     app_id: str | None = None,
+    denylist_path: str | None = None,
 ) -> StreamingQuery:
     """Continuous crawl ingestion with CONTAINMENT dedup (streaming
     twin of ``extensions.dedup.contained_pairs_incremental``, the
@@ -759,6 +760,16 @@ def stream_containment_dedup(
     magnitude smaller than the (id, word) posting rows the probe's
     equi-joins already read each batch, so it never changes the cost
     regime.
+
+    ``denylist_path``: a persisted suppression table
+    (:func:`medallion.maintenance.snapshot_purge_ids`'s
+    ``denylist_path=`` appends to it on every erasure) anti-joined
+    against each micro-batch BEFORE anything else — a purged id's
+    corpus row is gone, so without this list a re-crawl of the
+    taken-down page would sail past the first-crawl-wins anti-join
+    and re-ingest the very content the purge erased. One more
+    column-pruned id scan per micro-batch, priced like the re-crawl
+    join; an absent table (no purge yet) costs nothing.
     """
     from pathlib import Path
 
@@ -840,6 +851,19 @@ def stream_containment_dedup(
             # correctly-typed empty index (id type follows the batch)
             idx = containment_index_build(
                 batch.limit(0), threshold, id_col, text_col
+            )
+        # suppression list first: an ERASED id must stay erased even
+        # when the page is re-crawled (its corpus row is gone, so the
+        # first-crawl-wins join below can no longer block it)
+        if denylist_path is not None and snap._current_version(
+            Path(denylist_path)
+        ):
+            batch = batch.join(
+                snap.snapshot_read(spark, denylist_path).select(
+                    F.col("id").alias(id_col)
+                ),
+                on=id_col,
+                how="left_anti",
             )
         # first-crawl-wins upsert: a re-crawled id (already ingested —
         # checked against the CORPUS id set, a superset of the index's

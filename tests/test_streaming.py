@@ -1988,3 +1988,64 @@ def test_containment_compaction_scheduled_zero_bookkeeping(
     assert {
         r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
     } == {60, 70}
+
+
+def test_purge_denylist_keeps_takedown_erased(spark, tmp_path):
+    """Erasure must survive re-crawls (round 12): once
+    snapshot_purge_ids removes a doc, its corpus row no longer blocks
+    the stream's first-crawl-wins anti-join — so the purge appends the
+    id to a suppression table and the containment stream anti-joins
+    it every micro-batch. The re-crawled taken-down page never
+    re-enters corpus or index; unrelated new docs still ingest."""
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    deny = str(tmp_path / "denylist")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        jobs.stream_containment_dedup(
+            spark.readStream.schema(_docs_schema()).json(str(src)),
+            ck, corpus, index, threshold=0.9, app_id="crawler",
+            denylist_path=deny,
+        )
+
+    _emit_docs(src, "b1.json", [
+        (10, "alpha beta gamma delta epsilon"),
+        (11, "one two three four five"),
+    ])
+    drain()
+
+    out = snapshot_purge_ids(
+        spark, [10], [(corpus, "doc_id"), (index, "id")],
+        note={"ticket": "TAKEDOWN-1"}, denylist_path=deny,
+    )
+    assert out["denylisted"] == 1
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {11}
+
+    # the page is re-crawled verbatim plus a fresh doc
+    _emit_docs(src, "b2.json", [
+        (10, "alpha beta gamma delta epsilon"),
+        (12, "completely new page content"),
+    ])
+    drain()
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {11, 12}  # the taken-down page stayed erased
+    assert snap.snapshot_read(spark, index).where("id = 10").count() == 0
+
+    # a second purge of the same id appends nothing new to the list
+    snap_commit_count = snap.snapshot_manifest(deny)["version"]
+    out2 = snapshot_purge_ids(
+        spark, [10], [(corpus, "doc_id"), (index, "id")],
+        missing_ok=True, denylist_path=deny,
+    )
+    assert out2["denylisted"] == 0
+    assert snap.snapshot_manifest(deny)["version"] == snap_commit_count
