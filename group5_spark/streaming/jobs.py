@@ -836,6 +836,23 @@ def stream_containment_dedup(
                     on=id_col,
                     how="left_anti",
                 )
+            # ... intersected with the ids still present at the HEAD:
+            # a committed action between crash and replay
+            # (snapshot_purge_ids, containment_compact) may have
+            # retired some of this batch's survivors from corpus AND
+            # index — re-appending their index rows from the pinned
+            # version would orphan posting rows for documents that no
+            # longer exist (for a purge, leaking content-derived words
+            # the erasure just removed). A doc removed after its
+            # commit already had its index rows handled by the
+            # remover, so appending only the still-present ones is
+            # exact. One id-column scan, same price as the normal
+            # path's re-crawl join.
+            survivors = survivors.join(
+                snap.snapshot_read(spark, corpus_path).select(id_col),
+                on=id_col,
+                how="left_semi",
+            )
             snap.snapshot_commit(
                 containment_index_build(
                     survivors, threshold, id_col, text_col

@@ -2049,3 +2049,67 @@ def test_purge_denylist_keeps_takedown_erased(spark, tmp_path):
     )
     assert out2["denylisted"] == 0
     assert snap.snapshot_manifest(deny)["version"] == snap_commit_count
+
+
+def test_stream_containment_replay_after_purge(
+    spark, tmp_path, monkeypatch
+):
+    """The purge twin of the compaction-replay case: a crash lands
+    between the corpus commit and the index commit, and a
+    right-to-erasure purge of one of the batch's OWN committed
+    survivors runs before the replay (the purge's index delete no-ops
+    — the rows never landed). The replay's version-diff rebuild must
+    NOT re-append the erased doc's index rows from the pinned
+    version: that would orphan content-derived posting rows for a
+    document the erasure just removed."""
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    deny = str(tmp_path / "deny")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        jobs.stream_containment_dedup(
+            spark.readStream.schema(_docs_schema()).json(str(src)),
+            ck, corpus, index, threshold=0.9, app_id="crawler",
+            denylist_path=deny,
+        )
+
+    _emit_docs(src, "b1.json", [(10, "alpha beta gamma delta")])
+    drain()
+
+    # batch 2 crashes between the two commits; corpus got {20, 21}
+    _emit_docs(src, "b2.json", [
+        (20, "taken down page words"),
+        (21, "innocent bystander document"),
+    ])
+    real_commit = snap.snapshot_commit
+
+    def bomb(df, path, **kw):
+        if path == index:
+            raise RuntimeError("crash before the index commit")
+        return real_commit(df, path, **kw)
+
+    monkeypatch.setattr(snap, "snapshot_commit", bomb)
+    with pytest.raises(Exception, match="crash before the index"):
+        drain()
+    monkeypatch.setattr(snap, "snapshot_commit", real_commit)
+
+    # the takedown arrives before anyone notices the crash
+    out = snapshot_purge_ids(
+        spark, [20], [(corpus, "doc_id"), (index, "id")],
+        denylist_path=deny,
+    )
+    assert out["rows_deleted"] == 1  # corpus row; index had none yet
+
+    drain()  # replay
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {10, 21}
+    idx_ids = {r["id"] for r in snap.snapshot_read(spark, index).collect()}
+    assert idx_ids == {10, 21}  # no orphaned postings for the erased doc
