@@ -297,12 +297,15 @@ def test_contained_pairs_incremental_enforces_disjoint_ids(spark):
         )
 
 
-def test_contained_pairs_incremental_unchecked_is_lazy(spark):
+def test_contained_pairs_incremental_unchecked_is_lazy(spark, monkeypatch):
     """Round-11 ADVICE (low): on_overlap='error' pays an eager Spark
     action at plan-construction time; 'unchecked' is the opt-out for
     trusted callers (ladders, callers that just anti-joined the batch
-    themselves) — the call runs NO job until the plan is consumed,
-    and on disjoint ids the pairs equal the checked mode's."""
+    themselves) — construction runs only the build_tau read every
+    mode shares, never the overlap check's collect, and on disjoint
+    ids the pairs equal the checked mode's."""
+    from pyspark.sql.classic.dataframe import DataFrame as _DF
+
     corpus = spark.createDataFrame(
         [(2, "one two three four five six seven eight nine ten")],
         ["doc_id", "text"],
@@ -312,19 +315,32 @@ def test_contained_pairs_incremental_unchecked_is_lazy(spark):
         [(10, "one two three four five six seven eight nine")],
         ["doc_id", "text"],
     )
-    tracker = spark.sparkContext.statusTracker()
-    before = len(tracker.getJobIdsForGroup(None) or [])
+    # count driver-blocking actions deterministically (a shared-session
+    # statusTracker would also see unrelated tests' jobs) by spying on
+    # the CONCRETE DataFrame class (pyspark 4 overrides collect in
+    # sql.classic; patching the facade class intercepts nothing)
+    calls = {"n": 0}
+    real_collect = _DF.collect
+
+    def spy(self):
+        calls["n"] += 1
+        return real_collect(self)
+
+    monkeypatch.setattr(_DF, "collect", spy)
     plan = dedup.contained_pairs_incremental(
         batch, idx, threshold=0.9, on_overlap="unchecked"
     )
-    # one unavoidable action remains (the build_tau read shared by
-    # every mode); the overlap check's distinct+join+collect must NOT
-    # run. Compare against the error mode's job count on the same
-    # inputs instead of pinning absolute numbers.
-    mid = len(tracker.getJobIdsForGroup(None) or [])
+    unchecked_actions = calls["n"]
+    calls["n"] = 0
     dedup.contained_pairs_incremental(batch, idx, threshold=0.9)
-    after = len(tracker.getJobIdsForGroup(None) or [])
-    assert (mid - before) < (after - mid)
+    error_actions = calls["n"]
+    monkeypatch.setattr(_DF, "collect", real_collect)
+    # the only construction-time action both modes share is the
+    # build_tau read (which may route through first()/take rather
+    # than collect); the overlap check's limit(5).collect() is the
+    # one extra driver-blocking action and only 'error' pays it
+    assert unchecked_actions <= 1
+    assert error_actions == unchecked_actions + 1
     got = {(r.id_a, r.id_b, r.containment) for r in plan.collect()}
     want = {
         (r.id_a, r.id_b, r.containment)

@@ -2113,3 +2113,80 @@ def test_stream_containment_replay_after_purge(
     } == {10, 21}
     idx_ids = {r["id"] for r in snap.snapshot_read(spark, index).collect()}
     assert idx_ids == {10, 21}  # no orphaned postings for the erased doc
+
+
+def test_containment_compaction_scheduled_crash_before_tag_move(
+    spark, tmp_path, monkeypatch
+):
+    """Crash-safety of the seed tag: the tag moves only AFTER both
+    merge commits, so a run that dies between the merges and the tag
+    move leaves the OLD seed in place — the healing re-run re-scans a
+    superset window, finds the already-retired docs gone from the
+    index (no posting rows: they can neither re-doom nor doom),
+    retires nothing twice, and THEN advances the tag."""
+    from group5_spark.extensions import dedup
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        jobs.stream_containment_dedup(
+            spark.readStream.schema(_docs_schema()).json(str(src)),
+            ck, corpus, index, threshold=0.9, app_id="crawler",
+        )
+
+    _emit_docs(src, "b1.json", [
+        (50, "alpha beta gamma delta epsilon"),
+        (51, "one two three four five"),
+    ])
+    drain()
+    res1 = dedup.containment_compact_scheduled(
+        spark, corpus, index, bootstrap="skip"
+    )
+    _emit_docs(src, "b2.json", [
+        (60, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ])
+    drain()
+
+    # run 2 dies between the merge commits and the tag move
+    real_tag = snap.snapshot_tag
+
+    def bomb(path, name, **kw):
+        if kw.get("version") is not None:
+            raise RuntimeError("crash before the tag move")
+        return real_tag(path, name, **kw)
+
+    monkeypatch.setattr(
+        "group5_spark.medallion.snapshots.snapshot_tag", bomb
+    )
+    with pytest.raises(RuntimeError, match="crash before the tag"):
+        dedup.containment_compact_scheduled(spark, corpus, index)
+    monkeypatch.setattr(
+        "group5_spark.medallion.snapshots.snapshot_tag", real_tag
+    )
+    # the compaction itself landed; the seed did not move
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {51, 60}
+    assert (
+        snap.snapshot_tags(corpus)[dedup.DEFAULT_COMPACTION_SEED_TAG]
+        == res1["head_version"]
+    )
+
+    # the healing re-run scans the superset window, dooms nothing new,
+    # and finally advances the seed
+    res3 = dedup.containment_compact_scheduled(spark, corpus, index)
+    assert res3["doomed"] == 0
+    assert res3["seed"] == res1["head_version"]
+    assert (
+        snap.snapshot_tags(corpus)[dedup.DEFAULT_COMPACTION_SEED_TAG]
+        == res3["head_version"]
+    )
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {51, 60}
