@@ -935,3 +935,44 @@ def test_ivf_pq_anisotropy_probe_recommends_mode(spark, sf_dir, tmp_path):
     S.ivf_pq_index_retrain(clustered.unionByName(shifted), ci)
     c = S.ivf_pq_params(ci)[0]["anisotropy"]
     assert c["residual_norm_ratio"] > a["residual_norm_ratio"]
+
+
+def test_purge_ids_erases_vectors_from_ivf_index(spark, sf_dir, tmp_path):
+    """Right-to-erasure reaches the ANN surface (round 12): the IVF
+    index is a per-id snapshot table, so `snapshot_purge_ids` retires
+    a vector's assignment rows with the same file-pruned merge-delete
+    as every other derived table — the purged vector can never again
+    appear in a result, and an all-cells probe (IVF = exact when every
+    cell is probed) over the purged index equals brute-force cosine
+    top-k over the surviving corpus."""
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.limit(5)
+    idx = str(tmp_path / "ivfidx")
+    S.ivf_index_init(emb, idx, n_cells=8)
+
+    # pick victims that actually appear in the pre-purge results
+    pre = S.ivf_index_search(q, idx, k=5, n_probe=8)
+    victims = [
+        r.cand_id
+        for r in pre.where("rank <= 2").select("cand_id").distinct()
+        .limit(3).collect()
+    ]
+    assert victims
+
+    out = snapshot_purge_ids(spark, victims, [(idx, "cand_id")])
+    assert out["rows_deleted"] == len(victims)
+    assert (
+        snapshot_read(spark, idx)
+        .where(F.col("cand_id").isin(victims))
+        .count()
+        == 0
+    )
+
+    post = S.ivf_index_search(q, idx, k=5, n_probe=8)
+    assert post.where(F.col("cand_id").isin(victims)).count() == 0
+    survivors = emb.where(~F.col("vec_id").isin(victims))
+    exact = S.cosine_topk(survivors, q, k=5)
+    assert _rows(post) == _rows(exact)
