@@ -1208,3 +1208,103 @@ def ivf_pq_index_append(
             **(extra_note or {}),
         },
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al., 2023,
+    arXiv:2303.09540): paraphrases and re-encoded near-copies that no
+    lexical dedup (exact hash, MinHash, containment) can see — the
+    embeddings are near-parallel even when the token streams share
+    nothing. Every vector is assigned to its nearest centroid cell
+    (cosine argmax, ties toward the smaller centroid id), and WITHIN
+    each cell a vector is doomed when some τ-cosine neighbor sits
+    strictly closer to the centroid (ties toward the smaller id) —
+    the domination election, chain semantics like
+    :func:`dedup.drop_contained`: a doomed vector can still doom its
+    own neighbors, so mutually-duplicate groups keep exactly their
+    centroid-closest member. Returns the SURVIVORS as ``(id_col,
+    cell_id, cent_sim)`` with ``cent_sim`` rounded to 6 dp — the same
+    cross-engine determinism contract as :func:`cosine_topk` (raw
+    doubles differ between engines in the last bits; 6-dp rounding
+    BEFORE the argmax and every domination comparison makes the
+    election replay exactly, with residual ties broken by id).
+
+    Scale shape — the published trick and the whole point of
+    clustering first: the τ-pair join runs PER CELL (one equi-join on
+    ``cell_id``), so the quadratic is O(Σ|cell|²) ≈ O(n²/k) instead
+    of O(n²), and the assignment pass is a broadcast of k small
+    centroid vectors against the corpus — map-only, no shuffle.
+    Cells bound the join the same way LSH bands bound
+    :func:`dedup.minhash_lsh_pairs`. Production centroids come from
+    :func:`extensions.clustering.kmeans` (or the persisted IVF
+    index's frozen cells — the assignment here IS
+    :func:`ivf_assign_cells` semantics), while the oracle-gated query
+    pins semantics with deterministic seed centroids.
+    """
+    cents = centroids.select(
+        F.col(cent_id_col).alias("_cid"),
+        _as_double(centroids, vec_col).alias("_cv"),
+    ).withColumn("_cn", F.sqrt(F.expr(DOT.format(a="_cv", b="_cv"))))
+    vecs = corpus.select(
+        F.col(id_col).alias("_vid"),
+        _as_double(corpus, vec_col).alias("_v"),
+    ).withColumn("_n", F.sqrt(F.expr(DOT.format(a="_v", b="_v"))))
+    dot = F.expr(DOT.format(a="_v", b="_cv"))
+    # round BEFORE the argmax and every later comparison: the
+    # assignment and the domination tie-break must agree with an
+    # oracle that computes the same cosine under its own float
+    # arithmetic
+    scored = vecs.join(F.broadcast(cents)).withColumn(
+        "_sim", F.round(dot / (F.col("_n") * F.col("_cn")), 6)
+    )
+    w = Window.partitionBy("_vid").orderBy(
+        F.col("_sim").desc(), F.col("_cid")
+    )
+    assign = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "_vid", "_v", "_n",
+            F.col("_cid").alias("cell_id"),
+            F.col("_sim").alias("_cs"),
+        )
+    )
+    a = assign.select(
+        F.col("_vid").alias("id_a"), F.col("_v").alias("va"),
+        F.col("_n").alias("na"), "cell_id",
+        F.col("_cs").alias("csa"),
+    )
+    b = assign.select(
+        F.col("_vid").alias("id_b"), F.col("_v").alias("vb"),
+        F.col("_n").alias("nb"), "cell_id",
+        F.col("_cs").alias("csb"),
+    )
+    pair_cos = F.expr(DOT.format(a="va", b="vb")) / (
+        F.col("na") * F.col("nb")
+    )
+    doomed = (
+        a.join(b, on="cell_id")
+        .where(F.col("id_a") != F.col("id_b"))
+        .where(pair_cos >= F.lit(float(threshold)))
+        .where(
+            (F.col("csb") > F.col("csa"))
+            | ((F.col("csb") == F.col("csa")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias("_vid"))
+        .distinct()
+    )
+    return (
+        assign.join(doomed, on="_vid", how="left_anti")
+        .select(
+            F.col("_vid").alias(id_col),
+            "cell_id",
+            F.round("_cs", 6).alias("cent_sim"),
+        )
+    )

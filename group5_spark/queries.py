@@ -1187,6 +1187,100 @@ def containment_scheduled_survivors(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "semantic_dedup_survivors",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        SELECT vec_id + 10000, list_transform(v, x -> x * 2)
+        FROM base WHERE vec_id % 50 = 7
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+    scored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               ROUND(list_cosine_similarity(e.v, c.cv), 6) AS sim
+        FROM corpus e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, v, cid, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid
+            ) AS rn FROM scored
+        ) t WHERE rn = 1
+    ),
+    doomed AS (
+        SELECT DISTINCT a.vec_id
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id != b.vec_id
+        WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+          AND (b.sim > a.sim
+               OR (b.sim = a.sim AND b.vec_id < a.vec_id))
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cell_id, a.sim AS cent_sim
+    FROM assign a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM doomed)
+    """,
+)
+def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication
+    (``extensions.similarity.semantic_dedup`` — Abbas et al. 2023,
+    arXiv:2303.09540): paraphrases and re-encoded near-copies that no
+    lexical dedup can see, caught in embedding space — assign every
+    vector to its nearest centroid cell (cosine argmax, ties toward
+    the smaller centroid id), then WITHIN each cell doom any vector
+    whose τ-cosine neighbor sits strictly closer to the centroid
+    (6-dp comparison, ties toward the smaller id). The cell equi-join
+    bounds the quadratic at O(Σ|cell|²) ≈ O(n²/k) — the published
+    reason to cluster first — and the assignment is a broadcast of k
+    centroid vectors, map-only. The testdata embeddings carry no
+    natural τ=0.95 pair (max pairwise cosine 0.51), so the query
+    PLANTS deterministic semantic duplicates: each vec_id % 50 = 7
+    vector re-enters as id+10000 scaled by 2 — an exact power of two,
+    so the copy's centroid similarity is BIT-IDENTICAL to the
+    original's in any IEEE engine and the id tie-break must retire
+    exactly the copies. The DuckDB oracle replays assignment,
+    threshold, and domination from naive SQL; the query raises if any
+    planted copy survives or an original is lost. Deterministic seed
+    centroids (vec_id < 8) keep the oracle replayable; production
+    centroids come from ``extensions.clustering.kmeans`` or the
+    persisted IVF index's frozen cells."""
+    from group5_spark.extensions.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    copies = base.where(F.col("vec_id") % 50 == 7).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(copies)
+    cents = base.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    surv = semantic_dedup(corpus, cents, threshold=0.95)
+    n_copies = copies.count()
+    leaked = surv.where(F.col("vec_id") >= 10000).count()
+    kept = surv.count()
+    if leaked or kept != base.count() or not n_copies:
+        raise RuntimeError(
+            f"semantic dedup election broke: {leaked} planted copies "
+            f"survived, {kept} total survivors ({n_copies} copies "
+            f"planted) — the domination rule must retire exactly the "
+            f"copies"
+        )
+    return surv
+
+
+@register(
     "purge_erasure_survivors",
     """
     SELECT d.doc_id,
@@ -8819,10 +8913,10 @@ def span_dedup_incremental_counts(
 # FOURTEEN round-11 deferrals lead — their newest driver evidence is
 # round 8, at the 3-round boundary; all fourteen are bench headliners,
 # which per the round-8 convention rotate first after a deferral —
-# then the TWO queries new this round (new queries enter their own
-# round's window), then 34 of the 50 queries whose newest driver
+# then the THREE queries new this round (new queries enter their own
+# round's window), then 33 of the 50 queries whose newest driver
 # evidence is round 9. That cohort is oversubscribed for the 50-slot
-# window, so SIXTEEN defer to round 13 (14 + 2 + 34 = 50), chosen —
+# window, so SEVENTEEN defer to round 13 (14 + 3 + 33 = 50), chosen —
 # exactly like the round-9/-10/-11 deferral sets — for the strongest
 # alternative evidence: EIGHT are bench headliners executed and timed
 # by the driver every round (daily_revenue, moving_avg_7d,
@@ -8838,7 +8932,10 @@ def span_dedup_incremental_counts(
 # multimodal_decode_features was green in r11; salted_segment_revenue
 # — the salting plan is asserted in test_plans;
 # kmeans_embedding_clusters — the same clustering path anchors
-# pq_ann_topk, green in r11, and test_clustering pins it).
+# pq_ann_topk, green in r11, and test_clustering pins it;
+# embedding_norm_stats — the embedding-ops family anchors
+# dedup_embedding_cosine, green in r11, and the new
+# semantic_dedup_survivors exercises the same norm/cosine kernels).
 # Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
@@ -8862,11 +8959,15 @@ _CHECK_WINDOW = [
     # NEW in round 12 — the scheduled containment compaction
     # end-to-end (seed tag planted, window derived from the tag,
     # engulfed pages retired, seed advanced; oracle = the naive
-    # all-pairs survivor SQL) and the right-to-erasure purge
+    # all-pairs survivor SQL), the right-to-erasure purge
     # (snapshot_purge_ids across corpus + containment index; oracle =
-    # the survivor selection)
+    # the survivor selection), and SemDeDup-style semantic dedup
+    # (centroid-cell domination election over planted power-of-two
+    # semantic duplicates; oracle replays assignment + threshold +
+    # domination from naive SQL)
     "containment_scheduled_survivors",
     "purge_erasure_survivors",
+    "semantic_dedup_survivors",
     # newest driver evidence round 9 — cohort minus the 15 deferrals
     "bigram_top_counts",
     "brand_customer_overlap",
@@ -8874,7 +8975,6 @@ _CHECK_WINDOW = [
     "dedup_clusters",
     "dedup_incremental_new",
     "dq_orders_checks",
-    "embedding_norm_stats",
     "excess_parts_suppliers",
     "fuzzy_part_name_pairs",
     "gap_filled_daily_revenue",

@@ -1953,3 +1953,38 @@ def test_pq_topk_codes_column_matches_inline_encoding(spark):
         ).collect()
     ]
     assert inline == via_codes and len(inline) == 7
+
+
+def test_semantic_dedup_domination_election(spark):
+    """SemDeDup-style election (round 12): within a centroid cell,
+    a τ-cosine neighbor strictly closer to the centroid dooms you
+    (ties toward the smaller id); colinear chains keep exactly one
+    member; vectors below τ survive together."""
+    from group5_spark.extensions.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        ["cid", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # colinear chain in cell 0: identical direction, three
+            # scales — same cent_sim bit-for-bit, id tie-break keeps
+            # only the smallest
+            (10, [2.0, 0.2, 0.0]),
+            (11, [4.0, 0.4, 0.0]),
+            (12, [8.0, 0.8, 0.0]),
+            # cell 0, below tau vs the chain: survives
+            (13, [1.0, 1.0, 0.0]),  # ties cells 0/1 -> cell 0 by cid
+            # cell 1: closer-to-centroid member of a tau-pair wins
+            # whatever the ids say
+            (20, [0.1, 1.0, 0.0]),
+            (21, [0.05, 1.0, 0.0]),  # closer to [0,1,0] -> dooms 20
+            # cell 1, unrelated direction: survives
+            (22, [0.0, 1.0, 0.9]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    surv = semantic_dedup(corpus, cents, threshold=0.95)
+    got = {(r.vec_id, r.cell_id) for r in surv.collect()}
+    assert got == {(10, 0), (13, 0), (21, 1), (22, 1)}
