@@ -193,3 +193,17 @@ def test_ivf_curve_pq_worker(tools_env):
     assert 0.0 <= out["recall_at_10"] <= 1.0
     assert out["distance_ratio"] >= 1.0 - 1e-9
     assert out["m"] == 32 and out["k"] == 16
+
+
+def test_merge_curve_semdedup_worker(tools_env):
+    """Round-12 ladder worker: the SemDeDup pricing run must execute
+    end to end at toy scale — the election retires exactly the
+    planted x2-scaled duplicates (the worker raises otherwise), both
+    centroid policies run, and the pair-volume aggregate is populated."""
+    out = tools_env.mc.run_one_semdedup(2, k0=4)
+    assert out["corpus_vecs"] == out["planted"] * 3  # 2 replicas + copies
+    for label in ("fixed_k", "scaled_k"):
+        r = out[label]
+        assert r["doomed"] == out["planted"]
+        assert r["seconds"] > 0
+        assert r["pair_volume"] > 0

@@ -872,6 +872,186 @@ def run_one_containment(n: int, cap: int = 40) -> dict:
     }
 
 
+def run_one_semdedup(n: int, k0: int = 64) -> dict:
+    """Round-12 ladder for the SemDeDup-style semantic dedup
+    (`extensions.similarity.semantic_dedup`): price the op's two cost
+    terms — the N·k assignment pass and the Σ|cell|² within-cell pair
+    join — against corpus scale under the two centroid policies a
+    deployment actually chooses between: FIXED k (assignment stays
+    linear, cells fatten, the quadratic term grows as N²/k) vs k ∝ N
+    (cells stay constant-size, the pair join stays linear, the
+    assignment becomes the N² term). Neither is flat — the measured
+    exponents ARE the guidance: balance at k ∝ √N for total O(N^1.5),
+    or reuse the persisted IVF index's cells (assignment already
+    paid) and only the linear pair join remains.
+
+    Corpus: the testdata embeddings (unit-norm, dim 64) replicated
+    N× with a deterministic per-(id, replica, dim) jitter of ±0.25 —
+    replica cosine vs its base ≈ 0.65, far under τ = 0.95, so
+    replicas never pair; the only τ-pairs are 500 PLANTED duplicates
+    (replica-0 vectors scaled ×2 — IEEE-exact direction copies), a
+    fixed count at every scale, so pair volume measures the JOIN's
+    candidate space (Σ c(c−1) over cells), not a growing dup load.
+    Centroids: the first k corpus vectors by id — deterministic, no
+    training cost in the measurement."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from group5_spark.catalog import load_table
+    from group5_spark.extensions.similarity import semantic_dedup
+
+    TAU = 0.95
+    AMP = 0.25
+    spark = _spark(f"semdedup-curve-x{n}")
+    base = load_table(spark, BASE_SF, "embeddings")
+    vkey = base.agg(F.max("vec_id")).first()[0] + 1
+    jitter = lambda x, j: x.cast("double") + (  # noqa: E731
+        (
+            F.pmod(
+                F.xxhash64(F.col("vec_id"), F.col("_r"), j), F.lit(10001)
+            ).cast("double")
+            / 10000.0
+            - 0.5
+        )
+        * (2 * AMP)
+    )
+    corpus = (
+        base.withColumn(
+            "_r", F.explode(F.sequence(F.lit(0), F.lit(n - 1)))
+        )
+        .select(
+            (F.col("vec_id") + F.col("_r") * vkey).alias("vec_id"),
+            F.transform("embedding", jitter).alias("embedding"),
+            "_r",
+        )
+    )
+    planted = corpus.where(F.col("_r") == 0).select(
+        (F.col("vec_id") + F.lit(n) * vkey).alias("vec_id"),
+        F.transform(
+            "embedding", lambda x: x * F.lit(2.0)
+        ).alias("embedding"),
+    )
+    corpus = corpus.drop("_r").unionByName(planted).cache()
+    n_vecs = corpus.count()
+    n_planted = n_vecs // (n + 1)  # one x2 copy per replica-0 vector
+
+    out: dict = {"scale": n, "corpus_vecs": n_vecs, "planted": n_planted}
+    for label, k in (("fixed_k", k0), ("scaled_k", k0 * n)):
+        cents = (
+            corpus.orderBy("vec_id")
+            .limit(k)
+            .select(F.col("vec_id").alias("cid"), "embedding")
+        )
+        surv = semantic_dedup(corpus, cents, TAU)
+        survivors = surv.count()  # warm (also caches the testdata scan)
+        # pair volume the within-cell join faces: Σ c(c-1) over cells
+        from group5_spark.extensions.similarity import _as_double, DOT
+
+        cvec = cents.select(
+            F.col("cid").alias("_cid"),
+            _as_double(cents, "embedding").alias("_cv"),
+        ).withColumn("_cn", F.sqrt(F.expr(DOT.format(a="_cv", b="_cv"))))
+        vv = corpus.select(
+            "vec_id", _as_double(corpus, "embedding").alias("_v")
+        ).withColumn("_n", F.sqrt(F.expr(DOT.format(a="_v", b="_v"))))
+        from pyspark.sql.window import Window as _W
+
+        simc = F.round(
+            F.expr(DOT.format(a="_v", b="_cv"))
+            / (F.col("_n") * F.col("_cn")),
+            6,
+        )
+        cell_sizes = (
+            vv.join(F.broadcast(cvec))
+            .withColumn("_sim", simc)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    _W.partitionBy("vec_id").orderBy(
+                        F.col("_sim").desc(), F.col("_cid")
+                    )
+                ),
+            )
+            .where("_rn = 1")
+            .groupBy("_cid")
+            .agg(F.count("*").alias("c"))
+        )
+        pair_volume = int(
+            cell_sizes.agg(
+                F.sum(F.col("c") * (F.col("c") - 1))
+            ).first()[0]
+        )
+        t0 = _time.perf_counter()
+        survivors = semantic_dedup(corpus, cents, TAU).count()
+        secs = round(_time.perf_counter() - t0, 3)
+        out[label] = {
+            "k": k,
+            "survivors": survivors,
+            "doomed": n_vecs - survivors,
+            "pair_volume": pair_volume,
+            "seconds": secs,
+        }
+        if out[label]["doomed"] != n_planted:
+            raise SystemExit(
+                f"semdedup ladder x{n} {label}: expected exactly the "
+                f"{n_planted} planted duplicates doomed, got "
+                f"{out[label]['doomed']} — the jitter separation or "
+                f"the election broke"
+            )
+    corpus.unpersist()
+    spark.stop()
+    return out
+
+
+def main_semdedup(scales: list[int] | None = None) -> None:
+    runs = []
+    for n in scales or SCALES:
+        print(f"=== semdedup scale x{n} ===", flush=True)
+        out = subprocess.run(
+            [sys.executable, __file__, "--one-semdedup", str(n)],
+            capture_output=True, text=True, check=True,
+        )
+        line = [
+            l for l in out.stdout.splitlines() if l.startswith("RESULT ")
+        ][-1]
+        runs.append(json.loads(line[len("RESULT "):]))
+        print(runs[-1], flush=True)
+    rec = {
+        "method": (
+            "testdata embeddings replicated Nx with deterministic "
+            "±0.25/dim jitter (replica cosine ~0.65 — never pairs at "
+            "tau 0.95) plus one planted x2-scaled duplicate per base "
+            "vector (a fixed count at every scale); semantic_dedup "
+            "timed under the two "
+            "centroid policies: fixed k (linear assignment, N²/k "
+            "pair join) vs k ∝ N (linear pair join, N² assignment). "
+            "pair_volume = Σ c(c−1) over assigned cells — the "
+            "within-cell join's candidate space; doomed must equal "
+            "the planted duplicates exactly at every scale and policy "
+            "(raises otherwise)"
+        ),
+        "runs": runs,
+        "fixed_k_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["fixed_k"]["seconds"]) for r in runs]
+        ),
+        "fixed_k_pair_volume_exponent": _fit_exponent(
+            [(r["scale"], r["fixed_k"]["pair_volume"]) for r in runs]
+        ),
+        "scaled_k_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["scaled_k"]["seconds"]) for r in runs]
+        ),
+        "scaled_k_pair_volume_exponent": _fit_exponent(
+            [(r["scale"], r["scaled_k"]["pair_volume"]) for r in runs]
+        ),
+    }
+    path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
+    data = json.loads(path.read_text())
+    data["fixed_corpus_semdedup"] = rec
+    path.write_text(json.dumps(data, indent=1))
+    print(json.dumps(rec, indent=1))
+
+
 def main_containment(scales: list[int] | None = None) -> None:
     # round-11 VERDICT #3: run the containment ladder one doubling
     # past the other batch families' 64x — the postings shuffle is
@@ -1370,6 +1550,12 @@ def main() -> None:
         return
     if len(sys.argv) > 1 and sys.argv[1] == "--span":
         main_span()
+        return
+    if len(sys.argv) > 2 and sys.argv[1] == "--one-semdedup":
+        print("RESULT " + json.dumps(run_one_semdedup(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 1 and sys.argv[1] == "--semdedup":
+        main_semdedup([int(a) for a in sys.argv[2:]] or None)
         return
     if len(sys.argv) > 2 and sys.argv[1] == "--one-containment":
         print("RESULT " + json.dumps(run_one_containment(int(sys.argv[2]))))
