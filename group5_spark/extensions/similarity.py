@@ -13,6 +13,8 @@ Two tiers:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1239,8 +1241,10 @@ def semantic_dedup(
     Scale shape — the published trick and the whole point of
     clustering first: the τ-pair join runs PER CELL (one equi-join on
     ``cell_id``), so the quadratic is O(Σ|cell|²) ≈ O(n²/k) instead
-    of O(n²), and the assignment pass is a broadcast of k small
-    centroid vectors against the corpus — map-only, no shuffle.
+    of O(n²), and the assignment pass keeps the N·k scoring work
+    where the rows live (:func:`_semantic_assign` — broadcast
+    centroids + map-side `max(struct(sim, −cid))`: the only shuffle
+    carries N assigned rows, independent of k).
     Cells bound the join the same way LSH bands bound
     :func:`dedup.minhash_lsh_pairs`. Production centroids come from
     :func:`extensions.clustering.kmeans` (or the persisted IVF
@@ -1248,34 +1252,76 @@ def semantic_dedup(
     :func:`ivf_assign_cells` semantics), while the oracle-gated query
     pins semantics with deterministic seed centroids.
     """
+    assign = _semantic_assign(corpus, centroids, id_col, vec_col, cent_id_col)
+    return _semantic_election(assign, threshold, id_col)
+
+
+def _semantic_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id_col: str = "cid",
+) -> DataFrame:
+    """Centroid assignment behind :func:`semantic_dedup`, shaped so
+    the N·k scoring work NEVER shuffles: broadcast the k centroid
+    rows against the corpus (the N·k scored rows stay in the corpus
+    row's partition), then ``groupBy(id).agg(max(struct(sim, −cid)))``
+    — struct max orders by similarity then −cid, so the aggregate IS
+    "highest similarity, ties toward the smaller centroid id", and
+    hash aggregation collapses the k rows per vector MAP-SIDE: the
+    only shuffle carries N already-assigned rows, independent of k.
+    (Two rejected shapes, kept as plan rationale: a row_number window
+    over the scored join shuffles all N·k rows WITH their vectors —
+    ~300 GB at the ladder's 64× scale; k inline array literals à la
+    `_cell_scores` blow up codegen past a few dozen centroids.)
+    Similarity rounds to 6 dp BEFORE the argmax so the assignment
+    replays against an oracle computing the same cosine under its own
+    float arithmetic. Returns ``(_vid, _v, _n, cell_id, _cs)``."""
     cents = centroids.select(
-        F.col(cent_id_col).alias("_cid"),
+        (-F.col(cent_id_col).cast("long")).alias("_negcid"),
         _as_double(centroids, vec_col).alias("_cv"),
     ).withColumn("_cn", F.sqrt(F.expr(DOT.format(a="_cv", b="_cv"))))
     vecs = corpus.select(
         F.col(id_col).alias("_vid"),
         _as_double(corpus, vec_col).alias("_v"),
     ).withColumn("_n", F.sqrt(F.expr(DOT.format(a="_v", b="_v"))))
-    dot = F.expr(DOT.format(a="_v", b="_cv"))
-    # round BEFORE the argmax and every later comparison: the
-    # assignment and the domination tie-break must agree with an
-    # oracle that computes the same cosine under its own float
-    # arithmetic
-    scored = vecs.join(F.broadcast(cents)).withColumn(
-        "_sim", F.round(dot / (F.col("_n") * F.col("_cn")), 6)
+    sim = F.round(
+        F.expr(DOT.format(a="_v", b="_cv"))
+        / (F.col("_n") * F.col("_cn")),
+        6,
     )
-    w = Window.partitionBy("_vid").orderBy(
-        F.col("_sim").desc(), F.col("_cid")
-    )
-    assign = (
-        scored.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
+    best = (
+        vecs.join(F.broadcast(cents))
         .select(
             "_vid", "_v", "_n",
-            F.col("_cid").alias("cell_id"),
-            F.col("_sim").alias("_cs"),
+            F.struct(sim.alias("_sim"), F.col("_negcid")).alias("_sc"),
+        )
+        .groupBy("_vid")
+        .agg(
+            F.max("_sc").alias("_best"),
+            F.first("_v").alias("_v"),
+            F.first("_n").alias("_n"),
         )
     )
+    return best.select(
+        "_vid", "_v", "_n",
+        (-F.col("_best._negcid")).cast("long").alias("cell_id"),
+        F.col("_best._sim").alias("_cs"),
+    )
+
+
+def _semantic_election(
+    assign: DataFrame, threshold: float, id_col: str
+) -> DataFrame:
+    """The shared within-cell domination election behind
+    :func:`semantic_dedup` and :func:`semantic_dedup_ivf` — one
+    pipeline, not two hand-synced copies. ``assign`` carries one row
+    per vector: ``(_vid, _v, _n, cell_id, _cs)`` with ``_cs`` already
+    rounded to the cross-engine comparison precision. A vector is
+    doomed when some τ-cosine cell-mate sits strictly closer to the
+    centroid (ties toward the smaller id); survivors return as
+    ``(id_col, cell_id, cent_sim)``."""
     a = assign.select(
         F.col("_vid").alias("id_a"), F.col("_v").alias("va"),
         F.col("_n").alias("na"), "cell_id",
@@ -1308,3 +1354,47 @@ def semantic_dedup(
             F.round("_cs", 6).alias("cent_sim"),
         )
     )
+
+
+def semantic_dedup_ivf(
+    spark,
+    index_path: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """:func:`semantic_dedup` over a PERSISTED IVF index's own cells
+    (`ivf_index_init`/`ivf_index_append` output) — the "reuse the
+    index" deployment the ladder's exponents point at: the N·k
+    assignment pass is already paid and stored as the index's
+    ``cell_id`` column, so this costs ONE cosine per row (against the
+    row's own cell centroid, for the domination ranking) plus the
+    linear within-cell pair join. Returns survivors as the index's
+    ``(id_col, cell_id, cent_sim)``.
+
+    The index's assignment argmaxes raw doubles
+    (:func:`ivf_assign_cells`) where :func:`semantic_dedup` argmaxes
+    6-dp-rounded ones, so a vector lying within 1e-6 of equidistant
+    between two centroids may sit in a different cell here — the
+    election within each cell is identical."""
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    params, centroids = ivf_index_params(index_path)
+    idx = snapshot_read(spark, index_path)
+    cents = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "cell_id long, _cv array<double>",
+    ).withColumn("_cn", F.sqrt(F.expr(DOT.format(a="_cv", b="_cv"))))
+    dot = F.expr(DOT.format(a="_v", b="_cv"))
+    assign = (
+        idx.select(
+            F.col(params["id_col"]).alias("_vid")
+            if params["id_col"] in idx.columns
+            else F.col("cand_id").alias("_vid"),
+            F.col("v").alias("_v"),
+            "cell_id",
+        )
+        .withColumn("_n", F.sqrt(F.expr(DOT.format(a="_v", b="_v"))))
+        .join(F.broadcast(cents), on="cell_id")
+        .withColumn("_cs", F.round(dot / (F.col("_n") * F.col("_cn")), 6))
+        .drop("_cv", "_cn")
+    )
+    return _semantic_election(assign, threshold, params["id_col"])

@@ -976,3 +976,41 @@ def test_purge_ids_erases_vectors_from_ivf_index(spark, sf_dir, tmp_path):
     survivors = emb.where(~F.col("vec_id").isin(victims))
     exact = S.cosine_topk(survivors, q, k=5)
     assert _rows(post) == _rows(exact)
+
+
+def test_semantic_dedup_over_persisted_ivf_cells(spark, sf_dir, tmp_path):
+    """semantic_dedup_ivf (round 12): the SemDeDup election run over
+    a persisted IVF index's OWN cell assignments — the N·k assignment
+    pass is already paid and stored, so the op costs one cosine per
+    row plus the within-cell join. Planted x2-scaled duplicates (IEEE
+    scale-invariant direction copies) land in their original's cell
+    and must be exactly the doomed set."""
+    from group5_spark.extensions.similarity import semantic_dedup_ivf
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    copies = emb.where(F.col("vec_id") % 25 == 3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+    )
+    n_copies = copies.count()
+    assert n_copies > 0
+    idx = str(tmp_path / "ivfidx")
+    S.ivf_index_init(emb.unionByName(copies), idx, n_cells=8)
+
+    surv = semantic_dedup_ivf(spark, idx, threshold=0.95)
+    ids = {r.vec_id for r in surv.collect()}
+    assert not {i for i in ids if i >= 10000}  # every copy doomed
+    assert len(ids) == emb.count()  # every original kept
+    # survivors carry the index's own cells (cids are sampled vector
+    # ids, not 0..k-1)
+    _, centroids = S.ivf_index_params(idx)
+    assert {r.cell_id for r in surv.collect()} <= {
+        cid for cid, _ in centroids
+    }

@@ -202,7 +202,7 @@ def test_merge_curve_semdedup_worker(tools_env):
     centroid policies run, and the pair-volume aggregate is populated."""
     out = tools_env.mc.run_one_semdedup(2, k0=4)
     assert out["corpus_vecs"] == out["planted"] * 3  # 2 replicas + copies
-    for label in ("fixed_k", "scaled_k"):
+    for label in ("fixed_k", "sqrt_k"):
         r = out[label]
         assert r["doomed"] == out["planted"]
         assert r["seconds"] > 0

@@ -876,14 +876,17 @@ def run_one_semdedup(n: int, k0: int = 64) -> dict:
     """Round-12 ladder for the SemDeDup-style semantic dedup
     (`extensions.similarity.semantic_dedup`): price the op's two cost
     terms — the N·k assignment pass and the Σ|cell|² within-cell pair
-    join — against corpus scale under the two centroid policies a
-    deployment actually chooses between: FIXED k (assignment stays
-    linear, cells fatten, the quadratic term grows as N²/k) vs k ∝ N
-    (cells stay constant-size, the pair join stays linear, the
-    assignment becomes the N² term). Neither is flat — the measured
-    exponents ARE the guidance: balance at k ∝ √N for total O(N^1.5),
-    or reuse the persisted IVF index's cells (assignment already
-    paid) and only the linear pair join remains.
+    join — against corpus scale under two centroid policies: FIXED k
+    (assignment stays linear, cells fatten, the join term grows as
+    N²/k) vs the BALANCED k ∝ √N (both terms O(N^1.5) — the policy
+    you deploy when the centroids are trained per run). k ∝ N was
+    measured to 16× during development and dropped from the recorded
+    ladder: its assignment term is nakedly quadratic (2.7 s → 12.4 s
+    → 248 s across 1×/4×/16×) — a non-deployable policy whose
+    exponent needs no fourth point. The best answer at 100 TB is
+    none of the three: reuse the persisted IVF index's cells
+    (`semantic_dedup_ivf`) — the assignment is already paid and
+    stored, leaving only the near-linear pair join.
 
     Corpus: the testdata embeddings (unit-norm, dim 64) replicated
     N× with a deterministic per-(id, replica, dim) jitter of ±0.25 —
@@ -937,44 +940,23 @@ def run_one_semdedup(n: int, k0: int = 64) -> dict:
     n_planted = n_vecs // (n + 1)  # one x2 copy per replica-0 vector
 
     out: dict = {"scale": n, "corpus_vecs": n_vecs, "planted": n_planted}
-    for label, k in (("fixed_k", k0), ("scaled_k", k0 * n)):
+    for label, k in (
+        ("fixed_k", k0),
+        ("sqrt_k", max(k0, int(k0 * math.sqrt(n)))),
+    ):
         cents = (
             corpus.orderBy("vec_id")
             .limit(k)
             .select(F.col("vec_id").alias("cid"), "embedding")
         )
-        surv = semantic_dedup(corpus, cents, TAU)
-        survivors = surv.count()  # warm (also caches the testdata scan)
-        # pair volume the within-cell join faces: Σ c(c-1) over cells
-        from group5_spark.extensions.similarity import _as_double, DOT
+        survivors = semantic_dedup(corpus, cents, TAU).count()  # warm
+        # pair volume the within-cell join faces: Σ c(c-1) over cells,
+        # from the operator's own map-only assignment
+        from group5_spark.extensions.similarity import _semantic_assign
 
-        cvec = cents.select(
-            F.col("cid").alias("_cid"),
-            _as_double(cents, "embedding").alias("_cv"),
-        ).withColumn("_cn", F.sqrt(F.expr(DOT.format(a="_cv", b="_cv"))))
-        vv = corpus.select(
-            "vec_id", _as_double(corpus, "embedding").alias("_v")
-        ).withColumn("_n", F.sqrt(F.expr(DOT.format(a="_v", b="_v"))))
-        from pyspark.sql.window import Window as _W
-
-        simc = F.round(
-            F.expr(DOT.format(a="_v", b="_cv"))
-            / (F.col("_n") * F.col("_cn")),
-            6,
-        )
         cell_sizes = (
-            vv.join(F.broadcast(cvec))
-            .withColumn("_sim", simc)
-            .withColumn(
-                "_rn",
-                F.row_number().over(
-                    _W.partitionBy("vec_id").orderBy(
-                        F.col("_sim").desc(), F.col("_cid")
-                    )
-                ),
-            )
-            .where("_rn = 1")
-            .groupBy("_cid")
+            _semantic_assign(corpus, cents)
+            .groupBy("cell_id")
             .agg(F.count("*").alias("c"))
         )
         pair_volume = int(
@@ -1023,9 +1005,12 @@ def main_semdedup(scales: list[int] | None = None) -> None:
             "±0.25/dim jitter (replica cosine ~0.65 — never pairs at "
             "tau 0.95) plus one planted x2-scaled duplicate per base "
             "vector (a fixed count at every scale); semantic_dedup "
-            "timed under the two "
-            "centroid policies: fixed k (linear assignment, N²/k "
-            "pair join) vs k ∝ N (linear pair join, N² assignment). "
+            "timed under two centroid policies: fixed k (linear "
+            "assignment, N²/k pair join) vs balanced k ∝ √N (both "
+            "terms N^1.5; k ∝ N was measured 2.7→12.4→248 s across "
+            "1×/4×/16× — nakedly quadratic assignment, dropped as "
+            "non-deployable; semantic_dedup_ivf reuses the IVF "
+            "index's stored cells and skips the term entirely). "
             "pair_volume = Σ c(c−1) over assigned cells — the "
             "within-cell join's candidate space; doomed must equal "
             "the planted duplicates exactly at every scale and policy "
@@ -1038,11 +1023,11 @@ def main_semdedup(scales: list[int] | None = None) -> None:
         "fixed_k_pair_volume_exponent": _fit_exponent(
             [(r["scale"], r["fixed_k"]["pair_volume"]) for r in runs]
         ),
-        "scaled_k_seconds_exponent": _fit_exponent(
-            [(r["scale"], r["scaled_k"]["seconds"]) for r in runs]
+        "sqrt_k_seconds_exponent": _fit_exponent(
+            [(r["scale"], r["sqrt_k"]["seconds"]) for r in runs]
         ),
-        "scaled_k_pair_volume_exponent": _fit_exponent(
-            [(r["scale"], r["scaled_k"]["pair_volume"]) for r in runs]
+        "sqrt_k_pair_volume_exponent": _fit_exponent(
+            [(r["scale"], r["sqrt_k"]["pair_volume"]) for r in runs]
         ),
     }
     path = Path(__file__).resolve().parent.parent / "SCALE_TRAINOPS.json"
