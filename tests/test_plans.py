@@ -674,6 +674,9 @@ NLJ_ALLOWED = {
     "kmv_distinct_estimate",         # 1-row sketch × 1-row exact-count bcast
     "histogram_weekly_percentiles",  # 1-row (lo, width) bounds broadcast ×2
     "sketch_scale_stats",            # 1-row (lo, width) bounds broadcast ×2
+    "semantic_dedup_survivors",      # corpus × k-centroid assignment
+                                     # broadcast (k=8), collapsed
+                                     # map-side before any shuffle
 }
 
 
