@@ -1397,7 +1397,17 @@ def containment_compact_scheduled(
         raise ValueError(
             f"bootstrap must be 'full' or 'skip', got {bootstrap!r}"
         )
-    if not _current_version(_Path(corpus_path)):
+    if not _current_version(_Path(corpus_path)) or not _current_version(
+        _Path(index_path)
+    ):
+        # either table missing = nothing to compact. The INDEX-absent
+        # case is a real crash window, not just a fresh deployment:
+        # the stream commits corpus first, so its very first batch can
+        # die between the two commits and leave corpus-without-index
+        # for the cron to find. Return without planting or advancing
+        # the seed tag — the next run (after the stream's replay
+        # heals the index) bootstraps or resumes normally, and no
+        # corpus version escapes a window.
         return {
             "doomed": 0,
             "head_version": None,

@@ -1919,12 +1919,25 @@ def test_containment_compaction_scheduled_zero_bookkeeping(
 
     # cron fires before the stream's first commit: graceful no-op,
     # no tag planted
-    res = containment_compact_scheduled(spark, corpus, index)
-    assert res == {
+    no_op = {
         "doomed": 0, "head_version": None, "corpus": None,
         "index": None, "seed": None, "bootstrap": None,
     }
+    res = containment_compact_scheduled(spark, corpus, index)
+    assert res == no_op
     assert snap.snapshot_tags(corpus) == {}
+
+    # cron fires in the crash window where the corpus landed but the
+    # index didn't (corpus-first commit order): also a no-op, no tag
+    # planted — the next run after the replay heals bootstraps fully
+    snap.snapshot_commit(
+        spark.createDataFrame([(1, "a b c")], _docs_schema()), corpus
+    )
+    assert containment_compact_scheduled(spark, corpus, index) == no_op
+    assert snap.snapshot_tags(corpus) == {}
+    import shutil as _shutil
+
+    _shutil.rmtree(corpus)
 
     def drain():
         jobs.stream_containment_dedup(
