@@ -1382,8 +1382,11 @@ def containment_compact_scheduled(
     :func:`containment_compact` dict plus ``{"seed": <previous seed
     version or None>, "bootstrap": <mode or None>}``. A corpus table
     that doesn't exist yet returns ``{"doomed": 0, "head_version":
-    None, ...}`` without planting a tag (the cron may fire before the
-    stream's first commit)."""
+    None, ...}`` without planting a tag when EITHER table doesn't
+    exist yet — the cron may fire before the stream's first commit,
+    or inside the crash window where the corpus landed but the index
+    commit didn't (corpus-first order); the run after the replay
+    heals still covers every corpus version."""
     from pathlib import Path as _Path
 
     from group5_spark.medallion.snapshots import (
