@@ -1153,7 +1153,15 @@ def containment_compact(
     run, and seeding from it would skip them forever (their engulfed
     old pages would never retire). ``head_version`` rides every
     return, including the nothing-doomed early exits, precisely so
-    the scheduler always has the next seed.
+    the scheduler always has the next seed. ``since_version=0`` (the
+    before-the-table-existed version) makes the FULL corpus at the
+    pinned head the window — the bootstrap form. Deriving it HERE, at
+    the same manifest read that pins ``head_version``, is what makes
+    bootstrap safe under concurrent stream commits: a caller that
+    read the corpus itself and passed the ids as ``new_ids`` could
+    pin a LATER head between its read and this function's, leaving
+    the concurrently-appended docs outside every window once the
+    seed advances past them.
 
     Doom rules: a doc contained in a WINDOW doc it predates retires
     outright (the container is newer); a pair WITHIN the window (an
@@ -1188,12 +1196,16 @@ def containment_compact(
     if new_ids is None:
         new_ids = snapshot_read(
             spark, corpus_path, version=head_version
-        ).select(id_col).join(
-            snapshot_read(spark, corpus_path, version=since_version)
-            .select(id_col),
-            on=id_col,
-            how="left_anti",
-        )
+        ).select(id_col)
+        if since_version:
+            # since_version=0 = the empty pre-table state: the whole
+            # pinned head IS the window, no base snapshot to diff
+            new_ids = new_ids.join(
+                snapshot_read(spark, corpus_path, version=since_version)
+                .select(id_col),
+                on=id_col,
+                how="left_anti",
+            )
     idx = snapshot_read(spark, index_path)
     tau_max = idx.agg(F.max("build_tau")).first()[0]
     if threshold is None:
@@ -1391,7 +1403,6 @@ def containment_compact_scheduled(
 
     from group5_spark.medallion.snapshots import (
         _current_version,
-        snapshot_read,
         snapshot_tag,
         snapshot_tags,
     )
@@ -1431,14 +1442,20 @@ def containment_compact_scheduled(
                 "seed": None,
                 "bootstrap": "skip",
             }
+        # since_version=0 = full-corpus window derived INSIDE
+        # containment_compact at its own pinned head_version — reading
+        # the corpus here and passing new_ids would let a concurrent
+        # stream commit land between this read and compact's manifest
+        # pin, and the seed tag (placed at compact's head) would then
+        # advance past docs no window ever examined
         res = containment_compact(
             spark,
             corpus_path,
             index_path,
-            new_ids=snapshot_read(spark, corpus_path).select(id_col),
             threshold=threshold,
             id_col=id_col,
             dv_threshold=dv_threshold,
+            since_version=0,
         )
         res["bootstrap"] = "full"
     else:

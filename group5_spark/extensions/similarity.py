@@ -1231,8 +1231,18 @@ def semantic_dedup(
     the domination election, chain semantics like
     :func:`dedup.drop_contained`: a doomed vector can still doom its
     own neighbors, so mutually-duplicate groups keep exactly their
-    centroid-closest member. Returns the SURVIVORS as ``(id_col,
-    cell_id, cent_sim)`` with ``cent_sim`` rounded to 6 dp — the same
+    centroid-closest member. NOTE this keep-rule deliberately DEVIATES
+    from the paper's: Abbas et al. keep the group member with LOW
+    centroid similarity (preserving atypical examples); this election
+    keeps the centroid-CLOSEST member because every other election in
+    this engine (:func:`dedup.drop_contained`'s size/id rule, the LSH
+    family's id rule) keeps the most-canonical representative, and a
+    representative that later anchors an IVF cell or a cluster medoid
+    should be central, not atypical. To get the paper's policy, flip
+    the domination comparator in :func:`_semantic_election`
+    (``csb < csa``, ties unchanged). Returns the SURVIVORS as
+    ``(id_col, cell_id, cent_sim)`` with ``cent_sim`` rounded to 6 dp
+    — the same
     cross-engine determinism contract as :func:`cosine_topk` (raw
     doubles differ between engines in the last bits; 6-dp rounding
     BEFORE the argmax and every domination comparison makes the
@@ -1332,8 +1342,14 @@ def _semantic_election(
         F.col("_n").alias("nb"), "cell_id",
         F.col("_cs").alias("csb"),
     )
-    pair_cos = F.expr(DOT.format(a="va", b="vb")) / (
-        F.col("na") * F.col("nb")
+    # 6-dp rounding BEFORE the τ comparison — the same cross-engine
+    # determinism contract as the centroid similarity (_cs): a pair
+    # within float error of τ must land on the same side of the
+    # threshold in Spark, in the DuckDB oracle, and across Spark
+    # versions/plans, or the survivor set flips nondeterministically
+    pair_cos = F.round(
+        F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")),
+        6,
     )
     doomed = (
         a.join(b, on="cell_id")

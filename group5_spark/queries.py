@@ -1215,7 +1215,7 @@ def containment_scheduled_survivors(spark: SparkSession, sf_dir: str) -> DataFra
         SELECT DISTINCT a.vec_id
         FROM assign a JOIN assign b
           ON a.cid = b.cid AND a.vec_id != b.vec_id
-        WHERE list_cosine_similarity(a.v, b.v) >= 0.95
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.95
           AND (b.sim > a.sim
                OR (b.sim = a.sim AND b.vec_id < a.vec_id))
     )

@@ -627,6 +627,75 @@ def test_containment_compact_since_version_scheduled_form(
         )
 
 
+def test_containment_compact_bootstrap_window_pinned_inside(
+    spark, tmp_path
+):
+    """Round-12 ADVICE: the bootstrap full-corpus window must be
+    derived INSIDE containment_compact at its own pinned head_version
+    (``since_version=0`` = diff against the empty pre-table state),
+    never read by the caller — a caller-side snapshot_read could pin
+    an EARLIER head than compact's manifest read under a concurrent
+    stream commit, and the seed tag (placed at compact's head) would
+    then advance past docs no window ever examined."""
+    from group5_spark.extensions.dedup import (
+        DEFAULT_COMPACTION_SEED_TAG,
+        containment_compact_scheduled,
+    )
+    from group5_spark.medallion.snapshots import (
+        snapshot_commit,
+        snapshot_manifest,
+        snapshot_read,
+        snapshot_tags,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota k"),
+            (3, "one two three"),
+        ],
+        ["doc_id", "text"],
+    )
+    corpus_path = str(tmp_path / "corpus")
+    index_path = str(tmp_path / "index")
+    snapshot_commit(docs, corpus_path)
+    snapshot_commit(
+        dedup.containment_index_build(docs, threshold=0.9), index_path
+    )
+
+    # since_version=0 IS the full-window election: doc 1 (engulfed by
+    # the within-window doc 2) retires under the size/id rule
+    res = dedup.containment_compact(
+        spark, corpus_path, index_path, since_version=0
+    )
+    assert res["doomed"] == 1
+    assert {
+        r.doc_id for r in snapshot_read(spark, corpus_path).collect()
+    } == {2, 3}
+    # the merge commit's note proves the derivation went through the
+    # pinned-head since_version path, not a caller-side id read
+    assert snapshot_manifest(corpus_path)["note"]["since_version"] == 0
+
+    # the scheduled bootstrap rides the same path: rebuild fresh
+    # tables, no seed tag → bootstrap="full" dooms the engulfed doc
+    # and the commit note again records since_version=0
+    import shutil
+
+    shutil.rmtree(corpus_path)
+    shutil.rmtree(index_path)
+    snapshot_commit(docs, corpus_path)
+    snapshot_commit(
+        dedup.containment_index_build(docs, threshold=0.9), index_path
+    )
+    sres = containment_compact_scheduled(spark, corpus_path, index_path)
+    assert sres["bootstrap"] == "full" and sres["doomed"] == 1
+    assert snapshot_manifest(corpus_path)["note"]["since_version"] == 0
+    assert (
+        snapshot_tags(corpus_path)[DEFAULT_COMPACTION_SEED_TAG]
+        == sres["head_version"]
+    )
+
+
 def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
     """LSH must recover the high-similarity pairs exact Jaccard finds."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1988,3 +2057,38 @@ def test_semantic_dedup_domination_election(spark):
     surv = semantic_dedup(corpus, cents, threshold=0.95)
     got = {(r.vec_id, r.cell_id) for r in surv.collect()}
     assert got == {(10, 0), (13, 0), (21, 1), (22, 1)}
+
+
+def test_semantic_dedup_tau_boundary_rounds_to_6dp(spark):
+    """Round-12 ADVICE (medium): the PAIR cosine must round to 6 dp
+    BEFORE the τ comparison, like every other cross-engine float in
+    the election — a raw cosine of 0.9499996 is < τ=0.95 in raw
+    doubles but IS a duplicate pair after the 6-dp contract (rounds
+    to 0.950000), while 0.9499994 rounds to 0.949999 and survives.
+    Both constructed pairs sit 4e-7 from the rounding midpoint, far
+    beyond any engine's cosine arithmetic error, so the expected
+    survivor set is engine-exact."""
+    import math
+
+    from group5_spark.extensions.similarity import semantic_dedup
+
+    hi, lo = 0.9499996, 0.9499994  # round to 0.950000 / 0.949999
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        ["cid", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            # cell 0: raw cos(1, 2) = hi -> rounds ONTO tau, pair
+            # fires, centroid-closer doc 1 dooms doc 2
+            (1, [1.0, 0.0, 0.0]),
+            (2, [hi, math.sqrt(1 - hi * hi), 0.0]),
+            # cell 1: raw cos(3, 4) = lo -> rounds BELOW tau, both
+            # survive even though the raw gap to tau is only 6e-7
+            (3, [0.0, 1.0, 0.0]),
+            (4, [math.sqrt(1 - lo * lo), lo, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    surv = semantic_dedup(corpus, cents, threshold=0.95)
+    assert {r.vec_id for r in surv.collect()} == {1, 3, 4}
