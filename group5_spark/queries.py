@@ -1280,6 +1280,135 @@ def semantic_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return surv
 
 
+# 56-bit portable hash, DuckDB spelling (Spark spelling:
+# extensions.dedup.portable_hash56_sql) — the hash IS the semantics for
+# MinHash/SimHash, so cross-engine verification requires a hash both
+# engines compute bit-for-bit.
+_DUCK_H56 = "CAST(concat('0x', substr(md5({x}), 1, 14)) AS BIGINT)"
+
+
+_SEMANTIC_IVF_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    corpus AS (
+        SELECT id, v FROM base
+        UNION ALL
+        SELECT id + 10000, list_transform(v, x -> x * 2)
+        FROM base WHERE id % 25 = 3
+    ),
+    cent AS (
+        -- the index's frozen centroid sample: the 8 ids with the
+        -- smallest portable hash, L2-normalized with a left-fold sum
+        -- of squares + IEEE sqrt — bit-identical to the engine's
+        -- driver-side normalize (same replay as sim_ivf_topk)
+        SELECT id AS cell,
+               list_transform(v, x -> x / sqrt(list_reduce(
+                 list_transform(v, y -> y * y), (a, b) -> a + b))) AS cv
+        FROM corpus
+        ORDER BY {{h56}}, id
+        LIMIT 8
+    ),
+    scores AS (
+        SELECT b.id, b.v, c.cell, c.cv,
+               list_reduce(list_transform(range(0, len(b.v)),
+                 i -> b.v[i+1] * c.cv[i+1]), (a, b2) -> a + b2) AS score
+        FROM corpus b CROSS JOIN cent c
+    ),
+    assigned AS (
+        -- the index's RAW-double argmax (score DESC, cell DESC ties),
+        -- then the election's 6-dp centroid cosine over the stored
+        -- vectors — both norms recomputed exactly as the engine does
+        SELECT id, v, cell,
+               ROUND(score / (sqrt(list_reduce(
+                   list_transform(v, y -> y * y), (a, b) -> a + b))
+                 * sqrt(list_reduce(
+                   list_transform(cv, y -> y * y), (a, b) -> a + b))),
+                 6) AS cs
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id ORDER BY score DESC, cell DESC) AS rn
+            FROM scores) t WHERE rn = 1
+    ),
+    doomed AS (
+        SELECT DISTINCT a.id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.id != b.id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+          AND (b.cs > a.cs OR (b.cs = a.cs AND b.id < a.id))
+    )
+    SELECT a.id AS vec_id, CAST(a.cell AS BIGINT) AS cell_id,
+           a.cs AS cent_sim
+    FROM assigned a
+    WHERE a.id NOT IN (SELECT id FROM doomed)
+""".format(h56=_DUCK_H56.format(x="CAST(id AS VARCHAR)"))
+
+
+@register("semantic_dedup_ivf_survivors", _SEMANTIC_IVF_ORACLE)
+def semantic_dedup_ivf_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SemDeDup election over a PERSISTED IVF index's own cells
+    (``extensions.similarity.semantic_dedup_ivf`` — round-12 VERDICT
+    #5): the deployment the measured ladder's exponents recommend —
+    the N·k assignment pass is already paid and STORED as the index's
+    ``cell_id`` partition column, so the election costs one cosine
+    per row (against the row's own cell centroid, for the domination
+    ranking) plus the cell-bounded pair join; at 100 TB the index is
+    file-partitioned by cell, so each per-cell election reads only
+    its own files. Portable-hash mode (``hash_fn="md5"``) lets the
+    DuckDB oracle re-derive the index's frozen centroid sample, the
+    RAW-double Voronoi argmax (score DESC, cell DESC ties — the
+    index assignment rounds nothing; only the election's comparisons
+    carry the 6-dp contract), the 6-dp centroid cosine, and the
+    within-cell domination election from naive SQL. Planted
+    power-of-two duplicates (each vec_id % 25 = 3 re-entering as
+    id+10000 scaled by 2) land in their original's cell with
+    BIT-identical centroid similarity — doubling a vector scales
+    every assignment score by exactly 2, preserving the argmax — so
+    the id tie-break must retire exactly the copies; the query
+    raises if any copy survives or an original is lost."""
+    import shutil as _shutil
+
+    from group5_spark.extensions import similarity as S
+
+    base_dir = _dml_scratch("semantic_dedup_ivf_survivors", sf_dir)
+    _shutil.rmtree(base_dir, ignore_errors=True)
+    idx = f"{base_dir}/ivfidx"
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    copies = base.where(F.col("vec_id") % 25 == 3).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(2.0)).alias(
+            "embedding"
+        ),
+    )
+    corpus = base.unionByName(copies)
+    S.ivf_index_init(corpus, idx, n_cells=8, hash_fn="md5")
+    surv = S.semantic_dedup_ivf(spark, idx, threshold=0.95)
+    n_copies = copies.count()
+    leaked = surv.where(F.col("vec_id") >= 10000).count()
+    kept = surv.count()
+    if leaked or kept != base.count() or not n_copies:
+        raise RuntimeError(
+            f"semantic dedup over the persisted IVF cells broke: "
+            f"{leaked} planted copies survived, {kept} survivors "
+            f"({n_copies} copies planted) — the stored-cell election "
+            f"must retire exactly the copies"
+        )
+    return surv.select(
+        "vec_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        "cent_sim",
+    )
+
+
 @register(
     "purge_erasure_survivors",
     """
@@ -1491,13 +1620,6 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cluster_size"),
         (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
     )
-
-
-# 56-bit portable hash, DuckDB spelling (Spark spelling:
-# extensions.dedup.portable_hash56_sql) — the hash IS the semantics for
-# MinHash/SimHash, so cross-engine verification requires a hash both
-# engines compute bit-for-bit.
-_DUCK_H56 = "CAST(concat('0x', substr(md5({x}), 1, 14)) AS BIGINT)"
 
 
 @register(
@@ -8909,99 +9031,119 @@ def span_dedup_incremental_counts(
 
 
 # The driver oracle-checks the FIRST 50 registered queries each round.
-# Round-12 window (round-11 VERDICT #1's ordered rotation): the
-# FOURTEEN round-11 deferrals lead — their newest driver evidence is
-# round 8, at the 3-round boundary; all fourteen are bench headliners,
-# which per the round-8 convention rotate first after a deferral —
-# then the THREE queries new this round (new queries enter their own
-# round's window), then 33 of the 50 queries whose newest driver
-# evidence is round 9. That cohort is oversubscribed for the 50-slot
-# window, so SEVENTEEN defer to round 13 (14 + 3 + 33 = 50), chosen —
-# exactly like the round-9/-10/-11 deferral sets — for the strongest
-# alternative evidence: EIGHT are bench headliners executed and timed
-# by the driver every round (daily_revenue, moving_avg_7d,
-# mtd_revenue, profit_by_nation_year, revenue_by_nation,
-# running_revenue, shipping_priority, yoy_revenue — per the
-# convention they rotate FIRST in round 13), and the other seven
-# each carry a dedicated pytest reference AND an in-window family
-# sibling exercising the same operator path
-# (kmv_users_by_event_type + kmv_weekly_rollup — kmv_distinct_estimate
-# stays in-window; dedup_cluster_representatives — dedup_clusters
-# stays; tfidf_top_terms + boilerplate_ngram_fraction —
-# bigram_top_counts stays; crossmodal_dup_agreement —
-# multimodal_decode_features was green in r11; salted_segment_revenue
-# — the salting plan is asserted in test_plans;
-# kmeans_embedding_clusters — the same clustering path anchors
-# pq_ann_topk, green in r11, and test_clustering pins it;
-# embedding_norm_stats — the embedding-ops family anchors
-# dedup_embedding_cosine, green in r11, and the new
-# semantic_dedup_survivors exercises the same norm/cosine kernels).
+# Round-13 window (round-12 VERDICT #1's ordered rotation): the
+# SEVENTEEN round-12 deferrals lead — their newest driver evidence is
+# round 9, at the 3-round boundary; the eight bench headliners among
+# them rotate first per the standing convention — then the ONE query
+# new this round (new queries enter their own round's window), then
+# 32 of the 50 queries whose newest driver evidence is round 10. That
+# cohort is oversubscribed for the 50-slot window, so EIGHTEEN defer
+# to round 14 (17 + 1 + 32 = 50), chosen — exactly like every
+# deferral set since round 9 — for the strongest alternative
+# evidence. ONE is a bench headliner executed and timed by the driver
+# every round (pricing_summary — per the convention it rotates FIRST
+# in round 14); the other SEVENTEEN each carry a dedicated pytest
+# reference AND an in-window family sibling exercising the same
+# operator path:
+#   multimodal_audio_features + multimodal_frame_sample +
+#     multimodal_binary_meta — multimodal_video_features stays
+#     in-window; the Arrow decode plumbing is pinned by
+#     test_extensions::test_multimodal_plumbing + test_properties;
+#   union_active_ids + except_active_ids — intersect_active_ids
+#     stays; set-op operators pinned in test_operators;
+#   merge_tiered_clauses — merge_full_sync_status stays; the MERGE
+#     matrix is pinned by tests/test_merge.py;
+#   dv_delete_survivors — eq_upsert_survivors stays; the DV sidecar
+#     path is pinned by tests/test_deletion_vectors.py;
+#   mv_star_segment_revenue — mv_filtered_status_revenue stays;
+#     rewrite matching pinned by tests/test_mv.py;
+#   text_bigram_logprob — tfidf_top_terms (rotating in) shares the
+#     n-gram/logprob stats family; text_unigram_logprob was green
+#     in r12;
+#   text_langid — text_quality stays; extensions/text pinned in
+#     test_extensions;
+#   text_fingerprint — crossmodal_dup_agreement (rotating in)
+#     consumes the same md5 fingerprint column;
+#   contained_incremental_new — contained_doc_pairs stays; the
+#     incremental containment probe is pinned by test_extensions +
+#     the replay suite in test_streaming;
+#   dedup_clusters_incremental — dedup_cluster_representatives
+#     (rotating in) shares the star-contraction components;
+#     incremental_components pinned in test_extensions;
+#   dedup_incremental_neardup — dedup_jaccard_pairs stays; the
+#     persisted-LSH probe is pinned by tests/test_lsh_index.py;
+#   ivf_pq_exact_anchor — semantic_dedup_ivf_survivors (NEW, in
+#     window) exercises the same persisted-IVF index path; the PQ
+#     exactness anchor is pinned by tests/test_ivf_index.py;
+#   knn_label_vote — sim_lsh_topk stays; the shared cosine-topk
+#     kernels are pinned in test_extensions;
+#   embedding_int8_quantization — embedding_norm_stats (rotating in)
+#     shares the embedding-ops family; int8 quantization pinned in
+#     test_extensions.
 # Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
 _CHECK_WINDOW = [
-    # the round-11 deferral set (newest driver evidence round 8) —
-    # all fourteen are bench headliners
-    "top_customers",
-    "customer_order_counts",
-    "funnel_steps",
-    "events_props_sum",
-    "pct_revenue_by_segment",
-    "tumbling_hourly_events",
-    "asof_last_click_before_error",
-    "doc_pipeline_filtered_corpus",
-    "text_token_count",
-    "large_volume_customers",
-    "repeat_orders_within_3d",
-    "customer_rfm_segments",
-    "part_pair_affinity",
-    "train_val_test_split",
-    # NEW in round 12 — the scheduled containment compaction
-    # end-to-end (seed tag planted, window derived from the tag,
-    # engulfed pages retired, seed advanced; oracle = the naive
-    # all-pairs survivor SQL), the right-to-erasure purge
-    # (snapshot_purge_ids across corpus + containment index; oracle =
-    # the survivor selection), and SemDeDup-style semantic dedup
-    # (centroid-cell domination election over planted power-of-two
-    # semantic duplicates; oracle replays assignment + threshold +
-    # domination from naive SQL)
-    "containment_scheduled_survivors",
-    "purge_erasure_survivors",
-    "semantic_dedup_survivors",
-    # newest driver evidence round 9 — cohort minus the 15 deferrals
-    "bigram_top_counts",
-    "brand_customer_overlap",
-    "corpus_quality_gate",
-    "dedup_clusters",
-    "dedup_incremental_new",
-    "dq_orders_checks",
-    "excess_parts_suppliers",
-    "fuzzy_part_name_pairs",
-    "gap_filled_daily_revenue",
-    "global_top_orders",
-    "grouping_sets_revenue",
-    "important_stock_share",
-    "kmv_distinct_estimate",
-    "lang_temperature_resample",
-    "latest_event_per_user",
-    "mad_order_value_by_segment",
-    "moving_avg_7d_range",
-    "nation_supply_value_share",
-    "native_session_windows",
-    "ohlc_hourly_value",
-    "ordered_funnel_users",
-    "packed_sequence_bins",
-    "per_source_doc_cap",
-    "pii_redaction_report",
-    "revenue_pareto_share",
-    "snapshot_partitions_rent",
-    "stats_price_quantity",
-    "text_unigram_logprob",
-    "trailing_7d_active_users",
-    "user_active_coverage",
-    "window_navigation_showcase",
-    "winsorized_order_stats",
-    "word_position_stats",
+    # the round-12 deferral set (newest driver evidence round 9) —
+    # the eight bench headliners first
+    "daily_revenue",
+    "moving_avg_7d",
+    "mtd_revenue",
+    "profit_by_nation_year",
+    "revenue_by_nation",
+    "running_revenue",
+    "shipping_priority",
+    "yoy_revenue",
+    # ... then the nine pytest-sibling round-12 deferrals
+    "kmv_users_by_event_type",
+    "kmv_weekly_rollup",
+    "dedup_cluster_representatives",
+    "tfidf_top_terms",
+    "boilerplate_ngram_fraction",
+    "crossmodal_dup_agreement",
+    "salted_segment_revenue",
+    "kmeans_embedding_clusters",
+    "embedding_norm_stats",
+    # NEW in round 13 — the SemDeDup election over a PERSISTED IVF
+    # index's own stored cells (round-12 VERDICT #5: the index-reuse
+    # deployment the ladder's exponents recommend now carries the
+    # same oracle-gate evidence class as the direct path; the DuckDB
+    # oracle replays the frozen portable-hash centroid sample, the
+    # raw-double Voronoi argmax, and the 6-dp domination election)
+    "semantic_dedup_ivf_survivors",
+    # newest driver evidence round 10 — cohort minus the 18 deferrals
+    "contained_doc_pairs",
+    "conversion_rate",
+    "corpus_curation_funnel",
+    "cube_event_counts",
+    "customers_with_orders",
+    "date_functions_showcase",
+    "dedup_jaccard_pairs",
+    "doc_chunk_windows",
+    "doc_repetition_filter",
+    "dynfilter_urgent_order_revenue",
+    "eq_upsert_survivors",
+    "events_by_type_daily",
+    "exists_returned_orders",
+    "histogram_weekly_percentiles",
+    "intersect_active_ids",
+    "inverted_index_postings",
+    "late_shipment_priority",
+    "merge_full_sync_status",
+    "min_cost_supplier",
+    "monthly_open_order_lines",
+    "multimodal_video_features",
+    "mv_filtered_status_revenue",
+    "ntile_customer_quartiles",
+    "order_part_baskets",
+    "parts_supplier_relationship",
+    "pivot_event_matrix",
+    "recursive_trade_reach",
+    "rich_inactive_customers",
+    "scalar_subquery_pricey_parts",
+    "sim_lsh_topk",
+    "string_functions_showcase",
+    "text_quality",
 ]
 
 

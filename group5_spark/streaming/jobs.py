@@ -325,6 +325,8 @@ def stream_upsert_snapshot(
     dv_threshold: float | None = None,
     eq_mode: bool = False,
     schema_evolution: bool = False,
+    denylist_path: str | None = None,
+    denylist_key: str | None = None,
 ) -> StreamingQuery:
     """Continuously upsert a change stream into a SNAPSHOT table —
     :func:`stream_upsert` with the lakehouse contract the Hive-layout
@@ -376,6 +378,17 @@ def stream_upsert_snapshot(
     ``apply_health`` fold on the sidecar-count recommendation);
     a fold between batches is safe, it cannot double-apply.
     Mutually exclusive with ``dv_threshold``.
+
+    ``denylist_path``: the persisted suppression table
+    (:func:`medallion.maintenance.snapshot_purge_ids` appends every
+    erased id) anti-joined against each micro-batch BEFORE the dedup
+    and merge — an upsert sink would otherwise re-INSERT a purged key
+    the moment the upstream re-emits it (a CDC replay, a re-crawl, a
+    backfill), resurrecting the erased row. ``denylist_key`` names
+    which key column the denylist ids match; it defaults to the
+    single merge key and must be given explicitly for composite-key
+    tables (suppressing on one component of a composite key is a
+    policy choice the caller must own).
     """
     from pyspark.sql import Window
 
@@ -396,10 +409,20 @@ def stream_upsert_snapshot(
             "the table's existing layout — partition_by is a "
             "table-creation concern, not a per-batch one"
         )
+    dl_key = denylist_key
+    if denylist_path is not None and dl_key is None:
+        if len(keys) != 1:
+            raise ValueError(
+                "denylist_path on a composite-key table needs an "
+                "explicit denylist_key= naming which key column the "
+                "suppressed ids match"
+            )
+        dl_key = keys[0]
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if batch.isEmpty():
             return
+        batch = _apply_denylist(batch, denylist_path, dl_key)
         app = app_id or _checkpoint_query_id(checkpoint_dir)
         if app is not None:
             done = snap.last_committed_batch(table_path, app)
@@ -508,6 +531,8 @@ def stream_dedup_vs_corpus(
     text_col: str = "text",
     ts_col: str | None = None,
     watermark: str = "1 hour",
+    denylist_path: str | None = None,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Streaming twin of the batch incremental corpus dedup
     (extensions/dedup.py:incremental_new_docs): drop any streamed
@@ -525,7 +550,22 @@ def stream_dedup_vs_corpus(
       stream length.
     Only 32-char fingerprints ever join; document text stays in the
     micro-batch.
+
+    ``denylist_path``: the persisted suppression table
+    (:func:`medallion.maintenance.snapshot_purge_ids` appends every
+    erased id) anti-joined on ``id_col`` BEFORE the corpus
+    fingerprint join — a purged document's fingerprint left the
+    corpus with its row, so a re-crawl would otherwise pass the
+    content check and re-ingest erased content. NOTE this surface is
+    a pure transformation (no ``foreachBatch``), so the suppression
+    set — like ``corpus_fingerprints`` itself — resolves when the
+    plan is WIRED, not per micro-batch: ids purged while the query
+    runs apply from the next (re)start. The foreachBatch surfaces
+    (:func:`stream_containment_dedup`, :func:`stream_span_dedup`,
+    :func:`stream_upsert_snapshot`, the index-maintenance streams)
+    re-read the table every micro-batch.
     """
+    df = _apply_denylist(df, denylist_path, id_col)
     normalized = F.lower(
         F.trim(F.regexp_replace(F.col(text_col), "\\s+", " "))
     )
@@ -549,6 +589,7 @@ def stream_span_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     app_id: str | None = None,
+    denylist_path: str | None = None,
 ) -> StreamingQuery:
     """Continuous crawl ingestion with C4-style span-level dedup
     (streaming twin of ``extensions.dedup.span_dedup_incremental``):
@@ -578,6 +619,14 @@ def stream_span_dedup(
     is never re-read. Index growth is union-by-append of hashes that
     were PROVEN absent (the anti-join), so the table stays distinct
     without ever running DISTINCT over itself.
+
+    ``denylist_path``: the persisted suppression table
+    (:func:`medallion.maintenance.snapshot_purge_ids` appends every
+    erased id) anti-joined against each micro-batch BEFORE the
+    election — a purged document's corpus row AND its span hashes may
+    be gone, so a re-crawl would otherwise re-elect and re-ingest the
+    erased content (and re-publish its span hashes). Same guard, same
+    per-batch price as :func:`stream_containment_dedup`'s.
     """
     from pathlib import Path as _Path
 
@@ -600,6 +649,10 @@ def stream_span_dedup(
             i_done = d is not None and d >= batch_id
         if c_done and i_done:
             return
+        # erased ids stay erased across re-crawls — suppress before
+        # the election so neither the corpus append nor the span-hash
+        # append ever sees the taken-down document
+        batch = _apply_denylist(batch, denylist_path, id_col)
         if snap._current_version(_Path(index_path)):
             idx = snap.snapshot_read(spark, index_path)
         else:
@@ -652,6 +705,36 @@ def stream_span_dedup(
     )
     query.awaitTermination()
     return query
+
+
+def _apply_denylist(
+    batch: DataFrame, denylist_path: str | None, id_col: str
+) -> DataFrame:
+    """Anti-join the persisted suppression table
+    (:func:`medallion.maintenance.snapshot_purge_ids` appends every
+    erased id to it via its own ``denylist_path=``) against a
+    micro-batch — the shared right-to-erasure guard for EVERY
+    corpus/index-writing ingestion surface: a purged id's table row is
+    gone, so nothing else blocks a re-crawl of the taken-down content
+    from re-ingesting the very rows the erasure removed. One
+    column-pruned id scan per micro-batch; an absent table (no purge
+    yet) or ``None`` path costs nothing. The denylist stores bare
+    ``id`` values; ``id_col`` names the batch column they key."""
+    from pathlib import Path
+
+    from group5_spark.medallion import snapshots as snap
+
+    if denylist_path is None or not snap._current_version(
+        Path(denylist_path)
+    ):
+        return batch
+    return batch.join(
+        snap.snapshot_read(batch.sparkSession, denylist_path).select(
+            F.col("id").alias(id_col)
+        ),
+        on=id_col,
+        how="left_anti",
+    )
 
 
 def _note_versions(
@@ -872,16 +955,7 @@ def stream_containment_dedup(
         # suppression list first: an ERASED id must stay erased even
         # when the page is re-crawled (its corpus row is gone, so the
         # first-crawl-wins join below can no longer block it)
-        if denylist_path is not None and snap._current_version(
-            Path(denylist_path)
-        ):
-            batch = batch.join(
-                snap.snapshot_read(spark, denylist_path).select(
-                    F.col("id").alias(id_col)
-                ),
-                on=id_col,
-                how="left_anti",
-            )
+        batch = _apply_denylist(batch, denylist_path, id_col)
         # first-crawl-wins upsert: a re-crawled id (already ingested —
         # checked against the CORPUS id set, a superset of the index's
         # that also covers NULL-text survivors) drops before probing,
@@ -1220,6 +1294,8 @@ def _stream_index_maintenance(
     checkpoint: str,
     append_fn,
     app_id: str | None,
+    denylist_path: str | None = None,
+    id_col: str | None = None,
 ):
     """Shared shape for stream-maintained persisted indexes: each
     micro-batch goes through ``append_fn(batch_df, index_path,
@@ -1228,10 +1304,21 @@ def _stream_index_maintenance(
     (app_id, batch_id) manifest-note dedup as
     :func:`stream_snapshot_sink`, so a retried micro-batch is skipped
     instead of double-indexing. Concurrent probes always see a
-    complete index at some batch boundary (snapshot atomicity)."""
+    complete index at some batch boundary (snapshot atomicity).
+    ``denylist_path`` + ``id_col``: the right-to-erasure suppression
+    anti-join (:func:`_apply_denylist`), re-read every micro-batch —
+    an erased document/vector re-fed through index maintenance would
+    otherwise re-enter the very index the purge's merge-delete just
+    cleaned. An empty post-suppression batch is skipped OUTRIGHT (no
+    empty append commit): the (app_id, batch_id) note only ever
+    gates replays of batches that committed, so skipping is safe."""
     from group5_spark.medallion import snapshots as snap
 
     def index_batch(batch_df, batch_id: int) -> None:
+        if denylist_path is not None:
+            batch_df = _apply_denylist(batch_df, denylist_path, id_col)
+            if batch_df.isEmpty():
+                return
         app = app_id or _checkpoint_query_id(checkpoint)
         if app is not None:
             done = snap.last_committed_batch(index_path, app)
@@ -1253,20 +1340,28 @@ def stream_lsh_index_maintenance(
     index_path: str,
     checkpoint: str,
     app_id: str | None = None,
+    denylist_path: str | None = None,
+    id_col: str = "doc_id",
 ):
     """Keep a persisted MinHash-LSH index (extensions.dedup
     ``lsh_index_init``/``lsh_index_append``) fresh from a live
     document stream — signatures for the new documents only, a
     restarted stream can never drift from the index's pinned
     parameters, and a near-dup probe (``near_dups_against_index``)
-    never sees a half-indexed crawl.
+    never sees a half-indexed crawl. ``denylist_path``: suppress
+    erased doc ids every micro-batch (see
+    :func:`_stream_index_maintenance`) — a purged document re-crawled
+    into this stream would otherwise re-enter the band buckets
+    :func:`medallion.maintenance.snapshot_purge_ids` just
+    merge-deleted.
 
     Returns an un-started DataStreamWriter (caller picks the trigger).
     """
     from group5_spark.extensions.dedup import lsh_index_append
 
     return _stream_index_maintenance(
-        docs, index_path, checkpoint, lsh_index_append, app_id
+        docs, index_path, checkpoint, lsh_index_append, app_id,
+        denylist_path=denylist_path, id_col=id_col,
     )
 
 
@@ -1275,6 +1370,8 @@ def stream_ivf_index_maintenance(
     index_path: str,
     checkpoint: str,
     app_id: str | None = None,
+    denylist_path: str | None = None,
+    id_col: str = "vec_id",
 ):
     """Keep a persisted IVF ANN index (extensions.similarity
     ``ivf_index_init``/``ivf_index_append``) fresh from a live
@@ -1283,12 +1380,18 @@ def stream_ivf_index_maintenance(
     append, so ``ivf_index_search`` keeps file-pruning correctly as
     the corpus grows.
 
+    ``denylist_path``: suppress erased vector ids every micro-batch
+    (see :func:`_stream_index_maintenance`) — a purged embedding
+    re-fed through maintenance would otherwise re-enter the cell
+    files the purge just rewrote.
+
     Returns an un-started DataStreamWriter (caller picks the trigger).
     """
     from group5_spark.extensions.similarity import ivf_index_append
 
     return _stream_index_maintenance(
-        embeddings, index_path, checkpoint, ivf_index_append, app_id
+        embeddings, index_path, checkpoint, ivf_index_append, app_id,
+        denylist_path=denylist_path, id_col=id_col,
     )
 
 
@@ -1297,6 +1400,8 @@ def stream_ivf_pq_index_maintenance(
     index_path: str,
     checkpoint: str,
     app_id: str | None = None,
+    denylist_path: str | None = None,
+    id_col: str = "vec_id",
 ):
     """Keep a persisted COMPOSED IVF-PQ index (extensions.similarity
     ``ivf_pq_index_init``/``ivf_pq_index_append``) fresh from a live
@@ -1310,12 +1415,14 @@ def stream_ivf_pq_index_maintenance(
     recall monitoring say when), stop the stream, run
     ``ivf_pq_index_retrain``, and restart: the checkpoint's
     (app_id, batch_id) note-dedup carries across the retrain version
-    untouched.
+    untouched. ``denylist_path``: suppress erased vector ids every
+    micro-batch (see :func:`_stream_index_maintenance`).
 
     Returns an un-started DataStreamWriter (caller picks the trigger).
     """
     from group5_spark.extensions.similarity import ivf_pq_index_append
 
     return _stream_index_maintenance(
-        embeddings, index_path, checkpoint, ivf_pq_index_append, app_id
+        embeddings, index_path, checkpoint, ivf_pq_index_append, app_id,
+        denylist_path=denylist_path, id_col=id_col,
     )

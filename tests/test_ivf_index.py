@@ -163,6 +163,67 @@ def test_stream_ivf_index_maintenance_exactly_once(spark, sf_dir, tmp_path):
     assert len(snapshot_versions(idx)) == versions_after
 
 
+def test_stream_ivf_index_maintenance_denylist(spark, sf_dir, tmp_path):
+    """Round-12 VERDICT #2, embedding surfaces: a purged vector
+    re-fed through IVF (and IVF-PQ) index maintenance would re-enter
+    the cell files the purge just rewrote — with denylist_path the
+    erased vec_id stays out of BOTH index shapes while fresh vectors
+    land."""
+    import json
+
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.medallion.snapshots import snapshot_read
+    from group5_spark.streaming import jobs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus0 = emb.filter(F.col("vec_id") % 5 < 4)
+    ivf = str(tmp_path / "ivfidx")
+    ivfpq = str(tmp_path / "ivfpqidx")
+    deny = str(tmp_path / "deny")
+    S.ivf_index_init(corpus0, ivf, n_cells=8)
+    S.ivf_pq_index_init(corpus0, ivfpq, n_cells=8, m=4, k_codes=8)
+
+    rows = [
+        (int(r.vec_id), [float(x) for x in r.embedding])
+        for r in emb.filter(F.col("vec_id") % 5 == 4).limit(3).collect()
+    ]
+    victim, fresh = rows[0][0], {vid for vid, _ in rows[1:]}
+    # erase the victim from both indexes; the denylist remembers it
+    snapshot_purge_ids(
+        spark, [victim], [(ivf, "cand_id"), (ivfpq, "cand_id")],
+        missing_ok=True, denylist_path=deny,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for vid, vec in rows:  # re-feeds the purged victim + fresh
+            f.write(json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    for path, maint, ck in (
+        (ivf, jobs.stream_ivf_index_maintenance, "ck1"),
+        (ivfpq, jobs.stream_ivf_pq_index_maintenance, "ck2"),
+    ):
+        stream = spark.readStream.schema(schema).json(str(src))
+        q = (
+            maint(
+                stream, path, str(tmp_path / ck), denylist_path=deny
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        ids = {r["cand_id"] for r in snapshot_read(spark, path).collect()}
+        assert victim not in ids and fresh <= ids
+
+
 def test_stream_ivf_pq_index_maintenance_exactly_once(
     spark, sf_dir, tmp_path
 ):

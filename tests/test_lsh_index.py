@@ -196,6 +196,69 @@ def test_stream_lsh_index_maintenance_exactly_once(spark, tmp_path):
     assert len(snapshot_versions(idx)) == versions_after
 
 
+def test_stream_lsh_index_maintenance_denylist(spark, tmp_path):
+    """Round-12 VERDICT #2, ANN-index surface: a purged document
+    re-fed through LSH index maintenance would re-enter the band
+    buckets the purge's merge-delete just cleaned — with
+    denylist_path the erased id stays out while fresh docs index; a
+    fully-suppressed micro-batch is skipped outright (no empty
+    commit)."""
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "epsilon zeta eta theta")],
+        ["doc_id", "text"],
+    )
+    idx = str(tmp_path / "lshidx")
+    deny = str(tmp_path / "deny")
+    dedup.lsh_index_init(corpus, idx, shingle_n=1)
+
+    out = snapshot_purge_ids(
+        spark, [1], [(idx, "id")], denylist_path=deny
+    )
+    assert out["rows_deleted"] > 0 and out["denylisted"] == 1
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "a.json", "w") as f:
+        for i, t in ((1, "alpha beta gamma delta"), (3, "fresh words")):
+            f.write(json.dumps({"doc_id": i, "text": t}) + "\n")
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("text", StringType()),
+    ])
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).json(str(src))
+    q = (
+        jobs.stream_lsh_index_maintenance(
+            stream, idx, ckpt, denylist_path=deny
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = {r["id"] for r in snapshot_read(spark, idx).collect()}
+    assert 1 not in ids and 3 in ids and 2 in ids
+    n_versions = len(snapshot_versions(idx))
+
+    # a batch that is ENTIRELY suppressed commits nothing
+    src2 = tmp_path / "src2"
+    src2.mkdir()
+    with open(src2 / "a.json", "w") as f:
+        f.write(json.dumps({"doc_id": 1, "text": "alpha beta"}) + "\n")
+    stream = spark.readStream.schema(schema).json(str(src2))
+    q = (
+        jobs.stream_lsh_index_maintenance(
+            stream, idx, str(tmp_path / "ckpt2"), denylist_path=deny
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(snapshot_versions(idx)) == n_versions
+
+
 def test_index_survives_compaction_and_rollback(spark, tmp_path):
     """The pinned LSH parameters are TABLE PROPERTIES: ordinary
     snapshot compaction (which the append docstring recommends for

@@ -2064,6 +2064,171 @@ def test_purge_denylist_keeps_takedown_erased(spark, tmp_path):
     assert snap.snapshot_manifest(deny)["version"] == snap_commit_count
 
 
+def test_purge_denylist_guards_span_stream(spark, tmp_path):
+    """Round-12 VERDICT #2: the suppression denylist must guard EVERY
+    corpus-writing ingestion surface, not just the containment stream.
+    Span-dedup specifics: the span index keeps anonymous shared
+    hashes (deliberately excluded from the purge), so a VERBATIM
+    re-crawl of a purged doc is already fully-duplicate and drops —
+    but an EDITED re-crawl (the usual takedown-evasion shape) carries
+    fresh spans and would re-ingest without the denylist. It must
+    stay out of corpus AND index while a fresh doc ingests."""
+    from group5_spark.extensions.dedup import span_index_build
+    from group5_spark.medallion import snapshots as snap
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    deny = str(tmp_path / "deny")
+    ck = str(tmp_path / "ck")
+
+    def drain():
+        jobs.stream_span_dedup(
+            spark.readStream.schema(_docs_schema()).json(str(src)),
+            ck, corpus, index, span_words=3, app_id="crawler",
+            denylist_path=deny,
+        )
+
+    _emit_docs(src, "b1.json", [
+        (10, "alpha beta gamma delta epsilon zeta"),
+        (11, "one two three four five six"),
+    ])
+    drain()
+
+    out = snapshot_purge_ids(
+        spark, [10], [(corpus, "doc_id")],
+        note={"ticket": "TAKEDOWN-2"}, denylist_path=deny,
+    )
+    assert out["denylisted"] == 1
+
+    # the taken-down page comes back EDITED (fresh spans) + a new doc
+    _emit_docs(src, "b2.json", [
+        (10, "totally rewritten takedown evasion text here now"),
+        (12, "completely new page content words here"),
+    ])
+    idx_rows_before = snap.snapshot_read(spark, index).count()
+    drain()
+    assert {
+        r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
+    } == {11, 12}
+    # the index gained exactly doc 12's spans — none of doc 10's
+    n12 = span_index_build(
+        spark.createDataFrame(
+            [(12, "completely new page content words here")],
+            _docs_schema(),
+        ),
+        span_words=3,
+    ).count()
+    assert (
+        snap.snapshot_read(spark, index).count() == idx_rows_before + n12
+    )
+
+
+def test_purge_denylist_guards_upsert_stream(spark, tmp_path):
+    """Round-12 VERDICT #2, CDC surface: an upsert sink re-INSERTS a
+    purged key the moment upstream re-emits it (replay, backfill) —
+    with denylist_path the erased key stays erased while fresh keys
+    merge; composite-key tables must name the suppressed column."""
+    import pytest
+
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.medallion.snapshots import snapshot_read
+    from group5_spark.streaming import jobs
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    deny = str(tmp_path / "deny")
+    ckpt = str(tmp_path / "ckpt")
+
+    _emit_cdc(src, "b1.json", [
+        (1, "2024-01-01", "secret", 1),
+        (2, "2024-01-01", "b", 1),
+    ])
+    stream = spark.readStream.schema(_cdc_schema()).json(str(src))
+    jobs.stream_upsert_snapshot(
+        stream, ckpt, tbl, ["id"], sequence_col="seq",
+        denylist_path=deny,
+    )
+
+    out = snapshot_purge_ids(
+        spark, [1], [(tbl, "id")], denylist_path=deny
+    )
+    assert out["rows_deleted"] == 1 and out["denylisted"] == 1
+
+    # upstream re-emits the purged key (higher seq!) plus a fresh one
+    _emit_cdc(src, "b2.json", [
+        (1, "2024-01-01", "secret-again", 9),
+        (3, "2024-01-02", "c", 1),
+    ])
+    stream = spark.readStream.schema(_cdc_schema()).json(str(src))
+    jobs.stream_upsert_snapshot(
+        stream, ckpt, tbl, ["id"], sequence_col="seq",
+        denylist_path=deny,
+    )
+    got = {r["id"]: r["v"] for r in snapshot_read(spark, tbl).collect()}
+    assert got == {2: "b", 3: "c"}  # purged key stayed erased
+
+    # composite keys need an explicit denylist_key
+    with pytest.raises(ValueError, match="denylist_key"):
+        jobs.stream_upsert_snapshot(
+            stream, ckpt, tbl, ["id", "d"], denylist_path=deny
+        )
+
+
+def test_purge_denylist_guards_dedup_vs_corpus(spark, tmp_path):
+    """Round-12 VERDICT #2, fingerprint surface: a purged doc's
+    fingerprint left the corpus with its row, so a re-crawl passes
+    the content check — the denylist anti-join (resolved at wiring
+    time; this surface is a pure transformation) keeps it out."""
+    import json
+
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.medallion.snapshots import snapshot_commit
+    from group5_spark.streaming import jobs
+
+    corpus_tbl = str(tmp_path / "corpus_tbl")
+    deny = str(tmp_path / "deny")
+    snapshot_commit(
+        spark.createDataFrame([(1, "the erased page")], _docs_schema()),
+        corpus_tbl,
+    )
+    snapshot_purge_ids(
+        spark, [1], [(corpus_tbl, "doc_id")], denylist_path=deny
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    with open(src / "b.json", "w") as f:
+        for did, text in ((1, "the erased page"), (2, "a fresh page")):
+            f.write(json.dumps({"doc_id": did, "text": text}) + "\n")
+    stream = spark.readStream.schema(_docs_schema()).json(str(src))
+    # corpus fingerprints post-purge: empty — nothing blocks doc 1
+    # except the denylist
+    fresh = jobs.stream_dedup_vs_corpus(
+        stream,
+        spark.createDataFrame([], "fingerprint string"),
+        denylist_path=deny,
+    )
+    q = (
+        fresh.writeStream.format("memory")
+        .queryName("denyfp")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["doc_id"]
+        for r in spark.sql("SELECT doc_id FROM denyfp").collect()
+    )
+    assert got == [2]
+
+
 def test_stream_containment_replay_after_purge(
     spark, tmp_path, monkeypatch
 ):
