@@ -1219,6 +1219,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cent_id_col: str = "cid",
+    keep: str = "central",
 ) -> DataFrame:
     """SemDeDup-style SEMANTIC deduplication (Abbas et al., 2023,
     arXiv:2303.09540): paraphrases and re-encoded near-copies that no
@@ -1231,16 +1232,19 @@ def semantic_dedup(
     the domination election, chain semantics like
     :func:`dedup.drop_contained`: a doomed vector can still doom its
     own neighbors, so mutually-duplicate groups keep exactly their
-    centroid-closest member. NOTE this keep-rule deliberately DEVIATES
-    from the paper's: Abbas et al. keep the group member with LOW
-    centroid similarity (preserving atypical examples); this election
-    keeps the centroid-CLOSEST member because every other election in
-    this engine (:func:`dedup.drop_contained`'s size/id rule, the LSH
-    family's id rule) keeps the most-canonical representative, and a
+    centroid-closest member. NOTE the DEFAULT keep-rule deliberately
+    DEVIATES from the paper's: Abbas et al. keep the group member
+    with LOW centroid similarity (preserving atypical examples);
+    ``keep="central"`` keeps the centroid-CLOSEST member because
+    every other election in this engine
+    (:func:`dedup.drop_contained`'s size/id rule, the LSH family's id
+    rule) keeps the most-canonical representative, and a
     representative that later anchors an IVF cell or a cluster medoid
-    should be central, not atypical. To get the paper's policy, flip
-    the domination comparator in :func:`_semantic_election`
-    (``csb < csa``, ties unchanged). Returns the SURVIVORS as
+    should be central, not atypical. ``keep="atypical"`` is the
+    paper's policy verbatim — the domination comparator flips
+    (a τ-neighbor strictly FARTHER from the centroid dooms you), ties
+    still break toward the smaller id, so either mode retires exactly
+    one of a mutually-duplicate pair. Returns the SURVIVORS as
     ``(id_col, cell_id, cent_sim)`` with ``cent_sim`` rounded to 6 dp
     — the same
     cross-engine determinism contract as :func:`cosine_topk` (raw
@@ -1263,7 +1267,7 @@ def semantic_dedup(
     pins semantics with deterministic seed centroids.
     """
     assign = _semantic_assign(corpus, centroids, id_col, vec_col, cent_id_col)
-    return _semantic_election(assign, threshold, id_col)
+    return _semantic_election(assign, threshold, id_col, keep)
 
 
 def _semantic_assign(
@@ -1322,7 +1326,8 @@ def _semantic_assign(
 
 
 def _semantic_election(
-    assign: DataFrame, threshold: float, id_col: str
+    assign: DataFrame, threshold: float, id_col: str,
+    keep: str = "central",
 ) -> DataFrame:
     """The shared within-cell domination election behind
     :func:`semantic_dedup` and :func:`semantic_dedup_ivf` — one
@@ -1330,8 +1335,14 @@ def _semantic_election(
     per vector: ``(_vid, _v, _n, cell_id, _cs)`` with ``_cs`` already
     rounded to the cross-engine comparison precision. A vector is
     doomed when some τ-cosine cell-mate sits strictly closer to the
-    centroid (ties toward the smaller id); survivors return as
+    centroid (``keep="central"``) or strictly farther
+    (``keep="atypical"`` — the SemDeDup paper's rule), ties toward
+    the smaller id either way; survivors return as
     ``(id_col, cell_id, cent_sim)``."""
+    if keep not in ("central", "atypical"):
+        raise ValueError(
+            f"keep must be 'central' or 'atypical', got {keep!r}"
+        )
     a = assign.select(
         F.col("_vid").alias("id_a"), F.col("_v").alias("va"),
         F.col("_n").alias("na"), "cell_id",
@@ -1351,12 +1362,17 @@ def _semantic_election(
         F.expr(DOT.format(a="va", b="vb")) / (F.col("na") * F.col("nb")),
         6,
     )
+    dominates = (
+        F.col("csb") > F.col("csa")
+        if keep == "central"
+        else F.col("csb") < F.col("csa")
+    )
     doomed = (
         a.join(b, on="cell_id")
         .where(F.col("id_a") != F.col("id_b"))
         .where(pair_cos >= F.lit(float(threshold)))
         .where(
-            (F.col("csb") > F.col("csa"))
+            dominates
             | ((F.col("csb") == F.col("csa")) & (F.col("id_b") < F.col("id_a")))
         )
         .select(F.col("id_a").alias("_vid"))
@@ -1376,6 +1392,7 @@ def semantic_dedup_ivf(
     spark,
     index_path: str,
     threshold: float = 0.95,
+    keep: str = "central",
 ) -> DataFrame:
     """:func:`semantic_dedup` over a PERSISTED IVF index's own cells
     (`ivf_index_init`/`ivf_index_append` output) — the "reuse the
@@ -1390,7 +1407,9 @@ def semantic_dedup_ivf(
     (:func:`ivf_assign_cells`) where :func:`semantic_dedup` argmaxes
     6-dp-rounded ones, so a vector lying within 1e-6 of equidistant
     between two centroids may sit in a different cell here — the
-    election within each cell is identical."""
+    election within each cell is identical, ``keep=`` dial included
+    (see :func:`semantic_dedup` for the central-vs-atypical policy
+    note)."""
     from group5_spark.medallion.snapshots import snapshot_read
 
     params, centroids = ivf_index_params(index_path)
@@ -1413,4 +1432,4 @@ def semantic_dedup_ivf(
         .withColumn("_cs", F.round(dot / (F.col("_n") * F.col("_cn")), 6))
         .drop("_cv", "_cn")
     )
-    return _semantic_election(assign, threshold, params["id_col"])
+    return _semantic_election(assign, threshold, params["id_col"], keep)

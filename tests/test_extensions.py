@@ -2059,6 +2059,42 @@ def test_semantic_dedup_domination_election(spark):
     assert got == {(10, 0), (13, 0), (21, 1), (22, 1)}
 
 
+def test_semantic_dedup_keep_atypical_is_paper_rule(spark):
+    """keep="atypical" (round 13) implements the SemDeDup paper's
+    keep-rule verbatim: within a duplicate group the LOW-centroid-
+    similarity member survives (atypical examples preserved), the
+    exact mirror of the default central policy; id ties (colinear
+    chains — identical cent_sim) still keep the smallest id, and
+    below-τ vectors are untouched by the dial."""
+    import pytest
+
+    from group5_spark.extensions.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        ["cid", "embedding"],
+    )
+    corpus = spark.createDataFrame(
+        [
+            (10, [2.0, 0.2, 0.0]),   # colinear chain: same cent_sim,
+            (11, [4.0, 0.4, 0.0]),   # id rule keeps 10 in EITHER mode
+            (12, [8.0, 0.8, 0.0]),
+            (13, [1.0, 1.0, 0.0]),   # below tau vs the chain: survives
+            (20, [0.1, 1.0, 0.0]),   # tau-pair in cell 1: 21 is the
+            (21, [0.05, 1.0, 0.0]),  # centroid-closer one
+            (22, [0.0, 1.0, 0.9]),   # unrelated direction: survives
+        ],
+        ["vec_id", "embedding"],
+    )
+    surv = semantic_dedup(corpus, cents, threshold=0.95, keep="atypical")
+    got = {(r.vec_id, r.cell_id) for r in surv.collect()}
+    # vs the central default: cell 1 keeps 20 (farther) instead of 21
+    assert got == {(10, 0), (13, 0), (20, 1), (22, 1)}
+
+    with pytest.raises(ValueError, match="central"):
+        semantic_dedup(corpus, cents, keep="mediocre")
+
+
 def test_semantic_dedup_tau_boundary_rounds_to_6dp(spark):
     """Round-12 ADVICE (medium): the PAIR cosine must round to 6 dp
     BEFORE the τ comparison, like every other cross-engine float in
