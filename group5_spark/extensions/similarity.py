@@ -1260,7 +1260,19 @@ def semantic_dedup(
     centroids + map-side `max(struct(sim, −cid))`: the only shuffle
     carries N assigned rows, independent of k).
     Cells bound the join the same way LSH bands bound
-    :func:`dedup.minhash_lsh_pairs`. Production centroids come from
+    :func:`dedup.minhash_lsh_pairs`.
+
+    THE k DIAL, priced (``SCALE_TRAINOPS.json:fixed_corpus_semdedup``,
+    measured 1×–64×): fixed k lets the pair join grow as N²/k —
+    cheapest per run today, quadratic debt tomorrow; k ∝ √N balances
+    both terms at N^1.5; the PUBLISHED SemDeDup operating point k ∝ N
+    holds per-cell size constant, making the pair join LINEAR — but a
+    per-run assignment then pays N·k ∝ N², so at 100 TB you take the
+    k ∝ N cell geometry from a PERSISTED index instead:
+    :func:`semantic_dedup_ivf` elects over the IVF index's stored
+    cells (the ladder's ``ivf_reuse`` rung — assignment amortized to
+    the index build the ANN serving path already needed, per-run cost
+    just the linear join). Production centroids come from
     :func:`extensions.clustering.kmeans` (or the persisted IVF
     index's frozen cells — the assignment here IS
     :func:`ivf_assign_cells` semantics), while the oracle-gated query
