@@ -1445,3 +1445,163 @@ def semantic_dedup_ivf(
         .drop("_cv", "_cn")
     )
     return _semantic_election(assign, threshold, params["id_col"], keep)
+
+
+def semantic_dedup_against(
+    new_df: DataFrame,
+    index_path: str,
+    threshold: float = 0.95,
+    keep: str = "central",
+    on_overlap: str = "error",
+    assume_unique_ids: bool = False,
+    version: int | None = None,
+) -> DataFrame:
+    """The INCREMENTAL semantic-dedup ACTION (the embedding-space twin
+    of :func:`dedup.drop_contained_against`): which rows of a new
+    embedding batch SURVIVE ingestion against a corpus whose
+    assignment already lives in a persisted IVF index. A batch vector
+    drops when some τ-cosine neighbor in its Voronoi cell is an
+    ALREADY-INDEXED vector (ingest-order precedence — the resident
+    copy is the vector of record, whatever its centrality; an append
+    stream never retires residents, so the ``keep=`` dial governs
+    only batch-mate elections) or a BATCH-MATE that dominates under
+    the ``keep`` rule (:func:`_semantic_election`'s comparator —
+    centroid-closer for ``"central"``, centroid-farther for
+    ``"atypical"``, ties toward the smaller id — evaluated against
+    the batch AS FED: a doomed batch-mate still dooms its own
+    τ-neighbors, the same chain semantics as the containment
+    election). Returns the surviving rows of ``new_df`` unchanged.
+    For a GLOBAL re-election that can retire residents (what this
+    incremental path deliberately never does), run
+    :func:`semantic_dedup_ivf` over the head index offline and purge
+    the doomed ids via ``medallion.maintenance.snapshot_purge_ids`` —
+    the same offline/online split as ``containment_compact`` vs
+    ``stream_containment_dedup``.
+
+    Batch rows are assigned with the INDEX's own semantics
+    (:func:`ivf_assign_cells` against the pinned frozen centroids —
+    raw-double argmax, exactly what ``ivf_index_append`` will store
+    for the survivors), so a survivor's later index row sits in the
+    cell this election tested it in. The version is pinned ONCE
+    (params, centroids, and the per-cell reads must describe the same
+    index state — a concurrent ``ivf_index_retrain`` landing between
+    reads would mix centroid generations).
+
+    Per-batch cost at 100 TB: the batch's distinct cell set is
+    collected driver-side (bounded by ``n_cells`` — the same small
+    action :func:`ivf_index_search` pays for its probe set) and only
+    THOSE cells' index files are read (``snapshot_read`` prunes on
+    the ``cell_id`` partition stat), so the resident side of the
+    τ-join scans ``|batch cells| / n_cells`` of the index bytes, not
+    the corpus; the batch-mate election is the cell-bounded pair join
+    :func:`semantic_dedup` already prices. Index vectors are never
+    re-scored against centroids here — residency alone dooms
+    (ingest precedence), so the resident side reads ``(id, v,
+    cell_id)`` and pays one dot product per τ-candidate pair.
+
+    ``on_overlap``: ``"error"`` (default) fails loudly on a batch id
+    already in the index (an EAGER check — one column-pruned id scan
+    of the WHOLE index, since ids are not cell-aligned);
+    ``"drop"`` applies first-ingest-wins END-TO-END —
+    the overlapping batch row is neither elected nor returned;
+    ``"unchecked"`` skips the check for callers that established
+    disjointness out-of-band (an actual overlap makes a row its own
+    τ-neighbor and silently dooms it). Batch-internal id collisions
+    resolve HERE via :func:`dedup.dedup_batch_ids` (one
+    deterministic row per id — the vector column is orderable, so
+    replays pick the same row) unless ``assume_unique_ids=True``.
+    """
+    from group5_spark.extensions.dedup import dedup_batch_ids
+    from group5_spark.medallion.snapshots import (
+        snapshot_manifest,
+        snapshot_read,
+    )
+
+    if on_overlap not in ("error", "drop", "unchecked"):
+        raise ValueError(
+            f"on_overlap must be 'error', 'drop', or 'unchecked', "
+            f"got {on_overlap!r}"
+        )
+    if keep not in ("central", "atypical"):
+        raise ValueError(
+            f"keep must be 'central' or 'atypical', got {keep!r}"
+        )
+    spark = new_df.sparkSession
+    version = snapshot_manifest(index_path, version)["version"]
+    params, centroids = ivf_index_params(index_path, version=version)
+    id_col, vec_col = params["id_col"], params["vec_col"]
+    if not assume_unique_ids:
+        new_df = dedup_batch_ids(new_df, id_col, vec_col)
+    index_ids = snapshot_read(spark, index_path, version=version).select(
+        F.col("cand_id").alias(id_col)
+    )
+    if on_overlap == "error":
+        n = new_df.join(index_ids, on=id_col, how="left_semi").count()
+        if n:
+            raise ValueError(
+                f"semantic_dedup_against: {n} batch id(s) already in "
+                f"the index at {index_path} — pass on_overlap='drop' "
+                f"for first-ingest-wins re-feeds, or 'unchecked' if "
+                f"disjointness is guaranteed out-of-band"
+            )
+    elif on_overlap == "drop":
+        new_df = new_df.join(index_ids, on=id_col, how="left_anti")
+    cents = spark.createDataFrame(
+        [(cid, [float(x) for x in vec]) for cid, vec in centroids],
+        "cell_id long, _cv array<double>",
+    ).withColumn("_cn", F.sqrt(F.expr(DOT.format(a="_cv", b="_cv"))))
+    assign = (
+        ivf_assign_cells(_ivf_c_vec(new_df, id_col, vec_col), centroids)
+        .select(
+            F.col("cand_id").alias("_vid"),
+            F.col("v").alias("_v"),
+            "cell_id",
+        )
+        .withColumn("_n", F.sqrt(F.expr(DOT.format(a="_v", b="_v"))))
+        .join(F.broadcast(cents), on="cell_id")
+        .withColumn(
+            "_cs",
+            F.round(
+                F.expr(DOT.format(a="_v", b="_cv"))
+                / (F.col("_n") * F.col("_cn")),
+                6,
+            ),
+        )
+        .drop("_cv", "_cn")
+    )
+    touched = sorted(
+        r["cell_id"]
+        for r in assign.select("cell_id").distinct().collect()
+    )
+    if not touched:  # empty batch: nothing to elect, nothing survives
+        return new_df
+    parts = [
+        snapshot_read(
+            spark,
+            index_path,
+            version=version,
+            predicates=[("cell_id", "=", str(c))],
+        )
+        for c in touched
+    ]
+    resident = parts[0]
+    for p in parts[1:]:
+        resident = resident.unionByName(p)
+    resident = resident.select(
+        F.col("v").alias("_iv"), "cell_id"
+    ).withColumn("_in", F.sqrt(F.expr(DOT.format(a="_iv", b="_iv"))))
+    pair_cos = F.round(
+        F.expr(DOT.format(a="_v", b="_iv")) / (F.col("_n") * F.col("_in")),
+        6,
+    )
+    doomed_by_resident = (
+        assign.join(resident, on="cell_id")
+        .where(pair_cos >= F.lit(float(threshold)))
+        .select(F.col("_vid").alias(id_col))
+        .distinct()
+    )
+    mates_ok = _semantic_election(assign, threshold, id_col, keep)
+    surviving = mates_ok.select(id_col).join(
+        doomed_by_resident, on=id_col, how="left_anti"
+    )
+    return new_df.join(surviving, on=id_col, how="left_semi")

@@ -1409,6 +1409,170 @@ def semantic_dedup_ivf_survivors(
     )
 
 
+_SEMANTIC_INCR_ORACLE = f"""
+    WITH base AS (
+        SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings
+    ),
+    cent AS (
+        -- the index's frozen centroid sample over the SEED corpus
+        -- (the batch streams in later): the 8 ids with the smallest
+        -- portable hash, L2-normalized (same replay as
+        -- semantic_dedup_ivf_survivors)
+        SELECT id AS cell,
+               list_transform(v, x -> x / sqrt(list_reduce(
+                 list_transform(v, y -> y * y), (a, b) -> a + b))) AS cv
+        FROM base
+        ORDER BY {{h56}}, id
+        LIMIT 8
+    ),
+    batch AS (
+        SELECT id + 10000 AS id, list_transform(v, x -> x * 2) AS v
+        FROM base WHERE id % 25 = 3          -- x2 copy of a resident
+        UNION ALL
+        SELECT id + 20000, list_transform(v, x -> x * -2)
+        FROM base WHERE id % 25 = 11         -- fresh: negated, cos<=.51
+        UNION ALL
+        SELECT id + 30000, list_transform(v, x -> x * -2)
+        FROM base WHERE id % 25 = 19         -- intra-batch pair...
+        UNION ALL
+        SELECT id + 40000, list_transform(v, x -> x * -4)
+        FROM base WHERE id % 25 = 19         -- ...same direction
+    ),
+    rows_all AS (
+        SELECT id, v, TRUE AS is_batch FROM batch
+        UNION ALL
+        SELECT id, v, FALSE FROM base
+    ),
+    scores AS (
+        SELECT r.id, r.v, r.is_batch, c.cell, c.cv,
+               list_reduce(list_transform(range(0, len(r.v)),
+                 i -> r.v[i+1] * c.cv[i+1]), (a, b2) -> a + b2) AS score
+        FROM rows_all r CROSS JOIN cent c
+    ),
+    assigned AS (
+        -- the index's RAW-double argmax (score DESC, cell DESC ties)
+        -- for residents AND batch rows alike — the election assigns
+        -- the batch with the index's own semantics; 6-dp centroid
+        -- cosine only where the domination ranking needs it
+        SELECT id, v, is_batch, cell,
+               ROUND(score / (sqrt(list_reduce(
+                   list_transform(v, y -> y * y), (a, b) -> a + b))
+                 * sqrt(list_reduce(
+                   list_transform(cv, y -> y * y), (a, b) -> a + b))),
+                 6) AS cs
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY id, is_batch
+                ORDER BY score DESC, cell DESC) AS rn
+            FROM scores) t WHERE rn = 1
+    ),
+    doomed AS (
+        -- rule 1: a τ-cosine RESIDENT cell-mate dooms outright
+        -- (ingest-order precedence); rule 2: a τ-cosine batch-mate
+        -- strictly closer to the centroid (ties toward smaller id)
+        SELECT DISTINCT a.id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.is_batch AND NOT b.is_batch
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+        UNION
+        SELECT DISTINCT a.id
+        FROM assigned a JOIN assigned b
+          ON a.cell = b.cell AND a.id != b.id
+         AND a.is_batch AND b.is_batch
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+          AND (b.cs > a.cs OR (b.cs = a.cs AND b.id < a.id))
+    )
+    SELECT a.id AS vec_id,
+           ROUND(sqrt(list_reduce(
+             list_transform(a.v, y -> y * y), (x, y2) -> x + y2)), 6)
+             AS vec_norm
+    FROM assigned a
+    WHERE a.is_batch AND a.id NOT IN (SELECT id FROM doomed)
+""".format(h56=_DUCK_H56.format(x="CAST(id AS VARCHAR)"))
+
+
+@register("semantic_dedup_incremental_survivors", _SEMANTIC_INCR_ORACLE)
+def semantic_dedup_incremental_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """INCREMENTAL SemDeDup ingestion election
+    (``extensions.similarity.semantic_dedup_against`` — the
+    embedding-space twin of ``drop_contained_against`` and the
+    per-micro-batch election ``streaming.jobs.stream_semantic_dedup``
+    runs): which rows of a NEW embedding batch survive against a
+    corpus whose assignment already lives in a persisted IVF index.
+    A batch vector drops when a τ-cosine cell-mate is an
+    already-indexed RESIDENT (ingest-order precedence — the resident
+    copy is the vector of record) or a batch-mate strictly closer to
+    the cell centroid (ties toward the smaller id — chain semantics,
+    evaluated against the batch as fed). The batch is assigned with
+    the index's OWN raw-double argmax against the pinned frozen
+    centroids, and only the batch's cells' index files are read
+    (file-pruned resident side — the cost shape that holds at
+    100 TB). Planted families make every rule fire: x2-scaled copies
+    of residents (id%25=3 → +10000) must drop via rule 1; negated
+    fresh vectors (id%25=11 → +20000, cosine ≤ .51 to everything)
+    must survive; and same-direction intra-batch pairs (id%25=19 →
+    +30000 at x-2 AND +40000 at x-4 — power-of-two scalings give
+    BIT-identical centroid similarity in any IEEE engine) must
+    resolve by the id tie-break to the smaller id. The DuckDB oracle
+    replays seed-centroid sampling, assignment, and both doom rules
+    from naive SQL; the query raises if any rule misfires."""
+    import shutil as _shutil
+
+    from group5_spark.extensions import similarity as S
+    from group5_spark.extensions.similarity import DOT
+
+    base_dir = _dml_scratch("semantic_dedup_incremental_survivors", sf_dir)
+    _shutil.rmtree(base_dir, ignore_errors=True)
+    idx = f"{base_dir}/ivfidx"
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    S.ivf_index_init(base, idx, n_cells=8, hash_fn="md5")
+
+    def scaled(mod: int, offset: int, factor: float) -> DataFrame:
+        return base.where(F.col("vec_id") % 25 == mod).select(
+            (F.col("vec_id") + offset).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x * F.lit(factor)
+            ).alias("embedding"),
+        )
+
+    copies = scaled(3, 10000, 2.0)
+    fresh = scaled(11, 20000, -2.0)
+    pair_lo = scaled(19, 30000, -2.0)
+    pair_hi = scaled(19, 40000, -4.0)
+    batch = copies.unionByName(fresh).unionByName(pair_lo).unionByName(
+        pair_hi
+    )
+    surv = S.semantic_dedup_against(batch, idx, threshold=0.95)
+    got = {r.vec_id for r in surv.select("vec_id").collect()}
+    want_fresh = {r.vec_id for r in fresh.select("vec_id").collect()}
+    want_pair = {r.vec_id for r in pair_lo.select("vec_id").collect()}
+    if not want_fresh or got != want_fresh | want_pair:
+        raise RuntimeError(
+            f"incremental semantic election broke: expected exactly "
+            f"the {len(want_fresh)} fresh + {len(want_pair)} "
+            f"smaller-id pair members to survive, got {len(got)} "
+            f"survivors (copies leaked: "
+            f"{sorted(i for i in got if 10000 <= i < 20000)[:5]}, "
+            f"larger pair ids leaked: "
+            f"{sorted(i for i in got if i >= 40000)[:5]})"
+        )
+    return surv.select(
+        "vec_id",
+        F.round(
+            F.sqrt(F.expr(DOT.format(a="embedding", b="embedding"))), 6
+        ).alias("vec_norm"),
+    )
+
+
 @register(
     "purge_erasure_survivors",
     """
@@ -9034,17 +9198,17 @@ def span_dedup_incremental_counts(
 # Round-13 window (round-12 VERDICT #1's ordered rotation): the
 # SEVENTEEN round-12 deferrals lead — their newest driver evidence is
 # round 9, at the 3-round boundary; the eight bench headliners among
-# them rotate first per the standing convention — then the ONE query
-# new this round (new queries enter their own round's window), then
-# 32 of the 50 queries whose newest driver evidence is round 10. That
-# cohort is oversubscribed for the 50-slot window, so EIGHTEEN defer
-# to round 14 (17 + 1 + 32 = 50), chosen — exactly like every
-# deferral set since round 9 — for the strongest alternative
-# evidence. ONE is a bench headliner executed and timed by the driver
-# every round (pricing_summary — per the convention it rotates FIRST
-# in round 14); the other SEVENTEEN each carry a dedicated pytest
-# reference AND an in-window family sibling exercising the same
-# operator path:
+# them rotate first per the standing convention — then the TWO
+# queries new this round (new queries enter their own round's
+# window), then 31 of the 50 queries whose newest driver evidence is
+# round 10. That cohort is oversubscribed for the 50-slot window, so
+# NINETEEN defer to round 14 (17 + 2 + 31 = 50), chosen — exactly
+# like every deferral set since round 9 — for the strongest
+# alternative evidence. ONE is a bench headliner executed and timed
+# by the driver every round (pricing_summary — per the convention it
+# rotates FIRST in round 14); the other EIGHTEEN each carry a
+# dedicated pytest reference AND an in-window family sibling
+# exercising the same operator path:
 #   multimodal_audio_features + multimodal_frame_sample +
 #     multimodal_binary_meta — multimodal_video_features stays
 #     in-window; the Arrow decode plumbing is pinned by
@@ -9079,7 +9243,10 @@ def span_dedup_incremental_counts(
 #     kernels are pinned in test_extensions;
 #   embedding_int8_quantization — embedding_norm_stats (rotating in)
 #     shares the embedding-ops family; int8 quantization pinned in
-#     test_extensions.
+#     test_extensions;
+#   ntile_customer_quartiles — histogram_weekly_percentiles stays in
+#     the percentile family and the ranking-window operator path is
+#     pinned by tests/test_operators.py (with_rank/top_n).
 # Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
@@ -9111,7 +9278,13 @@ _CHECK_WINDOW = [
     # oracle replays the frozen portable-hash centroid sample, the
     # raw-double Voronoi argmax, and the 6-dp domination election)
     "semantic_dedup_ivf_survivors",
-    # newest driver evidence round 10 — cohort minus the 18 deferrals
+    # NEW in round 13 — the INCREMENTAL election against the same
+    # persisted index (semantic_dedup_against, the per-micro-batch
+    # election of stream_semantic_dedup): planted copy/fresh/pair
+    # families make ingest precedence, the τ threshold, and the id
+    # tie-break each fire; the oracle replays both doom rules
+    "semantic_dedup_incremental_survivors",
+    # newest driver evidence round 10 — cohort minus the 19 deferrals
     "contained_doc_pairs",
     "conversion_rate",
     "corpus_curation_funnel",
@@ -9134,7 +9307,6 @@ _CHECK_WINDOW = [
     "monthly_open_order_lines",
     "multimodal_video_features",
     "mv_filtered_status_revenue",
-    "ntile_customer_quartiles",
     "order_part_baskets",
     "parts_supplier_relationship",
     "pivot_event_matrix",

@@ -1426,3 +1426,121 @@ def stream_ivf_pq_index_maintenance(
         embeddings, index_path, checkpoint, ivf_pq_index_append, app_id,
         denylist_path=denylist_path, id_col=id_col,
     )
+
+
+def stream_semantic_dedup(
+    vecs: DataFrame,
+    checkpoint_dir: str,
+    index_path: str,
+    *,
+    threshold: float = 0.95,
+    keep: str = "central",
+    app_id: str | None = None,
+    denylist_path: str | None = None,
+) -> StreamingQuery:
+    """Continuous embedding ingestion with SEMANTIC dedup (the
+    embedding-space twin of :func:`stream_containment_dedup`, built
+    on ``extensions.similarity.semantic_dedup_against``): each
+    micro-batch first drops suppressed ids (``denylist_path`` — a
+    purged vector re-fed by a re-crawl/re-encode must stay erased),
+    then RE-FED ids (already indexed — first-ingest-wins, the same
+    ingest-order precedence the election itself uses), then every
+    batch vector τ-cosine-near an already-indexed cell-mate (the
+    resident copy is the vector of record) or dominated by a
+    batch-mate under the ``keep`` rule (ties toward the smaller id,
+    evaluated against the batch AS FED — chain semantics), and the
+    SURVIVORS land as one atomic cell-partitioned
+    ``ivf_index_append``. The persisted IVF index is BOTH the dedup
+    state and the ANN serving index — one table, one commit per
+    batch, no separate corpus to keep in sync (vs the containment
+    stream's two-table corpus+postings dance), so exactly-once needs
+    only the single ``(app_id, batch_id)`` manifest note and a crash
+    replay either sees the note (skip) or re-runs the whole election
+    — there is no half-state to reconstruct.
+
+    Bootstrap: the index must already exist (``ivf_index_init`` over
+    a seed corpus — IVF needs frozen centroids before anything can
+    stream in; raises ``ValueError`` otherwise, same contract as
+    every index-maintenance stream). Residents are never retired by
+    this path (an append stream doesn't delete): run
+    ``semantic_dedup_ivf`` over the head index offline and purge the
+    doomed ids via ``medallion.maintenance.snapshot_purge_ids`` for
+    the global re-election — the same offline/online split as
+    ``containment_compact`` vs the containment stream.
+
+    Per-batch cost at 100 TB: the election reads only the BATCH's
+    cells' index files (``semantic_dedup_against`` collects the
+    batch's distinct cell set — bounded by ``n_cells`` — and unions
+    per-cell file-pruned reads), the batch-mate election is the
+    cell-bounded pair join the semdedup ladder prices, and the
+    append re-assigns only the survivors (map-only against broadcast
+    centroid literals). The denylist and first-ingest-wins anti-joins
+    each cost one column-pruned id scan per micro-batch.
+    """
+    from group5_spark.extensions.dedup import dedup_batch_ids
+    from group5_spark.extensions.similarity import (
+        ivf_index_append,
+        ivf_index_params,
+        semantic_dedup_against,
+    )
+    from group5_spark.medallion import snapshots as snap
+
+    # fail FAST, at call time: a missing/foreign table means the
+    # caller forgot the ivf_index_init bootstrap (IVF centroids must
+    # be frozen before anything can stream in) — surfacing that as a
+    # mid-stream foreachBatch error would bury the fix behind a
+    # checkpoint that now thinks batch 0 failed
+    ivf_index_params(index_path)
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        if batch.isEmpty():
+            return
+        app = app_id or _checkpoint_query_id(checkpoint_dir)
+        if app is not None:
+            done = snap.last_committed_batch(index_path, app)
+            if done is not None and done >= batch_id:
+                return  # this batch's survivors are already durable
+        params, _ = ivf_index_params(index_path)
+        id_col, vec_col = params["id_col"], params["vec_col"]
+        batch = _apply_denylist(batch, denylist_path, id_col)
+        # batch-internal id collisions (two source files re-feeding
+        # one vector into a micro-batch) resolve deterministically
+        # BEFORE the persist, so the dedup window shuffles once per
+        # micro-batch and crash replays elect identically
+        batch = dedup_batch_ids(batch, id_col, vec_col).persist()
+        try:
+            # the election itself is semantic_dedup_against — one
+            # source of truth with the batch-pipeline action (and its
+            # own oracle-gated driver query). on_overlap="drop" IS
+            # the first-ingest-wins re-feed policy, applied lazily
+            # inside the plan; assume_unique_ids: the dedup already
+            # ran above the persist
+            survivors = semantic_dedup_against(
+                batch, index_path, threshold, keep=keep,
+                on_overlap="drop", assume_unique_ids=True,
+            ).persist()
+            try:
+                # an all-duplicate batch commits NOTHING (no empty
+                # append version): the (app_id, batch_id) note only
+                # ever gates replays of batches that committed, and a
+                # replayed all-duplicate election is deterministic
+                if survivors.isEmpty():
+                    return
+                ivf_index_append(
+                    survivors,
+                    index_path,
+                    extra_note={"app_id": app, "batch_id": batch_id},
+                )
+            finally:
+                survivors.unpersist()
+        finally:
+            batch.unpersist()
+
+    query = (
+        vecs.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return query

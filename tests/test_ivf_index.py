@@ -1075,3 +1075,109 @@ def test_semantic_dedup_over_persisted_ivf_cells(spark, sf_dir, tmp_path):
     assert {r.cell_id for r in surv.collect()} <= {
         cid for cid, _ in centroids
     }
+
+
+def _basis_index(spark, tmp_path, name="semidx"):
+    """A fully-controlled IVF index: the seed corpus is the four
+    scaled basis vectors e1..e4 and n_cells=4, so every resident IS
+    its own cell centroid (normalized) and every cosine in the tests
+    below is hand-computable."""
+    seed = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (4, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    idx = str(tmp_path / name)
+    S.ivf_index_init(seed, idx, n_cells=4)
+    return idx
+
+
+def test_semantic_dedup_against_election_matrix(spark, tmp_path):
+    """The incremental semantic election, every rule on one batch:
+    a τ-neighbor RESIDENT dooms unconditionally (ingest precedence,
+    id 101 = 2·e1); a fresh vector under τ to everything survives
+    (id 102, cos .894 to its centroid); an intra-batch τ-pair in a
+    cell whose resident is NOT τ-near them elects by the keep rule —
+    id 103 (cent_sim .894) vs id 104 (cent_sim .919, cos(103,104)
+    ≈ .998): keep='central' keeps the centroid-closer 104,
+    keep='atypical' keeps 103; and a batch-internal id collision
+    (two id-105 rows) resolves to the deterministic smaller-vector
+    row BEFORE the election, so the survivor set replays."""
+    idx = _basis_index(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [
+            (101, [2.0, 0.0, 0.0, 0.0]),   # x2 copy of resident e1
+            (102, [1.0, 2.0, 0.0, 0.0]),   # fresh: cos .894 to e2
+            (103, [0.0, 0.0, 2.0, 1.0]),   # pair, cent_sim .894472
+            (104, [0.0, 0.0, 7.0, 3.0]),   # pair, cent_sim .919145
+            (105, [0.0, 2.0, 1.0, 0.0]),   # id collision: this row
+            (105, [5.0, 0.0, 0.0, 0.0]),   # ...would doom via e1
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    central = S.semantic_dedup_against(batch, idx, threshold=0.95)
+    assert {r.vec_id for r in central.collect()} == {102, 104, 105}
+    # the collision kept the smaller-array row (cell e2, fresh), not
+    # the 5·e1 row the resident would have doomed
+    kept105 = central.where(F.col("vec_id") == 105).collect()
+    assert [float(x) for x in kept105[0].embedding] == [0.0, 2.0, 1.0, 0.0]
+
+    atypical = S.semantic_dedup_against(
+        batch, idx, threshold=0.95, keep="atypical"
+    )
+    assert {r.vec_id for r in atypical.collect()} == {102, 103, 105}
+
+    with pytest.raises(ValueError, match="keep must be"):
+        S.semantic_dedup_against(batch, idx, keep="nope")
+
+
+def test_semantic_dedup_against_overlap_modes(spark, tmp_path):
+    """on_overlap mirrors drop_contained_against's contract: 'error'
+    raises eagerly on a re-fed id, 'drop' applies first-ingest-wins
+    (the batch copy vanishes end-to-end while fresh rows elect)."""
+    idx = _basis_index(spark, tmp_path)
+    batch = spark.createDataFrame(
+        [
+            (2, [0.0, 9.0, 0.0, 0.0]),     # id already indexed
+            (201, [1.0, 2.0, 0.0, 0.0]),   # fresh
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="already in the index"):
+        S.semantic_dedup_against(batch, idx)
+    surv = S.semantic_dedup_against(batch, idx, on_overlap="drop")
+    assert {r.vec_id for r in surv.collect()} == {201}
+
+    with pytest.raises(ValueError, match="on_overlap must be"):
+        S.semantic_dedup_against(batch, idx, on_overlap="nope")
+
+
+def test_semantic_dedup_against_reads_only_batch_cells_files(
+    spark, sf_dir, tmp_path
+):
+    """The scale claim made physical: electing a one-cell batch
+    against an 8-cell index touches a strict subset of the index's
+    data files — the resident side of the τ-join is file-pruned to
+    the batch's own cells, not a full scan filtered late."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivfidx")
+    S.ivf_index_init(emb.filter(F.col("vec_id") % 5 < 4), idx, n_cells=8)
+    batch = (
+        emb.filter(F.col("vec_id") % 5 == 4)
+        .limit(1)
+        .select(
+            (F.col("vec_id") + 50000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: x.cast("double") * F.lit(-2.0)
+            ).alias("embedding"),
+        )
+    )
+    surv = S.semantic_dedup_against(batch, idx, on_overlap="unchecked")
+    total = len(snapshot_manifest(idx)["files"])
+    touched = {f for f in surv.inputFiles() if "ivfidx" in f}
+    assert 0 < len(touched) < total
+    assert surv.count() == 1  # a negated vector pairs with nothing

@@ -677,6 +677,9 @@ NLJ_ALLOWED = {
     "semantic_dedup_survivors",      # corpus × k-centroid assignment
                                      # broadcast (k=8), collapsed
                                      # map-side before any shuffle
+    "semantic_dedup_incremental_survivors",  # batch × 8-row centroid
+                                     # broadcast for the domination
+                                     # ranking's cent_sim, same shape
 }
 
 

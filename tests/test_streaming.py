@@ -2368,3 +2368,180 @@ def test_containment_compaction_scheduled_crash_before_tag_move(
     assert {
         r["doc_id"] for r in snap.snapshot_read(spark, corpus).collect()
     } == {51, 60}
+
+
+def _sem_stream_setup(spark, sf_dir, tmp_path, n_cells=8):
+    """Seed corpus -> persisted IVF index; returns (idx, emb, schema)
+    for the semantic-dedup ingestion stream tests."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    from group5_spark.catalog import load_table
+    from group5_spark.extensions import similarity as S
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    corpus0 = emb.filter(F.col("vec_id") % 5 < 4)
+    idx = str(tmp_path / "semidx")
+    S.ivf_index_init(corpus0, idx, n_cells=n_cells)
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    return idx, emb, corpus0, schema
+
+
+def _sem_rows(df, scale=1.0, offset=0):
+    return [
+        (int(r.vec_id) + offset, [float(x) * scale for x in r.embedding])
+        for r in df.collect()
+    ]
+
+
+def _write_vec_batch(path, rows):
+    import json as _json
+
+    with open(path, "w") as f:
+        for vid, vec in rows:
+            f.write(_json.dumps({"vec_id": vid, "embedding": vec}) + "\n")
+
+
+def test_stream_semantic_dedup_end_to_end(spark, sf_dir, tmp_path):
+    """The semantic ingestion election, streamed: one micro-batch
+    carries a RE-FED resident id (first-ingest-wins drops it), an
+    x2-scaled copy of a resident under a new id (the τ-neighbor
+    RESIDENT dooms it), a negated fresh vector (cos ≤ .51 to
+    everything — survives), and an intra-batch duplicate pair
+    (x-2 / x-4 scalings of one resident direction: pair cosine 1.0,
+    BIT-identical centroid similarity, so the id tie-break keeps
+    exactly the smaller id). Survivors land as ONE cell-partitioned
+    index append; a drained-checkpoint re-run and an all-duplicate
+    batch each add ZERO versions (no empty commits, note-gated
+    replay)."""
+    from group5_spark.medallion.snapshots import snapshot_read, snapshot_versions
+
+    idx, emb, corpus0, schema = _sem_stream_setup(spark, sf_dir, tmp_path)
+    # three DISTINCT resident directions (pairwise natural cosine
+    # ≤ .51), so the planted families never cross-doom each other
+    r0, r1, r2 = [
+        corpus0.orderBy("vec_id").offset(i).limit(1) for i in range(3)
+    ]
+    refed = _sem_rows(r0)                                     # same id
+    copy = _sem_rows(r0, scale=2.0, offset=10000)
+    fresh = _sem_rows(r1, scale=-2.0, offset=20000)
+    pair = _sem_rows(r2, scale=-2.0, offset=30000) + _sem_rows(
+        r2, scale=-4.0, offset=40000
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_vec_batch(src / "b1.json", refed + copy + fresh + pair)
+
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema(schema).json(str(src))
+    jobs.stream_semantic_dedup(stream, ckpt, idx)
+    assert len(snapshot_versions(idx)) == 2  # init + one append
+
+    ids = {r.cand_id for r in snapshot_read(spark, idx).collect()}
+    new_ids = {i for i in ids if i >= 10000}
+    # fresh + the smaller pair member land; re-fed, copy, and the
+    # larger pair member drop
+    assert new_ids == {fresh[0][0], pair[0][0]}
+
+    # drained checkpoint replays nothing
+    stream = spark.readStream.schema(schema).json(str(src))
+    jobs.stream_semantic_dedup(stream, ckpt, idx)
+    assert len(snapshot_versions(idx)) == 2
+
+    # a brand-new stream re-feeding the SAME file: every row is now
+    # a resident or a τ-duplicate of one — the all-duplicate batch
+    # commits NOTHING (no empty append version)
+    stream = spark.readStream.schema(schema).json(str(src))
+    jobs.stream_semantic_dedup(stream, str(tmp_path / "ckpt2"), idx)
+    assert len(snapshot_versions(idx)) == 2
+
+
+def test_stream_semantic_dedup_replay_after_commit(spark, sf_dir, tmp_path):
+    """Crash-after-commit simulation: the first run commits batch 0
+    under an explicit app_id; a second run from a FRESH checkpoint
+    but the same app_id (the checkpoint died before recording the
+    batch) sees the (app_id, batch_id) note and skips — no duplicate
+    index rows, no phantom version."""
+    from group5_spark.medallion.snapshots import snapshot_read, snapshot_versions
+
+    idx, emb, corpus0, schema = _sem_stream_setup(spark, sf_dir, tmp_path)
+    fresh = _sem_rows(
+        corpus0.orderBy("vec_id").limit(1), scale=-2.0, offset=20000
+    )
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_vec_batch(src / "b1.json", fresh)
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    jobs.stream_semantic_dedup(stream, str(tmp_path / "ck1"), idx, app_id="A")
+    assert len(snapshot_versions(idx)) == 2
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    jobs.stream_semantic_dedup(stream, str(tmp_path / "ck2"), idx, app_id="A")
+    assert len(snapshot_versions(idx)) == 2
+    rows = snapshot_read(spark, idx).where(
+        F.col("cand_id") == fresh[0][0]
+    ).count()
+    assert rows == 1
+
+
+def test_stream_semantic_dedup_denylist(spark, sf_dir, tmp_path):
+    """Right-to-erasure on the semantic ingestion surface: a purged
+    vector re-fed through stream_semantic_dedup stays erased (its
+    index row is gone, so without the denylist the first-ingest-wins
+    join could no longer block the re-feed) while a fresh vector in
+    the same micro-batch ingests."""
+    from group5_spark.medallion.maintenance import snapshot_purge_ids
+    from group5_spark.medallion.snapshots import snapshot_read
+
+    idx, emb, corpus0, schema = _sem_stream_setup(spark, sf_dir, tmp_path)
+    deny = str(tmp_path / "deny")
+    victim_df = corpus0.orderBy("vec_id").limit(1)
+    victim = _sem_rows(victim_df)
+    snapshot_purge_ids(
+        spark, [victim[0][0]], [(idx, "cand_id")],
+        missing_ok=True, denylist_path=deny,
+    )
+    fresh = _sem_rows(victim_df, scale=-2.0, offset=20000)
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_vec_batch(src / "b1.json", victim + fresh)
+
+    stream = spark.readStream.schema(schema).json(str(src))
+    jobs.stream_semantic_dedup(
+        stream, str(tmp_path / "ckpt"), idx, denylist_path=deny
+    )
+    ids = {r.cand_id for r in snapshot_read(spark, idx).collect()}
+    assert victim[0][0] not in ids and fresh[0][0] in ids
+
+
+def test_stream_semantic_dedup_requires_index(spark, sf_dir, tmp_path):
+    """IVF needs frozen centroids before anything can stream in: a
+    missing index fails loudly instead of silently bootstrapping with
+    centroids sampled from whatever the first micro-batch happens to
+    carry."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, LongType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("embedding", ArrayType(DoubleType())),
+    ])
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_vec_batch(src / "b1.json", [(1, [1.0, 0.0])])
+    stream = spark.readStream.schema(schema).json(str(src))
+    with pytest.raises(ValueError, match="not an IVF index"):
+        jobs.stream_semantic_dedup(
+            stream, str(tmp_path / "ckpt"), str(tmp_path / "no_index")
+        )

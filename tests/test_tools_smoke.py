@@ -196,14 +196,18 @@ def test_ivf_curve_pq_worker(tools_env):
 
 
 def test_merge_curve_semdedup_worker(tools_env):
-    """Round-12 ladder worker: the SemDeDup pricing run must execute
-    end to end at toy scale — the election retires exactly the
-    planted x2-scaled duplicates (the worker raises otherwise), both
-    centroid policies run, and the pair-volume aggregate is populated."""
-    out = tools_env.mc.run_one_semdedup(2, k0=4)
+    """Round-12 ladder worker (round-13 rungs included): the SemDeDup
+    pricing run must execute end to end at toy scale — the election
+    retires exactly the planted x2-scaled duplicates (the worker
+    raises otherwise) under ALL THREE trained-per-run centroid
+    policies AND the persisted-index reuse rung, and the pair-volume
+    aggregates are populated (the ivf_reuse rung also records its
+    amortized build cost)."""
+    out = tools_env.mc.run_one_semdedup(2, k0=4, prop_k0=2)
     assert out["corpus_vecs"] == out["planted"] * 3  # 2 replicas + copies
-    for label in ("fixed_k", "sqrt_k"):
+    for label in ("fixed_k", "sqrt_k", "prop_k", "ivf_reuse"):
         r = out[label]
         assert r["doomed"] == out["planted"]
         assert r["seconds"] > 0
         assert r["pair_volume"] > 0
+    assert out["ivf_reuse"]["index_build_seconds"] > 0
