@@ -1574,6 +1574,146 @@ def semantic_dedup_incremental_survivors(
 
 
 @register(
+    "semantic_dedup_atypical_survivors",
+    """
+    WITH base AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+    ),
+    cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < 8),
+    base_assign AS (
+        -- the 6-dp argmax assignment of the SEED vectors, carrying
+        -- the winning centroid VECTOR: the planted copy is built
+        -- FROM it, so both engines derive bit-identical plants
+        SELECT vec_id, v, cid, cv FROM (
+            SELECT b.vec_id, b.v, c.cid, c.cv,
+                   ROW_NUMBER() OVER (PARTITION BY b.vec_id
+                     ORDER BY ROUND(list_cosine_similarity(b.v, c.cv),
+                                    6) DESC, c.cid) AS rn
+            FROM base b CROSS JOIN cent c) t WHERE rn = 1
+    ),
+    corpus AS (
+        SELECT vec_id, v FROM base
+        UNION ALL
+        -- 8v + cv: exactly one rounded add per element (8v is an
+        -- exact power-of-two scale), strictly centroid-CLOSER than v
+        -- (centrality gain >= 0.08 across the id space), pair cosine
+        -- >= 0.99, same cell (the own-cell score gains the +1 cv.cv
+        -- term, every other cell at most +0.55)
+        SELECT vec_id + 10000,
+               list_transform(range(0, len(v)),
+                              i -> v[i+1] * 8 + cv[i+1])
+        FROM base_assign WHERE vec_id % 50 = 13
+    ),
+    scored AS (
+        SELECT e.vec_id, e.v, c.cid,
+               ROUND(list_cosine_similarity(e.v, c.cv), 6) AS sim
+        FROM corpus e CROSS JOIN cent c
+    ),
+    assign AS (
+        SELECT vec_id, v, cid, sim FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY vec_id ORDER BY sim DESC, cid
+            ) AS rn FROM scored
+        ) t WHERE rn = 1
+    ),
+    doomed AS (
+        -- the PAPER's comparator: a tau-neighbor strictly FARTHER
+        -- from the centroid dooms you (keep the atypical member),
+        -- ties toward the smaller id
+        SELECT DISTINCT a.vec_id
+        FROM assign a JOIN assign b
+          ON a.cid = b.cid AND a.vec_id != b.vec_id
+        WHERE ROUND(list_cosine_similarity(a.v, b.v), 6) >= 0.95
+          AND (b.sim < a.sim
+               OR (b.sim = a.sim AND b.vec_id < a.vec_id))
+    )
+    SELECT a.vec_id, CAST(a.cid AS BIGINT) AS cell_id, a.sim AS cent_sim
+    FROM assign a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM doomed)
+    """,
+)
+def semantic_dedup_atypical_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The SemDeDup PAPER's keep-rule, oracle-gated
+    (``semantic_dedup(keep="atypical")`` — Abbas et al. 2023 keep the
+    duplicate-group member with LOW centroid similarity, preserving
+    atypical examples for training-data diversity; the engine's
+    default ``keep="central"`` deliberately deviates, so the dial's
+    paper-verbatim mode carries its own oracle evidence). The planted
+    copies from the x2-scaling family would NOT exercise the flipped
+    comparator (bit-identical centroid similarity resolves by the id
+    tie-break in EITHER mode), so this query plants copies with a
+    strictly DIFFERENT centrality: ``8v + cv`` (the vector's own
+    6-dp-argmax centroid — one rounded add per element on top of an
+    exact power-of-two scale, so both engines derive bit-identical
+    plants from their own assignment replay). The plant is always
+    strictly centroid-closer than its original (centrality gain
+    ≥ 0.08, far beyond 6-dp resolution), τ-near it (pair cosine
+    ≥ 0.99), in the same cell (the own-cell assignment score gains
+    the full +cv·cv = 1 while every other cell gains ≤ 0.55), and
+    sub-τ to everything else (bounded by the corpus's natural ±0.55
+    cosine range) — so under the paper's rule the ORIGINAL (farther)
+    survives and every planted copy dies, the exact mirror of what
+    ``keep="central"`` would elect; the query raises if any copy
+    survives or an original is lost."""
+    from group5_spark.extensions.similarity import (
+        _semantic_assign,
+        semantic_dedup,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    cents = base.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    cv = cents.select(
+        F.col("cid").alias("cell_id"), F.col("embedding").alias("_cv")
+    )
+    copies = (
+        base.where(F.col("vec_id") % 50 == 13)
+        .join(
+            _semantic_assign(base, cents).select(
+                F.col("_vid").alias("vec_id"), "cell_id"
+            ),
+            on="vec_id",
+        )
+        .join(cv, on="cell_id")
+        .select(
+            (F.col("vec_id") + 10000).alias("vec_id"),
+            F.zip_with(
+                F.transform("embedding", lambda x: x * F.lit(8.0)),
+                "_cv",
+                lambda a, b: a + b,
+            ).alias("embedding"),
+        )
+    )
+    corpus = base.unionByName(copies)
+    surv = semantic_dedup(corpus, cents, threshold=0.95, keep="atypical")
+    n_copies = copies.count()
+    leaked = surv.where(F.col("vec_id") >= 10000).count()
+    kept = surv.count()
+    if leaked or kept != base.count() or not n_copies:
+        raise RuntimeError(
+            f"atypical semantic election broke: {leaked} planted "
+            f"centroid-closer copies survived, {kept} survivors "
+            f"({n_copies} copies planted) — the paper's keep-rule "
+            f"must retire exactly the copies and keep the farther "
+            f"originals"
+        )
+    return surv.select(
+        "vec_id",
+        F.col("cell_id").cast("long").alias("cell_id"),
+        "cent_sim",
+    )
+
+
+@register(
     "purge_erasure_survivors",
     """
     SELECT d.doc_id,
@@ -9198,15 +9338,15 @@ def span_dedup_incremental_counts(
 # Round-13 window (round-12 VERDICT #1's ordered rotation): the
 # SEVENTEEN round-12 deferrals lead — their newest driver evidence is
 # round 9, at the 3-round boundary; the eight bench headliners among
-# them rotate first per the standing convention — then the TWO
+# them rotate first per the standing convention — then the THREE
 # queries new this round (new queries enter their own round's
-# window), then 31 of the 50 queries whose newest driver evidence is
+# window), then 30 of the 50 queries whose newest driver evidence is
 # round 10. That cohort is oversubscribed for the 50-slot window, so
-# NINETEEN defer to round 14 (17 + 2 + 31 = 50), chosen — exactly
+# TWENTY defer to round 14 (17 + 3 + 30 = 50), chosen — exactly
 # like every deferral set since round 9 — for the strongest
 # alternative evidence. ONE is a bench headliner executed and timed
 # by the driver every round (pricing_summary — per the convention it
-# rotates FIRST in round 14); the other EIGHTEEN each carry a
+# rotates FIRST in round 14); the other NINETEEN each carry a
 # dedicated pytest reference AND an in-window family sibling
 # exercising the same operator path:
 #   multimodal_audio_features + multimodal_frame_sample +
@@ -9246,7 +9386,10 @@ def span_dedup_incremental_counts(
 #     test_extensions;
 #   ntile_customer_quartiles — histogram_weekly_percentiles stays in
 #     the percentile family and the ranking-window operator path is
-#     pinned by tests/test_operators.py (with_rank/top_n).
+#     pinned by tests/test_operators.py (with_rank/top_n);
+#   customers_with_orders — exists_returned_orders stays (the same
+#     EXISTS→semi-join shape); the semi-join operator is pinned by
+#     tests/test_operators.py::test_anti_and_semi_join.
 # Every name below is green in
 # tools/check_oracle.py --strict (the driver-replica comparator,
 # array-intolerant exactly like the driver) before this window ships.
@@ -9284,12 +9427,16 @@ _CHECK_WINDOW = [
     # families make ingest precedence, the τ threshold, and the id
     # tie-break each fire; the oracle replays both doom rules
     "semantic_dedup_incremental_survivors",
-    # newest driver evidence round 10 — cohort minus the 19 deferrals
+    # NEW in round 13 — the PAPER's keep-rule (keep="atypical"),
+    # oracle-gated with centroid-blended plants (8v + cv) whose
+    # strictly-greater centrality exercises the flipped comparator
+    # that the x2-scaling family's bit-identical ties never reach
+    "semantic_dedup_atypical_survivors",
+    # newest driver evidence round 10 — cohort minus the 20 deferrals
     "contained_doc_pairs",
     "conversion_rate",
     "corpus_curation_funnel",
     "cube_event_counts",
-    "customers_with_orders",
     "date_functions_showcase",
     "dedup_jaccard_pairs",
     "doc_chunk_windows",

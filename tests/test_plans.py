@@ -680,6 +680,8 @@ NLJ_ALLOWED = {
     "semantic_dedup_incremental_survivors",  # batch × 8-row centroid
                                      # broadcast for the domination
                                      # ranking's cent_sim, same shape
+    "semantic_dedup_atypical_survivors",  # same assignment broadcast,
+                                     # paper keep-rule election
 }
 
 
