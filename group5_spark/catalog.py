@@ -5,12 +5,17 @@ lineitem events documents embeddings — one parquet file per table under
 ``/root/testdata/sf{0.001,0.01,0.1}``.
 
 Reads go through ``spark.read.parquet`` so Catalyst gets vectorized
-scans, predicate pushdown, and column pruning for free. Nothing is
+scans, predicate pushdown, and column pruning for free. No DATA is
 cached here — callers decide lifetime (operators that reuse a table
-across actions cache explicitly, see operators.columns.cached).
+across actions cache explicitly, see operators.columns.cached). The
+lazy table HANDLE (file listing + footer schema) is reused per
+session via ``_TABLE_CACHE`` below, invalidated on file change.
 """
 
 from __future__ import annotations
+
+import os
+import weakref
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +36,22 @@ TABLES = (
 # Dimension tables small enough to always broadcast in joins, at every
 # scale factor (TPC-H dims grow sub-linearly or not at all).
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+# Session-scoped table-handle cache: plain-parquet loads re-list the
+# path and re-read footers on every call, which is pure driver-side
+# metadata work (guide: cache file listings per session — the same
+# job a metastore does). Keyed by the live SparkSession (weak, so a
+# stopped session's entries die with it) and by the path's
+# (mtime_ns, size), so overwriting the file invalidates the entry.
+# Only the LAZY DataFrame handle is cached — every action still
+# computes from the parquet input; no rows or results are stored.
+# Snapshot-managed tables are never cached (their manifests version).
+_TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
+
+
+def _path_token(path: str) -> tuple:
+    st = os.stat(path)
+    return (st.st_mtime_ns, st.st_size)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -56,15 +77,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from group5_spark.medallion.snapshots import snapshot_read
 
         return snapshot_read(spark, f"{sf_dir}/{name}")
+    path = f"{sf_dir}/{name}.parquet"
     if name == "events":
+        # must be set before both construction (schema) and execution
+        # (footer re-read in tasks) — re-assert it on cache hits too
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
-            df = df.withColumn(
-                "ts", F.timestamp_micros(F.expr("ts div 1000"))
-            )
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    try:
+        key = (path, _path_token(path))
+        cached = _TABLE_CACHE.setdefault(spark, {}).get(key)
+        if cached is not None:
+            return cached
+    except OSError:
+        key = None  # missing path: let the reader raise its own error
+    df = spark.read.parquet(path)
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if key is not None:
+        _TABLE_CACHE[spark][key] = df
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

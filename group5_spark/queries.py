@@ -251,17 +251,21 @@ def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
     reg = load_table(spark, sf_dir, "region")
-    joined = joins.dim_join(
+    # Resolve the supplier→nation→region snowflake inside the broadcast
+    # build, so the fact stream makes ONE probe hop instead of three
+    # (guide §3.1): the pre-joined dim is still supplier-sized.
+    dim = joins.dim_join(
         joins.dim_join(
-            joins.dim_join(
-                li.withColumnRenamed("l_suppkey", "s_suppkey"), sup, "s_suppkey"
-            ).withColumnRenamed("s_nationkey", "n_nationkey"),
-            nat,
-            "n_nationkey",
-        ).withColumnRenamed("n_regionkey", "r_regionkey"),
-        reg,
-        "r_regionkey",
-    )
+            sup.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
+            nat.select(
+                F.col("n_nationkey").alias("s_nationkey"), "n_name", "n_regionkey"
+            ),
+            "s_nationkey",
+        ),
+        reg.select(F.col("r_regionkey").alias("n_regionkey"), "r_name"),
+        "n_regionkey",
+    ).select("l_suppkey", "n_name", "r_name")
+    joined = joins.dim_join(li, dim, "l_suppkey")
     return joined.groupBy("r_name", "n_name").agg(
         F.sum(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
@@ -414,19 +418,27 @@ def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Partitioned ranking (B4): top-3 revenue parts within each brand."""
+    """Partitioned ranking (B4): top-3 revenue parts within each brand.
+
+    Aggregate BEFORE the dim join (guide §2.3): lineitem reduces on the
+    8-byte part key alone, so the hash-agg keys and the exchange carry
+    no strings, and the brand/name columns attach to the part-sized
+    aggregate (one broadcast probe over ~|part| rows instead of ~|fact|
+    rows). p_brand/p_name are functionally dependent on p_partkey (dim
+    PK), so the groups — and the inner join's row drops — are
+    unchanged.
+    """
     li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
         "l_partkey", "p_partkey"
     )
     part = load_table(spark, sf_dir, "part")
-    rev = (
-        joins.dim_join(li, part, "p_partkey")
-        .groupBy("p_brand", "p_partkey", "p_name")
-        .agg(
-            F.sum(
-                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
-            ).alias("revenue")
-        )
+    per_part = li.groupBy("p_partkey").agg(
+        F.sum(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(DEC4)
+        ).alias("revenue")
+    )
+    rev = joins.dim_join(
+        per_part, part.select("p_partkey", "p_name", "p_brand"), "p_partkey"
     )
     return windows.top_n(
         rev, "p_brand", [F.col("revenue").desc(), F.col("p_partkey")], n=3, out="rn"
@@ -3087,25 +3099,29 @@ def nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ord_slim = orders.select("o_orderkey", "o_custkey")
     j = joins.inner_join(li_slim, ord_slim, "o_orderkey")
-    j = joins.dim_join(
-        j.withColumnRenamed("l_suppkey", "s_suppkey"),
-        sup.select("s_suppkey", "s_nationkey"),
-        "s_suppkey",
-    )
-    j = joins.dim_join(
-        j.withColumnRenamed("o_custkey", "c_custkey"),
-        cust.select("c_custkey", "c_nationkey"),
-        "c_custkey",
-    )
-    ns = nat.select(
-        F.col("n_nationkey").alias("s_nationkey"),
-        F.col("n_name").alias("supp_nation"),
-    )
-    nc = nat.select(
-        F.col("n_nationkey").alias("c_nationkey"),
-        F.col("n_name").alias("cust_nation"),
-    )
-    j = joins.dim_join(joins.dim_join(j, ns, "s_nationkey"), nc, "c_nationkey")
+    # Pre-resolve each dimension chain to its nation name BEFORE the
+    # fact joins: supplier⋈nation and customer⋈nation are dim-sized
+    # joins inside the broadcast builds, so the fact stream makes two
+    # probe hops (suppkey→supp_nation, custkey→cust_nation) instead of
+    # four (guide §3.1 — fewer per-row hash probes on the big side; at
+    # any scale the fact row count dwarfs both dims).
+    ns = joins.dim_join(
+        sup.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
+        nat.select(
+            F.col("n_nationkey").alias("s_nationkey"),
+            F.col("n_name").alias("supp_nation"),
+        ),
+        "s_nationkey",
+    ).select("l_suppkey", "supp_nation")
+    nc = joins.dim_join(
+        cust.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+        nat.select(
+            F.col("n_nationkey").alias("c_nationkey"),
+            F.col("n_name").alias("cust_nation"),
+        ),
+        "c_nationkey",
+    ).select("o_custkey", "cust_nation")
+    j = joins.dim_join(joins.dim_join(j, ns, "l_suppkey"), nc, "o_custkey")
     return (
         j.filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -4119,21 +4135,38 @@ def waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix, avoiding the join-back's second scan. Supplier names
     broadcast at the end.
     """
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_suppkey", "l_shipdate"
+    )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # The (orderkey, suppkey) grain is nearly the line grain (measured:
+    # 600 k lines → 599 k groups), so map-side partial aggregation
+    # reduces nothing and the old plan paid TWO full-fact exchanges —
+    # hash(orderkey, suppkey) for the agg, then hash(orderkey) for the
+    # window. Repartitioning by the window's key FIRST lets the agg
+    # (clustered-distribution subset rule) and the window share that
+    # single exchange (guide §2.4). At cluster scale, where orders is
+    # too big to broadcast and the join is a sort-merge already
+    # partitioned on o_orderkey, EnsureRequirements optimizes the
+    # REPARTITION_BY_COL exchange out entirely (verified on 4.1.2), so
+    # this costs nothing there. The exchange carries a projected
+    # 3-column row: the lateness flag is computed before the shuffle.
     per = (
-        li.withColumnRenamed("l_orderkey", "o_orderkey")
-        .join(orders, "o_orderkey")
-        .groupBy("o_orderkey", "l_suppkey")
-        .agg(
-            F.max(
-                F.when(
-                    F.col("l_shipdate")
-                    > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
-                    1,
-                ).otherwise(0)
-            ).alias("is_late")
+        li.join(orders, "o_orderkey")
+        .select(
+            "o_orderkey",
+            "l_suppkey",
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"),
+                1,
+            )
+            .otherwise(0)
+            .alias("line_late"),
         )
+        .repartition("o_orderkey")
+        .groupBy("o_orderkey", "l_suppkey")
+        .agg(F.max("line_late").alias("is_late"))
     )
     w = Window.partitionBy("o_orderkey")
     flagged = per.select(
@@ -4864,16 +4897,20 @@ def profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     sup = load_table(spark, sf_dir, "supplier")
     nat = load_table(spark, sf_dir, "nation")
+    # supplier→nation resolves inside the broadcast build (guide §3.1):
+    # the fact stream probes twice (partkey, suppkey) instead of three
+    # times; the pre-joined dim stays supplier-sized.
+    sup_n = joins.dim_join(
+        sup.select(F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"),
+        nat.select(F.col("n_nationkey").alias("s_nationkey"), "n_name"),
+        "s_nationkey",
+    ).select("l_suppkey", "n_name")
     joined = joins.dim_join(
         joins.dim_join(
-            joins.dim_join(
-                li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey"
-            ).withColumnRenamed("l_suppkey", "s_suppkey"),
-            sup,
-            "s_suppkey",
-        ).withColumnRenamed("s_nationkey", "n_nationkey"),
-        nat,
-        "n_nationkey",
+            li.withColumnRenamed("l_partkey", "p_partkey"), part, "p_partkey"
+        ),
+        sup_n,
+        "l_suppkey",
     )
     profit = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -5057,11 +5094,19 @@ def repeat_orders_within_3d(spark: SparkSession, sf_dir: str) -> DataFrame:
     themselves are the result.
     """
     orders = load_table(spark, sf_dir, "orders")
+    # (custkey, epoch) is nearly the order grain (~1 order per customer
+    # per day), so map-side partials reduce nothing and the old plan
+    # paid two near-full-fact exchanges: hash(custkey, epoch) for this
+    # agg, then hash(custkey) for the range window. Repartitioning by
+    # the window's key first shares ONE exchange across the agg, the
+    # window, and the final groupBy(c_custkey) (guide §2.4); the
+    # shuffled row is the same projected 2-column pair either way.
     dens = (
         orders.select(
             F.col("o_custkey").alias("c_custkey"),
             F.unix_timestamp("o_orderdate").alias("epoch"),
         )
+        .repartition("c_custkey")
         .groupBy("c_custkey", "epoch")
         .agg(F.count(F.lit(1)).alias("c_t"))
     )
@@ -5172,11 +5217,17 @@ def part_pair_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays silently drops literal args in PySpark 4.1).
     """
     li = load_table(spark, sf_dir, "lineitem")
+    # collect_set dedups per order inside ONE keyed aggregation — the
+    # former .distinct() + collect_list pair cost two full-data
+    # exchanges (hash(orderkey, partkey), then hash(orderkey)); the
+    # set-aggregate does map-side partial sets and shuffles once
+    # (guide §2.4: two operations keyed the same way share one
+    # exchange). sort_array(collect_set(x)) ≡ the old sorted distinct
+    # list, so the generated pair set is byte-identical.
     baskets = (
         li.select("l_orderkey", "l_partkey")
-        .distinct()
         .groupBy("l_orderkey")
-        .agg(F.sort_array(F.collect_list("l_partkey")).alias("parts"))
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("parts"))
     )
     pairs_expr = (
         "flatten(transform(parts, (x, i) -> "

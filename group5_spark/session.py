@@ -29,6 +29,14 @@ DEFAULT_CONFIG: dict[str, str] = {
     "spark.sql.session.timeZone": "UTC",
     # Arrow-batched transfer for any Pandas UDF / toPandas path.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Per-op call-site capture for DataFrame error contexts costs two
+    # py4j round trips plus a Python stack walk on EVERY DataFrame
+    # method call (pyspark.errors.utils._with_origin); measured ~40%
+    # of query-construction time on chained builder pipelines. Pure
+    # driver-side Python overhead, independent of data scale — off in
+    # production, at the price of less precise Python call-site info
+    # in error messages (JVM stack traces are unaffected).
+    "spark.python.sql.dataFrameDebugging.enabled": "false",
     # Small dims (reference: 1k customers / 2k products) broadcast.
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # Cost-based optimization: join reordering + selectivity from
@@ -36,6 +44,11 @@ DEFAULT_CONFIG: dict[str, str] = {
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
     "spark.sql.statistics.histogram.enabled": "true",
+    # Whole-stage-codegen unit cache: the default 100 entries thrashes
+    # once a session runs tens of distinct multi-unit plans (each
+    # eviction re-pays a ~50-200 ms janino compile on next use).
+    # Driver-memory-only cost, independent of data scale.
+    "spark.sql.codegen.cache.maxEntries": "1000",
     # Sized for local testing; on a real cluster AQE coalesces upward
     # from a larger initial number instead.
     "spark.sql.shuffle.partitions": "32",
