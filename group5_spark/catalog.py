@@ -84,9 +84,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         key = (path, _path_token(path))
-        cached = _TABLE_CACHE.setdefault(spark, {}).get(key)
+        per_session = _TABLE_CACHE.setdefault(spark, {})
+        cached = per_session.get(key)
         if cached is not None:
             return cached
+        # a miss with the path present means the file changed: evict
+        # prior generations so a rewritten path cannot accumulate
+        # stale handles (each pins a JVM-side plan) over a long session
+        for stale in [k for k in per_session if k[0] == path]:
+            del per_session[stale]
     except OSError:
         key = None  # missing path: let the reader raise its own error
     df = spark.read.parquet(path)

@@ -33,6 +33,10 @@ def test_overwrite_invalidates_cache(spark, tmp_path):
     second = load_table(spark, d, "nation")
     assert second is not first
     assert "s_suppkey" in second.columns
+    # the stale generation is evicted, not accumulated
+    path = f"{d}/nation.parquet"
+    entries = [k for k in _TABLE_CACHE[spark] if k[0] == path]
+    assert len(entries) == 1
 
 
 def test_events_rebuild_survives_cache(spark):
