@@ -116,6 +116,15 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Prove the core-count contract in the output itself (round-13
+        # PERF flagged suspect_cpus_ignored on a workload that is
+        # genuinely core-insensitive at sf0.1 — single-row-group scans
+        # mean 1-task map stages): the session's resolved master and
+        # scheduler parallelism make "env ignored" vs "core-insensitive
+        # workload" distinguishable from the JSON line alone.
+        # Additions-only; every pre-existing field is unchanged.
+        "cpus": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
     }
     if repeat > 1:
         totals = [round(sum(p.values()), 2) for p in passes]

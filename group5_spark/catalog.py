@@ -50,8 +50,26 @@ _TABLE_CACHE: weakref.WeakKeyDictionary = weakref.WeakKeyDictionary()
 
 
 def _path_token(path: str) -> tuple:
+    """Change token for a cached handle: (inode, mtime_ns, size).
+
+    st_ino catches replace-by-rename (cp/mv a new file over the path
+    preserving mtime+size); for a DIRECTORY-shaped dataset (a
+    Spark-written table of part-files) the token also folds in the
+    direct children's stats, so an in-place part-file rewrite that
+    keeps the dir's own mtime is still detected.
+    """
     st = os.stat(path)
-    return (st.st_mtime_ns, st.st_size)
+    token: tuple = (st.st_ino, st.st_mtime_ns, st.st_size)
+    if os.path.isdir(path):
+        with os.scandir(path) as entries:
+            kids = tuple(
+                sorted(
+                    (e.name, e.stat().st_ino, e.stat().st_mtime_ns, e.stat().st_size)
+                    for e in entries
+                )
+            )
+        token = token + (kids,)
+    return token
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

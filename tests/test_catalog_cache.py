@@ -39,6 +39,44 @@ def test_overwrite_invalidates_cache(spark, tmp_path):
     assert len(entries) == 1
 
 
+def test_rename_overwrite_invalidates_cache(spark, tmp_path):
+    """mv-over-the-path keeps no mtime/size guarantee but always
+    changes the inode — the (st_ino, ...) token must catch it even
+    when mtime and size are replicated exactly (round-14 hardening:
+    the old (mtime_ns, size) token returned a stale handle here)."""
+    import os
+
+    d = str(tmp_path / "renamedir")
+    (tmp_path / "renamedir").mkdir()
+    shutil.copy(f"{SF}/nation.parquet", f"{d}/nation.parquet")
+    first = load_table(spark, d, "nation")
+    st = os.stat(f"{d}/nation.parquet")
+    # stage a replacement with IDENTICAL size and mtime, different inode
+    shutil.copy(f"{SF}/nation.parquet", f"{d}/staged")
+    os.utime(f"{d}/staged", ns=(st.st_atime_ns, st.st_mtime_ns))
+    os.replace(f"{d}/staged", f"{d}/nation.parquet")
+    st2 = os.stat(f"{d}/nation.parquet")
+    assert (st2.st_mtime_ns, st2.st_size) == (st.st_mtime_ns, st.st_size)
+    second = load_table(spark, d, "nation")
+    assert second is not first
+
+
+def test_directory_dataset_child_rewrite_invalidates(spark, tmp_path):
+    """A directory-shaped parquet dataset whose part-file is rewritten
+    in place must not serve a stale handle: the token folds in the
+    direct children's stats."""
+    d = str(tmp_path / "dirds")
+    (tmp_path / "dirds").mkdir()
+    (tmp_path / "dirds" / "nation.parquet").mkdir()
+    shutil.copy(f"{SF}/nation.parquet", f"{d}/nation.parquet/part-0.parquet")
+    first = load_table(spark, d, "nation")
+    assert first.count() == 25
+    shutil.copy(f"{SF}/supplier.parquet", f"{d}/nation.parquet/part-0.parquet")
+    second = load_table(spark, d, "nation")
+    assert second is not first
+    assert "s_suppkey" in second.columns
+
+
 def test_events_rebuild_survives_cache(spark):
     ev1 = load_table(spark, SF, "events")
     ev2 = load_table(spark, SF, "events")

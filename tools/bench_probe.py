@@ -32,7 +32,6 @@ def main() -> None:
     args = sys.argv[1:]
     tag, suffix, repeat = "r13", "", 3
     names: list[str] = []
-    it = iter(range(len(args)))
     i = 0
     while i < len(args):
         a = args[i]
